@@ -1,0 +1,105 @@
+"""Grouped aggregates with partial (combiner) pre-aggregation.
+
+Reference semantics: reducer/CountOperator.cpp:4-31 — per-task partial counts
+merged across tasks (A1 in SURVEY.md §2.5); count-by-time bucketing
+clo/OutputHandler.hpp:255-286 (A2). In Ray Data the cross-task merge is the
+groupby shuffle; we shrink what's shuffled by pre-aggregating inside
+map_batches first (one row per key per batch instead of one per record).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _partial_agg_fn(keys: list[str], aggs: list[tuple[str, str]]):
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = set(keys) | {c for c, _ in aggs if c != "*"}
+        batch = batch.select([c for c in batch.column_names if c in cols])
+        return batch.group_by(keys).aggregate(
+            [(c, f) for c, f in aggs]
+        )
+
+    return fn
+
+
+def count_by(ds, keys: list[str] | str):
+    """groupby(keys).count() with per-batch partial counts.
+
+    Returns a Dataset with columns keys + ``cnt`` (int64).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    key0 = keys[0]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.select(keys).group_by(keys).aggregate([(key0, "count")])
+        return out.rename_columns(keys + ["cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby(keys).aggregate(Sum("cnt", alias_name="cnt"))
+    return out
+
+
+def sum_by(ds, keys: list[str] | str, value_col: str, alias: str | None = None):
+    """groupby(keys).sum(value_col) with per-batch partials."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    alias = alias or f"sum_{value_col}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = (
+            batch.select(keys + [value_col])
+            .group_by(keys)
+            .aggregate([(value_col, "sum")])
+        )
+        return out.rename_columns(keys + [alias])
+
+    from ray.data.aggregate import Sum
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(
+        Sum(alias, alias_name=alias)
+    )
+
+
+def add_time_bucket(ds, ts_col: str = "ts", granularity: str = "hour",
+                    out_col: str = "bucket"):
+    """Append a truncated-timestamp bucket column (A2: bucket = ts/size*size)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = pc.floor_temporal(batch.column(ts_col), unit=granularity)
+        return batch.append_column(out_col, b)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stats_by(ds, keys: list[str] | str, ts_col: str = "ts", size_col: str | None = None):
+    """Per-group archive-style stats: count, min/max ts, optional byte sum (A3).
+
+    Mirrors per-archive metadata accumulation
+    (streaming_archive/ArchiveMetadata.cpp, writer/Archive.cpp:493-557).
+    Column names: n_turns, min_ts, max_ts[, total_bytes].
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = keys + [ts_col] + ([size_col] if size_col else [])
+        aggs = [(ts_col, "count"), (ts_col, "min"), (ts_col, "max")]
+        names = keys + ["n_turns", "min_ts", "max_ts"]
+        if size_col:
+            aggs.append((size_col, "sum"))
+            names.append("total_bytes")
+        out = batch.select(sel).group_by(keys).aggregate(aggs)
+        return out.rename_columns(names)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    aggs = [
+        Sum("n_turns", alias_name="n_turns"),
+        Min("min_ts", alias_name="min_ts"),
+        Max("max_ts", alias_name="max_ts"),
+    ]
+    if size_col:
+        aggs.append(Sum("total_bytes", alias_name="total_bytes"))
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(*aggs)

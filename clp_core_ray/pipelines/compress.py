@@ -1,0 +1,164 @@
+"""Flagship pipeline: parse → enrich → route → aggregate over transcripts.
+
+This is the Ray-Data rebuild of CLP compression (clp/compression.cpp:57-191 →
+FileCompressor → Archive.write_msg), restructured as a streaming Dataset
+pipeline:
+
+    read_parquet(transcripts)                     # S1; column-pruned
+      → RouteStage (logtype_class)                # fan-out key, from raw text
+      → EnrichStage (broadcast role/tool meta)    # J6, no shuffle
+      → EncodeStage (logtype + typed vars)        # M3/M4 vectorized kernels
+      → write_parquet(partition_cols=[class])     # K1 fan-out sinks
+      + logtype/var dictionary datasets           # T1/T2
+      + groupby(class) counts                     # A1 (partial+final)
+      + per-fragment lineage manifests            # checkpoint/resume
+
+Scale notes: the only shuffles are the dictionary distincts and the final
+count-by-class over *pre-aggregated partials*; the encode path is per-batch
+with no exchange. Sinks are partitioned parquet (one dir per class), never a
+single file. Fragmented execution (run_fragments) bounds the blast radius of
+a failure to one fragment and makes reruns skip completed work.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from clp_core_ray.pipelines.aggregate import count_by
+from clp_core_ray.sources.transcripts import read_transcripts, transcripts_path
+from clp_core_ray.stages.encode import DecodeStage, EncodeStage
+from clp_core_ray.stages.enrich import EnrichStage
+from clp_core_ray.stages.route import RouteStage
+from clp_core_ray.state import manifest as mf
+
+ENCODE_BATCH_SIZE = 16 * 1024  # rows; ~2-4 MB of text per batch → warm scratch
+
+
+def build_encoded(ds, keep_text: bool = False, concurrency=None):
+    """transcripts Dataset → routed+enriched+encoded Dataset (lazy)."""
+    ds = ds.map_batches(RouteStage(), batch_format="pyarrow")
+    ds = ds.map_batches(EnrichStage(), batch_format="pyarrow")
+    ds = ds.map_batches(
+        EncodeStage(keep_text=keep_text),
+        batch_format="pyarrow",
+        batch_size=ENCODE_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+    return ds
+
+
+def compress(
+    sf_dir_or_sf,
+    out_dir: str,
+    keep_text: bool = False,
+    concurrency=None,
+):
+    """Run the flagship pipeline; returns the per-class count table (small).
+
+    Writes routed sinks to <out_dir>/routed/ partitioned by logtype_class and
+    a manifest with per-class counts.
+    """
+    import ray.data as rd
+
+    ds = read_transcripts(sf_dir_or_sf)
+    encoded = build_encoded(ds, keep_text=keep_text, concurrency=concurrency)
+    routed_dir = os.path.join(out_dir, "routed")
+    encoded.write_parquet(routed_dir, partition_cols=["logtype_class"])
+    # per-class counts from the written sinks: reads only the partition column
+    sink_ds = rd.read_parquet(routed_dir, columns=["logtype_class"])
+    counts_tbl = _to_table(count_by(sink_ds, "logtype_class"))
+    mf.record_fragment(
+        out_dir,
+        "full",
+        {
+            "input": str(transcripts_path(sf_dir_or_sf)),
+            "sink": routed_dir,
+            "class_counts": dict(
+                zip(
+                    counts_tbl.column("logtype_class").to_pylist(),
+                    counts_tbl.column("cnt").to_pylist(),
+                )
+            ),
+        },
+    )
+    return counts_tbl
+
+
+def _to_table(ds) -> pa.Table:
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def run_fragments(sf_dir_or_sf, out_dir: str) -> list[str]:
+    """Checkpointed execution: one fragment per input file, skip completed ones.
+
+    Each fragment is an independent sub-pipeline (read one shard → encode →
+    routed sink); its manifest is recorded only after the write succeeds, so a
+    rerun after a crash reprocesses only unfinished fragments (resume =
+    anti-join of fragment ids against the manifest dir). Returns the fragment
+    ids processed in this run.
+    """
+    import ray.data as rd
+
+    from clp_core_ray.sources.transcripts import transcript_files
+
+    files = transcript_files(sf_dir_or_sf)
+    frag_ids = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    todo = mf.pending_fragments(frag_ids, out_dir)
+    by_id = dict(zip(frag_ids, files))
+    for frag in todo:
+        path = by_id[frag]
+        encoded = build_encoded(rd.read_parquet(path))
+        sink = os.path.join(out_dir, f"fragment={frag}")
+        encoded.write_parquet(sink, partition_cols=["logtype_class"])
+        counts = _to_table(
+            count_by(rd.read_parquet(sink, columns=["logtype_class"]), "logtype_class")
+        )
+        mf.record_fragment(
+            out_dir,
+            frag,
+            {
+                "input": path,
+                "sink": sink,
+                "rows": int(sum(counts.column("cnt").to_pylist())),
+                "class_counts": dict(
+                    zip(
+                        counts.column("logtype_class").to_pylist(),
+                        counts.column("cnt").to_pylist(),
+                    )
+                ),
+            },
+        )
+    return todo
+
+
+def roundtrip_check(sf_dir_or_sf) -> pa.Table:
+    """Per-turn text round-trip equality under stable (conv_id, turn_idx) order.
+
+    Returns one row: (n_turns, n_ok) — the north-rule per-row invariant.
+    """
+    import pyarrow.compute as pc
+
+    ds = read_transcripts(sf_dir_or_sf)
+    encoded = build_encoded(ds, keep_text=True)
+    decoded = encoded.map_batches(DecodeStage(out_col="decoded"), batch_format="pyarrow")
+
+    def check(batch: pa.Table) -> pa.Table:
+        ok = pc.equal(batch.column("text"), batch.column("decoded"))
+        return pa.table(
+            {
+                "n_turns": pa.array([len(batch)], type=pa.int64()),
+                "n_ok": pa.array([pc.sum(ok).as_py() or 0], type=pa.int64()),
+            }
+        )
+
+    parts = decoded.map_batches(check, batch_format="pyarrow")
+    tbl = _to_table(parts)
+    return pa.table(
+        {
+            "n_turns": pa.array([pa.compute.sum(tbl.column("n_turns")).as_py()]),
+            "n_ok": pa.array([pa.compute.sum(tbl.column("n_ok")).as_py()]),
+        }
+    )

@@ -1,0 +1,288 @@
+"""Query registry: every implemented operator as (ray_fn, oracle_sql) pairs.
+
+Each entry maps a name → callable(sf_dir) returning a Dataset / pa.Table, and
+(optionally) an ANSI-SQL string DuckDB runs on the same inputs. Column names
+match between both sides (the driver hash-compares by sorted column name).
+Float-valued aggregate columns are avoided in oracle-checked queries (partial
+sums associate differently than DuckDB's; exact ints/timestamps/strings only).
+
+Transcript queries read the deterministic synthetic transcript Parquet
+(clp_core_ray.sources.transcripts); its path is embedded into the SQL via
+read_parquet(), generated before the SQL string is returned.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from clp_core_ray.pipelines import aggregate as agg
+from clp_core_ray.pipelines.compress import build_encoded
+from clp_core_ray.sources.transcripts import read_transcripts, transcripts_path
+from clp_core_ray.stages.enrich import EnrichStage
+from clp_core_ray.stages.route import ROUTE_SQL_EXPR, RouteStage
+
+_QUERIES: dict = {}
+_ORACLES: dict = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def query_map():
+    return dict(_QUERIES)
+
+
+def oracle_map(sf_dir_hint: str = "/root/testdata/sf0.01"):
+    """Oracle SQL per query; {T} is replaced with the transcript parquet glob."""
+    tdir = transcripts_path(sf_dir_hint)
+    return {
+        k: v.replace("{T}", f"read_parquet('{tdir}/*.parquet')")
+        for k, v in _ORACLES.items()
+    }
+
+
+def _tbl(ds) -> pa.Table:
+    out = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(out) if out else pa.table({})
+
+
+# --------------------------------------------------------------------------
+# CLP transcript pipeline queries (north_rule operators)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "clp_route_counts",
+    f"SELECT {ROUTE_SQL_EXPR} AS logtype_class, count(*) AS cnt FROM {{T}} GROUP BY 1",
+)
+def clp_route_counts(sf_dir: str):
+    ds = read_transcripts(sf_dir).map_batches(RouteStage(), batch_format="pyarrow")
+    return agg.count_by(ds, "logtype_class")
+
+
+@register(
+    "clp_conv_stats",
+    "SELECT conv_id, count(*) AS n_turns, min(ts) AS min_ts, max(ts) AS max_ts "
+    "FROM {T} GROUP BY conv_id",
+)
+def clp_conv_stats(sf_dir: str):
+    return agg.stats_by(read_transcripts(sf_dir), "conv_id")
+
+
+@register(
+    "clp_count_by_hour",
+    "SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt FROM {T} GROUP BY 1",
+)
+def clp_count_by_hour(sf_dir: str):
+    ds = agg.add_time_bucket(read_transcripts(sf_dir), "ts", "hour")
+    return agg.count_by(ds, "bucket")
+
+
+@register(
+    "clp_enrich_role_counts",
+    "SELECT CASE role WHEN 'user' THEN 'human' WHEN 'assistant' THEN 'model' "
+    "WHEN 'system' THEN 'control' ELSE 'automation' END AS role_group, "
+    "CASE WHEN tool IN ('search','browser') THEN 'retrieval' "
+    "WHEN tool IN ('calculator','code_exec') THEN 'compute' "
+    "WHEN tool = 'db_query' THEN 'data' ELSE 'none' END AS tool_category, "
+    "count(*) AS cnt FROM {T} GROUP BY 1, 2",
+)
+def clp_enrich_role_counts(sf_dir: str):
+    ds = read_transcripts(sf_dir).map_batches(EnrichStage(), batch_format="pyarrow")
+    return agg.count_by(ds, ["role_group", "tool_category"])
+
+
+@register(
+    "clp_roundtrip",
+    "SELECT count(*) AS n_turns, count(*) AS n_ok FROM {T}",
+)
+def clp_roundtrip(sf_dir: str):
+    # oracle asserts the invariant n_ok == n_turns (every turn round-trips)
+    from clp_core_ray.pipelines.compress import roundtrip_check
+
+    return roundtrip_check(sf_dir)
+
+
+@register("clp_logtype_topk")  # logtype derivation is not SQL-expressible
+def clp_logtype_topk(sf_dir: str):
+    enc = build_encoded(read_transcripts(sf_dir))
+    counts = agg.count_by(enc, ["logtype_id", "logtype"])
+    return counts.sort(["cnt", "logtype_id"], descending=[True, False]).limit(20)
+
+
+@register("clp_dict_sizes")  # dictionary content is not SQL-expressible
+def clp_dict_sizes(sf_dir: str):
+    from clp_core_ray.state.dictionaries import logtype_dict, var_dict
+
+    enc = build_encoded(read_transcripts(sf_dir))
+    n_logtypes = logtype_dict(enc).count()
+    n_vars = var_dict(build_encoded(read_transcripts(sf_dir))).count()
+    return pa.table(
+        {"n_logtypes": pa.array([n_logtypes], type=pa.int64()),
+         "n_var_entries": pa.array([n_vars], type=pa.int64())}
+    )
+
+
+@register(
+    "clp_search_error_timeout",
+    "SELECT conv_id, turn_idx, text FROM {T} WHERE text LIKE '%ERROR%timeout%'",
+)
+def clp_search_error_timeout(sf_dir: str):
+    from clp_core_ray.pipelines.search import search_archive
+
+    return search_archive(_archive_dir(sf_dir), "ERROR*timeout")
+
+
+def _archive_dir(sf_dir: str) -> str:
+    """Compress once per scale into a cached archive dir (CLP: search reads
+    what compression wrote)."""
+    import os
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.sources.transcripts import sf_of_dir
+    from clp_core_ray.state.manifest import completed_fragments
+
+    sf = sf_of_dir(sf_dir)
+    out = f"/tmp/clp_core_ray_data/archive_sf{sf}"
+    if "full" not in completed_fragments(out):
+        compress(sf_dir, out)
+    return os.path.join(out, "routed")
+
+
+# --------------------------------------------------------------------------
+# events / TPC-H-ish operator parity queries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_count_by_type",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def events_count_by_type(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return agg.count_by(ds, "event_type")
+
+
+@register(
+    "events_count_by_hour",
+    "SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt FROM events GROUP BY 1",
+)
+def events_count_by_hour(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return agg.count_by(agg.add_time_bucket(ds, "ts", "hour"), "bucket")
+
+
+@register(
+    "events_topk_latest",
+    "SELECT event_id, ts, event_type FROM events ORDER BY ts DESC, event_id DESC LIMIT 10",
+)
+def events_topk_latest(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"])
+    return ds.sort(["ts", "event_id"], descending=True).limit(10)
+
+
+@register(
+    "orders_by_nation",
+    "SELECT n.n_name AS nation, count(*) AS cnt FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1",
+)
+def orders_by_nation(sf_dir: str):
+    """Broadcast join: customer/nation are the small sides (J6 pattern)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nat_of_cust = pa.table(
+        {
+            "c_custkey": cust.column("c_custkey"),
+            "nation": pc.take(
+                nat.column("n_name"),
+                pc.index_in(cust.column("c_nationkey"), nat.column("n_nationkey")),
+            ),
+        }
+    )
+    import ray
+
+    ref = ray.put(nat_of_cust)
+
+    class Attach:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = pc.index_in(batch.column("o_custkey"), self.small.column("c_custkey"))
+            return batch.append_column("nation", pc.take(self.small.column("nation"), pos))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    joined = orders.map_batches(Attach, batch_format="pyarrow", concurrency=2)
+    return agg.count_by(joined, "nation")
+
+
+@register(
+    "lineitem_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+    "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+    "FROM lineitem GROUP BY 1, 2",
+)
+def lineitem_pricing_summary(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def add_int_qty(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "qty", pc.cast(pc.round(b.column("l_quantity")), pa.int64())
+        )
+
+    ds = ds.map_batches(add_int_qty, batch_format="pyarrow")
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.select(keys + ["qty"]).group_by(keys).aggregate(
+            [("qty", "count"), ("qty", "sum")]
+        )
+        return out.rename_columns(keys + ["cnt", "sum_qty"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("sum_qty", alias_name="sum_qty"))
+    )
+
+
+@register(
+    "part_name_like",
+    "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'",
+)
+def part_name_like(sf_dir: str):
+    """Wildcard matcher (M10) as a vectorized filter."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.search import wildcard_match
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    return ds.map_batches(
+        lambda b: b.filter(wildcard_match(b.column("p_name"), "*red*")),
+        batch_format="pyarrow",
+    )

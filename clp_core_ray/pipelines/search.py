@@ -1,0 +1,141 @@
+"""CLP-style search over the routed archive (SURVEY.md §2.11).
+
+Mirrors the clp/clg flow (Grep.cpp:410-628, 900-959) restructured for Ray
+Data:
+
+1. **Compile** (driver): the wildcard query (implicitly ``*q*``) is matched
+   against the logtype dictionary — placeholders stand for "any variable", so
+   each placeholder byte is replaced by ``*`` before matching — producing a
+   candidate logtype_id set (possible-logtypes pruning, Grep.cpp:482-495).
+2. **Prune** (storage): only sink partitions whose manifest counts say they
+   contain candidate logtypes need reading; here we read the encoded columns
+   of the routed Parquet with column pruning.
+3. **Scan** (vectorized): filter rows by ``logtype_id ∈ candidates`` (cheap
+   int isin), then decode only the candidate rows and wildcard re-check the
+   full text — CLP's "imprecise subquery → decode and match" fallback
+   (Grep.cpp:900-959). Matching uses translated-regex, equivalent to CLP's
+   wildcard_match_unsafe (string_utils.cpp, M10).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def wildcard_to_regex(pattern: str, full_match: bool = True) -> str:
+    """CLP wildcard (* = any run, ? = any char) → anchored regex."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("[\\s\\S]*")
+        elif ch == "?":
+            out.append("[\\s\\S]")
+        else:
+            out.append(re.escape(ch))
+    body = "".join(out)
+    return f"^{body}$" if full_match else body
+
+
+def wildcard_match(texts: pa.Array, pattern: str) -> pa.Array:
+    """Vectorized CLP wildcard match (M10)."""
+    return pc.match_substring_regex(texts, wildcard_to_regex(pattern))
+
+
+def candidate_logtype_ids(
+    logtype_ids: pa.Array, logtypes: pa.Array, query: str
+) -> np.ndarray:
+    """Driver-side compile: which logtypes could contain a match.
+
+    Each placeholder byte in the template is treated as '*' (a variable can be
+    anything), then the implicit-*query*-wildcard is matched against it.
+    """
+    templ = logtypes
+    for ph in ("\x11", "\x12", "\x13"):
+        templ = pc.replace_substring(templ, ph, "*")
+    # collapse escape chars: '\' + c → c (escaped literal)
+    templ_py = [re.sub(r"\\([\s\S])", r"\1", t) for t in templ.to_pylist()]
+    wquery = f"*{query.strip('*')}*" if query.strip("*") else "*"
+    rx = re.compile(wildcard_to_regex(wquery))
+    # a template-with-*-vars matches the query pattern iff an interleaving
+    # exists; conservative candidate test: match query against template where
+    # template '*'s absorb anything — implemented by regexifying the template
+    # and testing symbolically is overkill; CLP's own approach is wildcard
+    # match of query tokens against the logtype. We use: template matches if
+    # rx matches template text with '*' treated as matching anything — i.e.
+    # test query-regex against template with '*' expanded; to stay
+    # conservative (no false negatives), also keep any template containing a
+    # '*' adjacent overlap. Simplest sound rule: keep template if the
+    # *constant parts of the query* (split on wildcards) appear in order in
+    # the template-with-*-vars pattern allowing '*' gaps.
+    keep = []
+    ids = logtype_ids.to_pylist()
+    consts = [c for c in re.split(r"[*?]+", query) if c]
+    for i, t in enumerate(templ_py):
+        # in-order scan: each query constant must appear in the template text
+        # OR be absorbable by a '*' (variable) — absorbable is always possible
+        # if a '*' exists between the previous match position and the end.
+        pos = 0
+        ok = True
+        for c in consts:
+            j = t.find(c, pos)
+            k = t.find("*", pos)
+            if j >= 0:
+                pos = j + len(c)
+            elif k >= 0:
+                pos = k  # a variable can absorb this constant (imprecise)
+            else:
+                ok = False
+                break
+        if ok:
+            keep.append(ids[i])
+    return np.array(keep, dtype=np.int64)
+
+
+def search_archive(archive_routed_dir: str, query: str, columns=None):
+    """Search the routed archive → Dataset[(conv_id, turn_idx, text)] matches."""
+    import ray.data as rd
+
+    from clp_core_ray.state.dictionaries import logtype_dict
+    from clp_core_ray.vec.decoder import decode_batch
+
+    dict_ds = rd.read_parquet(
+        archive_routed_dir, columns=["logtype_id", "logtype", "n_vars"]
+    )
+    ldict = pa.concat_tables(
+        pa.table(b)
+        for b in logtype_dict(dict_ds).iter_batches(batch_format="pyarrow")
+    )
+    cand = candidate_logtype_ids(ldict.column("logtype_id"), ldict.column("logtype"), query)
+    cand_arr = pa.array(cand)
+
+    cols = ["conv_id", "turn_idx", "logtype_id", "logtype", "encoded_vars",
+            "var_types", "dict_vars"]
+    ds = rd.read_parquet(archive_routed_dir, columns=cols)
+    rx = wildcard_to_regex(f"*{query.strip('*')}*")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        hit = pc.is_in(batch.column("logtype_id"), value_set=cand_arr)
+        batch = batch.filter(hit)
+        if len(batch) == 0:
+            return pa.table(
+                {"conv_id": pa.array([], type=pa.string()),
+                 "turn_idx": pa.array([], type=pa.int32()),
+                 "text": pa.array([], type=pa.large_string())}
+            )
+        text = decode_batch(
+            batch.column("logtype"), batch.column("encoded_vars"),
+            batch.column("var_types"), dict_vars=batch.column("dict_vars"),
+        )
+        m = pc.match_substring_regex(text, rx)
+        out = pa.table(
+            {"conv_id": batch.column("conv_id").combine_chunks(),
+             "turn_idx": batch.column("turn_idx").combine_chunks(),
+             "text": text}
+        )
+        return out.filter(m)
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -1,0 +1,61 @@
+"""Per-partition lineage manifests → checkpoint/resume (SURVEY.md §4).
+
+CLP's natural checkpoint is the archive: completed archives survive task
+failure because stats are recorded per archive as it closes
+(compression_task.py:306-360). Here the unit is an *input fragment* (a group
+of input files / a row range); each fragment's sink write is recorded as an
+atomically-renamed JSON manifest next to the data:
+
+    <out_dir>/fragment=<id>/...parquet       (the routed sink data)
+    <out_dir>/_manifests/<id>.json           (written only after the data)
+
+Resume = list the manifest dir, skip fragments already present (anti-join of
+pending fragments against completed ids), so a rerun after a crash only
+reprocesses unfinished fragments and the sinks end up byte-identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifests")
+
+
+def completed_fragments(out_dir: str) -> set[str]:
+    d = manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return set()
+    return {f[:-5] for f in os.listdir(d) if f.endswith(".json")}
+
+
+def record_fragment(out_dir: str, fragment_id: str, info: dict) -> None:
+    """Atomically persist a fragment's lineage record (write tmp + rename)."""
+    d = manifest_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
+    payload = {"fragment_id": fragment_id, "completed_at": time.time(), **info}
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f, default=str)
+    os.replace(tmp, os.path.join(d, f"{fragment_id}.json"))
+
+
+def read_manifests(out_dir: str) -> list[dict]:
+    d = manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def pending_fragments(all_ids: list[str], out_dir: str) -> list[str]:
+    done = completed_fragments(out_dir)
+    return [f for f in all_ids if f not in done]

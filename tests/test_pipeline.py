@@ -1,0 +1,145 @@
+"""End-to-end pipeline tests (reference model: golden round-trip +
+routed-count invariants, SURVEY.md §5)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+SF = 0.0005  # ~3000 turns — small but multi-fragment
+
+
+@pytest.fixture(scope="module")
+def tiny_transcripts(ray_session):
+    from clp_core_ray.sources.transcripts import transcripts_path
+
+    return transcripts_path(SF)
+
+
+def test_transcripts_deterministic(tiny_transcripts):
+    from clp_core_ray.sources.transcripts import n_turns_for_sf, synth_transcripts
+
+    t1 = synth_transcripts(500)
+    t2 = synth_transcripts(500)
+    assert t1.equals(t2)
+    assert t1.schema.field("conv_id").type == pa.string()
+    assert t1.schema.field("turn_idx").type == pa.int32()
+    assert t1.schema.field("ts").type == pa.timestamp("us")
+    assert n_turns_for_sf(0.1) == 600_000
+
+
+def test_roundtrip_equality(ray_session, tiny_transcripts):
+    """Per-turn text round-trip under stable (conv_id, turn_idx) ordering."""
+    from clp_core_ray.pipelines.compress import build_encoded, roundtrip_check
+    from clp_core_ray.sources.transcripts import read_transcripts
+    from clp_core_ray.stages.encode import DecodeStage
+
+    rt = roundtrip_check(SF)
+    assert rt.column("n_turns")[0].as_py() == rt.column("n_ok")[0].as_py() > 0
+
+    # explicit sorted-compare variant (the reference's sorted-diff pattern,
+    # test-clp_s-end_to_end.cpp:39-126)
+    enc = build_encoded(read_transcripts(SF), keep_text=True)
+    dec = enc.map_batches(DecodeStage(out_col="decoded"), batch_format="pyarrow")
+    df = dec.sort(["conv_id", "turn_idx"]).to_pandas()
+    orig = read_transcripts(SF).sort(["conv_id", "turn_idx"]).to_pandas()
+    assert (df["decoded"].values == orig["text"].values).all()
+
+
+def test_routed_sink_counts_match_aggregate(ray_session, tiny_transcripts, tmp_path):
+    """Per-sink aggregate counts == routed-row counts (north_rule invariant)."""
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.sources.transcripts import read_transcripts
+    from clp_core_ray.stages.route import RouteStage
+
+    out = str(tmp_path / "arch")
+    counts = compress(SF, out)
+    got = dict(
+        zip(counts.column("logtype_class").to_pylist(), counts.column("cnt").to_pylist())
+    )
+    # recount rows physically present in each sink partition dir
+    routed = os.path.join(out, "routed")
+    for d in os.listdir(routed):
+        if not d.startswith("logtype_class="):
+            continue
+        cls = d.split("=", 1)[1]
+        n = sum(
+            pq.ParquetFile(os.path.join(routed, d, f)).metadata.num_rows
+            for f in os.listdir(os.path.join(routed, d))
+            if f.endswith(".parquet")
+        )
+        assert got[cls] == n, f"class {cls}: agg {got[cls]} != sink rows {n}"
+    # and the total matches the input
+    assert sum(got.values()) == read_transcripts(SF).count()
+
+
+def test_fragment_resume(ray_session, tiny_transcripts, tmp_path):
+    from clp_core_ray.pipelines.compress import run_fragments
+    from clp_core_ray.state.manifest import completed_fragments, read_manifests
+
+    out = str(tmp_path / "frag")
+    done = run_fragments(SF, out)
+    assert len(done) == 8
+    # simulate a crash on one fragment: drop its manifest → only it reruns
+    victim = done[3]
+    os.remove(os.path.join(out, "_manifests", f"{victim}.json"))
+    shutil.rmtree(os.path.join(out, f"fragment={victim}"))
+    done2 = run_fragments(SF, out)
+    assert done2 == [victim]
+    assert len(completed_fragments(out)) == 8
+    # lineage records carry counts
+    assert all("class_counts" in m for m in read_manifests(out))
+    done3 = run_fragments(SF, out)
+    assert done3 == []
+
+
+def test_dictionaries_and_broadcast_decode(ray_session, tiny_transcripts):
+    from clp_core_ray.pipelines.compress import build_encoded
+    from clp_core_ray.sources.transcripts import read_transcripts
+    from clp_core_ray.stages.encode import DecodeStage
+    from clp_core_ray.state.dictionaries import broadcast_var_dict, logtype_dict, var_dict
+
+    enc = build_encoded(read_transcripts(SF), keep_text=True)
+    ld = logtype_dict(enc).to_pandas()
+    assert ld["logtype_id"].is_unique and len(ld) > 3
+    vd = var_dict(build_encoded(read_transcripts(SF)))
+    ref = broadcast_var_dict(vd)
+
+    # decode WITHOUT inline dict_vars: broadcast dictionary lookup (J2)
+    enc2 = build_encoded(read_transcripts(SF), keep_text=True)
+
+    def drop_dict_vars(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["dict_vars"])
+
+    stripped = enc2.map_batches(drop_dict_vars, batch_format="pyarrow")
+    dec = stripped.map_batches(
+        DecodeStage(out_col="decoded", var_dict_ref=ref), batch_format="pyarrow"
+    )
+    bad = dec.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["text"], b["decoded"]))),
+        batch_format="pyarrow",
+    )
+    assert bad.count() == 0
+
+
+def test_search_matches_bruteforce(ray_session, tiny_transcripts, tmp_path):
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import search_archive
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    out = str(tmp_path / "arch2")
+    compress(SF, out)
+    hits = (
+        search_archive(os.path.join(out, "routed"), "ERROR*timeout")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    df = read_transcripts(SF).to_pandas()
+    want = df[df["text"].str.contains("ERROR") & df["text"].str.match(".*ERROR.*timeout.*")]
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(hits) == len(want)
+    assert (hits["text"].values == want["text"].values).all()
