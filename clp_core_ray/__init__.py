@@ -28,4 +28,21 @@ def _tune_malloc() -> None:
         pass  # non-glibc platform: harmless
 
 
+def _tune_arrow_threads() -> None:
+    """Cap per-process Arrow thread pools.
+
+    Every Ray worker would otherwise size its Arrow CPU pool to all 32 cores
+    → 32 workers × 32 threads oversubscribe the box. Our kernels are
+    single-threaded numpy; parallelism comes from Ray tasks, not Arrow.
+    """
+    try:
+        import pyarrow as pa
+
+        pa.set_cpu_count(2)
+        pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
 _tune_malloc()
+_tune_arrow_threads()

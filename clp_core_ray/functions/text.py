@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines (all vectorized).
+
+Language-ID (stopword heuristic), quality/char stats, token counting, and
+document fingerprinting (content hash). Everything runs as map_batches over
+Arrow batches; the only Python-level loops are over languages (constant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from clp_core_ray.vec.tokenizer import _cumsum0, _fnv1a64_tokens, _string_buffers
+
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for", "on",
+           "with", "as", "was", "at", "by"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von",
+           "mit", "auf", "für", "im", "nicht"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "dans",
+           "pour", "que", "qui", "au", "pas"},
+    "es": {"el", "la", "los", "las", "de", "y", "es", "un", "una", "del", "en",
+           "por", "que", "no", "con", "para"},
+}
+
+
+def token_counts(texts: pa.Array) -> pa.Array:
+    """Whitespace-token count, matching duckdb
+    array_length(regexp_split_to_array(trim(text), '\\s+'))."""
+    trimmed = pc.utf8_trim_whitespace(texts)
+    return pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+")).cast(pa.int64())
+
+
+def char_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality features: n_chars, n_tokens, n_digits, n_upper, n_spaces."""
+    t = batch.column(text_col)
+    return batch.append_column("n_chars_calc", pc.utf8_length(t).cast(pa.int64())) \
+        .append_column("n_tokens", token_counts(t)) \
+        .append_column("n_digits", pc.count_substring_regex(t, "[0-9]").cast(pa.int64())) \
+        .append_column("n_upper", pc.count_substring_regex(t, "[A-Z]").cast(pa.int64())) \
+        .append_column("n_spaces", pc.count_substring(t, " ").cast(pa.int64()))
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality score in [0,1]: length, word-length, alpha ratio.
+
+    (The usual pre-training quality gates — Gopher-style length/punct rules —
+    reduced to deterministic integer-friendly arithmetic.)"""
+    t = batch.column(text_col)
+    n_chars = pc.utf8_length(t).cast(pa.float64())
+    n_tokens = pc.cast(token_counts(t), pa.float64())
+    n_alpha = pc.cast(pc.count_substring_regex(t, "[A-Za-z]"), pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+    alpha_ratio = pc.divide(n_alpha, safe_chars)
+    avg_word = pc.divide(safe_chars, safe_tokens)
+    len_ok = pc.and_(pc.greater_equal(n_tokens, 5), pc.less_equal(n_tokens, 10000))
+    word_ok = pc.and_(pc.greater_equal(avg_word, 2.0), pc.less_equal(avg_word, 15.0))
+    score = pc.multiply(
+        alpha_ratio,
+        pc.cast(pc.and_(len_ok, word_ok), pa.float64()),
+    )
+    return batch.append_column("quality_score", score)
+
+
+def _lower_words(texts: pa.Array):
+    words = pc.split_pattern_regex(pc.utf8_lower(texts), r"[^a-zà-ÿ]+")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    return words.flatten(), offsets - offsets[0]
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-ratio language ID over {en,de,fr,es}; 'und' when no signal."""
+    flat, offsets = _lower_words(batch.column(text_col))
+    n = len(batch)
+    counts = np.diff(offsets).astype(np.float64)
+    counts[counts == 0] = 1.0
+    scores = np.zeros((len(STOPWORDS), n))
+    langs = list(STOPWORDS)
+    for i, lang in enumerate(langs):
+        hit = pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS[lang])))
+        hits = np.asarray(hit, dtype=np.float64)
+        sums = np.add.reduceat(hits, offsets[:-1].clip(0, max(len(hits) - 1, 0))) \
+            if len(hits) else np.zeros(n)
+        # reduceat quirk: empty rows copy the next value; zero them
+        empty = np.diff(offsets) == 0
+        sums[empty] = 0.0
+        scores[i] = sums / counts
+    best = scores.argmax(axis=0)
+    best_score = scores.max(axis=0)
+    pred = np.array(langs, dtype=object)[best]
+    pred[best_score < 0.05] = "und"
+    return batch.append_column("lang_pred", pa.array(pred.tolist(), type=pa.string()))
+
+
+def fingerprints(texts: pa.Array) -> pa.Array:
+    """64-bit content fingerprint (FNV-1a over whitespace-normalized text)."""
+    norm = pc.replace_substring_regex(pc.utf8_trim_whitespace(texts), r"\s+", " ")
+    offsets, data = _string_buffers(norm)
+    return pa.array(_fnv1a64_tokens(data, offsets[:-1], np.diff(offsets)).view(np.int64))
+
+
+def word_shingle_hashes(texts: pa.Array, k: int = 3):
+    """Per-row arrays of hashed word k-shingles → (flat uint64, row offsets).
+
+    Shingle hash = FNV-1a over the k words joined by a 0x1f separator,
+    computed vectorized: hash each word, then combine k consecutive word
+    hashes with multiply-xor mixing.
+    """
+    flat, offsets = _lower_words(texts)
+    woff, wdata = _string_buffers(flat)
+    whash = _fnv1a64_tokens(wdata, woff[:-1], np.diff(woff)).view(np.uint64)
+    n_words = np.diff(offsets)
+    # combine k consecutive word hashes within each row
+    mix = whash.copy()
+    PRIME = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        for j in range(1, k):
+            shifted = np.empty_like(whash)
+            shifted[:-j] = whash[j:]
+            shifted[-j:] = 0
+            mix = (mix * PRIME) ^ shifted
+    # valid shingle starts: positions where the whole k-gram stays in the row
+    n_shingles = np.maximum(n_words - (k - 1), 0)
+    valid = np.zeros(len(whash) + 1, dtype=np.int64)
+    # build a mask of valid shingle positions per row
+    keep = np.zeros(len(whash), dtype=bool)
+    starts = offsets[:-1]
+    for_rows = np.repeat(np.arange(len(n_shingles)), n_shingles)
+    pos = np.arange(int(n_shingles.sum())) - np.repeat(
+        _cumsum0(n_shingles)[:-1], n_shingles
+    )
+    keep_idx = np.repeat(starts, n_shingles) + pos
+    shingles = mix[keep_idx] if len(keep_idx) else mix[:0]
+    sh_offsets = _cumsum0(n_shingles)
+    del valid, keep, for_rows
+    return shingles, sh_offsets

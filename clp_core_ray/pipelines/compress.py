@@ -36,17 +36,74 @@ from clp_core_ray.state import manifest as mf
 ENCODE_BATCH_SIZE = 16 * 1024  # rows; ~2-4 MB of text per batch → warm scratch
 
 
-def build_encoded(ds, keep_text: bool = False, concurrency=None):
+class FullEncodeStage:
+    """route → enrich → encode fused into one stage (single object-store hop).
+
+    Run as an actor pool when ``dict_delta_dir`` is set (per-actor dictionary
+    seen-sets, T1/T2); as stateless tasks otherwise. Even task-based, the
+    instance lives for a whole block, so delta dedup is at least per-block.
+
+    With ``compact=True`` (the archival mode) the per-row ``logtype`` string
+    and inline ``dict_vars`` are dropped from the output: rows carry only
+    ``logtype_id`` and ``encoded_vars`` — CLP's actual storage model (three
+    columns + dictionaries, File.hpp:17-22) — which roughly halves sink bytes.
+    Decode then resolves both through the archive dictionaries.
+    """
+
+    def __init__(self, keep_text: bool = False, dict_delta_dir: str | None = None,
+                 compact: bool = False):
+        self.route = RouteStage()
+        self.enrich = EnrichStage()
+        self.encode = EncodeStage(
+            keep_text=keep_text,
+            dict_delta_dir=dict_delta_dir,
+            keep_dict_vars=not compact,
+        )
+        self.compact = compact
+
+    def __call__(self, batch):
+        out = self.encode(self.enrich(self.route(batch)))
+        if self.compact:
+            out = out.drop_columns(["logtype"])
+        return out
+
+
+def build_encoded(ds, keep_text: bool = False, concurrency=None,
+                  dict_delta_dir: str | None = None, compact: bool = False):
     """transcripts Dataset → routed+enriched+encoded Dataset (lazy)."""
-    ds = ds.map_batches(RouteStage(), batch_format="pyarrow")
-    ds = ds.map_batches(EnrichStage(), batch_format="pyarrow")
-    ds = ds.map_batches(
-        EncodeStage(keep_text=keep_text),
+    import ray
+
+    use_actors = dict_delta_dir is not None and os.environ.get(
+        "CLP_ENCODE_ACTORS", "0"
+    ) == "1"
+    if use_actors:
+        # actor-pool mode: per-actor dictionary seen-sets span many blocks
+        # (fewest delta duplicates), but each execution pays pool spin-up —
+        # right at long-job scale, wrong for short benchmarks
+        if concurrency is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            concurrency = (1, ncpu)
+        return ds.map_batches(
+            FullEncodeStage,
+            fn_constructor_kwargs={
+                "keep_text": keep_text,
+                "dict_delta_dir": dict_delta_dir,
+                "compact": compact,
+            },
+            batch_format="pyarrow",
+            batch_size=ENCODE_BATCH_SIZE,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    # task mode: the stage instance lives per block → per-block delta dedup;
+    # duplicate entries across blocks are removed by the finalize distinct
+    return ds.map_batches(
+        FullEncodeStage(keep_text=keep_text, compact=compact,
+                        dict_delta_dir=dict_delta_dir),
         batch_format="pyarrow",
         batch_size=ENCODE_BATCH_SIZE,
         concurrency=concurrency,
     )
-    return ds
 
 
 def compress(
@@ -54,21 +111,29 @@ def compress(
     out_dir: str,
     keep_text: bool = False,
     concurrency=None,
+    compact: bool = True,
 ):
     """Run the flagship pipeline; returns the per-class count table (small).
 
     Writes routed sinks to <out_dir>/routed/ partitioned by logtype_class and
-    a manifest with per-class counts.
+    a manifest with per-class counts. compact=True stores CLP's three-column
+    model (ids + encoded vars, dictionaries separate); compact=False keeps
+    the logtype/dict_vars inline per row (self-contained rows, bigger sinks).
     """
-    import ray.data as rd
-
     ds = read_transcripts(sf_dir_or_sf)
-    encoded = build_encoded(ds, keep_text=keep_text, concurrency=concurrency)
+    delta_dir = os.path.join(out_dir, "dict.deltas")
+    encoded = build_encoded(
+        ds, keep_text=keep_text, concurrency=concurrency, dict_delta_dir=delta_dir,
+        compact=compact,
+    )
     routed_dir = os.path.join(out_dir, "routed")
-    encoded.write_parquet(routed_dir, partition_cols=["logtype_class"])
-    # per-class counts from the written sinks: reads only the partition column
-    sink_ds = rd.read_parquet(routed_dir, columns=["logtype_class"])
-    counts_tbl = _to_table(count_by(sink_ds, "logtype_class"))
+    encoded.write_parquet(routed_dir, partition_cols=["logtype_class"], compression="zstd")
+    # per-class counts from the written sinks' parquet footers (no data read)
+    counts_tbl = sink_class_counts(routed_dir)
+    # persist the archive dictionaries + class→logtype segment index (K1/T1/T2)
+    from clp_core_ray.state.dictionaries import write_archive_dicts
+
+    write_archive_dicts(out_dir, delta_dir=delta_dir)
     mf.record_fragment(
         out_dir,
         "full",
@@ -84,6 +149,30 @@ def compress(
         },
     )
     return counts_tbl
+
+
+def sink_class_counts(routed_dir: str) -> pa.Table:
+    """Per-class row counts from sink parquet footers — metadata only, exact.
+
+    (The A1 aggregate over the data itself is count_by(); this is the
+    sink-side accounting used for the lineage manifest and the routed-row
+    equality check.)"""
+    import pyarrow.parquet as pq
+
+    classes, cnts = [], []
+    for d in sorted(os.listdir(routed_dir)):
+        if not d.startswith("logtype_class="):
+            continue
+        full = os.path.join(routed_dir, d)
+        n = sum(
+            pq.ParquetFile(os.path.join(full, f)).metadata.num_rows
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+        classes.append(d.split("=", 1)[1])
+        cnts.append(n)
+    return pa.table({"logtype_class": pa.array(classes, type=pa.string()),
+                     "cnt": pa.array(cnts, type=pa.int64())})
 
 
 def _to_table(ds) -> pa.Table:
@@ -112,10 +201,8 @@ def run_fragments(sf_dir_or_sf, out_dir: str) -> list[str]:
         path = by_id[frag]
         encoded = build_encoded(rd.read_parquet(path))
         sink = os.path.join(out_dir, f"fragment={frag}")
-        encoded.write_parquet(sink, partition_cols=["logtype_class"])
-        counts = _to_table(
-            count_by(rd.read_parquet(sink, columns=["logtype_class"]), "logtype_class")
-        )
+        encoded.write_parquet(sink, partition_cols=["logtype_class"], compression="zstd")
+        counts = sink_class_counts(sink)
         mf.record_fragment(
             out_dir,
             frag,

@@ -1,0 +1,106 @@
+"""Decompression: archive → original turn text (clp x, K4/K5 in SURVEY.md).
+
+Mirrors FileDecompressor (clp/FileDecompressor.cpp:9-76): open the encoded
+columns, decode each message through the dictionaries, and emit text; ordered
+reconstruction is a sort by (conv_id, turn_idx) — the rebuild's analogue of
+clp_s's k-way merge by log_event_idx (JsonConstructor.cpp:63-160).
+
+Dictionaries are loaded once on the driver and broadcast via ray.put (they are
+the small side; CLP likewise loads dicts once per process, clg.cpp:176-199).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from clp_core_ray.vec.decoder import decode_batch
+
+
+def load_dicts(archive_dir: str):
+    """(logtype table, var table) from a compressed archive."""
+    ldict = pq.read_table(os.path.join(archive_dir, "logtype.dict.parquet"))
+    var_dir = os.path.join(archive_dir, "var.dict")
+    vfiles = [
+        os.path.join(var_dir, f) for f in sorted(os.listdir(var_dir))
+        if f.endswith(".parquet")
+    ]
+    vdict = pa.concat_tables(pq.read_table(f) for f in vfiles)
+    return ldict, vdict
+
+
+class ArchiveDecodeStage:
+    """Actor-pool decode for compact archives: per-actor dictionary load (T3).
+
+    Resolves logtype templates by id, then decodes encoded_vars through the
+    broadcast var dictionary.
+    """
+
+    def __init__(self, dicts_ref, out_col: str = "text"):
+        import ray
+
+        ldict, vdict = ray.get(dicts_ref)
+        self.lt_ids = ldict.column("logtype_id").combine_chunks()
+        self.lt_values = ldict.column("logtype").combine_chunks()
+        self.var_ids = np.asarray(vdict.column("var_id"), dtype=np.int64)
+        self.var_values = vdict.column("value").combine_chunks()
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch.column("logtype_id"), self.lt_ids)
+        logtype = pc.take(self.lt_values, pos)
+        decoded = decode_batch(
+            logtype,
+            batch.column("encoded_vars"),
+            batch.column("var_types"),
+            dict_ids=self.var_ids,
+            dict_values=self.var_values,
+        )
+        return batch.append_column(self.out_col, decoded)
+
+
+def decompress(archive_dir: str, columns=("conv_id", "turn_idx"), ordered: bool = False):
+    """Dataset[(…columns, text)] reconstructed from the archive."""
+    import ray
+    import ray.data as rd
+
+    routed = os.path.join(archive_dir, "routed")
+    dicts_ref = ray.put(load_dicts(archive_dir))
+    need = list(columns) + ["logtype_id", "encoded_vars", "var_types"]
+    first = pq.ParquetFile(_first_parquet(routed)).schema_arrow.names
+    if "dict_vars" in first:  # non-compact archive: decode inline
+        need.append("dict_vars")
+    ds = rd.read_parquet(routed, columns=need)
+
+    if "dict_vars" in need:
+        from clp_core_ray.stages.encode import DecodeStage
+
+        out = ds.map_batches(DecodeStage(out_col="text"), batch_format="pyarrow")
+    else:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        out = ds.map_batches(
+            ArchiveDecodeStage,
+            fn_constructor_kwargs={"dicts_ref": dicts_ref},
+            batch_format="pyarrow",
+            concurrency=(1, ncpu),
+            num_cpus=1,
+        )
+    out = out.map_batches(
+        lambda b: b.select(list(columns) + ["text"]), batch_format="pyarrow"
+    )
+    if ordered:
+        out = out.sort(list(columns))
+    return out
+
+
+def _first_parquet(routed: str) -> str:
+    for root, _, files in os.walk(routed):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    raise FileNotFoundError(f"no parquet files under {routed}")

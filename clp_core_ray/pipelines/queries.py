@@ -141,6 +141,19 @@ def clp_search_error_timeout(sf_dir: str):
     return search_archive(_archive_dir(sf_dir), "ERROR*timeout")
 
 
+@register(
+    "clp_decompress",
+    "SELECT conv_id, turn_idx, text FROM {T}",
+)
+def clp_decompress(sf_dir: str):
+    """Full archive decompression must reproduce every original turn text
+    (clp x semantics, K4): strongest round-trip oracle — the decompressed
+    table IS the input table."""
+    from clp_core_ray.pipelines.decompress import decompress
+
+    return decompress(_archive_dir(sf_dir))
+
+
 def _archive_dir(sf_dir: str) -> str:
     """Compress once per scale into a cached archive dir (CLP: search reads
     what compression wrote)."""
@@ -154,7 +167,7 @@ def _archive_dir(sf_dir: str) -> str:
     out = f"/tmp/clp_core_ray_data/archive_sf{sf}"
     if "full" not in completed_fragments(out):
         compress(sf_dir, out)
-    return os.path.join(out, "routed")
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -268,6 +281,169 @@ def lineitem_pricing_summary(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(keys)
         .aggregate(Sum("cnt", alias_name="cnt"), Sum("sum_qty", alias_name="sum_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_exact_dedup",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def docs_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import exact_dedup_survivors
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    surv = exact_dedup_survivors(ds)
+    return surv.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+@register(
+    "docs_token_stats",
+    "SELECT doc_id, length(text) AS n_chars_calc, "
+    "array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+    "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits "
+    "FROM documents",
+)
+def docs_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import char_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(char_stats, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_chars_calc", "n_tokens", "n_digits"]),
+        batch_format="pyarrow",
+    )
+
+
+@register("docs_lang_id")  # heuristic classifier: no SQL equivalent
+def docs_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(lang_id, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+@register("docs_quality")  # float score: kept rows-only (no float hash compare)
+def docs_quality(sf_dir: str):
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import quality_score
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_score, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "quality_score"]), batch_format="pyarrow"
+    )
+
+
+@register("docs_fingerprint")  # FNV content hash: no SQL equivalent
+def docs_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import fingerprints
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "fingerprint": fingerprints(b.column("text"))})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+@register("docs_minhash_pairs")  # LSH near-dup candidates: no SQL equivalent
+def docs_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+@register("docs_simhash")  # signature column: no SQL equivalent
+def docs_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import simhash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sh(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "simhash": simhash64(b.column("text"))})
+
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+@register(
+    "emb_ann_topk",
+    "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id "
+    "FROM embeddings q, embeddings e "
+    "WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id "
+    "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 10",
+)
+def emb_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _emb_matrix
+    from clp_core_ray.functions.similarity import topk_cosine
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 5))
+    queries = _emb_matrix(qt, "embedding")
+    qids = qt.column("vec_id").to_pylist()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = topk_cosine(ds, queries, qids, k=10)
+    return out.select(["query_id", "neighbor_id"])
+
+
+@register("emb_ann_topk_ivf")  # approximate (recall<1): rows-only
+def emb_ann_topk_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _emb_matrix
+    from clp_core_ray.functions.similarity import topk_cosine_ivf
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 5))
+    out = topk_cosine_ivf(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        _emb_matrix(qt, "embedding"),
+        qt.column("vec_id").to_pylist(),
+        k=10,
+    )
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
+@register("emb_dup_pairs")  # float-threshold pairs: rows-only
+def emb_dup_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import embedding_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(ds, threshold=0.45)
+    return pairs.map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
 
 

@@ -95,47 +95,131 @@ def candidate_logtype_ids(
     return np.array(keep, dtype=np.int64)
 
 
-def search_archive(archive_routed_dir: str, query: str, columns=None):
-    """Search the routed archive → Dataset[(conv_id, turn_idx, text)] matches."""
+def search_archive(archive_dir: str, query: str, columns=None):
+    """Search a compressed archive → Dataset[(conv_id, turn_idx, text)].
+
+    Loads the persisted logtype dictionary (one small parquet, like CLP
+    loading logtype.dict once per search, clg.cpp:147-202), compiles the
+    candidate set, prunes sink partitions via the class→logtype index (J4
+    segment pruning), then scans only the surviving partitions.
+    """
+    import json
+    import os
+
     import ray.data as rd
 
     from clp_core_ray.state.dictionaries import logtype_dict
     from clp_core_ray.vec.decoder import decode_batch
 
-    dict_ds = rd.read_parquet(
-        archive_routed_dir, columns=["logtype_id", "logtype", "n_vars"]
-    )
-    ldict = pa.concat_tables(
-        pa.table(b)
-        for b in logtype_dict(dict_ds).iter_batches(batch_format="pyarrow")
-    )
+    if os.path.basename(os.path.normpath(archive_dir)) == "routed":
+        archive_dir = os.path.dirname(os.path.normpath(archive_dir))
+    routed = os.path.join(archive_dir, "routed")
+    dict_path = os.path.join(archive_dir, "logtype.dict.parquet")
+    import pyarrow.parquet as pq
+
+    if os.path.exists(dict_path):
+        ldict = pq.read_table(dict_path)
+    else:  # archive without persisted dicts: derive (distributed distinct)
+        dict_ds = rd.read_parquet(routed, columns=["logtype_id", "logtype", "n_vars"])
+        ldict = pa.concat_tables(
+            pa.table(b)
+            for b in logtype_dict(dict_ds).iter_batches(batch_format="pyarrow")
+        )
     cand = candidate_logtype_ids(ldict.column("logtype_id"), ldict.column("logtype"), query)
     cand_arr = pa.array(cand)
 
-    cols = ["conv_id", "turn_idx", "logtype_id", "logtype", "encoded_vars",
-            "var_types", "dict_vars"]
-    ds = rd.read_parquet(archive_routed_dir, columns=cols)
+    # partition pruning via the class→logtype_ids segment index
+    paths = routed
+    idx_path = os.path.join(archive_dir, "class_logtypes.json")
+    if os.path.exists(idx_path):
+        with open(idx_path) as f:
+            by_class = json.load(f)
+        cand_set = set(cand.tolist())
+        keep = [c for c, ids in by_class.items() if cand_set.intersection(ids)]
+        if not keep:
+            return rd.from_arrow(
+                pa.table({"conv_id": pa.array([], type=pa.string()),
+                          "turn_idx": pa.array([], type=pa.int32()),
+                          "text": pa.array([], type=pa.large_string())})
+            )
+        paths = [
+            os.path.join(routed, f"logtype_class={c}", f)
+            for c in sorted(keep)
+            for f in sorted(os.listdir(os.path.join(routed, f"logtype_class={c}")))
+            if f.endswith(".parquet")
+        ]
+
+    first_schema = pq.ParquetFile(paths[0] if isinstance(paths, list) else
+                                  _first_parquet_file(routed)).schema_arrow.names
+    inline = "dict_vars" in first_schema
+    cols = ["conv_id", "turn_idx", "logtype_id", "encoded_vars", "var_types"]
+    if inline:
+        cols += ["logtype", "dict_vars"]
+    ds = rd.read_parquet(paths, columns=cols)
     rx = wildcard_to_regex(f"*{query.strip('*')}*")
 
-    def scan(batch: pa.Table) -> pa.Table:
-        hit = pc.is_in(batch.column("logtype_id"), value_set=cand_arr)
-        batch = batch.filter(hit)
-        if len(batch) == 0:
-            return pa.table(
-                {"conv_id": pa.array([], type=pa.string()),
-                 "turn_idx": pa.array([], type=pa.int32()),
-                 "text": pa.array([], type=pa.large_string())}
-            )
-        text = decode_batch(
-            batch.column("logtype"), batch.column("encoded_vars"),
-            batch.column("var_types"), dict_vars=batch.column("dict_vars"),
-        )
-        m = pc.match_substring_regex(text, rx)
-        out = pa.table(
-            {"conv_id": batch.column("conv_id").combine_chunks(),
-             "turn_idx": batch.column("turn_idx").combine_chunks(),
-             "text": text}
-        )
-        return out.filter(m)
+    import ray
 
-    return ds.map_batches(scan, batch_format="pyarrow")
+    if inline:
+        dicts_ref = None
+    else:
+        from clp_core_ray.pipelines.decompress import load_dicts
+
+        dicts_ref = ray.put(load_dicts(archive_dir))
+
+    class Scan:
+        """Phase-3 scan: isin prune → decode candidates only → wildcard check."""
+
+        def __init__(self):
+            if dicts_ref is not None:
+                ldict, vdict = ray.get(dicts_ref)
+                self.lt_ids = ldict.column("logtype_id").combine_chunks()
+                self.lt_values = ldict.column("logtype").combine_chunks()
+                self.var_ids = np.asarray(vdict.column("var_id"), dtype=np.int64)
+                self.var_values = vdict.column("value").combine_chunks()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hit = pc.is_in(batch.column("logtype_id"), value_set=cand_arr)
+            batch = batch.filter(hit)
+            if len(batch) == 0:
+                return pa.table(
+                    {"conv_id": pa.array([], type=pa.string()),
+                     "turn_idx": pa.array([], type=pa.int32()),
+                     "text": pa.array([], type=pa.large_string())}
+                )
+            if dicts_ref is None:
+                text = decode_batch(
+                    batch.column("logtype"), batch.column("encoded_vars"),
+                    batch.column("var_types"), dict_vars=batch.column("dict_vars"),
+                )
+            else:
+                pos = pc.index_in(batch.column("logtype_id"), self.lt_ids)
+                text = decode_batch(
+                    pc.take(self.lt_values, pos),
+                    batch.column("encoded_vars"),
+                    batch.column("var_types"),
+                    dict_ids=self.var_ids,
+                    dict_values=self.var_values,
+                )
+            m = pc.match_substring_regex(text, rx)
+            out = pa.table(
+                {"conv_id": batch.column("conv_id").combine_chunks(),
+                 "turn_idx": batch.column("turn_idx").combine_chunks(),
+                 "text": text}
+            )
+            return out.filter(m)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return ds.map_batches(
+        Scan, batch_format="pyarrow", concurrency=(1, ncpu), num_cpus=1
+    )
+
+
+def _first_parquet_file(routed: str):
+    import os
+
+    for root, _, files in os.walk(routed):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    raise FileNotFoundError(routed)

@@ -177,7 +177,16 @@ def transcript_files(sf_dir_or_sf: str | float, seed: int = SEED) -> list[str]:
 
 
 def read_transcripts(sf_dir_or_sf: str | float, seed: int = SEED, **read_kwargs):
-    """Ray Dataset of the transcript table for a scale."""
+    """Ray Dataset of the transcript table for a scale.
+
+    Splits the read into ~2 blocks per CPU so downstream map_batches stages
+    use the whole machine even when the dataset has few files (8 files would
+    otherwise cap parallelism at 8 tasks).
+    """
+    import ray
     import ray.data as rd
 
+    if "override_num_blocks" not in read_kwargs:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        read_kwargs["override_num_blocks"] = max(FILES_PER_DATASET, 2 * ncpu)
     return rd.read_parquet(transcripts_path(sf_dir_or_sf, seed), **read_kwargs)

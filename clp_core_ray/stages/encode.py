@@ -32,13 +32,29 @@ class EncodeStage:
 
     keep_text=True retains the original text (round-trip verification);
     production pipelines drop it — decode reconstructs it exactly.
+
+    This is the "per-partition dictionary maintained in a stateful stage"
+    (T1/T2): each actor keeps the set of dictionary entries it has already
+    emitted and appends only *new* entries as small delta parquet files under
+    ``dict_delta_dir`` — CLP's per-archive incremental dictionary flush
+    (writer/Archive.cpp:474-478) re-expressed as content-addressed deltas.
+    Finalization dedups the deltas (bucketed distinct); duplicate deltas from
+    task retries are harmless.
     """
 
     def __init__(self, text_col: str = "text", keep_text: bool = False,
-                 keep_dict_vars: bool = True):
+                 keep_dict_vars: bool = True, dict_delta_dir: str | None = None):
         self.text_col = text_col
         self.keep_text = keep_text
         self.keep_dict_vars = keep_dict_vars
+        self.dict_delta_dir = dict_delta_dir
+        self._seen_var_ids: set[int] = set()
+        self._seen_logtype: set[tuple[int, str]] = set()
+        self._delta_seq = 0
+        if dict_delta_dir:
+            import os
+
+            os.makedirs(dict_delta_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         enc = encode_batch(batch.column(self.text_col))
@@ -52,7 +68,99 @@ class EncodeStage:
         if self.keep_dict_vars:
             cols["dict_vars"] = enc["dict_vars"]
         cols["n_vars"] = enc["n_vars"]
-        return pa.table(cols)
+        out = pa.table(cols)
+        if self.dict_delta_dir:
+            self._flush_dict_deltas(out, enc)
+        return out
+
+    def _flush_dict_deltas(self, out: pa.Table, enc: dict) -> None:
+        import os
+        import uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
+
+        # logtype deltas keyed (logtype_id, class); class column present when
+        # RouteStage ran upstream, else a single "" class
+        lt_ids = np.asarray(out.column("logtype_id"), dtype=np.int64)
+        if "logtype_class" in out.column_names:
+            cls_col = out.column("logtype_class").combine_chunks()
+            enc_cls = pc.dictionary_encode(cls_col)
+            if isinstance(enc_cls, pa.ChunkedArray):
+                enc_cls = enc_cls.combine_chunks()
+            codes = np.asarray(enc_cls.indices, dtype=np.int64)
+            cls_names = enc_cls.dictionary.to_pylist()
+        else:
+            codes = np.zeros(len(out), dtype=np.int64)
+            cls_names = [""]
+        # vectorized unique over (logtype_id, class) pairs, then seen-check on
+        # the handful of uniques only
+        order = np.lexsort((codes, lt_ids))
+        chg = np.ones(len(lt_ids), dtype=bool)
+        if len(lt_ids) > 1:
+            chg[1:] = (lt_ids[order][1:] != lt_ids[order][:-1]) | (
+                codes[order][1:] != codes[order][:-1]
+            )
+        cand_rows = order[chg]
+        lt_rows: list[int] = []
+        for i in cand_rows.tolist():
+            k = (int(lt_ids[i]), cls_names[codes[i]])
+            if k not in self._seen_logtype:
+                self._seen_logtype.add(k)
+                lt_rows.append(i)
+
+        flat = enc["dict_vars"].flatten()
+        uniq = flat.unique()
+        offsets, data = _string_buffers(uniq)
+        vids = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets)).view(np.int64)
+        new_mask = np.array([v not in self._seen_var_ids for v in vids.tolist()])
+        self._seen_var_ids.update(vids.tolist())
+
+        n_new_v = int(new_mask.sum()) if len(new_mask) else 0
+        if not lt_rows and not n_new_v:
+            return
+        lt_tbl = out.select(
+            [c for c in ("logtype_id", "logtype", "n_vars", "logtype_class")
+             if c in out.column_names]
+        ).take(np.array(lt_rows, dtype=np.int64))
+        if "logtype_class" not in lt_tbl.column_names:
+            lt_tbl = lt_tbl.append_column(
+                "logtype_class", pa.array([""] * len(lt_tbl), type=pa.string())
+            )
+        new_v = uniq.filter(pa.array(new_mask)) if n_new_v else uniq.slice(0, 0)
+        new_ids = vids[new_mask] if n_new_v else vids[:0]
+        delta = pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(lt_tbl), np.int8), np.ones(n_new_v, np.int8)]
+                    )
+                ),
+                "id": pa.concat_arrays(
+                    [lt_tbl.column("logtype_id").combine_chunks().cast(pa.int64()),
+                     pa.array(new_ids, type=pa.int64())]
+                ),
+                "value": pa.concat_arrays(
+                    [lt_tbl.column("logtype").combine_chunks().cast(pa.large_string()),
+                     new_v.cast(pa.large_string())]
+                ),
+                "n_vars": pa.concat_arrays(
+                    [lt_tbl.column("n_vars").combine_chunks().cast(pa.int32()),
+                     pa.nulls(n_new_v, pa.int32())]
+                ),
+                "logtype_class": pa.concat_arrays(
+                    [lt_tbl.column("logtype_class").combine_chunks().cast(pa.string()),
+                     pa.nulls(n_new_v, pa.string())]
+                ),
+            }
+        )
+        path = os.path.join(
+            self.dict_delta_dir, f"delta-{uuid.uuid4().hex}-{self._delta_seq}.parquet"
+        )
+        self._delta_seq += 1
+        pq.write_table(delta, path, compression="zstd")
 
 
 class DecodeStage:

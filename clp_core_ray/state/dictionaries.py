@@ -19,8 +19,57 @@ from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
 
 def _batch_unique(values: pa.Array, ids: np.ndarray) -> pa.Table:
     tbl = pa.table({"var_id": pa.array(ids), "value": values})
-    return tbl.group_by(["var_id"]).aggregate([("value", "first")]).rename_columns(
+    return tbl.group_by(["var_id"], use_threads=False).aggregate([("value", "first")]).rename_columns(
         ["var_id", "value"]
+    )
+
+
+N_DEDUP_BUCKETS = 64
+
+
+def distinct_by_key(partials_ds, key: str, n_buckets: int = N_DEDUP_BUCKETS,
+                    extra_key_cols: tuple = ()):
+    """Global distinct-by-key over per-batch-deduped partials.
+
+    Explicit hash-partitioned dedup (SURVEY.md §2.7): bucket = hash & (B-1),
+    shuffle by bucket (B groups, not one per key!), then a *vectorized* dedup
+    inside each bucket. One python call per bucket, not per key — a
+    per-key map_groups would make 600k python calls.
+
+    ``extra_key_cols`` widen the dedup key, e.g. ("kind", "logtype_class")
+    for the unified dict pass (exact, via lexsort — no hash combining).
+    """
+    import pyarrow.compute as pc
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(batch.column(key), n_buckets - 1)
+        return batch.append_column("_bucket", pc.cast(b, pa.int32()))
+
+    def dedup(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(key).combine_chunks(), dtype=np.int64)
+        if not extra_key_cols:
+            _, first_idx = np.unique(ids, return_index=True)
+            return group.take(np.sort(first_idx)).drop_columns(["_bucket"])
+        keys = [ids]
+        for c in extra_key_cols:
+            col = group.column(c).combine_chunks()
+            enc = pc.dictionary_encode(col)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices
+            keys.append(np.asarray(pc.fill_null(codes, -1), dtype=np.int64))
+        order = np.lexsort(keys[::-1])
+        stacked = np.stack([k[order] for k in keys])
+        change = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            change[1:] = (stacked[:, 1:] != stacked[:, :-1]).any(axis=0)
+        first_idx = order[change]
+        return group.take(np.sort(first_idx)).drop_columns(["_bucket"])
+
+    return (
+        partials_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dedup, batch_format="pyarrow")
     )
 
 
@@ -36,22 +85,20 @@ def logtype_dict(encoded_ds):
             }
         )
         return (
-            t.group_by(["logtype_id"])
+            t.group_by(["logtype_id"], use_threads=False)
             .aggregate([("logtype", "first"), ("n_vars", "first")])
             .rename_columns(["logtype_id", "logtype", "n_vars"])
         )
 
     partials = encoded_ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("logtype_id").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return distinct_by_key(partials, "logtype_id")
 
 
 def var_dict(encoded_ds):
     """Dataset[(var_id:int64, value:string)] — distinct dictionary variables.
 
     Ids are recomputed from the flattened dict_vars strings (same FNV-1a as
-    encode), per-batch deduped before the global distinct groupby.
+    encode), per-batch deduped before the bucketed global distinct.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -66,9 +113,192 @@ def var_dict(encoded_ds):
         return pa.table({"var_id": pa.array(ids), "value": uniq.cast(pa.string())})
 
     partials = encoded_ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("var_id").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    return distinct_by_key(partials, "var_id")
+
+
+def write_archive_dicts(out_dir: str, delta_dir: str | None = None) -> dict:
+    """Persist logtype.dict.parquet / var.dict.parquet + class→logtype map.
+
+    CLP persists both dictionaries inside the archive
+    (streaming_archive/Constants.hpp:7-16: logtype.dict, var.dict, segindex);
+    the class→logtype_ids map is our segment index analogue — search prunes
+    sink partitions with it (J4).
+
+    Single pipeline over the sinks: one column-pruned read emits *unified*
+    per-batch dict partials (kind 0 = logtype rows incl. class, kind 1 = var
+    rows), bucket-hash deduped once, then split. One pass, one small shuffle —
+    the shuffle carries only per-batch-unique entries.
+    """
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    routed = os.path.join(out_dir, "routed")
+    if delta_dir and os.path.isdir(delta_dir) and os.listdir(delta_dir):
+        # encode-stage actors already flushed per-partition dict deltas in the
+        # unified schema — dedup them directly (no sink re-read at all)
+        files = [
+            os.path.join(delta_dir, f)
+            for f in sorted(os.listdir(delta_dir))
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        if total < 256 * 1024 * 1024:
+            # small enough: finalize on the driver — no Ray pipelines, no
+            # shuffle latency (the deltas ARE the pre-aggregated partials)
+            return _finalize_dicts_driver(out_dir, files)
+        partials = rd.read_parquet(delta_dir)
+    else:
+        partials = None
+    ds = (
+        rd.read_parquet(
+            routed,
+            columns=["logtype_id", "logtype", "n_vars", "logtype_class", "dict_vars"],
+        )
+        if partials is None
+        else None
     )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lt = (
+            pa.table(
+                {
+                    "logtype_id": batch.column("logtype_id"),
+                    "logtype_class": batch.column("logtype_class"),
+                    "logtype": batch.column("logtype"),
+                    "n_vars": batch.column("n_vars"),
+                }
+            )
+            .group_by(["logtype_id", "logtype_class"], use_threads=False)
+            .aggregate([("logtype", "first"), ("n_vars", "first")])
+            .rename_columns(["logtype_id", "logtype_class", "logtype", "n_vars"])
+        )
+        flat = batch.column("dict_vars").combine_chunks().flatten()
+        uniq = flat.unique()
+        offsets, data = _string_buffers(uniq)
+        ids = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets)).view(np.int64)
+        n_lt, n_v = len(lt), len(uniq)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([np.zeros(n_lt, np.int8), np.ones(n_v, np.int8)])
+                ),
+                "id": pa.concat_arrays(
+                    [lt.column("logtype_id").combine_chunks(), pa.array(ids)]
+                ),
+                "value": pa.concat_arrays(
+                    [
+                        lt.column("logtype").combine_chunks().cast(pa.large_string()),
+                        uniq.cast(pa.large_string()),
+                    ]
+                ),
+                "n_vars": pa.concat_arrays(
+                    [
+                        lt.column("n_vars").combine_chunks().cast(pa.int32()),
+                        pa.nulls(n_v, pa.int32()),
+                    ]
+                ),
+                "logtype_class": pa.concat_arrays(
+                    [
+                        lt.column("logtype_class").combine_chunks().cast(pa.string()),
+                        pa.nulls(n_v, pa.string()),
+                    ]
+                ),
+            }
+        )
+
+    if partials is None:
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+    # dedup key is (kind, id, class): logtypes appearing in several classes
+    # keep one row per class (feeds the segment index)
+    distinct = distinct_by_key(
+        partials, "id", extra_key_cols=("kind", "logtype_class")
+    ).materialize()
+
+    def only(kind_val):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("kind"), kind_val))
+
+        return fn
+
+    lt_tbl = pa.concat_tables(
+        pa.table(b)
+        for b in distinct.map_batches(only(0), batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    lt = lt_tbl.to_pandas()
+    by_class = (
+        lt.groupby("logtype_class")["id"].agg(lambda s: sorted(set(s))).to_dict()
+    )
+    ldict = lt.drop_duplicates("id")[["id", "value", "n_vars"]].rename(
+        columns={"id": "logtype_id", "value": "logtype"}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(ldict, preserve_index=False),
+                   os.path.join(out_dir, "logtype.dict.parquet"))
+    with open(os.path.join(out_dir, "class_logtypes.json"), "w") as f:
+        json.dump({k: list(map(int, v)) for k, v in by_class.items()}, f)
+
+    def as_var_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("kind"), 1))
+        return pa.table(
+            {"var_id": b.column("id"), "value": b.column("value").cast(pa.string())}
+        )
+
+    distinct.map_batches(as_var_rows, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "var.dict"), compression="zstd"
+    )
+    return {"n_logtypes": len(ldict), "classes": sorted(by_class)}
+
+
+def _finalize_dicts_driver(out_dir: str, delta_files: list[str]) -> dict:
+    """Driver-side dict finalize for small delta sets (vectorized dedup)."""
+    import json
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    with ThreadPoolExecutor(8) as ex:
+        tables = list(ex.map(pq.read_table, delta_files))
+    t = pa.concat_tables(tables).combine_chunks()
+    ids = np.asarray(t.column("id"), dtype=np.int64)
+    kinds = np.asarray(t.column("kind"), dtype=np.int64)
+    enc = pc.dictionary_encode(t.column("logtype_class").combine_chunks())
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+    order = np.lexsort((codes, kinds, ids))
+    change = np.ones(len(ids), dtype=bool)
+    if len(ids) > 1:
+        s = np.stack([ids[order], kinds[order], codes[order]])
+        change[1:] = (s[:, 1:] != s[:, :-1]).any(axis=0)
+    t = t.take(order[change])
+
+    is_lt = pc.equal(t.column("kind"), 0)
+    lt = t.filter(is_lt).to_pandas()
+    by_class = lt.groupby("logtype_class")["id"].agg(lambda s: sorted(set(s))).to_dict()
+    ldict = lt.drop_duplicates("id")[["id", "value", "n_vars"]].rename(
+        columns={"id": "logtype_id", "value": "logtype"}
+    )
+    pq.write_table(pa.Table.from_pandas(ldict, preserve_index=False),
+                   os.path.join(out_dir, "logtype.dict.parquet"))
+    with open(os.path.join(out_dir, "class_logtypes.json"), "w") as f:
+        json.dump({k: list(map(int, v)) for k, v in by_class.items()}, f)
+
+    vt = t.filter(pc.equal(t.column("kind"), 1))
+    var_tbl = pa.table(
+        {"var_id": vt.column("id"), "value": vt.column("value").cast(pa.string())}
+    )
+    vdir = os.path.join(out_dir, "var.dict")
+    os.makedirs(vdir, exist_ok=True)
+    pq.write_table(var_tbl, os.path.join(vdir, "part-0.parquet"), compression="zstd")
+    return {"n_logtypes": len(ldict), "classes": sorted(by_class)}
 
 
 def broadcast_var_dict(var_dict_ds):

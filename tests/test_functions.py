@@ -1,0 +1,189 @@
+"""Tests for text analysis, dedup, similarity and multimodal operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def docs_table():
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tomorrow"
+    other = "completely different words about database queries and vectorized execution"
+    return pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": [base, near, other, base, "", "der die das und ist ein zu den"],
+        }
+    )
+
+
+def test_token_counts_and_char_stats():
+    from clp_core_ray.functions.text import char_stats, token_counts
+
+    t = pa.array(["a b  c", "  x ", "", "one"])
+    assert token_counts(t).to_pylist() == [3, 1, 1, 1]
+    out = char_stats(pa.table({"text": pa.array(["Ab1 c2"])}))
+    row = {c: out.column(c)[0].as_py() for c in out.column_names}
+    assert row["n_chars_calc"] == 6 and row["n_digits"] == 2 and row["n_upper"] == 1
+
+
+def test_fingerprint_normalizes_whitespace():
+    from clp_core_ray.functions.text import fingerprints
+
+    a = fingerprints(pa.array(["hello   world", "hello world", " hello world "]))
+    assert a[0] == a[1] == a[2]
+
+
+def test_lang_id_german():
+    from clp_core_ray.functions.text import lang_id
+
+    out = lang_id(docs_table())
+    preds = out.column("lang_pred").to_pylist()
+    assert preds[5] == "de"
+    assert preds[0] == "en"
+
+
+def test_minhash_identical_and_near():
+    from clp_core_ray.functions.dedup import band_hashes, minhash_signatures
+
+    t = docs_table()
+    sig = minhash_signatures(t.column("text"))
+    assert (sig[0] == sig[3]).all()  # identical docs → identical signatures
+    est_near = (sig[0] == sig[1]).mean()
+    est_far = (sig[0] == sig[2]).mean()
+    assert est_near > 0.5 > est_far
+    bh = band_hashes(sig)
+    assert (bh[0] == bh[3]).all()
+    assert (bh[0] == bh[1]).any()  # near-dup shares >=1 band
+
+
+def test_minhash_lsh_pairs_ray(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import minhash_lsh_pairs
+
+    ds = rd.from_arrow(docs_table())
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 3) in got  # exact dup pair
+    assert (0, 1) in got or (1, 3) in got  # near-dup caught
+    assert (0, 2) not in got and (2, 3) not in got
+
+
+def test_simhash_similarity():
+    from clp_core_ray.functions.dedup import simhash64
+
+    t = docs_table()
+    h = np.asarray(simhash64(t.column("text")), dtype=np.int64).view(np.uint64)
+    dist = lambda a, b: bin(int(a ^ b)).count("1")
+    assert dist(h[0], h[3]) == 0
+    assert dist(h[0], h[1]) < dist(h[0], h[2])
+
+
+def test_ngram_jaccard():
+    from clp_core_ray.functions.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_exact_dedup_survivors(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import exact_dedup_survivors
+
+    surv = exact_dedup_survivors(rd.from_arrow(docs_table())).to_pandas()
+    ids = sorted(surv.doc_id)
+    assert 0 in ids and 3 not in ids  # doc 3 duplicates doc 0
+    assert len(ids) == 5
+
+
+def test_topk_cosine_and_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import topk_cosine, topk_cosine_ivf
+
+    rng = np.random.default_rng(3)
+    n, d = 400, 32
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), d
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    q = mat[:5]
+    qids = np.arange(5)
+    exact = topk_cosine(ds, q, qids, k=10)
+    approx = topk_cosine_ivf(rd.from_arrow(tbl), q, qids, k=10)
+    ex = {(a, b) for a, b in zip(exact.column("query_id").to_pylist(),
+                                 exact.column("neighbor_id").to_pylist())}
+    ap = {(a, b) for a, b in zip(approx.column("query_id").to_pylist(),
+                                 approx.column("neighbor_id").to_pylist())}
+    # each query's own top-1 must include itself-free exact hit and
+    # IVF recall over the 50 exact pairs must be decent
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, recall
+
+
+def test_knn_label_vote(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import knn_label_vote
+
+    rng = np.random.default_rng(5)
+    # two well-separated clusters
+    c0 = rng.normal(loc=0, scale=0.05, size=(20, 8)) + np.eye(8)[0]
+    c1 = rng.normal(loc=0, scale=0.05, size=(20, 8)) + np.eye(8)[1]
+    mat = np.concatenate([c0, c1]).astype(np.float32)
+    labels = [0] * 20 + [1] * 20
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), 8
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    out = knn_label_vote(rd.from_arrow(tbl), k=5)
+    pred = dict(zip(out.column("vec_id").to_pylist(), out.column("label_pred").to_pylist()))
+    acc = sum(pred[i] == labels[i] for i in range(40)) / 40
+    assert acc == 1.0
+
+
+def test_multimodal_image_stage(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.stages.multimodal import ImageDecodeStage, decode_images, fake_image_decode
+
+    imgs = pa.table(
+        {
+            "img_id": pa.array(range(8), type=pa.int64()),
+            "image": pa.array([bytes([i] * 100) for i in range(8)], type=pa.binary()),
+        }
+    )
+    # real decoder is a stub
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(data_col="image")(imgs)
+    out = decode_images(
+        rd.from_arrow(imgs), data_col="image", decode_fn=fake_image_decode
+    ).to_pandas()
+    assert len(out) == 8
+    assert len(out["features"][0]) == 192
+    # deterministic: same bytes → same features
+    out2 = ImageDecodeStage(data_col="image", decode_fn=fake_image_decode)(imgs)
+    assert out2.column("features").to_pylist()[0] == list(out["features"][0])
+
+
+def test_audio_stage():
+    from clp_core_ray.stages.multimodal import AudioFrameStage
+
+    t = pa.table(
+        {"audio": pa.array([b"abcdefgh" * 4, b"12345678"], type=pa.binary())}
+    )
+    out = AudioFrameStage()(t)
+    assert out.column("frame_energy").to_pylist()[0].__len__() == 16
