@@ -142,6 +142,31 @@ def clp_search_error_timeout(sf_dir: str):
 
 
 @register(
+    "clp_search_var_int",
+    "SELECT conv_id, turn_idx, text FROM {T} WHERE text LIKE '%.bin errno=42%'",
+)
+def clp_search_var_int(sf_dir: str):
+    """Search with a typed variable condition: '42' compiles to an int64
+    var requirement matched against encoded_vars (no decode for
+    non-candidates), then decode-verified."""
+    from clp_core_ray.pipelines.search import search_archive
+
+    return search_archive(_archive_dir(sf_dir), "*.bin errno=42*")
+
+
+@register(
+    "clp_search_var_dict",
+    "SELECT conv_id, turn_idx, text FROM {T} WHERE text LIKE '%calling svc-77 %'",
+)
+def clp_search_var_dict(sf_dir: str):
+    """Dict-variable condition: 'svc-77' hashes to a var-dict id required in
+    the encoded var sequence."""
+    from clp_core_ray.pipelines.search import search_archive
+
+    return search_archive(_archive_dir(sf_dir), "*calling svc-77 *")
+
+
+@register(
     "clp_decompress",
     "SELECT conv_id, turn_idx, text FROM {T}",
 )
@@ -282,6 +307,91 @@ def lineitem_pricing_summary(sf_dir: str):
         .groupby(keys)
         .aggregate(Sum("cnt", alias_name="cnt"), Sum("sum_qty", alias_name="sum_qty"))
     )
+
+
+@register(
+    "clp_sessionize",
+    "SELECT conv_id, turn_idx, "
+    "CAST(sum(CASE WHEN gap_s > 600 THEN 1 ELSE 0 END) OVER "
+    "(PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS session_id "
+    "FROM (SELECT conv_id, turn_idx, "
+    "coalesce(floor(epoch(ts)) - floor(epoch(lag(ts) OVER "
+    "(PARTITION BY conv_id ORDER BY turn_idx))), 0)"
+    " AS gap_s FROM {T})",
+)
+def clp_sessionize(sf_dir: str):
+    """Windowed/session operator: groupby(conv_id) + in-group vectorized
+    window logic (the Ray Data shape for event-time sessions)."""
+    from clp_core_ray.pipelines.windows import sessionize
+
+    return sessionize(read_transcripts(sf_dir))
+
+
+@register(
+    "clp_session_stats",
+    "SELECT conv_id, session_id, count(*) AS n_turns, "
+    "CAST(max(es) - min(es) AS BIGINT) AS span_seconds FROM ("
+    "SELECT conv_id, turn_idx, floor(epoch(ts)) AS es, "
+    "CAST(sum(CASE WHEN gap_s > 600 THEN 1 ELSE 0 END) OVER "
+    "(PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS session_id "
+    "FROM (SELECT conv_id, turn_idx, ts, "
+    "coalesce(floor(epoch(ts)) - floor(epoch(lag(ts) OVER "
+    "(PARTITION BY conv_id ORDER BY turn_idx))), 0)"
+    " AS gap_s FROM {T})) GROUP BY 1, 2",
+)
+def clp_session_stats(sf_dir: str):
+    from clp_core_ray.pipelines.windows import session_stats
+
+    return session_stats(read_transcripts(sf_dir))
+
+
+@register(
+    "clps_props_schema_counts",
+    "SELECT count(*) AS n_records FROM events GROUP BY json_structure(props)",
+)
+def clps_props_schema_counts(sf_dir: str):
+    """clp_s over the events.props JSON column: per-inferred-schema record
+    counts (A5). The oracle groups by DuckDB's json_structure; schema ids
+    differ but the count multiset must match."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.pipelines.clps import clps_compress, schema_counts
+
+    props = pq.read_table(f"{sf_dir}/events.parquet", columns=["props"])
+    lines = props.column("props").to_pylist()
+    out = tempfile.mkdtemp(prefix="clps_props_")
+    try:
+        clps_compress(lines, out)
+        t = schema_counts(out)
+        return t.select(["n_records"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register("clp_glt_layout")  # storage layout op: no SQL equivalent
+def clp_glt_layout(sf_dir: str):
+    """GLT regrouping: per-logtype columnar tables with small-group combine.
+    Returns (logtype_id, rows, sink) accounting for the written layout."""
+    import shutil
+
+    from clp_core_ray.pipelines.glt import write_glt
+
+    arch = _archive_dir(sf_dir)
+    out = os.path.join("/tmp/clp_core_ray_data", f"glt_{os.path.basename(arch)}")
+    shutil.rmtree(out, ignore_errors=True)
+    rows = write_glt(arch, out)
+    import pyarrow as _pa
+
+    return pa.table(
+        {"logtype_id": pa.array(list(rows), type=pa.int64()),
+         "rows": pa.array([int(v) for v in rows.values()], type=pa.int64())}
+    )
+
+
+import os  # noqa: E402  (used by clp_glt_layout)
 
 
 # --------------------------------------------------------------------------

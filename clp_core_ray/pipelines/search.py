@@ -95,6 +95,60 @@ def candidate_logtype_ids(
     return np.array(keep, dtype=np.int64)
 
 
+def compile_var_conditions(query: str) -> list[int]:
+    """Extract the *precise* typed-variable requirements of a wildcard query.
+
+    Mirrors Grep's query compilation (Grep.cpp:499-628) restricted to the
+    precise cases: each wildcard-free variable token inside the query encodes
+    to exactly one int64 (int value, packed float, or dict-var content hash) a
+    matching message must contain — in order, not necessarily contiguously
+    (Query.cpp:150-172). Tokens touching a ``*`` (partial tokens) are
+    ambiguous in CLP (cartesian subqueries); here they are simply left
+    imprecise — the decode-and-wildcard-verify pass keeps results exact.
+    """
+    from clp_core_ray import encoding as E
+
+    required: list[int] = []
+    segs = query.split("*")
+    for si, seg in enumerate(segs):
+        if not seg or "?" in seg:
+            continue
+        logtype, evs, vts, dvs = E.encode_message(seg)
+        bounds = list(E.token_bounds(seg))
+        for (b, e), ev in zip(bounds, evs):
+            partial_left = si > 0 and b == 0
+            partial_right = si < len(segs) - 1 and e == len(seg)
+            if partial_left or partial_right:
+                continue
+            required.append(ev)
+    return required
+
+
+def rows_matching_var_subsequence(encoded_vars, required: list[int]) -> np.ndarray:
+    """Vectorized in-order (gaps allowed) subsequence test per row."""
+    if isinstance(encoded_vars, pa.ChunkedArray):
+        encoded_vars = encoded_vars.combine_chunks()
+    offsets = np.asarray(encoded_vars.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    flat = np.asarray(encoded_vars.flatten(), dtype=np.int64)
+    nrows = len(offsets) - 1
+    ok = np.ones(nrows, dtype=bool)
+    if not required:
+        return ok
+    BIG = np.iinfo(np.int64).max
+    pos = np.zeros(nrows, dtype=np.int64)
+    for v in required:
+        cand = np.flatnonzero(flat == v)
+        rows_of = np.searchsorted(offsets, cand, side="right") - 1
+        rel = cand - offsets[rows_of]
+        valid = rel >= pos[rows_of]
+        best = np.full(nrows, BIG, dtype=np.int64)
+        np.minimum.at(best, rows_of[valid], rel[valid])
+        ok &= best < BIG
+        pos = np.where(best < BIG, best + 1, pos)
+    return ok
+
+
 def search_archive(archive_dir: str, query: str, columns=None):
     """Search a compressed archive → Dataset[(conv_id, turn_idx, text)].
 
@@ -127,6 +181,7 @@ def search_archive(archive_dir: str, query: str, columns=None):
         )
     cand = candidate_logtype_ids(ldict.column("logtype_id"), ldict.column("logtype"), query)
     cand_arr = pa.array(cand)
+    required_vars = compile_var_conditions(query)
 
     # partition pruning via the class→logtype_ids segment index
     paths = routed
@@ -181,6 +236,11 @@ def search_archive(archive_dir: str, query: str, columns=None):
         def __call__(self, batch: pa.Table) -> pa.Table:
             hit = pc.is_in(batch.column("logtype_id"), value_set=cand_arr)
             batch = batch.filter(hit)
+            if len(batch) and required_vars:
+                m = rows_matching_var_subsequence(
+                    batch.column("encoded_vars"), required_vars
+                )
+                batch = batch.filter(pa.array(m))
             if len(batch) == 0:
                 return pa.table(
                     {"conv_id": pa.array([], type=pa.string()),

@@ -1,0 +1,63 @@
+"""GLT layout + windowed session operators."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_glt_layout_roundtrip(ray_session, tmp_path):
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.glt import (
+        COMBINE_THRESHOLD_ROWS,
+        read_var_column,
+        write_glt,
+    )
+
+    arch = str(tmp_path / "arch")
+    counts = compress(0.001, arch)
+    total = sum(counts.column("cnt").to_pylist())
+    glt_dir = str(tmp_path / "glt")
+    rows = write_glt(arch, glt_dir)
+    assert sum(rows.values()) == total  # every row lands exactly once
+    # dedicated dirs are the big logtypes; everything else in misc/
+    dirs = set(os.listdir(glt_dir))
+    ded = [d for d in dirs if d.startswith("logtype_id=")]
+    for lid, n in rows.items():
+        if n >= COMBINE_THRESHOLD_ROWS:
+            assert f"logtype_id={lid & 0xFFFFFFFFFFFFFFFF:016x}" in dirs
+    if ded:
+        lid_hex = ded[0].split("=")[1]
+        lid = int(lid_hex, 16)
+        lid = lid - (1 << 64) if lid >= (1 << 63) else lid
+        col = read_var_column(glt_dir, lid, 0).to_pandas()
+        assert len(col) == rows[lid]
+        assert f"var_0" in col.columns
+
+
+def test_sessionize_gap_split(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import session_stats, sessionize
+
+    base = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 4 + ["b"] * 2),
+            "turn_idx": pa.array([0, 1, 2, 3, 0, 1], type=pa.int32()),
+            "ts": pa.array(
+                [base, base + 10_000_000, base + 700_000_000 + 10_000_000,
+                 base + 700_000_000 + 20_000_000, base, base + 1_000_000],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = sessionize(rd.from_arrow(tbl)).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]
+    )
+    assert out.session_id.tolist() == [0, 0, 1, 1, 0, 0]
+    st = session_stats(rd.from_arrow(tbl)).to_pandas().sort_values(
+        ["conv_id", "session_id"]
+    )
+    assert st.n_turns.tolist() == [2, 2, 2]

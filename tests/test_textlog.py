@@ -1,0 +1,98 @@
+"""Text-mode ingestion: timestamp patterns, message assembly, file round trip.
+
+Reference model: MessageParser multiline fixture (test_log_files/log.txt) and
+the compress→decompress→diff golden test (test-clp_s-end_to_end.cpp:39-126).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+FIXTURE = "/root/reference/components/core/tests/test_log_files/log.txt"
+
+SYNTH = """2015-01-31T15:50:45.392 job j42 started on node-7
+2015-01-31T15:50:45,393 continuation free line
+no timestamp so continues previous message
+2015-01-31 15:50:46,001 second msg value=3.25
+[2015-01-31 15:50:47,099] bracketed style msg
+INFO [main] 2015-01-31 15:50:48,100 prefixed style
+multi
+line
+tail
+15/01/31 15:50:49 hadoop style last"""
+
+
+def roundtrip_file_text(text: str) -> str:
+    from clp_core_ray.sources.textlog import assemble_messages, reconstruct_file_text
+    from clp_core_ray.stages.encode import DecodeStage, EncodeStage
+
+    lines = text.split("\n")
+    msgs = assemble_messages(pa.array(lines, type=pa.large_string()), "f")
+    enc = EncodeStage(text_col="content", keep_text=False)(msgs)
+    dec = DecodeStage(out_col="content2")(enc)
+    dec = dec.drop_columns(["content" ]) if "content" in dec.column_names else dec
+    dec = dec.rename_columns(
+        [c if c != "content2" else "content" for c in dec.column_names]
+    )
+    return reconstruct_file_text(dec)
+
+
+def test_synth_multiline_roundtrip():
+    assert roundtrip_file_text(SYNTH) == SYNTH
+
+
+def test_reference_fixture_roundtrip():
+    text = open(FIXTURE, "rb").read().decode()
+    if text.endswith("\n"):
+        text = text[:-1]
+    assert roundtrip_file_text(text) == text
+
+
+def test_assembly_boundaries():
+    from clp_core_ray.sources.textlog import assemble_messages
+
+    msgs = assemble_messages(pa.array(SYNTH.split("\n"), type=pa.large_string()), "f")
+    contents = msgs.column("content").to_pylist()
+    assert len(contents) == 6
+    assert "continues previous message" in contents[1]
+    assert contents[1].count("\n") == 1
+    assert contents[4].count("\n") == 3  # prefixed + multi/line/tail
+
+
+def test_pattern_priority_first_match_wins():
+    from clp_core_ray.timestamps import PATTERNS, parse_and_strip
+
+    r = parse_and_strip(pa.array(["2015-01-31T15:50:45.392 x"]))
+    assert PATTERNS[np.asarray(r["pattern_id"])[0]].fmt == "%Y-%m-%dT%H:%M:%S.%3"
+
+
+def test_no_timestamp_line():
+    from clp_core_ray.timestamps import parse_and_strip
+
+    r = parse_and_strip(pa.array(["hello world"]))
+    assert np.asarray(r["pattern_id"])[0] == -1
+    assert r["ts_ms"][0].as_py() is None
+    assert r["content"][0].as_py() == "hello world"
+
+
+def test_ray_text_pipeline(ray_session, tmp_path):
+    """read files → assemble → encode → decode → byte-identical files."""
+    import ray.data as rd
+
+    from clp_core_ray.sources.textlog import read_log_messages, reconstruct_file_text
+    from clp_core_ray.stages.encode import DecodeStage, EncodeStage
+
+    files = {}
+    for i in range(3):
+        p = tmp_path / f"log{i}.txt"
+        body = SYNTH.replace("j42", f"j{i}")
+        p.write_text(body)
+        files[str(p)] = body
+
+    ds = read_log_messages(str(tmp_path))
+    enc = ds.map_batches(EncodeStage(text_col="content"), batch_format="pyarrow")
+    dec = enc.map_batches(DecodeStage(out_col="content"), batch_format="pyarrow")
+    tbl = pa.concat_tables(pa.table(b) for b in dec.iter_batches(batch_format="pyarrow"))
+    for path, want in files.items():
+        sub = tbl.filter(pa.compute.equal(tbl.column("path"), path))
+        assert reconstruct_file_text(sub) == want
