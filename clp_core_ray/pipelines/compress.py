@@ -157,19 +157,23 @@ def sink_class_counts(routed_dir: str) -> pa.Table:
     (The A1 aggregate over the data itself is count_by(); this is the
     sink-side accounting used for the lineage manifest and the routed-row
     equality check.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
+
+    def count_dir(d: str) -> tuple[str, int]:
+        full = os.path.join(routed_dir, d)
+        files = [os.path.join(full, f) for f in os.listdir(full) if f.endswith(".parquet")]
+        with ThreadPoolExecutor(16) as ex:
+            ns = list(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, files))
+        return d.split("=", 1)[1], sum(ns)
 
     classes, cnts = [], []
     for d in sorted(os.listdir(routed_dir)):
         if not d.startswith("logtype_class="):
             continue
-        full = os.path.join(routed_dir, d)
-        n = sum(
-            pq.ParquetFile(os.path.join(full, f)).metadata.num_rows
-            for f in os.listdir(full)
-            if f.endswith(".parquet")
-        )
-        classes.append(d.split("=", 1)[1])
+        cls, n = count_dir(d)
+        classes.append(cls)
         cnts.append(n)
     return pa.table({"logtype_class": pa.array(classes, type=pa.string()),
                      "cnt": pa.array(cnts, type=pa.int64())})

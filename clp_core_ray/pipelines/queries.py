@@ -371,6 +371,32 @@ def clps_props_schema_counts(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+@register(
+    "clps_kql_filter",
+    "SELECT count(*) AS cnt FROM events "
+    "WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50",
+)
+def clps_kql_filter(sf_dir: str):
+    """Structured search over a clp_s archive: KQL parse → DNF → schema
+    pruning → pyarrow.compute filter (§2.12 AST pass chain)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.functions.filters import clps_search
+    from clp_core_ray.pipelines.clps import clps_compress
+
+    props = pq.read_table(f"{sf_dir}/events.parquet", columns=["props"])
+    out = tempfile.mkdtemp(prefix="clps_kql_")
+    try:
+        clps_compress(props.column("props").to_pylist(), out)
+        hits = clps_search(out, "k > 50")
+        return pa.table({"cnt": pa.array([len(hits)], type=pa.int64())})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 @register("clp_glt_layout")  # storage layout op: no SQL equivalent
 def clp_glt_layout(sf_dir: str):
     """GLT regrouping: per-logtype columnar tables with small-group combine.

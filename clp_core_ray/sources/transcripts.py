@@ -150,6 +150,13 @@ def transcripts_path(sf_dir_or_sf: str | float, seed: int = SEED) -> str:
     sf = sf_of_dir(sf_dir_or_sf) if isinstance(sf_dir_or_sf, str) else float(sf_dir_or_sf)
     os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, f"transcripts_sf{sf}_seed{seed}")
+    # benchmark staging hook: a pre-copied (e.g. tmpfs) replica of this exact
+    # dataset may be designated via env; content is identical by construction
+    override = os.environ.get("CLP_TRANSCRIPTS_DIR_OVERRIDE")
+    if override and os.path.basename(override) == os.path.basename(path) and os.path.isdir(
+        override
+    ):
+        return override
     if not os.path.isdir(path):
         table = synth_transcripts(n_turns_for_sf(sf), seed=seed)
         tmp = tempfile.mkdtemp(dir=CACHE_DIR)

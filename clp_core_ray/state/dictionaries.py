@@ -145,6 +145,9 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None) -> dict:
             if f.endswith(".parquet")
         ]
         total = sum(os.path.getsize(f) for f in files)
+        # small delta sets finalize on the driver (no pipeline latency); big
+        # ones go through the distributed bucketed distinct so the finalize
+        # cost scales with the cluster instead of sitting on the driver
         if total < 256 * 1024 * 1024:
             # small enough: finalize on the driver — no Ray pipelines, no
             # shuffle latency (the deltas ARE the pre-aggregated partials)
@@ -264,24 +267,20 @@ def _finalize_dicts_driver(out_dir: str, delta_files: list[str]) -> dict:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    with ThreadPoolExecutor(8) as ex:
+    with ThreadPoolExecutor(16) as ex:
         tables = list(ex.map(pq.read_table, delta_files))
     t = pa.concat_tables(tables).combine_chunks()
-    ids = np.asarray(t.column("id"), dtype=np.int64)
-    kinds = np.asarray(t.column("kind"), dtype=np.int64)
-    enc = pc.dictionary_encode(t.column("logtype_class").combine_chunks())
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    codes = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
-    order = np.lexsort((codes, kinds, ids))
-    change = np.ones(len(ids), dtype=bool)
-    if len(ids) > 1:
-        s = np.stack([ids[order], kinds[order], codes[order]])
-        change[1:] = (s[:, 1:] != s[:, :-1]).any(axis=0)
-    t = t.take(order[change])
+    kinds = np.asarray(t.column("kind"), dtype=np.int8)
+    # var rows dominate (kind 1); their dedup key is the id alone → 1-key
+    # np.unique. Logtype rows (kind 0, a few thousand) dedup on (id, class)
+    # in pandas.
+    var_rows = np.flatnonzero(kinds == 1)
+    var_ids = np.asarray(t.column("id"), dtype=np.int64)[var_rows]
+    _, first = np.unique(var_ids, return_index=True)
+    vt = t.take(var_rows[np.sort(first)])
 
-    is_lt = pc.equal(t.column("kind"), 0)
-    lt = t.filter(is_lt).to_pandas()
+    lt = t.filter(pc.equal(t.column("kind"), 0)).to_pandas()
+    lt = lt.drop_duplicates(["id", "logtype_class"])
     by_class = lt.groupby("logtype_class")["id"].agg(lambda s: sorted(set(s))).to_dict()
     ldict = lt.drop_duplicates("id")[["id", "value", "n_vars"]].rename(
         columns={"id": "logtype_id", "value": "logtype"}
@@ -291,7 +290,6 @@ def _finalize_dicts_driver(out_dir: str, delta_files: list[str]) -> dict:
     with open(os.path.join(out_dir, "class_logtypes.json"), "w") as f:
         json.dump({k: list(map(int, v)) for k, v in by_class.items()}, f)
 
-    vt = t.filter(pc.equal(t.column("kind"), 1))
     var_tbl = pa.table(
         {"var_id": vt.column("id"), "value": vt.column("value").cast(pa.string())}
     )

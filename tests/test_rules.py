@@ -1,0 +1,65 @@
+"""Schema-rule (grok-style) encoder tests."""
+
+import pyarrow as pa
+
+from clp_core_ray import encoding as E
+from clp_core_ray.functions.rules import DEFAULT_RULES, RuleEncodeStage, RuleSet
+
+
+def test_schema_file_parsing():
+    text = open("/root/reference/components/core/config/schemas.txt").read()
+    rs = RuleSet.from_schema_text(text)
+    names = [n for n, _ in rs.rules]
+    assert sorted(names) == sorted(["int", "float", "hex", "hasNumber", "equals"])
+
+
+def test_rule_encode_roundtrip():
+    rs = RuleSet([("ip", r"\d+\.\d+\.\d+\.\d+")] + list(DEFAULT_RULES))
+    stage = RuleEncodeStage(rs, keep_text=True)
+    msgs = [
+        "conn from 10.1.2.3 port 443 latency 1.5 ms",
+        "deadbeef cafe plain words",
+        "a=b key=value9",
+        "",
+    ]
+    out = stage(pa.table({"text": pa.array(msgs)}))
+    # ip matched as ONE dict token (rule priority beats float rule)
+    dvs = out.column("dict_vars").to_pylist()
+    assert "10.1.2.3" in dvs[0]
+    # round trip through the stock decoder
+    for i in range(len(msgs)):
+        got = E.decode_message(
+            out.column("logtype")[i].as_py(),
+            out.column("encoded_vars")[i].as_py(),
+            dict_vars=out.column("dict_vars")[i].as_py(),
+        )
+        assert got == msgs[i]
+    # int/float rules produce typed vars
+    vts0 = out.column("var_types")[0].as_py()
+    assert E.VT_INT in vts0 and E.VT_FLOAT in vts0
+
+
+def test_rule_priority_order():
+    # float listed before int → "1.5" matches float, not two ints
+    rs = RuleSet([("float", r"\-?[0-9]+\.[0-9]+"), ("int", r"\-?[0-9]+")])
+    out = RuleEncodeStage(rs)(pa.table({"text": pa.array(["x 1.5 y 7"])}))
+    assert out.column("var_types")[0].as_py() == [E.VT_FLOAT, E.VT_INT]
+
+
+def test_rules_in_ray_pipeline(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.stages.encode import DecodeStage
+
+    msgs = [f"worker 10.0.0.{i} handled {i} jobs in {i}.5 s" for i in range(50)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(msgs)}))
+    rs = RuleSet([("ip", r"\d+\.\d+\.\d+\.\d+")] + list(DEFAULT_RULES))
+    enc = ds.map_batches(
+        RuleEncodeStage,
+        fn_constructor_kwargs={"ruleset": rs},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    dec = enc.map_batches(DecodeStage(out_col="text2"), batch_format="pyarrow")
+    got = sorted(dec.to_pandas()["text2"])
+    assert got == sorted(msgs)
