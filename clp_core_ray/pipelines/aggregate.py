@@ -63,6 +63,59 @@ def sum_by(ds, keys: list[str] | str, value_col: str, alias: str | None = None):
     )
 
 
+def detect_hot_keys(ds, key: str, sample_frac: float = 0.02,
+                    hot_share: float = 0.01) -> list:
+    """Sampled heavy-hitter detection: keys owning > hot_share of sampled rows.
+
+    The cheap pre-pass that drives salting decisions (SURVEY.md §4: "detect
+    heavy keys via sampled count").
+    """
+    import pyarrow as _pa
+
+    sample = ds.random_sample(sample_frac, seed=13)
+    counts = _to_small_table(count_by(sample, key))
+    total = sum(counts.column("cnt").to_pylist()) or 1
+    return [
+        k for k, c in zip(counts.column(key).to_pylist(),
+                          counts.column("cnt").to_pylist())
+        if c / total > hot_share
+    ]
+
+
+def count_by_salted(ds, key: str, n_salt: int = 16):
+    """Two-phase salted count: shuffle on (key, salt), then merge salts.
+
+    For aggregates the per-batch partial in count_by already neutralizes
+    skew; this explicit variant is the pattern for cases where partials are
+    impossible (holistic per-key work): salt the hot key into n_salt
+    subgroups, aggregate each, then merge the small salted result.
+    Results are identical to count_by (tested).
+    """
+    import numpy as np
+    import pyarrow as _pa
+
+    from ray.data.aggregate import Sum
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(len(batch), dtype=np.int32) % n_salt
+        return batch.select([key]).append_column("_salt", _pa.array(salt))
+
+    salted = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key, "_salt"])
+        .count()
+    )
+    merged = salted.groupby(key).aggregate(Sum("count()", alias_name="cnt"))
+    return merged
+
+
+def _to_small_table(ds) -> "pa.Table":
+    import pyarrow as _pa
+
+    out = [_pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return _pa.concat_tables(out) if out else _pa.table({})
+
+
 def add_time_bucket(ds, ts_col: str = "ts", granularity: str = "hour",
                     out_col: str = "bucket"):
     """Append a truncated-timestamp bucket column (A2: bucket = ts/size*size)."""

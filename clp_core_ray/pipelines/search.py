@@ -95,6 +95,56 @@ def candidate_logtype_ids(
     return np.array(keep, dtype=np.int64)
 
 
+def regex_to_wildcard(rx: str) -> str:
+    """Translate a simple regex into CLP wildcard syntax (M12).
+
+    Mirrors regex_utils::RegexToWildcardTranslator's supported subset:
+    literals, escaped metacharacters, '.', '.*', '.+', and the ^/$ anchors
+    (absence of an anchor appends/prepends '*'). Anything else (classes,
+    groups, alternation, counted quantifiers) raises ValueError, like the
+    reference's error codes.
+    """
+    out: list[str] = []
+    i = 0
+    n = len(rx)
+    anchored_start = rx.startswith("^")
+    if anchored_start:
+        i = 1
+    anchored_end = rx.endswith("$") and not rx.endswith("\\$")
+    end = n - 1 if anchored_end else n
+    while i < end:
+        c = rx[i]
+        if c == "\\":
+            if i + 1 >= end:
+                raise ValueError("trailing backslash")
+            nxt = rx[i + 1]
+            if nxt.isalnum():
+                raise ValueError(f"unsupported escape sequence \\{nxt}")
+            out.append(nxt)
+            i += 2
+        elif c == ".":
+            if i + 1 < end and rx[i + 1] == "*":
+                out.append("*")
+                i += 2
+            elif i + 1 < end and rx[i + 1] == "+":
+                out.append("?*")
+                i += 2
+            else:
+                out.append("?")
+                i += 1
+        elif c in "[](){}|+*?^$":
+            raise ValueError(f"unsupported regex construct {c!r} at {i}")
+        else:
+            out.append(c)
+            i += 1
+    body = "".join(out)
+    if not anchored_start:
+        body = "*" + body
+    if not anchored_end:
+        body = body + "*"
+    return body
+
+
 def compile_var_conditions(query: str) -> list[int]:
     """Extract the *precise* typed-variable requirements of a wildcard query.
 
