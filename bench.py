@@ -97,6 +97,11 @@ def run_once() -> None:
     queries["flagship_compress"] = round(headline, 3)
     queries["flagship_compress_runs"] = [round(t, 3) for t in times]
 
+    from clp_core_ray.pipelines.compress import encoded_message_bytes, raw_text_bytes
+
+    raw_b = raw_text_bytes(sf_dir)
+    arch_b = encoded_message_bytes(out)
+
     n_hits = -1
     if not os.environ.get("GRAFT_SKIP_EXTRAS"):
         t0 = time.time()
@@ -120,6 +125,9 @@ def run_once() -> None:
                 "turns": n_turns,
                 "turns_per_sec": round(n_turns / headline, 1),
                 "search_hits": n_hits,
+                "raw_text_mb": round(raw_b / 1e6, 1),
+                "archive_mb": round(arch_b / 1e6, 1),
+                "text_compression_ratio": round(raw_b / max(arch_b, 1), 2),
             }
         )
     )

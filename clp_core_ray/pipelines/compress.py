@@ -146,9 +146,68 @@ def compress(
                     counts_tbl.column("cnt").to_pylist(),
                 )
             ),
+            "archive_bytes": dir_bytes(out_dir),
         },
     )
     return counts_tbl
+
+
+def dir_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(d) for f in fs
+    )
+
+
+ENCODING_COLUMNS = {"logtype_id", "encoded_vars", "var_types", "n_vars"}
+
+
+def encoded_message_bytes(out_dir: str) -> int:
+    """Compressed bytes of the message-encoding columns + dictionaries.
+
+    CLP's compression ratio compares raw log bytes against (segments +
+    dicts); our sinks also carry row metadata (conv_id, ts, enrichments)
+    that raw CLP wouldn't store, so the honest numerator is the encoding
+    columns' parquet chunk sizes plus the dictionary files.
+    """
+    import pyarrow.parquet as pq
+
+    total = 0
+    routed = os.path.join(out_dir, "routed")
+    for r, _, fs in os.walk(routed):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(r, f)).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for c in range(g.num_columns):
+                    col = g.column(c)
+                    root = col.path_in_schema.split(".")[0]
+                    if root in ENCODING_COLUMNS:
+                        total += col.total_compressed_size
+    total += dir_bytes(os.path.join(out_dir, "var.dict"))
+    lt = os.path.join(out_dir, "logtype.dict.parquet")
+    if os.path.exists(lt):
+        total += os.path.getsize(lt)
+    return total
+
+
+def raw_text_bytes(sf_dir_or_sf) -> int:
+    """Total UTF-8 bytes of the raw message text (CLP's compression-ratio
+    denominator, cf. raw_num_bytes in EncodedVariableInterpreter.cpp:240)."""
+    import pyarrow.compute as pc
+
+    ds = read_transcripts(sf_dir_or_sf, columns=["text"])
+
+    def n(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"b": pa.array([pc.sum(pc.binary_length(
+                batch.column("text").cast(pa.large_binary()))).as_py() or 0],
+                type=pa.int64())}
+        )
+
+    tbl = _to_table(ds.map_batches(n, batch_format="pyarrow"))
+    return int(pa.compute.sum(tbl.column("b")).as_py() or 0)
 
 
 def sink_class_counts(routed_dir: str) -> pa.Table:
