@@ -187,6 +187,38 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def dup_clusters(pairs: pa.Table, max_rounds: int = 20) -> pa.Table:
+    """Connected components over near-dup pairs → (doc_id, cluster_id).
+
+    Iterative min-label propagation (the shuffle-friendly formulation the
+    pair volume demands at scale; here vectorized rounds over the edge list
+    until fixpoint). cluster_id = smallest doc_id in the component, so keeping
+    doc_id == cluster_id implements keep-one-per-cluster dedup.
+    """
+    a = np.asarray(pairs.column("doc_a"), dtype=np.int64)
+    b = np.asarray(pairs.column("doc_b"), dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    label = nodes.copy()
+    pos = {int(n): i for i, n in enumerate(nodes.tolist())}
+    ia = np.array([pos[int(x)] for x in a], dtype=np.int64)
+    ib = np.array([pos[int(x)] for x in b], dtype=np.int64)
+    for _ in range(max_rounds):
+        new = label.copy()
+        # propagate min label across each edge, both directions
+        np.minimum.at(new, ia, label[ib])
+        np.minimum.at(new, ib, label[ia])
+        # pointer jumping: follow labels one hop (labels are doc ids → map)
+        idx = np.array([pos.get(int(l), -1) for l in new.tolist()], dtype=np.int64)
+        hop = np.where(idx >= 0, new[idx.clip(0)], new)
+        new = np.minimum(new, hop)
+        if (new == label).all():
+            break
+        label = new
+    return pa.table(
+        {"doc_id": pa.array(nodes), "cluster_id": pa.array(label)}
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -221,7 +221,8 @@ def conj_required_paths(conj: list[Pred]) -> set[str]:
 # ---- clp_s archive search ---------------------------------------------------
 
 
-def clps_search(out_dir: str, query: str) -> list[dict]:
+def clps_search(out_dir: str, query: str,
+                ts_range: tuple[float, float] | None = None) -> list[dict]:
     """Search a clp_s archive directory with a KQL-ish query.
 
     Schema tables whose leaf sets cannot satisfy any conjunction are skipped
@@ -237,10 +238,26 @@ def clps_search(out_dir: str, query: str) -> list[dict]:
     for fname in sorted(os.listdir(out_dir)):
         if not (fname.startswith("schema_") and fname.endswith(".parquet")):
             continue
+        # timestamp range index pruning (EvaluateTimestampIndex pass): check
+        # the footer metadata BEFORE reading any data pages
+        pf = pq.ParquetFile(os.path.join(out_dir, fname))
+        meta = {
+            k.decode(): v.decode()
+            for k, v in (pf.schema_arrow.metadata or {}).items()
+        }
+        ts_preds: list[Pred] = []
+        if ts_range is not None and "ts_min" in meta:
+            lo, hi = ts_range
+            if float(meta["ts_max"]) < lo or float(meta["ts_min"]) > hi:
+                continue
+            # AddTimestampConditions pass: row-level ts predicates on the
+            # designated timestamp leaf of surviving tables
+            ts_key = meta.get("ts_key")
+            if ts_key:
+                ts_preds = [Pred("gte", ts_key, lo), Pred("lte", ts_key, hi)]
         t = pq.read_table(os.path.join(out_dir, fname))
-        meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
         leaf_paths = {k.split(":")[0] for k in json.loads(meta.get("schema_key", "[]"))}
-        viable = [c for c in dnf if conj_required_paths(c) <= leaf_paths]
+        viable = [c + ts_preds for c in dnf if conj_required_paths(c) <= leaf_paths]
         if not viable:
             continue
         # materialize decoded view of clp-encoded leaves

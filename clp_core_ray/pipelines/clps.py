@@ -102,7 +102,8 @@ def schema_ids_for(leaves: dict[str, pa.Array], n: int) -> tuple[np.ndarray, dic
     return sid, key_of
 
 
-def clps_compress(ndjson_lines: list[str], out_dir: str) -> dict:
+def clps_compress(ndjson_lines: list[str], out_dir: str,
+                  timestamp_key: str | None = None) -> dict:
     """Compress NDJSON → per-schema columnar tables + schema map.
 
     Driver-orchestrated but batch-vectorized: the heavy parse/encode work runs
@@ -138,6 +139,8 @@ def clps_compress(ndjson_lines: list[str], out_dir: str) -> dict:
     ds = rd.from_arrow(idx_tbl).map_batches(assign, batch_format="pyarrow")
 
     # phase 2: per-schema bucket → columnar table with ClpString encoding
+    ts_path = (timestamp_key or "").strip()
+
     def write_schema_table(group: pa.Table) -> pa.Table:
         sid = group.column("schema_id")[0].as_py()
         lines = group.column("raw").to_pylist()
@@ -169,6 +172,18 @@ def clps_compress(ndjson_lines: list[str], out_dir: str) -> dict:
             "schema_key": group.column("schema_key")[0].as_py(),
             "clp_encoded": json.dumps(clp_encoded),
         }
+        # timestamp range index (clp_s TimestampEntry.hpp:19-58): min/max of
+        # the user-designated timestamp leaf, used for archive pruning
+        if ts_path and ts_path in leaves and len(t):
+            col = leaves[ts_path]
+            if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                import pyarrow.compute as _pc
+
+                mn, mx = _pc.min(col).as_py(), _pc.max(col).as_py()
+                if mn is not None:
+                    meta["ts_min"] = str(mn)
+                    meta["ts_max"] = str(mx)
+                    meta["ts_key"] = ts_path
         t = t.replace_schema_metadata({k: v for k, v in meta.items()})
         pq.write_table(
             t,

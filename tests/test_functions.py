@@ -187,3 +187,37 @@ def test_audio_stage():
     )
     out = AudioFrameStage()(t)
     assert out.column("frame_energy").to_pylist()[0].__len__() == 16
+
+
+def test_dup_clusters():
+    import pyarrow as pa
+
+    from clp_core_ray.functions.dedup import dup_clusters
+
+    pairs = pa.table(
+        {"doc_a": pa.array([1, 2, 5, 9], type=pa.int64()),
+         "doc_b": pa.array([2, 3, 6, 1], type=pa.int64())}
+    )
+    out = dup_clusters(pairs)
+    m = dict(zip(out.column("doc_id").to_pylist(), out.column("cluster_id").to_pylist()))
+    # {1,2,3,9} one component (1-2, 2-3, 9-1); {5,6} another
+    assert m[1] == m[2] == m[3] == m[9] == 1
+    assert m[5] == m[6] == 5
+
+
+def test_clps_ts_range_pruning(ray_session, tmp_path):
+    import json as _json
+
+    from clp_core_ray.functions.filters import clps_search
+    from clp_core_ray.pipelines.clps import clps_compress
+
+    lines = [_json.dumps({"t": i * 100, "v": i}) for i in range(10)] + [
+        _json.dumps({"other": "x y", "t2": 1})
+    ]
+    out = str(tmp_path / "tsarch")
+    clps_compress(lines, out, timestamp_key="t")
+    # range covering t in [200, 400] → rows 2..4
+    got = clps_search(out, "v: *", ts_range=(200, 400))
+    assert [g["v"] for g in got] == [2, 3, 4]
+    # disjoint range prunes the whole schema table before reading it
+    assert clps_search(out, "v: *", ts_range=(10_000, 20_000)) == []
