@@ -14,7 +14,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from clp_core_ray.functions.text import fingerprints, word_shingle_hashes
-from clp_core_ray.vec.tokenizer import _cumsum0
 
 # --------------------------------------------------------------------------
 # exact dedup

@@ -110,7 +110,6 @@ def clps_compress(ndjson_lines: list[str], out_dir: str,
     in Ray tasks per schema bucket; line order is preserved as log_event_idx
     (clp_s's decompression order key).
     """
-    import ray
     import ray.data as rd
 
     os.makedirs(out_dir, exist_ok=True)

@@ -26,7 +26,6 @@ import os
 
 import pyarrow as pa
 
-from clp_core_ray.pipelines.aggregate import count_by
 from clp_core_ray.sources.transcripts import read_transcripts, transcripts_path
 from clp_core_ray.stages.encode import DecodeStage, EncodeStage
 from clp_core_ray.stages.enrich import EnrichStage

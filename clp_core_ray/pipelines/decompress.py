@@ -11,7 +11,6 @@ the small side; CLP likewise loads dicts once per process, clg.cpp:176-199).
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np

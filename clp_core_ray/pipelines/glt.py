@@ -18,7 +18,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 COMBINE_THRESHOLD_ROWS = 1000  # groups smaller than this go to the misc sink
 

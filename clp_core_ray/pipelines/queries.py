@@ -409,8 +409,6 @@ def clp_glt_layout(sf_dir: str):
     out = os.path.join("/tmp/clp_core_ray_data", f"glt_{os.path.basename(arch)}")
     shutil.rmtree(out, ignore_errors=True)
     rows = write_glt(arch, out)
-    import pyarrow as _pa
-
     return pa.table(
         {"logtype_id": pa.array(list(rows), type=pa.int64()),
          "rows": pa.array([int(v) for v in rows.values()], type=pa.int64())}

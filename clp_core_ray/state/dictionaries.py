@@ -13,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from clp_core_ray.encoding import VT_DICT
 from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
 
 
