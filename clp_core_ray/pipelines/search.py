@@ -319,10 +319,10 @@ def search_archive(archive_dir: str, query: str, columns=None):
             )
             return out.filter(m)
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return ds.map_batches(
-        Scan, batch_format="pyarrow", concurrency=(1, ncpu), num_cpus=1
-    )
+    # task-based: Scan's state (broadcast dicts) is a cheap zero-copy
+    # plasma get per task, while an actor pool costs ~3s spin-up per query
+    # in this sandbox — wrong trade for interactive search
+    return ds.map_batches(Scan(), batch_format="pyarrow")
 
 
 def _first_parquet_file(routed: str):
