@@ -233,6 +233,51 @@ def search_archive(archive_dir: str, query: str, columns=None):
     cand_arr = pa.array(cand)
     required_vars = compile_var_conditions(query)
 
+    def _empty():
+        return __import__("ray").data.from_arrow(
+            pa.table({"conv_id": pa.array([], type=pa.string()),
+                      "turn_idx": pa.array([], type=pa.int32()),
+                      "text": pa.array([], type=pa.large_string())})
+        )
+
+    if len(cand) == 0:
+        return _empty()
+
+    # dictionary-miss pruning (encode_and_search_dictionary returning false,
+    # EncodedVariableInterpreter.cpp:368-426): a query token containing a
+    # letter can only surface from template constants or dictionary variable
+    # values — ints/floats render as digits. If such a token is contained in
+    # neither, the query cannot match anything in this archive.
+    var_dict_path = os.path.join(archive_dir, "var.dict")
+    # only maximal non-delimiter runs are sound prune keys: in any decoded
+    # message a non-delim run lies entirely inside one constant or one
+    # variable (vars are maximal runs), so a run absent from both template
+    # text and var values cannot occur anywhere
+    lettered = [
+        run
+        for seg in query.split("*")
+        if seg and "?" not in seg
+        for run in re.findall(r"[0-9A-Za-z+\-._\\]+", seg)
+        if re.search(r"[A-Za-z]", run)
+    ]
+    if lettered and os.path.isdir(var_dict_path):
+        templ_text = " ".join(
+            re.sub(r"\\([\s\S])", r"\1", t)
+            for t in ldict.column("logtype").to_pylist()
+        )
+        missing = [t for t in lettered if t not in templ_text]
+        if missing:
+            vfiles = [
+                os.path.join(var_dict_path, f)
+                for f in os.listdir(var_dict_path) if f.endswith(".parquet")
+            ]
+            values = pa.concat_tables(
+                pq.read_table(f, columns=["value"]) for f in vfiles
+            ).column("value")
+            for t in missing:
+                if not pc.any(pc.match_substring(values, t)).as_py():
+                    return _empty()
+
     # partition pruning via the class→logtype_ids segment index
     paths = routed
     idx_path = os.path.join(archive_dir, "class_logtypes.json")
