@@ -582,6 +582,75 @@ def emb_dup_pairs(sf_dir: str):
 
 
 @register(
+    "lineitem_filtered_count",
+    "SELECT count(*) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+    "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "
+    "AND l_shipdate < DATE '1998-01-01' AND l_quantity < 25",
+)
+def lineitem_filtered_count(sf_dir: str):
+    """Q6-style predicate-pushdown aggregation: the date+qty filters prune at
+    the read (pyarrow dataset expression), only two columns leave storage."""
+    import datetime
+
+    import ray.data as rd
+
+    flt = (
+        (pc.field("l_shipdate") >= datetime.datetime(1997, 1, 1))
+        & (pc.field("l_shipdate") < datetime.datetime(1998, 1, 1))
+        & (pc.field("l_quantity") < 25)
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity"],
+        filter=flt,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b.column("l_quantity")), pa.int64())
+        return pa.table(
+            {"cnt": pa.array([len(b)], type=pa.int64()),
+             "sum_qty": pa.array([pc.sum(q).as_py() or 0], type=pa.int64())}
+        )
+
+    t = _tbl(ds.map_batches(partial, batch_format="pyarrow"))
+    return pa.table(
+        {"cnt": pa.array([pc.sum(t.column("cnt")).as_py() or 0], type=pa.int64()),
+         "sum_qty": pa.array([pc.sum(t.column("sum_qty")).as_py() or 0], type=pa.int64())}
+    )
+
+
+@register(
+    "supplier_by_region",
+    "SELECT r.r_name AS region, count(*) AS cnt FROM supplier s "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1",
+)
+def supplier_by_region(sf_dir: str):
+    """Two-hop broadcast lookup join (nation→region chain attached per batch)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    region_of_nation = pa.table(
+        {
+            "n_nationkey": nat.column("n_nationkey"),
+            "region": pc.take(
+                reg.column("r_name"),
+                pc.index_in(nat.column("n_regionkey"), reg.column("r_regionkey")),
+            ),
+        }
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        pos = pc.index_in(b.column("s_nationkey"), region_of_nation.column("n_nationkey"))
+        return b.append_column("region", pc.take(region_of_nation.column("region"), pos))
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+    return agg.count_by(ds.map_batches(attach, batch_format="pyarrow"), "region")
+
+
+@register(
     "part_name_like",
     "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'",
 )
