@@ -74,6 +74,7 @@ def decompress(archive_dir: str, columns=("conv_id", "turn_idx"), ordered: bool 
     first = pq.ParquetFile(_first_parquet(routed)).schema_arrow.names
     if "dict_vars" in first:  # non-compact archive: decode inline
         need.append("dict_vars")
+        need.append("logtype")  # DecodeStage resolves templates from the row
     ds = rd.read_parquet(routed, columns=need)
 
     if "dict_vars" in need:

@@ -27,15 +27,32 @@ import pyarrow.compute as pc
 
 
 def wildcard_to_regex(pattern: str, full_match: bool = True) -> str:
-    """CLP wildcard (* = any run, ? = any char) → anchored regex."""
+    """CLP wildcard (* = any run, ? = any char) → anchored regex.
+
+    '\\' escapes the next character (it becomes a literal, whatever it is —
+    the reference silently treats unsupported escapes like ``\\a`` as the bare
+    character; string_utils.cpp advance_tame_to_next_match handles '\\\\').
+    A dangling trailing '\\' is dropped, mirroring
+    clean_up_wildcard_search_string's no-dangling-escape guarantee.
+    """
     out = []
-    for ch in pattern:
-        if ch == "*":
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 < n:
+                out.append(re.escape(pattern[i + 1]))
+            i += 2
+        elif ch == "*":
             out.append("[\\s\\S]*")
+            i += 1
         elif ch == "?":
             out.append("[\\s\\S]")
+            i += 1
         else:
             out.append(re.escape(ch))
+            i += 1
     body = "".join(out)
     return f"^{body}$" if full_match else body
 
@@ -120,7 +137,10 @@ def regex_to_wildcard(rx: str) -> str:
             nxt = rx[i + 1]
             if nxt.isalnum():
                 raise ValueError(f"unsupported escape sequence \\{nxt}")
-            out.append(nxt)
+            # escaped regex metachar → literal char in wildcard syntax; chars
+            # that are wildcard metachars must stay escaped (reference
+            # regex_translation_utils.cpp append_char_to_wildcard)
+            out.append("\\" + nxt if nxt in "*?\\" else nxt)
             i += 2
         elif c == ".":
             if i + 1 < end and rx[i + 1] == "*":
@@ -231,7 +251,13 @@ def search_archive(archive_dir: str, query: str, columns=None):
         )
     cand = candidate_logtype_ids(ldict.column("logtype_id"), ldict.column("logtype"), query)
     cand_arr = pa.array(cand)
-    required_vars = compile_var_conditions(query)
+    # Compile var conditions from the *effective* pattern (the scan matches
+    # with implicit '*query*' wildcards, line below building `rx`): boundary
+    # tokens of the raw query are adjacent to an implicit '*', so they are
+    # ambiguous (partial) in CLP terms (Grep.cpp:194 is_ambiguous_token) and
+    # must not become precise typed-var requirements.
+    effective_query = f"*{query.strip('*')}*" if query.strip("*") else "*"
+    required_vars = compile_var_conditions(effective_query)
 
     def _empty():
         return __import__("ray").data.from_arrow(
@@ -306,7 +332,7 @@ def search_archive(archive_dir: str, query: str, columns=None):
     if inline:
         cols += ["logtype", "dict_vars"]
     ds = rd.read_parquet(paths, columns=cols)
-    rx = wildcard_to_regex(f"*{query.strip('*')}*")
+    rx = wildcard_to_regex(effective_query)
 
     import ray
 

@@ -26,8 +26,30 @@ def _batch_unique(values: pa.Array, ids: np.ndarray) -> pa.Table:
 N_DEDUP_BUCKETS = 64
 
 
+def _check_id_collisions(group: pa.Table, order: np.ndarray, dup_mask: np.ndarray,
+                         value_col: str) -> None:
+    """Rows sharing an id (adjacent in `order`; dup_mask over order[1:]) must
+    carry equal values — a content-hash collision would otherwise silently
+    decode wrong text (ADVICE r1). Cheap: runs only on the already-sorted
+    duplicate positions."""
+    if not dup_mask.any():
+        return
+    import pyarrow.compute as pc
+
+    vals = group.column(value_col).combine_chunks()
+    a = vals.take(pa.array(order[:-1][dup_mask]))
+    b = vals.take(pa.array(order[1:][dup_mask]))
+    eq = pc.all(pc.equal(a, b)).as_py()
+    if eq is not True:
+        bad = np.flatnonzero(~np.asarray(pc.equal(a, b), dtype=bool))[:3]
+        raise ValueError(
+            f"dictionary id collision: same id, different {value_col!r} "
+            f"(first offending pairs at sorted dup positions {bad.tolist()})"
+        )
+
+
 def distinct_by_key(partials_ds, key: str, n_buckets: int = N_DEDUP_BUCKETS,
-                    extra_key_cols: tuple = ()):
+                    extra_key_cols: tuple = (), check_value_col: str | None = None):
     """Global distinct-by-key over per-batch-deduped partials.
 
     Explicit hash-partitioned dedup (SURVEY.md §2.7): bucket = hash & (B-1),
@@ -37,6 +59,8 @@ def distinct_by_key(partials_ds, key: str, n_buckets: int = N_DEDUP_BUCKETS,
 
     ``extra_key_cols`` widen the dedup key, e.g. ("kind", "logtype_class")
     for the unified dict pass (exact, via lexsort — no hash combining).
+    ``check_value_col`` enables hash-collision detection: duplicate keys must
+    agree on that column (fails loudly instead of decoding wrong text).
     """
     import pyarrow.compute as pc
 
@@ -47,8 +71,13 @@ def distinct_by_key(partials_ds, key: str, n_buckets: int = N_DEDUP_BUCKETS,
     def dedup(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column(key).combine_chunks(), dtype=np.int64)
         if not extra_key_cols:
-            _, first_idx = np.unique(ids, return_index=True)
-            return group.take(np.sort(first_idx)).drop_columns(["_bucket"])
+            order = np.argsort(ids, kind="stable")
+            change = np.ones(len(ids), dtype=bool)
+            if len(ids) > 1:
+                change[1:] = ids[order][1:] != ids[order][:-1]
+            if check_value_col is not None and len(ids) > 1:
+                _check_id_collisions(group, order, ~change[1:], check_value_col)
+            return group.take(np.sort(order[change])).drop_columns(["_bucket"])
         keys = [ids]
         for c in extra_key_cols:
             col = group.column(c).combine_chunks()
@@ -62,6 +91,8 @@ def distinct_by_key(partials_ds, key: str, n_buckets: int = N_DEDUP_BUCKETS,
         change = np.ones(len(ids), dtype=bool)
         if len(ids) > 1:
             change[1:] = (stacked[:, 1:] != stacked[:, :-1]).any(axis=0)
+        if check_value_col is not None and len(ids) > 1:
+            _check_id_collisions(group, order, ~change[1:], check_value_col)
         first_idx = order[change]
         return group.take(np.sort(first_idx)).drop_columns(["_bucket"])
 
@@ -90,7 +121,7 @@ def logtype_dict(encoded_ds):
         )
 
     partials = encoded_ds.map_batches(partial, batch_format="pyarrow")
-    return distinct_by_key(partials, "logtype_id")
+    return distinct_by_key(partials, "logtype_id", check_value_col="logtype")
 
 
 def var_dict(encoded_ds):
@@ -112,7 +143,7 @@ def var_dict(encoded_ds):
         return pa.table({"var_id": pa.array(ids), "value": uniq.cast(pa.string())})
 
     partials = encoded_ds.map_batches(partial, batch_format="pyarrow")
-    return distinct_by_key(partials, "var_id")
+    return distinct_by_key(partials, "var_id", check_value_col="value")
 
 
 def write_archive_dicts(out_dir: str, delta_dir: str | None = None) -> dict:
@@ -216,7 +247,8 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None) -> dict:
     # dedup key is (kind, id, class): logtypes appearing in several classes
     # keep one row per class (feeds the segment index)
     distinct = distinct_by_key(
-        partials, "id", extra_key_cols=("kind", "logtype_class")
+        partials, "id", extra_key_cols=("kind", "logtype_class"),
+        check_value_col="value",
     ).materialize()
 
     def only(kind_val):
@@ -275,8 +307,18 @@ def _finalize_dicts_driver(out_dir: str, delta_files: list[str]) -> dict:
     # in pandas.
     var_rows = np.flatnonzero(kinds == 1)
     var_ids = np.asarray(t.column("id"), dtype=np.int64)[var_rows]
-    _, first = np.unique(var_ids, return_index=True)
-    vt = t.take(var_rows[np.sort(first)])
+    order = np.argsort(var_ids, kind="stable")
+    change = np.ones(len(var_ids), dtype=bool)
+    if len(var_ids) > 1:
+        change[1:] = var_ids[order][1:] != var_ids[order][:-1]
+        dup = ~change[1:]
+        if dup.any():  # hash-collision check (ADVICE r1): dup ids ⇒ equal text
+            vals = t.column("value").take(pa.array(var_rows))
+            a = vals.take(pa.array(order[:-1][dup]))
+            b = vals.take(pa.array(order[1:][dup]))
+            if pc.all(pc.equal(a, b)).as_py() is not True:
+                raise ValueError("var dictionary id collision (FNV-1a 64)")
+    vt = t.take(var_rows[np.sort(order[change])])
 
     lt = t.filter(pc.equal(t.column("kind"), 0)).to_pandas()
     lt = lt.drop_duplicates(["id", "logtype_class"])

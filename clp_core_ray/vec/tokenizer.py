@@ -281,7 +281,12 @@ def encode_batch(texts: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     special = _SPECIAL[data]
     contrib = np.where(invar, np.int32(0), np.where(special, np.int32(2), np.int32(1)))
     contrib[vb] = 1
-    cs_contrib = _cumsum0(contrib)
+    # escaping can double output bytes (contrib=2 per special char), so the
+    # offset accumulator must not overflow int32 for batches near 1 GiB of
+    # escape-dense text — use int64 whenever 2*nbytes could exceed int32
+    cs_contrib = _cumsum0(
+        contrib, dtype=np.int64 if nbytes * 2 >= 2**31 - 16 else np.int32
+    )
     out_pos = cs_contrib[:-1]
     out = np.empty(cs_contrib[-1], dtype=np.uint8)
 

@@ -1,0 +1,128 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+1. Boundary var tokens in a search query are ambiguous (implicit *query*
+   wildcards) and must not become precise typed-var requirements.
+2. Non-compact archives must decompress (logtype column projection).
+3. Wildcard escape semantics follow the reference (test-string_utils.cpp
+   escape block; string_utils.cpp advance_tame_to_next_match).
+4. Dictionary id collisions fail loudly instead of decoding wrong text.
+"""
+
+import os
+import re
+
+import pyarrow as pa
+import pytest
+
+SF = 0.0005
+
+
+@pytest.fixture(scope="module")
+def tiny(ray_session):
+    from clp_core_ray.sources.transcripts import transcripts_path
+
+    return transcripts_path(SF)
+
+
+def test_search_boundary_var_tokens(ray_session, tiny, tmp_path):
+    """A query whose first/last tokens are variables ('57 ms model') must hit
+    every message whose text *contains* the pattern — '857 ms model=…' counts
+    (ADVICE r1 high: 61 false negatives before the fix)."""
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import search_archive
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    out = str(tmp_path / "arch")
+    compress(SF, out)
+    hits = search_archive(out, "7 ms model").to_pandas()
+    df = read_transcripts(SF).to_pandas()
+    want = df[df["text"].str.contains("7 ms model", regex=False)]
+    assert len(want) > 0, "fixture must contain boundary-token matches"
+    assert len(hits) == len(want)
+    assert sorted(hits["text"]) == sorted(want["text"])
+
+
+def test_decompress_noncompact(ray_session, tiny, tmp_path):
+    """compress(compact=False) → decompress round-trip (ADVICE r1: KeyError
+    because 'logtype' was not projected)."""
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.decompress import decompress
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    out = str(tmp_path / "arch_inline")
+    compress(SF, out, compact=False)
+    dec = decompress(out).to_pandas().sort_values(["conv_id", "turn_idx"])
+    orig = read_transcripts(SF).to_pandas().sort_values(["conv_id", "turn_idx"])
+    assert len(dec) == len(orig)
+    assert (dec["text"].values == orig["text"].values).all()
+
+
+# (tame, wild, expected) — escape block of
+# /root/reference/components/core/tests/test-string_utils.cpp:229-283
+ESCAPE_CASES = [
+    ("a*cd", "a\\*cd", True),
+    ("a?cd", "a\\?cd", True),
+    ("a?c*e", "a\\?c\\*e", True),
+    ("a\\cd", "a\\\\cd", True),
+    ("abc?e", "a*\\?e", True),
+    ("abc*e", "a*\\*e", True),
+    ("abc\\e", "a*\\\\e", True),
+    ("\\ab\\ab\\c?ef", "*ab\\\\c\\?*", True),
+    ("\\ab\\ab\\c*ef", "*ab\\\\c\\**", True),
+    ("\\ab\\ab\\c\\ef", "*ab\\\\c\\\\*", True),
+    ("ab?d", "\\ab?d", True),  # silently-ignored unsupported escape \a
+    # negatives: escaped wildcard must NOT act as a wildcard
+    ("axcd", "a\\*cd", False),
+    ("abcd", "a\\?bcd", False),
+]
+
+
+@pytest.mark.parametrize("tame,wild,want", ESCAPE_CASES)
+def test_wildcard_escape_conformance(tame, wild, want):
+    from clp_core_ray.pipelines.search import wildcard_to_regex
+
+    rx = re.compile(wildcard_to_regex(wild))
+    assert bool(rx.match(tame)) == want
+
+
+def test_regex_to_wildcard_escapes():
+    """regex '\\*' must become a literal-asterisk wildcard ('\\*'), not bare
+    '*' (match-anything) — reference append_char_to_wildcard escapes wildcard
+    metachars."""
+    from clp_core_ray.pipelines.search import regex_to_wildcard, wildcard_to_regex
+
+    w = regex_to_wildcard(r"^a\*c$")
+    assert w == r"a\*c"
+    rx = re.compile(wildcard_to_regex(w))
+    assert rx.match("a*c")
+    assert not rx.match("abc")
+    assert regex_to_wildcard(r"^a\\c$") == "a\\\\c"
+    assert regex_to_wildcard(r"^a\?c$") == r"a\?c"
+
+
+def test_dict_collision_detection(ray_session):
+    """Two rows with the same id but different values (a simulated 64-bit hash
+    collision) must raise, not silently pick one (ADVICE r1 low)."""
+    import ray.data as rd
+
+    from clp_core_ray.state.dictionaries import distinct_by_key
+
+    tbl = pa.table(
+        {
+            "var_id": pa.array([7, 7, 9], type=pa.int64()),
+            "value": pa.array(["aaa", "bbb", "ccc"]),
+        }
+    )
+    ds = distinct_by_key(rd.from_arrow(tbl), "var_id", check_value_col="value")
+    with pytest.raises(Exception, match="collision"):
+        ds.to_pandas()
+
+    # equal-value duplicates pass through fine
+    ok = pa.table(
+        {
+            "var_id": pa.array([7, 7, 9], type=pa.int64()),
+            "value": pa.array(["aaa", "aaa", "ccc"]),
+        }
+    )
+    out = distinct_by_key(rd.from_arrow(ok), "var_id", check_value_col="value").to_pandas()
+    assert sorted(out["var_id"].tolist()) == [7, 9]
