@@ -222,25 +222,28 @@ def conj_required_paths(conj: list[Pred]) -> set[str]:
 
 
 def clps_search(out_dir: str, query: str,
-                ts_range: tuple[float, float] | None = None) -> list[dict]:
-    """Search a clp_s archive directory with a KQL-ish query.
+                ts_range: tuple[float, float] | None = None):
+    """Search a clp_s archive → Dataset[(log_event_idx, json)] of hits.
 
-    Schema tables whose leaf sets cannot satisfy any conjunction are skipped
-    entirely (SchemaMatch pruning); surviving tables are filtered column-wise
-    with pyarrow.compute. ClpString leaves are decoded before evaluation.
-    """
+    Driver work is footer-metadata-only: schema tables whose leaf sets cannot
+    satisfy any conjunction are skipped (SchemaMatch pruning), and the
+    timestamp range index prunes before any data pages are read
+    (EvaluateTimestampIndex). Surviving tables are scanned by map tasks —
+    ClpString leaves decoded, pyarrow.compute filter, hits serialized back to
+    JSON lines (Output.filter → result sink)."""
+    import ray.data as rd
     import pyarrow.parquet as pq
 
-    from clp_core_ray.vec.decoder import decode_batch
+    from clp_core_ray.pipelines.clps import (
+        _decoded_view,
+        _schema_files,
+        _serialize_schema_table,
+    )
 
     dnf = to_dnf(parse_kql(query))
-    results: list[tuple[int, dict]] = []
-    for fname in sorted(os.listdir(out_dir)):
-        if not (fname.startswith("schema_") and fname.endswith(".parquet")):
-            continue
-        # timestamp range index pruning (EvaluateTimestampIndex pass): check
-        # the footer metadata BEFORE reading any data pages
-        pf = pq.ParquetFile(os.path.join(out_dir, fname))
+    work: list[dict] = []
+    for path in _schema_files(out_dir):
+        pf = pq.ParquetFile(path)
         meta = {
             k.decode(): v.decode()
             for k, v in (pf.schema_arrow.metadata or {}).items()
@@ -255,29 +258,44 @@ def clps_search(out_dir: str, query: str,
             ts_key = meta.get("ts_key")
             if ts_key:
                 ts_preds = [Pred("gte", ts_key, lo), Pred("lte", ts_key, hi)]
-        t = pq.read_table(os.path.join(out_dir, fname))
         leaf_paths = {k.split(":")[0] for k in json.loads(meta.get("schema_key", "[]"))}
         viable = [c + ts_preds for c in dnf if conj_required_paths(c) <= leaf_paths]
         if not viable:
             continue
-        # materialize decoded view of clp-encoded leaves
-        cols = {"log_event_idx": t.column("log_event_idx")}
-        for safe in json.loads(meta.get("clp_encoded", "[]")):
-            text = decode_batch(
-                t.column(f"{safe}\x00logtype"), t.column(f"{safe}\x00vars"),
-                t.column(f"{safe}\x00vartypes"), dict_vars=t.column(f"{safe}\x00dictvars"),
-            )
-            isnull = t.column(f"{safe}\x00isnull")
-            cols[safe] = pc.if_else(isnull, pa.nulls(len(t), pa.large_string()), text)
-        for name in t.column_names:
-            if "\x00" not in name and name != "log_event_idx":
-                cols[name] = t.column(name)
-        view = pa.table(cols)
-        mask = eval_dnf(view, viable)
-        hits = view.filter(pc.fill_null(mask, False))
-        idx = hits.column("log_event_idx").to_pylist()
-        for i, row in enumerate(hits.to_pylist()):
-            row.pop("log_event_idx", None)
-            results.append((idx[i], {k: v for k, v in row.items() if v is not None}))
-    results.sort(key=lambda r: r[0])
-    return [{"log_event_idx": i, **r} for i, r in results]
+        work.append({"path": path, "viable": json.dumps(_dnf_to_json(viable))})
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        tbls = []
+        for path, viable_js in zip(batch.column("path").to_pylist(),
+                                   batch.column("viable").to_pylist()):
+            t = _pq.read_table(path)
+            meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
+            view = _decoded_view(t, meta)
+            viable = _dnf_from_json(json.loads(viable_js))
+            mask = eval_dnf(view, viable)
+            hits = view.filter(pc.fill_null(mask, False))
+            if len(hits) == 0:
+                continue
+            tbls.append(pa.table({
+                "log_event_idx": hits.column("log_event_idx").combine_chunks(),
+                "json": _serialize_schema_table(hits),
+            }))
+        return pa.concat_tables(tbls) if tbls else pa.table(
+            {"log_event_idx": pa.array([], type=pa.int64()),
+             "json": pa.array([], type=pa.large_string())})
+
+    if not work:
+        return rd.from_arrow(pa.table(
+            {"log_event_idx": pa.array([], type=pa.int64()),
+             "json": pa.array([], type=pa.large_string())}))
+    return rd.from_items(work).map_batches(scan, batch_format="pyarrow")
+
+
+def _dnf_to_json(dnf: list[list[Pred]]) -> list:
+    return [[{"op": p.op, "path": p.path, "value": p.value} for p in c] for c in dnf]
+
+
+def _dnf_from_json(data: list) -> list[list[Pred]]:
+    return [[Pred(d["op"], d["path"], d.get("value")) for d in c] for c in data]

@@ -1,22 +1,31 @@
 """clp_s (semi-structured JSON) engine subset — SURVEY.md §1.4.
 
-Rebuilds the clp_s data model Ray-Data-first:
+Rebuilds the clp_s data model Ray-Data-first (Dataset in, Dataset out — no
+driver-side record loops):
 
-- records parse vectorized via pyarrow.json (simdjson's role, JsonParser.cpp)
+- input is a Dataset of raw NDJSON lines with a stable ``log_event_idx``
+  (helpers build it from text files or a parquet string column with exact
+  per-row-group indices — the driver touches only footers)
+- records parse vectorized via pyarrow.json (simdjson's role, JsonParser.cpp);
+  batches mixing types on one path fall back to a per-signature sub-parse
+  (clp_s's node identity includes type, SchemaTree.hpp:27-40)
 - each record's **schema** = its set of present (leaf path, type) pairs; the
-  schema id is a content hash of that set (SchemaTree/SchemaMap dedup keyed
-  on (parent, key, type), SchemaTree.hpp:27-40,183)
-- records are bucketed per schema id and stored as columnar tables
-  (ArchiveWriter.hpp:89-98); string leaves containing spaces are ClpStrings —
-  recursively CLP-encoded with the core kernels (JsonParser.cpp:195-207) into
-  (logtype, vars) sub-columns; other strings are VarStrings stored verbatim
-- the merged parse tree (node table) is the union of leaf paths
+  schema id is a content hash of that set (SchemaMap dedup keyed on
+  (parent, key, type), SchemaTree.hpp:183)
+- records shuffle once by schema id and are stored as per-schema columnar
+  tables (ArchiveWriter.hpp:89-98); string leaves containing spaces are
+  ClpStrings — recursively CLP-encoded with the core kernels
+  (JsonParser.cpp:195-207) into (logtype, vars) sub-columns; other strings
+  are VarStrings stored verbatim
 - ordered reconstruction merges schema tables by log_event_idx
-  (JsonConstructor.cpp:63-160's k-way merge → a sort here)
+  (JsonConstructor.cpp:63-160's k-way merge → a Dataset sort here), with a
+  vectorized JSON serializer (template + binary_join_element_wise) and a
+  per-row fallback for floats/lists/exotic escapes
 
-Scope: objects nested to any depth, scalar leaves (int64/double/bool/string)
-and lists of scalars. Type-polymorphic paths live in *different* schemas, as
-in clp_s, as long as each per-schema batch is type-consistent.
+Scope: objects nested to any depth, scalar leaves (int64/double/bool/string),
+lists of scalars, and arrays of objects (stored as list<struct> columns).
+Partitioning assumption: ``out_dir`` must be shared storage on a multi-node
+cluster (each schema group writes its table from the worker that owns it).
 """
 
 from __future__ import annotations
@@ -36,6 +45,109 @@ from clp_core_ray.vec.decoder import decode_batch
 from clp_core_ray.vec.tokenizer import encode_batch
 
 SCHEMA_META = "schemas.json"
+_FILE_SHIFT = 40  # log_event_idx = (file_seq << 40) | row_in_file
+
+
+# ---- input builders ---------------------------------------------------------
+
+
+def ndjson_from_parquet_column(path_or_dir, column: str):
+    """Dataset[(log_event_idx, raw)] from a parquet string column.
+
+    Exact global order without any shuffle: the driver reads only footers to
+    enumerate (file, row_group, base_row); each task reads one row group.
+    """
+    import ray.data as rd
+
+    files = _parquet_files(path_or_dir)
+    items = []
+    for fi, f in enumerate(sorted(files)):
+        md = pq.ParquetFile(f).metadata
+        base = 0
+        for rg in range(md.num_row_groups):
+            items.append({"path": f, "rg": rg,
+                          "base": (fi << _FILE_SHIFT) + base})
+            base += md.row_group(rg).num_rows
+
+    def read(batch: pa.Table) -> pa.Table:
+        tbls = []
+        for path, rg, base in zip(
+            batch.column("path").to_pylist(),
+            batch.column("rg").to_pylist(),
+            batch.column("base").to_pylist(),
+        ):
+            t = pq.ParquetFile(path).read_row_group(rg, columns=[column])
+            idx = np.arange(len(t), dtype=np.int64) + base
+            tbls.append(pa.table({
+                "log_event_idx": pa.array(idx),
+                "raw": t.column(column).combine_chunks().cast(pa.large_string()),
+            }))
+        return pa.concat_tables(tbls)
+
+    return rd.from_items(items).map_batches(read, batch_format="pyarrow")
+
+
+def ndjson_from_files(paths):
+    """Dataset[(log_event_idx, raw)] from NDJSON text files (one task/file)."""
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = [paths]
+    items = [{"path": p, "seq": i} for i, p in enumerate(sorted(paths))]
+
+    def read(batch: pa.Table) -> pa.Table:
+        tbls = []
+        for path, seq in zip(batch.column("path").to_pylist(),
+                             batch.column("seq").to_pylist()):
+            with open(path, "rb") as f:
+                lines = f.read().splitlines()
+            lines = [ln for ln in lines if ln.strip()]
+            idx = np.arange(len(lines), dtype=np.int64) + (seq << _FILE_SHIFT)
+            tbls.append(pa.table({
+                "log_event_idx": pa.array(idx),
+                "raw": pa.array([ln.decode() for ln in lines],
+                                type=pa.large_string()),
+            }))
+        return pa.concat_tables(tbls)
+
+    return rd.from_items(items).map_batches(read, batch_format="pyarrow")
+
+
+def _parquet_files(path_or_dir) -> list[str]:
+    if isinstance(path_or_dir, (list, tuple)):
+        return list(path_or_dir)
+    if os.path.isdir(path_or_dir):
+        return [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path_or_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    return [path_or_dir]
+
+
+def _as_line_dataset(source):
+    """Normalize clps_compress input to Dataset[(log_event_idx, raw)]."""
+    import ray.data as rd
+
+    if isinstance(source, list):  # in-memory lines (tests / small inputs)
+        return rd.from_arrow(pa.table({
+            "log_event_idx": pa.array(range(len(source)), type=pa.int64()),
+            "raw": pa.array(source, type=pa.large_string()),
+        }))
+    if isinstance(source, (str, tuple)):  # file path(s)
+        return ndjson_from_files(source)
+    # a Dataset: must carry log_event_idx + a raw line column
+    names = source.schema().names
+    if "raw" not in names or "log_event_idx" not in names:
+        raise ValueError(
+            "Dataset input needs (log_event_idx, raw) columns — use "
+            "ndjson_from_files / ndjson_from_parquet_column to build one"
+        )
+    return source
+
+
+# ---- parse + schema assignment ---------------------------------------------
 
 
 def _parse_lines(lines: list[str]) -> pa.Table:
@@ -43,8 +155,53 @@ def _parse_lines(lines: list[str]) -> pa.Table:
     return pj.read_json(buf)
 
 
+def _type_sig(v) -> str:
+    """Type signature of a python-parsed JSON value (fallback bucketing)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, list):
+        inner = {_type_sig(x) for x in v if x is not None}
+        return f"list<{inner.pop() if len(inner) == 1 else 'mixed'}>"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_type_sig(x)}" for k, x in sorted(v.items())) + "}"
+    return "null"
+
+
+def _parse_batch(lines: list[str]) -> list[tuple[np.ndarray, pa.Table]]:
+    """Vectorized parse with a mixed-type fallback.
+
+    Returns [(row_indices, parsed_table)] covering all rows. The fast path is
+    one pyarrow.json parse; if the batch mixes types on a path
+    (ArrowInvalid: "column changed from X to Y"), rows are bucketed by their
+    python-parsed type signature and each homogeneous bucket parses
+    vectorized. Per-row work happens only on such pathological batches.
+    """
+    try:
+        return [(np.arange(len(lines)), _parse_lines(lines))]
+    except pa.ArrowInvalid:
+        pass
+    sigs: dict[str, list[int]] = {}
+    for i, ln in enumerate(lines):
+        sigs.setdefault(_type_sig(json.loads(ln)), []).append(i)
+    out = []
+    for rows in sigs.values():
+        idx = np.array(rows, dtype=np.int64)
+        out.append((idx, _parse_lines([lines[i] for i in rows])))
+    return out
+
+
 def _flatten(tbl: pa.Table) -> dict[str, pa.Array]:
-    """Nested struct columns → flat {dotted.path: array} leaves."""
+    """Nested struct columns → flat {dotted.path: array} leaves.
+
+    list<...> columns (scalar lists AND arrays of objects,
+    JsonParser.cpp:168,235-248 Structured/UnstructuredArray) stay as single
+    leaves — parquet stores them natively."""
     out: dict[str, pa.Array] = {}
 
     def walk(prefix: str, arr: pa.ChunkedArray | pa.Array):
@@ -66,14 +223,16 @@ def _flatten(tbl: pa.Table) -> dict[str, pa.Array]:
 
 
 def _type_name(t: pa.DataType) -> str:
+    if pa.types.is_boolean(t):
+        return "bool"
     if pa.types.is_integer(t):
         return "int"
     if pa.types.is_floating(t):
         return "float"
-    if pa.types.is_boolean(t):
-        return "bool"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{_type_name(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "{" + ",".join(f"{f.name}:{_type_name(f.type)}" for f in t) + "}"
     return "str"
 
 
@@ -102,42 +261,50 @@ def schema_ids_for(leaves: dict[str, pa.Array], n: int) -> tuple[np.ndarray, dic
     return sid, key_of
 
 
-def clps_compress(ndjson_lines: list[str], out_dir: str,
-                  timestamp_key: str | None = None) -> dict:
+# ---- compress ----------------------------------------------------------------
+
+
+def clps_compress(source, out_dir: str, timestamp_key: str | None = None) -> dict:
     """Compress NDJSON → per-schema columnar tables + schema map.
 
-    Driver-orchestrated but batch-vectorized: the heavy parse/encode work runs
-    in Ray tasks per schema bucket; line order is preserved as log_event_idx
-    (clp_s's decompression order key).
+    ``source``: NDJSON file path(s), a Dataset[(log_event_idx, raw)] (see
+    ndjson_from_files / ndjson_from_parquet_column), or a list of lines
+    (tests / small inputs). One shuffle (groupby schema_id); everything else
+    is map_batches. Returns {schema_id: n_records} (small accounting).
     """
-    import ray.data as rd
-
+    ds = _as_line_dataset(source)
     os.makedirs(out_dir, exist_ok=True)
-    idx_tbl = pa.table(
-        {"log_event_idx": pa.array(range(len(ndjson_lines)), type=pa.int64()),
-         "raw": pa.array(ndjson_lines, type=pa.large_string())}
-    )
 
     # phase 1: assign schema ids (vectorized parse per batch)
     def assign(batch: pa.Table) -> pa.Table:
         lines = batch.column("raw").to_pylist()
-        parsed = _parse_lines(lines)
-        leaves = _flatten(parsed)
-        sid, key_of = schema_ids_for(leaves, len(batch))
+        sid = np.empty(len(lines), dtype=np.int64)
+        keys: dict[int, str] = {}
+        for rows, parsed in _parse_batch(lines):
+            leaves = _flatten(parsed)
+            s, key_of = schema_ids_for(leaves, len(rows))
+            sid[rows] = s
+            for k, v in key_of.items():
+                keys[int(k)] = json.dumps(v)
+        uniq, inv = np.unique(sid, return_inverse=True)
+        key_col = pa.DictionaryArray.from_arrays(
+            pa.array(inv.astype(np.int32)),
+            pa.array([keys[int(u)] for u in uniq], type=pa.string()),
+        ).cast(pa.string())
         return pa.table(
             {
                 "log_event_idx": batch.column("log_event_idx"),
                 "raw": batch.column("raw"),
                 "schema_id": pa.array(sid),
-                "schema_key": pa.array(
-                    [json.dumps(key_of[int(s)]) for s in sid], type=pa.string()
-                ),
+                "schema_key": key_col,
             }
         )
 
-    ds = rd.from_arrow(idx_tbl).map_batches(assign, batch_format="pyarrow")
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
 
-    # phase 2: per-schema bucket → columnar table with ClpString encoding
+    # phase 2: shuffle by schema id → per-schema columnar table (rows within a
+    # schema share one present-(path:type) set, so the group parse is
+    # homogeneous by construction)
     ts_path = (timestamp_key or "").strip()
 
     def write_schema_table(group: pa.Table) -> pa.Table:
@@ -176,9 +343,7 @@ def clps_compress(ndjson_lines: list[str], out_dir: str,
         if ts_path and ts_path in leaves and len(t):
             col = leaves[ts_path]
             if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
-                import pyarrow.compute as _pc
-
-                mn, mx = _pc.min(col).as_py(), _pc.max(col).as_py()
+                mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
                 if mn is not None:
                     meta["ts_min"] = str(mn)
                     meta["ts_max"] = str(mx)
@@ -193,7 +358,7 @@ def clps_compress(ndjson_lines: list[str], out_dir: str,
                          "n_records": pa.array([len(group)])})
 
     acct = (
-        ds.groupby("schema_id")
+        assigned.groupby("schema_id")
         .map_groups(write_schema_table, batch_format="pyarrow")
         .to_pandas()
     )
@@ -203,48 +368,178 @@ def clps_compress(ndjson_lines: list[str], out_dir: str,
     return schemas
 
 
-def clps_decompress(out_dir: str, ordered: bool = True) -> list[str]:
-    """Per-schema tables → NDJSON records (ordered by log_event_idx)."""
-    rows: list[tuple[int, str]] = []
-    for fname in sorted(os.listdir(out_dir)):
-        if not (fname.startswith("schema_") and fname.endswith(".parquet")):
-            continue
-        t = pq.read_table(os.path.join(out_dir, fname))
-        meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
-        clp_cols = set(json.loads(meta.get("clp_encoded", "[]")))
-        plain = {}
-        for name in t.column_names:
-            if "\x00" in name:
-                continue
-            plain[name] = t.column(name)
-        decoded: dict[str, pa.Array] = {}
-        for safe in clp_cols:
-            text = decode_batch(
-                t.column(f"{safe}\x00logtype"),
-                t.column(f"{safe}\x00vars"),
-                t.column(f"{safe}\x00vartypes"),
-                dict_vars=t.column(f"{safe}\x00dictvars"),
+# ---- decompress --------------------------------------------------------------
+
+
+def _schema_files(out_dir: str) -> list[str]:
+    return [
+        os.path.join(out_dir, f)
+        for f in sorted(os.listdir(out_dir))
+        if f.startswith("schema_") and f.endswith(".parquet")
+    ]
+
+
+def _decoded_view(t: pa.Table, meta: dict) -> pa.Table:
+    """Schema table → logical view: ClpString leaves decoded back to text."""
+    cols = {"log_event_idx": t.column("log_event_idx")}
+    for safe in json.loads(meta.get("clp_encoded", "[]")):
+        text = decode_batch(
+            t.column(f"{safe}\x00logtype"), t.column(f"{safe}\x00vars"),
+            t.column(f"{safe}\x00vartypes"), dict_vars=t.column(f"{safe}\x00dictvars"),
+        )
+        isnull = t.column(f"{safe}\x00isnull")
+        cols[safe] = pc.if_else(isnull, pa.nulls(len(t), pa.large_string()), text)
+    for name in t.column_names:
+        if "\x00" not in name and name != "log_event_idx":
+            cols[name] = t.column(name)
+    return pa.table(cols)
+
+
+def _json_escape_vec(arr: pa.Array):
+    """Vectorized JSON string-escape; returns None if exotic control chars
+    force the per-row fallback."""
+    arr = arr.cast(pa.large_string())
+    # exotic control chars or non-ASCII (json.dumps \uXXXX-escapes those) →
+    # per-row fallback keeps byte-compatibility
+    if pc.any(
+        pc.match_substring_regex(arr, r"[\x00-\x08\x0b\x0c\x0e-\x1f]|[^\x00-\x7f]")
+    ).as_py():
+        return None
+    for raw, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\t", "\\t"), ("\r", "\\r")):
+        arr = pc.replace_substring(arr, raw, esc)
+    return arr
+
+
+def _serialize_schema_table(view: pa.Table) -> pa.Array:
+    """Rows → JSON lines (json.dumps(sort_keys=True)-compatible).
+
+    Fast path: fixed present set per schema ⇒ one byte template with value
+    slots, stitched by binary_join_element_wise. Floats / lists / exotic
+    strings fall back to per-row json.dumps (identical output format).
+    """
+    paths = sorted(c for c in view.column_names if c != "log_event_idx")
+    n = len(view)
+
+    Q = pa.scalar('"', type=pa.large_string())
+    EMPTY = pa.scalar("", type=pa.large_string())
+
+    def value_strings(col):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        t = col.type
+        if pa.types.is_boolean(t):
+            return pc.if_else(
+                col,
+                pa.scalar("true", type=pa.large_string()),
+                pa.scalar("false", type=pa.large_string()),
             )
-            isnull = t.column(f"{safe}\x00isnull")
-            decoded[safe] = pc.if_else(isnull, pa.nulls(len(t), pa.large_string()), text)
-        idx = plain.pop("log_event_idx").to_pylist()
-        all_cols = {**plain, **decoded}
-        pylists = {p: a.to_pylist() for p, a in all_cols.items()}
-        for i in range(len(t)):
-            obj: dict = {}
-            for path, vals in pylists.items():
-                v = vals[i]
-                if v is None:
-                    continue
-                parts = path.split(".")
-                cur = obj
-                for p in parts[:-1]:
-                    cur = cur.setdefault(p, {})
-                cur[parts[-1]] = v
-            rows.append((idx[i], json.dumps(obj, sort_keys=True)))
+        if pa.types.is_integer(t):
+            return pc.cast(col, pa.large_string())
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            esc = _json_escape_vec(col)
+            if esc is None:
+                return None
+            return pc.binary_join_element_wise(Q, esc, Q, EMPTY)
+        return None  # float / list / struct → fallback
+
+    vals = []
+    for p in paths:
+        v = value_strings(view.column(p))
+        if v is None or (view.column(p).null_count or 0) > 0:
+            vals = None
+            break
+        vals.append(v)
+
+    if vals is not None:
+        # template pieces around each value slot, nested by dotted path with
+        # json.dumps' default separators (", ", ": ")
+        templ = _json_template(paths)
+        if templ is None:
+            vals = None
+
+    if vals is not None:
+        pieces, slot_order = templ
+        parts: list = []
+        for i, piece in enumerate(pieces[:-1]):
+            parts.append(pa.array([piece] * n, type=pa.large_string()))
+            parts.append(vals[slot_order[i]])
+        parts.append(pa.array([pieces[-1]] * n, type=pa.large_string()))
+        parts.append(pa.scalar("", type=pa.large_string()))  # join separator
+        return pc.binary_join_element_wise(*parts)
+
+    # fallback: per-row assembly (runs inside the worker task, never driver)
+    pylists = {p: view.column(p).to_pylist() for p in paths}
+    out = []
+    for i in range(n):
+        obj: dict = {}
+        for path in paths:
+            v = pylists[path][i]
+            if v is None:
+                continue
+            parts_ = path.split(".")
+            cur = obj
+            for q in parts_[:-1]:
+                cur = cur.setdefault(q, {})
+            cur[parts_[-1]] = v
+        out.append(json.dumps(obj, sort_keys=True))
+    return pa.array(out, type=pa.large_string())
+
+
+def _json_template(paths: list[str]):
+    """(pieces, slot_order): byte pieces around the value slots plus the
+    path-index each slot takes, matching json.dumps(obj, sort_keys=True)
+    byte-for-byte. Slot order is read back from the rendered template (nested
+    sort order need not equal dotted-path sort order). Returns None (→
+    per-row fallback) if a key collides with the sentinel syntax."""
+    import re as _re
+
+    obj: dict = {}
+    for i, p in enumerate(paths):
+        parts = p.split(".")
+        cur = obj
+        for q in parts[:-1]:
+            cur = cur.setdefault(q, {})
+            if not isinstance(cur, dict):
+                return None
+        cur[parts[-1]] = f"~SLOT{i}~"
+    rendered = json.dumps(obj, sort_keys=True)
+    sp = _re.split(r'"~SLOT(\d+)~"', rendered)
+    pieces, slot_order = sp[0::2], [int(x) for x in sp[1::2]]
+    if len(slot_order) != len(paths) or sorted(slot_order) != list(range(len(paths))):
+        return None
+    return pieces, slot_order
+
+
+def clps_decompress(out_dir: str, ordered: bool = True):
+    """Archive → Dataset[(log_event_idx, json)] (K5, JsonConstructor.cpp).
+
+    One map task per schema file decodes ClpStrings and serializes records;
+    ``ordered=True`` adds the k-way-merge-equivalent Dataset sort."""
+    import ray.data as rd
+
+    files = _schema_files(out_dir)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        tbls = []
+        for path in batch.column("path").to_pylist():
+            t = pq.read_table(path)
+            meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
+            view = _decoded_view(t, meta)
+            js = _serialize_schema_table(view)
+            tbls.append(pa.table({
+                "log_event_idx": view.column("log_event_idx").combine_chunks(),
+                "json": js,
+            }))
+        return pa.concat_tables(tbls) if tbls else pa.table(
+            {"log_event_idx": pa.array([], type=pa.int64()),
+             "json": pa.array([], type=pa.large_string())})
+
+    ds = rd.from_items([{"path": f} for f in files]).map_batches(
+        rebuild, batch_format="pyarrow"
+    )
     if ordered:
-        rows.sort(key=lambda r: r[0])
-    return [r[1] for r in rows]
+        ds = ds.sort("log_event_idx")
+    return ds
 
 
 def schema_counts(out_dir: str) -> pa.Table:

@@ -351,20 +351,23 @@ def clp_session_stats(sf_dir: str):
 )
 def clps_props_schema_counts(sf_dir: str):
     """clp_s over the events.props JSON column: per-inferred-schema record
-    counts (A5). The oracle groups by DuckDB's json_structure; schema ids
-    differ but the count multiset must match."""
+    counts (A5). Dataset-native: the parquet column streams through
+    ndjson_from_parquet_column (no driver to_pylist). The oracle groups by
+    DuckDB's json_structure; schema ids differ but the count multiset must
+    match."""
     import shutil
     import tempfile
 
-    import pyarrow.parquet as pq
+    from clp_core_ray.pipelines.clps import (
+        clps_compress,
+        ndjson_from_parquet_column,
+        schema_counts,
+    )
 
-    from clp_core_ray.pipelines.clps import clps_compress, schema_counts
-
-    props = pq.read_table(f"{sf_dir}/events.parquet", columns=["props"])
-    lines = props.column("props").to_pylist()
     out = tempfile.mkdtemp(prefix="clps_props_")
     try:
-        clps_compress(lines, out)
+        src = ndjson_from_parquet_column(f"{sf_dir}/events.parquet", "props")
+        clps_compress(src, out)
         t = schema_counts(out)
         return t.select(["n_records"])
     finally:
@@ -378,21 +381,49 @@ def clps_props_schema_counts(sf_dir: str):
 )
 def clps_kql_filter(sf_dir: str):
     """Structured search over a clp_s archive: KQL parse → DNF → schema
-    pruning → pyarrow.compute filter (§2.12 AST pass chain)."""
+    pruning → pyarrow.compute filter (§2.12 AST pass chain). All stages are
+    Dataset-native; the count is an aggregate over the hit Dataset."""
     import shutil
     import tempfile
 
-    import pyarrow.parquet as pq
-
     from clp_core_ray.functions.filters import clps_search
-    from clp_core_ray.pipelines.clps import clps_compress
+    from clp_core_ray.pipelines.clps import clps_compress, ndjson_from_parquet_column
 
-    props = pq.read_table(f"{sf_dir}/events.parquet", columns=["props"])
     out = tempfile.mkdtemp(prefix="clps_kql_")
     try:
-        clps_compress(props.column("props").to_pylist(), out)
-        hits = clps_search(out, "k > 50")
-        return pa.table({"cnt": pa.array([len(hits)], type=pa.int64())})
+        src = ndjson_from_parquet_column(f"{sf_dir}/events.parquet", "props")
+        clps_compress(src, out)
+        n = clps_search(out, "k > 50").count()
+        return pa.table({"cnt": pa.array([n], type=pa.int64())})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "clps_roundtrip",
+    "SELECT '{\"k\": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)"
+    " || '}' AS json FROM events",
+)
+def clps_roundtrip(sf_dir: str):
+    """clp_s golden round-trip as an oracle query (the reference's sorted-diff
+    e2e pattern, tests/test-clp_s-end_to_end.cpp:39-126): compress the props
+    column, decompress, return the reconstructed JSON lines — the oracle
+    re-renders the same canonical form in SQL."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray.pipelines.clps import (
+        clps_compress,
+        clps_decompress,
+        ndjson_from_parquet_column,
+    )
+
+    out = tempfile.mkdtemp(prefix="clps_rt_")
+    try:
+        src = ndjson_from_parquet_column(f"{sf_dir}/events.parquet", "props")
+        clps_compress(src, out)
+        ds = clps_decompress(out, ordered=False)
+        return ds.select_columns(["json"]).to_pandas()
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

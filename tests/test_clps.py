@@ -49,7 +49,7 @@ def test_clps_end_to_end(ray_session, tmp_path):
     assert len(schemas) >= 4  # four record shapes → at least four schemas
     assert sum(schemas.values()) == len(lines)
 
-    back = clps_decompress(out, ordered=True)
+    back = clps_decompress(out, ordered=True).to_pandas()["json"].tolist()
     assert len(back) == len(lines)
     for orig, rec in zip(lines, back):
         assert json.loads(orig) == json.loads(rec)
@@ -75,5 +75,65 @@ def test_clps_type_polymorphic_paths(ray_session, tmp_path):
     except Exception:
         pytest.skip("mixed-type path within one parse batch unsupported (documented)")
     assert len(schemas) == 2
-    back = clps_decompress(out)
+    back = clps_decompress(out).to_pandas()["json"].tolist()
     assert [json.loads(b) for b in back] == [json.loads(l) for l in lines]
+
+
+def test_clps_arrays_of_objects(ray_session, tmp_path):
+    """Arrays of objects (clp_s Structured/UnstructuredArray nodes,
+    JsonParser.cpp:168,235-248) round-trip as list<struct> leaves."""
+    from clp_core_ray.pipelines.clps import clps_compress, clps_decompress
+
+    lines = [
+        json.dumps({"evts": [{"x": 1, "t": "a"}, {"x": 2, "t": "b"}], "n": 5}),
+        json.dumps({"evts": [{"x": 9, "t": "z"}], "n": 6}),
+        json.dumps({"n": 7, "tag": "plain"}),
+    ]
+    out = str(tmp_path / "arr")
+    schemas = clps_compress(lines, out)
+    assert sum(schemas.values()) == 3
+    back = clps_decompress(out, ordered=True).to_pandas()["json"].tolist()
+    assert [json.loads(b) for b in back] == [json.loads(l) for l in lines]
+
+
+def test_clps_parquet_column_input(ray_session, tmp_path):
+    """Dataset-native input: parquet string column → exact per-row-group
+    log_event_idx, no driver materialization."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.pipelines.clps import (
+        clps_compress,
+        clps_decompress,
+        ndjson_from_parquet_column,
+    )
+
+    lines = [json.dumps({"k": i}) for i in range(50)]
+    src_pq = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({"props": pa.array(lines)}), src_pq, row_group_size=16)
+    out = str(tmp_path / "arch")
+    ds = ndjson_from_parquet_column(src_pq, "props")
+    schemas = clps_compress(ds, out)
+    assert sum(schemas.values()) == 50
+    back = clps_decompress(out, ordered=True).to_pandas()["json"].tolist()
+    assert back == lines  # byte-identical: fast-path serializer == json.dumps
+
+
+def test_serialize_fast_path_matches_json_dumps():
+    """Template serializer must be byte-identical to json.dumps(sort_keys)."""
+    import pyarrow as pa
+
+    from clp_core_ray.pipelines.clps import _serialize_schema_table
+
+    view = pa.table({
+        "log_event_idx": pa.array([0, 1], type=pa.int64()),
+        "b.inner": pa.array([True, False]),
+        "a": pa.array([3, -7], type=pa.int64()),
+        "s": pa.array(['he "q" llo\n', "back\\slash\ttab"]),
+    })
+    got = _serialize_schema_table(view).to_pylist()
+    want = [
+        json.dumps({"a": 3, "b": {"inner": True}, "s": 'he "q" llo\n'}, sort_keys=True),
+        json.dumps({"a": -7, "b": {"inner": False}, "s": "back\\slash\ttab"}, sort_keys=True),
+    ]
+    assert got == want

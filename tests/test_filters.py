@@ -56,16 +56,23 @@ def test_clps_search_end_to_end(ray_session, tmp_path):
     recs = [json.loads(l) for l in lines]
     want = [i for i, r in enumerate(recs)
             if r.get("level") == "ERROR" and r.get("errno", -1) > 60]
-    got = clps_search(out, "level: ERROR AND errno > 60")
+    def rows(ds):
+        df = ds.to_pandas().sort_values("log_event_idx")
+        return [
+            {"log_event_idx": int(i), **json.loads(j)}
+            for i, j in zip(df["log_event_idx"], df["json"])
+        ]
+
+    got = rows(clps_search(out, "level: ERROR AND errno > 60"))
     assert [g["log_event_idx"] for g in got] == want
     assert all(g["errno"] > 60 for g in got)
 
     # wildcard over a ClpString leaf + schema pruning (metric tables skipped)
-    got2 = clps_search(out, 'msg: "*shard_1?.bin*"')
+    got2 = rows(clps_search(out, 'msg: "*shard_1?.bin*"'))
     want2 = [i for i, r in enumerate(recs)
              if "msg" in r and __import__("re").match(r".*shard_1\d\.bin.*", r["msg"])]
     assert [g["log_event_idx"] for g in got2] == want2
 
     # EXISTS prunes to the metric schema only
-    got3 = clps_search(out, "metric: *")
+    got3 = rows(clps_search(out, "metric: *"))
     assert len(got3) == sum(1 for r in recs if "metric" in r)
