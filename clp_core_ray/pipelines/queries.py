@@ -428,7 +428,31 @@ def clps_roundtrip(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
-@register("clp_glt_layout")  # storage layout op: no SQL equivalent
+@register(
+    "clp_ir_roundtrip",
+    "SELECT text, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM {T}",
+)
+def clp_ir_roundtrip(sf_dir: str):
+    """CLP IR stream byte-format round trip (S3): transcripts → four-byte IR
+    streams on disk → deserialize + promote + decode → (text, ts_ms) equality
+    vs the input (ffi/ir_stream conformance exercised end-to-end)."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray import ir
+
+    out = tempfile.mkdtemp(prefix="clp_ir_")
+    try:
+        ds = read_transcripts(sf_dir, columns=["ts", "text"])
+        paths = ir.write_ir(ds, out, four_byte=True)
+        back = ir.read_ir(paths)
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({"text": b.column("text"), "ts_ms": b.column("ts")})
+
+        return back.map_batches(rename, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 def clp_glt_layout(sf_dir: str):
     """GLT regrouping: per-logtype columnar tables with small-group combine.
     Returns (logtype_id, rows, sink) accounting for the written layout."""
