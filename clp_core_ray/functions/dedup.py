@@ -49,7 +49,18 @@ def exact_dedup_survivors(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 N_PERM = 64
 N_BANDS = 16  # 16 bands × 4 rows → catches jaccard ≳ 0.5 reliably
+BUCKET_CAP = 2000  # above this, star-pair instead of all-pairs (and log)
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _log_oversized_bucket(kind: str, size: int, cap: int) -> None:
+    import logging
+
+    logging.getLogger("clp_core_ray.dedup").warning(
+        "%s bucket with %d docs exceeds cap %d: star-pairing against the "
+        "min-id representative (O(n) pairs, component stays connected)",
+        kind, size, cap,
+    )
 
 
 def _perm_params(n_perm: int = N_PERM, seed: int = 7):
@@ -137,11 +148,25 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         )
         # bucket = same (band, band_hash); duplicates of the same doc possible
         uniq_ids, first = np.unique(ids, return_index=True)
-        if len(uniq_ids) < 2 or len(uniq_ids) > 2000:  # skip degenerate buckets
+        if len(uniq_ids) < 2:
             return empty
         sig = np.asarray(
             group.column("sig").combine_chunks().flatten(), dtype=np.int64
         ).reshape(len(ids), N_PERM)[first]
+        if len(uniq_ids) > BUCKET_CAP:
+            # boilerplate-heavy corpora produce huge buckets; emitting all
+            # O(n²) pairs is the explosion, not the fix. Star pairing against
+            # the min-id representative keeps the duplicate component
+            # connected with O(n) pairs — and we LOG it (silent drop was the
+            # round-1 bug).
+            _log_oversized_bucket("MinHash-LSH", len(uniq_ids), BUCKET_CAP)
+            est = (sig[1:] == sig[0]).mean(axis=1)
+            keep = est >= threshold
+            return pa.table(
+                {"doc_a": pa.array(np.full(int(keep.sum()), uniq_ids[0])),
+                 "doc_b": pa.array(uniq_ids[1:][keep]),
+                 "est_jaccard": pa.array(est[keep])}
+            )
         i, j = np.triu_indices(len(uniq_ids), k=1)
         est = (sig[i] == sig[j]).mean(axis=1)
         keep = est >= threshold
@@ -156,15 +181,12 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
+    return _distinct_pairs(pairs)
 
-    # distinct pairs (same pair can surface from several bands)
-    def dedup_pairs(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch.column("doc_a"), dtype=np.int64)
-        b = np.asarray(batch.column("doc_b"), dtype=np.int64)
-        key = (a.astype(np.uint64) << np.uint64(32)) ^ b.astype(np.uint64)
-        _, first = np.unique(key, return_index=True)
-        return batch.take(np.sort(first))
 
+def _distinct_pairs(pairs_ds):
+    """Distinct (doc_a, doc_b) rows (a pair can surface from several bands):
+    per-batch unique, then the bucketed global distinct."""
     from clp_core_ray.state.dictionaries import distinct_by_key
 
     def add_key(batch: pa.Table) -> pa.Table:
@@ -173,13 +195,13 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         key = ((a.astype(np.uint64) << np.uint64(32)) ^ b.astype(np.uint64)).view(
             np.int64
         )
-        return batch.append_column("pair_key", pa.array(key))
+        _, first = np.unique(key, return_index=True)
+        return batch.take(np.sort(first)).append_column(
+            "pair_key", pa.array(key[np.sort(first)])
+        )
 
     deduped = distinct_by_key(
-        pairs.map_batches(dedup_pairs, batch_format="pyarrow").map_batches(
-            add_key, batch_format="pyarrow"
-        ),
-        "pair_key",
+        pairs_ds.map_batches(add_key, batch_format="pyarrow"), "pair_key"
     )
     return deduped.map_batches(
         lambda b: b.drop_columns(["pair_key"]), batch_format="pyarrow"
@@ -265,35 +287,143 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 def embedding_dup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embedding",
                         threshold: float = 0.95):
-    """Pairs with cosine ≥ threshold via blockwise matmul against a broadcast
-    normalized matrix (the all-pairs small-side variant; see similarity.py for
-    the top-k search shapes)."""
+    """EXACT pairs with cosine ≥ threshold via a distributed block self-join.
+
+    The normalized dataset stays in the object store as Arrow blocks; one raw
+    Ray task per (block_i, block_j) pair (i ≤ j) computes the cross matmul
+    and emits qualifying id pairs. Nothing materializes on the driver except
+    the (small) result pair list. Raw tasks are justified here because the
+    Dataset API has no self-join; total flops are inherently O(n²) for the
+    exact problem — for approximate near-dup at 100-TB scale use
+    :func:`embedding_dup_pairs_lsh` (bucketed, near-linear).
+    """
     import ray
+    import ray.data as rd
 
-    mat, ids = _collect_normalized(ds, id_col, emb_col)
-    ref = ray.put((mat, ids))
+    def prep(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col)).astype(np.float32)
+        dim = m.shape[1] if m.size else 0
+        return pa.table({
+            id_col: batch.column(id_col).combine_chunks().cast(pa.int64()),
+            "nemb": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), dim or 1
+            ),
+        })
 
-    class Score:
-        def __init__(self):
-            self.mat, self.ids = ray.get(ref)
+    blocks = ds.map_batches(prep, batch_format="pyarrow").materialize().to_arrow_refs()
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            e = _normalize(_emb_matrix(batch, emb_col))
-            bids = np.asarray(batch.column(id_col), dtype=np.int64)
-            scores = e @ self.mat.T
-            ii, jj = np.nonzero(scores >= threshold)
-            keep = bids[ii] < self.ids[jj]
-            return pa.table(
-                {"doc_a": pa.array(bids[ii][keep]),
-                 "doc_b": pa.array(self.ids[jj][keep]),
-                 "cosine": pa.array(scores[ii, jj][keep].astype(np.float64))}
-            )
+    @ray.remote
+    def pair_block(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ma = _fixed_matrix(ta, "nemb")
+        mb = _fixed_matrix(tb, "nemb")
+        ia = np.asarray(ta.column(id_col), dtype=np.int64)
+        ib = np.asarray(tb.column(id_col), dtype=np.int64)
+        scores = ma @ mb.T
+        ii, jj = np.nonzero(scores >= np.float32(threshold))
+        # a < b emits each unordered pair exactly once (cross-block pairs from
+        # the j > i task carry the other orientation of the same id ranges)
+        if same:
+            keep = ia[ii] < ib[jj]
+            a, b = ia[ii][keep], ib[jj][keep]
+        else:
+            a, b = ia[ii], ib[jj]
+        return pa.table({"doc_a": pa.array(np.minimum(a, b)),
+                         "doc_b": pa.array(np.maximum(a, b))})
 
-    return ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+    tasks = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            tasks.append(pair_block.remote(blocks[i], blocks[j], i == j))
+    tables = [t for t in ray.get(tasks) if t.num_rows] if tasks else []
+    out = (pa.concat_tables(tables) if tables
+           else pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64())}))
+    # cross-block i<j emits each unordered pair once; same-block handled by <
+    return rd.from_arrow(out)
+
+
+def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id", emb_col: str = "embedding",
+                            threshold: float = 0.9, n_bits: int = 8,
+                            n_bands: int = 8, seed: int = 11,
+                            bucket_cap: int = 4000):
+    """APPROXIMATE near-dup pairs via hyperplane (sign-random-projection) LSH.
+
+    Scale path: each vector lands in ``n_bands`` buckets keyed by the sign
+    pattern of ``n_bits`` random projections; exact cosine runs only within
+    buckets (groupby shuffle carries n_bands copies). Recall for cosine ≥ t is
+    1-(1-p^n_bits)^n_bands with p = 1-acos(t)/π (≈0.99 at t=0.9 with 8×8).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col))
+        dim = m.shape[1] if m.size else 1
+        planes = rng_planes(dim, n_bits * n_bands, seed)
+        signs = (m @ planes.T) > 0  # (n, bits*bands)
+        n = len(batch)
+        keys = np.zeros((n, n_bands), dtype=np.uint64)
+        for band in range(n_bands):
+            block = signs[:, band * n_bits : (band + 1) * n_bits]
+            k = np.zeros(n, dtype=np.uint64)
+            for b in range(n_bits):
+                k = (k << np.uint64(1)) | block[:, b].astype(np.uint64)
+            keys[:, band] = (k << np.uint64(8)) | np.uint64(band)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(keys.reshape(-1).view(np.int64)),
+            id_col: pa.array(np.repeat(ids, n_bands)),
+            "nemb": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(m.astype(np.float32), n_bands, axis=0).reshape(-1)),
+                dim,
+            ),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        uniq, first = np.unique(ids, return_index=True)
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64())})
+        if len(uniq) < 2:
+            return empty
+        m = _fixed_matrix(group, "nemb")[first]
+        if len(uniq) > bucket_cap:
+            _log_oversized_bucket("embedding-LSH", len(uniq), bucket_cap)
+            # star pairing vs the min-id representative keeps the component
+            # connected with O(n) pairs instead of O(n²)
+            s = m[1:] @ m[0]
+            keep = s >= np.float32(threshold)
+            return pa.table({"doc_a": pa.array(np.full(keep.sum(), uniq[0])),
+                             "doc_b": pa.array(uniq[1:][keep])})
+        scores = m @ m.T
+        ii, jj = np.nonzero(scores >= np.float32(threshold))
+        keep = ii < jj
+        return pa.table({"doc_a": pa.array(uniq[ii[keep]]),
+                         "doc_b": pa.array(uniq[jj[keep]])})
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return _distinct_pairs(pairs)
+
+
+def rng_planes(dim: int, n: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes (same on every worker)."""
+    return np.random.default_rng(seed).normal(size=(n, dim))
+
+
+def _fixed_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t.column(col).combine_chunks()
+    dim = arr.type.list_size
+    return np.asarray(arr.flatten(), dtype=np.float32).reshape(len(t), dim)
 
 
 def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
     col = batch.column(emb_col).combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        return np.asarray(col.flatten(), dtype=np.float64).reshape(
+            len(batch), col.type.list_size
+        )
     flat = np.asarray(col.flatten(), dtype=np.float64)
     offsets = np.asarray(col.offsets, dtype=np.int64)
     dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
@@ -304,13 +434,3 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
-
-
-def _collect_normalized(ds, id_col: str, emb_col: str):
-    mats, ids = [], []
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        t = pa.table(b)
-        mats.append(_emb_matrix(t, emb_col))
-        ids.append(np.asarray(t.column(id_col), dtype=np.int64))
-    mat = _normalize(np.concatenate(mats)) if mats else np.zeros((0, 0))
-    return mat, (np.concatenate(ids) if ids else np.zeros(0, np.int64))

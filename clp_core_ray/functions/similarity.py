@@ -14,7 +14,23 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from clp_core_ray.functions.dedup import _collect_normalized, _emb_matrix, _normalize
+from clp_core_ray.functions.dedup import _emb_matrix, _normalize
+
+
+def _collect_normalized(ds, id_col: str, emb_col: str):
+    """Driver-side collect of the full normalized matrix — demo-scale only
+    (used by knn_label_vote; the scale paths are topk_cosine / _ivf and
+    dedup.embedding_dup_pairs' block self-join)."""
+    import numpy as np
+    import pyarrow as pa
+
+    mats, ids = [], []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        mats.append(_emb_matrix(t, emb_col))
+        ids.append(np.asarray(t.column(id_col), dtype=np.int64))
+    mat = _normalize(np.concatenate(mats)) if mats else np.zeros((0, 0))
+    return mat, (np.concatenate(ids) if ids else np.zeros(0, np.int64))
 
 
 def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,

@@ -623,14 +623,36 @@ def emb_ann_topk_ivf(sf_dir: str):
     return out.select(["query_id", "neighbor_id", "rank"])
 
 
-@register("emb_dup_pairs")  # float-threshold pairs: rows-only
+@register(
+    "emb_dup_pairs",
+    "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a, embeddings b "
+    "WHERE a.vec_id < b.vec_id "
+    "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45",
+)
 def emb_dup_pairs(sf_dir: str):
+    """Exact embedding near-dup pairs via the distributed block self-join
+    (object-store blocks, one task per block pair — no driver matrix)."""
     import ray.data as rd
 
     from clp_core_ray.functions.dedup import embedding_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     pairs = embedding_dup_pairs(ds, threshold=0.45)
+    return pairs.map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
+
+
+@register("emb_dup_pairs_lsh")  # approximate recall<1 by design: rows-only
+def emb_dup_pairs_lsh(sf_dir: str):
+    """Hyperplane-LSH bucketed near-dup pairs — the near-linear 100-TB path
+    (n_bands × n_bits sign-projection buckets, exact cosine within buckets)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import embedding_dup_pairs_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_dup_pairs_lsh(ds, threshold=0.45, n_bits=6, n_bands=16)
     return pairs.map_batches(
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )

@@ -222,3 +222,84 @@ def test_clps_ts_range_pruning(ray_session, tmp_path):
     assert [_json.loads(j)["v"] for j in df["json"]] == [2, 3, 4]
     # disjoint range prunes the whole schema table before reading it
     assert clps_search(out, "v: *", ts_range=(10_000, 20_000)).count() == 0
+
+
+def test_lsh_oversized_bucket_star_pairing(ray_session, caplog):
+    """A 3000-doc identical-text cluster exceeds BUCKET_CAP but must still
+    report pairs connecting the whole cluster (round-1 silently dropped it)."""
+    import logging
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import BUCKET_CAP, dup_clusters, minhash_lsh_pairs
+
+    n = BUCKET_CAP + 1000
+    t = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": ["the same boilerplate text repeated everywhere again"] * n,
+    })
+    pairs = minhash_lsh_pairs(rd.from_arrow(t), threshold=0.5)
+    ptbl = pa.concat_tables(
+        pa.table(b) for b in pairs.iter_batches(batch_format="pyarrow")
+    )
+    assert ptbl.num_rows >= n - 1  # star pairs keep the component connected
+    cl = dup_clusters(ptbl.select(["doc_a", "doc_b"]))
+    labels = set(cl.column("cluster_id").to_pylist())
+    assert labels == {0}
+    assert len(cl) == n
+
+
+def test_embedding_dup_pairs_exact_block_join(ray_session):
+    """Block self-join result == brute-force numpy all-pairs."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(17)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    mat[50] = mat[20] + rng.normal(scale=0.01, size=d)  # planted near-dup
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1)), d
+        ).cast(pa.list_(pa.float32())),
+    })
+    # force several blocks so cross-block pairs are exercised
+    ds = rd.from_arrow(tbl).repartition(5)
+    got = embedding_dup_pairs(ds, threshold=0.8).to_pandas()
+    gotset = {tuple(sorted(p)) for p in zip(got.doc_a, got.doc_b)}
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    s = norm @ norm.T
+    ii, jj = np.nonzero(np.triu(s >= 0.8, k=1))
+    want = set(zip(ii.tolist(), jj.tolist()))
+    assert gotset == want
+    assert (20, 50) in gotset
+
+
+def test_embedding_dup_pairs_lsh_recall(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    rng = np.random.default_rng(23)
+    n, d = 400, 24
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    for i in range(0, 40, 2):  # 20 planted near-dup pairs
+        mat[i + 1] = mat[i] + rng.normal(scale=0.05, size=d)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1)), d
+        ).cast(pa.list_(pa.float32())),
+    })
+    exact = embedding_dup_pairs(rd.from_arrow(tbl), threshold=0.9).to_pandas()
+    approx = embedding_dup_pairs_lsh(
+        rd.from_arrow(tbl), threshold=0.9, n_bits=8, n_bands=8
+    ).to_pandas()
+    ex = {tuple(sorted(p)) for p in zip(exact.doc_a, exact.doc_b)}
+    ap = {tuple(sorted(p)) for p in zip(approx.doc_a, approx.doc_b)}
+    assert ap <= ex  # no false positives: buckets verify with exact cosine
+    assert len(ex) >= 20
+    assert len(ex & ap) / len(ex) >= 0.9  # recall of the 8x8 configuration
