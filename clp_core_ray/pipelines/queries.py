@@ -111,20 +111,40 @@ def clp_roundtrip(sf_dir: str):
     return roundtrip_check(sf_dir)
 
 
-@register("clp_logtype_topk")  # logtype derivation is not SQL-expressible
+@register(
+    "clp_logtype_topk",
+    "SELECT CAST(count(*) AS BIGINT) AS cnt FROM {T} GROUP BY CASE"
+    " WHEN text LIKE 'INFO request_id=%' THEN 't0'"
+    " WHEN text LIKE 'INFO session %' THEN 't1_' ||"
+    "   CASE WHEN regexp_matches(text, '^INFO session [1-9][0-9]{7} ')"
+    "   THEN 'i' ELSE 'd' END"
+    " WHEN text LIKE 'INFO turn completed%' THEN 't2'"
+    " WHEN text LIKE 'WARN slow query%' THEN 't3'"
+    " WHEN text LIKE 'WARN memory pressure%' THEN 't4'"
+    " WHEN text LIKE 'ERROR failed to open%' THEN 't5'"
+    " WHEN text LIKE 'ERROR upstream timeout%' THEN 't6'"
+    " WHEN text LIKE 'DEBUG cache miss%' THEN 't7'"
+    " WHEN text LIKE 'DEBUG planner chose%' THEN 't8'"
+    " ELSE 't9' END ORDER BY cnt DESC LIMIT 20",
+)
 def clp_logtype_topk(sf_dir: str):
+    """Top-k logtypes by message count. The oracle derives the same grouping
+    in SQL from the generator's 10 fixed templates (the 'INFO session' one
+    splits in two: an all-digit hex id becomes an int variable, any other hex
+    id a dictionary variable) and compares the count multiset."""
     enc = build_encoded(read_transcripts(sf_dir))
     counts = agg.count_by(enc, ["logtype_id", "logtype"])
-    return counts.sort(["cnt", "logtype_id"], descending=[True, False]).limit(20)
+    top = counts.sort(["cnt", "logtype_id"], descending=[True, False]).limit(20)
+    return top.select_columns(["cnt"])
 
 
 @register("clp_dict_sizes")  # dictionary content is not SQL-expressible
 def clp_dict_sizes(sf_dir: str):
     from clp_core_ray.state.dictionaries import logtype_dict, var_dict
 
-    enc = build_encoded(read_transcripts(sf_dir))
+    enc = build_encoded(read_transcripts(sf_dir)).materialize()  # one encode pass
     n_logtypes = logtype_dict(enc).count()
-    n_vars = var_dict(build_encoded(read_transcripts(sf_dir))).count()
+    n_vars = var_dict(enc).count()
     return pa.table(
         {"n_logtypes": pa.array([n_logtypes], type=pa.int64()),
          "n_var_entries": pa.array([n_vars], type=pa.int64())}
@@ -514,7 +534,9 @@ def docs_token_stats(sf_dir: str):
     )
 
 
-@register("docs_lang_id")  # heuristic classifier: no SQL equivalent
+@register("docs_lang_id")  # heuristic classifier: no SQL equivalent — and the
+# generator's `lang` label is independent of the text (same vocabulary for
+# every label), so an exact-match oracle is impossible by construction
 def docs_lang_id(sf_dir: str):
     import ray.data as rd
 
@@ -527,21 +549,57 @@ def docs_lang_id(sf_dir: str):
     )
 
 
-@register("docs_quality")  # float score: kept rows-only (no float hash compare)
+@register(
+    "docs_quality",
+    "SELECT doc_id, "
+    "CAST(length(text) AS BIGINT) AS n_chars, "
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+    "CAST(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 5 AND 10000 "
+    "AND length(text) >= 2 * len(regexp_split_to_array(trim(text), '\\s+')) "
+    "AND length(text) <= 15 * len(regexp_split_to_array(trim(text), '\\s+')) "
+    "THEN 1 ELSE 0 END AS BIGINT) AS quality_pass "
+    "FROM documents",
+)
 def docs_quality(sf_dir: str):
+    """Quality gates in integer-exact form (length + avg-word-length rules;
+    avg_word ≥ 2 ⟺ n_chars ≥ 2·n_tokens, so the float score's gate bit is
+    oracle-checkable without float hashing; the [0,1] score itself stays
+    available via functions.text.quality_score)."""
     import ray.data as rd
 
     from clp_core_ray.functions.text import quality_score
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(quality_score, batch_format="pyarrow")
-    return out.map_batches(
-        lambda b: b.select(["doc_id", "quality_score"]), batch_format="pyarrow"
-    )
+
+    def gates(b: pa.Table) -> pa.Table:
+        from clp_core_ray.functions.text import token_counts
+
+        t = b.column("text")
+        n_chars = pc.utf8_length(t).cast(pa.int64())
+        n_tokens = token_counts(t)
+        len_ok = pc.and_(pc.greater_equal(n_tokens, 5), pc.less_equal(n_tokens, 10000))
+        word_ok = pc.and_(
+            pc.greater_equal(n_chars, pc.multiply(n_tokens, 2)),
+            pc.less_equal(n_chars, pc.multiply(n_tokens, 15)),
+        )
+        gate = pc.cast(pc.and_(len_ok, word_ok), pa.int64())
+        return pa.table({"doc_id": b.column("doc_id"), "n_chars": n_chars,
+                         "n_tokens": n_tokens, "quality_pass": gate})
+
+    return out.map_batches(gates, batch_format="pyarrow")
 
 
-@register("docs_fingerprint")  # FNV content hash: no SQL equivalent
+@register(
+    "docs_fingerprint",
+    "SELECT doc_id, min(doc_id) OVER ("
+    "PARTITION BY regexp_replace(trim(text), '\\s+', ' ', 'g')) AS dup_group "
+    "FROM documents",
+)
 def docs_fingerprint(sf_dir: str):
+    """Document fingerprinting surfaced as its observable effect — duplicate
+    groups (min doc_id per fingerprint) — so the whitespace-normalization +
+    hash semantics are oracle-checkable in SQL (the raw FNV value is not)."""
     import ray.data as rd
 
     from clp_core_ray.functions.text import fingerprints
@@ -552,17 +610,57 @@ def docs_fingerprint(sf_dir: str):
         return pa.table({"doc_id": b.column("doc_id"),
                          "fingerprint": fingerprints(b.column("text"))})
 
-    return ds.map_batches(fp, batch_format="pyarrow")
+    def label(group: pa.Table) -> pa.Table:
+        mn = pc.min(group.column("doc_id")).as_py()
+        return pa.table({
+            "doc_id": group.column("doc_id").combine_chunks(),
+            "dup_group": pa.array([mn] * len(group), type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .map_groups(label, batch_format="pyarrow")
+    )
 
 
-@register("docs_minhash_pairs")  # LSH near-dup candidates: no SQL equivalent
+@register(
+    "docs_minhash_pairs",
+    "WITH toks AS ("
+    "  SELECT doc_id, u[1] AS w, CAST(u[2] AS BIGINT) AS i FROM ("
+    "    SELECT doc_id, unnest(list_zip(arr, range(1, len(arr)+1))) AS u"
+    "    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-zà-ÿ]+') AS arr"
+    "          FROM documents)"
+    "  ) WHERE u[1] <> ''"
+    "), sh AS ("
+    "  SELECT DISTINCT doc_id,"
+    "     w || '|' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)"
+    "       || '|' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS s"
+    "  FROM toks"
+    "), shv AS (SELECT doc_id, s FROM sh WHERE s IS NOT NULL),"
+    "cnt AS (SELECT doc_id, count(*) AS n FROM shv GROUP BY 1),"
+    "inter AS ("
+    "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m"
+    "  FROM shv a JOIN shv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2"
+    ") SELECT doc_a, doc_b FROM inter "
+    "JOIN cnt ca ON ca.doc_id = inter.doc_a "
+    "JOIN cnt cb ON cb.doc_id = inter.doc_b "
+    "WHERE m >= 0.5 * (ca.n + cb.n - m)",
+)
 def docs_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs vs an exact word-3-shingle Jaccard oracle.
+    The synthetic corpus plants near-dups at jaccard ≥ 0.9 with nothing in
+    (0.3, 0.9), so the deterministic 16×4 LSH bands catch exactly the
+    ≥0.5-jaccard set the SQL computes."""
     import ray.data as rd
 
     from clp_core_ray.functions.dedup import minhash_lsh_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5)
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    return pairs.map_batches(
+        lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    )
 
 
 @register("docs_simhash")  # signature column: no SQL equivalent

@@ -1,101 +1,79 @@
-"""Local stand-in for the driver's correctness gate.
-
-Runs each __ray_entry__.queries() callable at sf0.01 and compares against
-oracle_sql() via DuckDB (row count, column names, order-insensitive values).
-
-Usage: python tools/check_correctness.py [--sf-dir DIR] [names...]
+"""Driver-style correctness sweep: run every queries() entry at a given SF and
+compare against oracle_sql() via DuckDB (sorted columns, sorted rows,
+stringified value compare). Usage: python tools/check_correctness.py [sf_dir]
 """
-
-from __future__ import annotations
-
-import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import ray
 
-import duckdb
-import pandas as pd
+ray.init(address="local", num_cpus=16, include_dashboard=False, log_to_driver=False)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+import pyarrow as pa  # noqa: E402
+
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as entry  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
-def to_pandas(res) -> pd.DataFrame:
-    import pyarrow as pa
-
+def to_df(res):
     if isinstance(res, pd.DataFrame):
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    return res.to_pandas()
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime"):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
-
-
-def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
-        if a.startswith("--sf-dir="):
-            sf_dir = a.split("=", 1)[1]
-
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, log_to_driver=False)
-
-    import __ray_entry__ as e
-
-    qs = e.queries()
-    oracles = e.oracle_sql()
-    names = args or list(qs)
-
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    qs, oracles = entry.queries(), entry.oracle_sql()
     con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-
-    failures = 0
-    for name in names:
-        fn = qs[name]
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    fails = []
+    for name, fn in sorted(qs.items()):
         try:
-            mine = canon(to_pandas(fn(sf_dir)))
-        except Exception as ex:
-            print(f"FAIL {name}: ray side raised {type(ex).__name__}: {ex}")
-            failures += 1
+            df = to_df(fn(sf))
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {str(ex)[:120]}")
+            fails.append(name)
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(mine)} rows, cols={list(mine.columns)}")
+            print(f"ok   {name}: rows={len(df)} (no_oracle)")
             continue
         try:
-            theirs = canon(con.execute(oracles[name]).df())
-        except Exception as ex:
-            print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
-            failures += 1
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: oracle raised {str(ex)[:120]}")
+            fails.append(name)
             continue
-        if list(mine.columns) != list(theirs.columns):
-            print(f"FAIL {name}: columns {list(mine.columns)} vs {list(theirs.columns)}")
-            failures += 1
+        cols = sorted(df.columns)
+        if cols != sorted(odf.columns):
+            print(f"FAIL {name}: columns {cols} != {sorted(odf.columns)}")
+            fails.append(name)
             continue
-        if len(mine) != len(theirs):
-            print(f"FAIL {name}: rows {len(mine)} vs {len(theirs)}")
-            failures += 1
+        a = df[cols].sort_values(cols).reset_index(drop=True)
+        b = odf[cols].sort_values(cols).reset_index(drop=True)
+        if a.shape != b.shape:
+            print(f"FAIL {name}: shape {a.shape} != {b.shape}")
+            fails.append(name)
             continue
-        try:
-            pd.testing.assert_frame_equal(mine, theirs, check_dtype=False,
-                                          check_exact=False, rtol=1e-9)
-            print(f"OK   {name}: {len(mine)} rows")
-        except AssertionError as ex:
-            print(f"FAIL {name}: values differ\n{str(ex)[:500]}")
-            failures += 1
+        same = (a.astype(str).values == b.astype(str).values).all()
+        if same:
+            print(f"ok   {name}: rows={len(a)} hash-match")
+        else:
+            bad = (a.astype(str).values != b.astype(str).values).any(axis=1)
+            print(f"FAIL {name}: {int(bad.sum())}/{len(a)} rows differ; first: "
+                  f"{a[bad].head(2).to_dict()} vs {b[bad].head(2).to_dict()}")
+            fails.append(name)
+    print(f"\n{len(qs) - len(fails)}/{len(qs)} green; fails: {fails}")
     ray.shutdown()
-    return 1 if failures else 0
+    sys.exit(1 if fails else 0)
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
+main()
