@@ -187,6 +187,35 @@ def clp_search_var_dict(sf_dir: str):
 
 
 @register(
+    "clp_search_ambiguous",
+    "SELECT conv_id, turn_idx, text FROM {T} WHERE text LIKE '%took 45%'",
+)
+def clp_search_ambiguous(sf_dir: str):
+    """Partially-wildcarded token: '45*' enumerates int/float/dict subqueries
+    (QueryToken ambiguity, Grep.cpp:499-628) instead of falling straight to
+    decode-verify-everything."""
+    from clp_core_ray.pipelines.search import search_archive
+
+    return search_archive(_archive_dir(sf_dir), "took 45*")
+
+
+@register(
+    "clp_search_nocase",
+    "SELECT conv_id, turn_idx, text FROM {T} "
+    "WHERE lower(text) LIKE '%error upstream timeout%'",
+)
+def clp_search_nocase(sf_dir: str):
+    """Case-insensitive search (wildcard_match_unsafe's lowercase-both mode,
+    string_utils.hpp:88-94) across logtype dict matching, var dict lookups,
+    and the decode-verify pass."""
+    from clp_core_ray.pipelines.search import search_archive
+
+    return search_archive(
+        _archive_dir(sf_dir), "ERROR Upstream TIMEOUT*", ignore_case=True
+    )
+
+
+@register(
     "clp_decompress",
     "SELECT conv_id, turn_idx, text FROM {T}",
 )

@@ -219,19 +219,26 @@ def rows_matching_var_subsequence(encoded_vars, required: list[int]) -> np.ndarr
     return ok
 
 
-def search_archive(archive_dir: str, query: str, columns=None):
+def search_archive(archive_dir: str, query: str, columns=None,
+                   ignore_case: bool = False):
     """Search a compressed archive → Dataset[(conv_id, turn_idx, text)].
 
-    Loads the persisted logtype dictionary (one small parquet, like CLP
-    loading logtype.dict once per search, clg.cpp:147-202), compiles the
-    candidate set, prunes sink partitions via the class→logtype index (J4
-    segment pruning), then scans only the surviving partitions.
+    Compile (driver): the Grep subquery compiler (pipelines.grep) enumerates
+    interpretations of ambiguous tokens against the archive's logtype and
+    variable dictionaries — possible-logtype sets plus in-order var
+    conditions per subquery (Grep.cpp:499-628). Prune: sink partitions
+    are skipped via the class→logtype index (J4). Scan (vectorized): rows
+    matching any subquery are decoded and wildcard-verified (the verify
+    keeps results exact even where subqueries are imprecise,
+    Grep.cpp:900-959). ``ignore_case`` mirrors wildcard_match_unsafe's
+    lowercase-both mode (string_utils.hpp:88-94).
     """
     import json
     import os
 
     import ray.data as rd
 
+    from clp_core_ray.pipelines.grep import compile_query, rows_matching_subquery_vars
     from clp_core_ray.state.dictionaries import logtype_dict
     from clp_core_ray.vec.decoder import decode_batch
 
@@ -249,75 +256,47 @@ def search_archive(archive_dir: str, query: str, columns=None):
             pa.table(b)
             for b in logtype_dict(dict_ds).iter_batches(batch_format="pyarrow")
         )
-    cand = candidate_logtype_ids(ldict.column("logtype_id"), ldict.column("logtype"), query)
-    cand_arr = pa.array(cand)
-    # Compile var conditions from the *effective* pattern (the scan matches
-    # with implicit '*query*' wildcards, line below building `rx`): boundary
-    # tokens of the raw query are adjacent to an implicit '*', so they are
-    # ambiguous (partial) in CLP terms (Grep.cpp:194 is_ambiguous_token) and
-    # must not become precise typed-var requirements.
-    effective_query = f"*{query.strip('*')}*" if query.strip("*") else "*"
-    required_vars = compile_var_conditions(effective_query)
+
+    # variable dictionary (small side) for precise/wildcard dict-token lookup
+    var_ids = var_values = None
+    var_dict_path = os.path.join(archive_dir, "var.dict")
+    if os.path.isdir(var_dict_path):
+        vfiles = [
+            os.path.join(var_dict_path, f)
+            for f in sorted(os.listdir(var_dict_path)) if f.endswith(".parquet")
+        ]
+        if vfiles:
+            vtbl = pa.concat_tables(pq.read_table(f) for f in vfiles)
+            var_ids = np.asarray(vtbl.column("var_id"), dtype=np.int64)
+            var_values = vtbl.column("value").combine_chunks()
+
+    cq = compile_query(
+        query,
+        ldict.column("logtype_id"), ldict.column("logtype").combine_chunks(),
+        var_ids=var_ids, var_values=var_values, ignore_case=ignore_case,
+    )
 
     def _empty():
-        return __import__("ray").data.from_arrow(
+        return rd.from_arrow(
             pa.table({"conv_id": pa.array([], type=pa.string()),
                       "turn_idx": pa.array([], type=pa.int32()),
                       "text": pa.array([], type=pa.large_string())})
         )
 
-    if len(cand) == 0:
+    if not cq.match_all and not cq.subqueries:
         return _empty()
-
-    # dictionary-miss pruning (encode_and_search_dictionary returning false,
-    # EncodedVariableInterpreter.cpp:368-426): a query token containing a
-    # letter can only surface from template constants or dictionary variable
-    # values — ints/floats render as digits. If such a token is contained in
-    # neither, the query cannot match anything in this archive.
-    var_dict_path = os.path.join(archive_dir, "var.dict")
-    # only maximal non-delimiter runs are sound prune keys: in any decoded
-    # message a non-delim run lies entirely inside one constant or one
-    # variable (vars are maximal runs), so a run absent from both template
-    # text and var values cannot occur anywhere
-    lettered = [
-        run
-        for seg in query.split("*")
-        if seg and "?" not in seg
-        for run in re.findall(r"[0-9A-Za-z+\-._\\]+", seg)
-        if re.search(r"[A-Za-z]", run)
-    ]
-    if lettered and os.path.isdir(var_dict_path):
-        templ_text = " ".join(
-            re.sub(r"\\([\s\S])", r"\1", t)
-            for t in ldict.column("logtype").to_pylist()
-        )
-        missing = [t for t in lettered if t not in templ_text]
-        if missing:
-            vfiles = [
-                os.path.join(var_dict_path, f)
-                for f in os.listdir(var_dict_path) if f.endswith(".parquet")
-            ]
-            values = pa.concat_tables(
-                pq.read_table(f, columns=["value"]) for f in vfiles
-            ).column("value")
-            for t in missing:
-                if not pc.any(pc.match_substring(values, t)).as_py():
-                    return _empty()
+    cand = cq.all_logtype_ids()
 
     # partition pruning via the class→logtype_ids segment index
     paths = routed
     idx_path = os.path.join(archive_dir, "class_logtypes.json")
-    if os.path.exists(idx_path):
+    if not cq.match_all and os.path.exists(idx_path):
         with open(idx_path) as f:
             by_class = json.load(f)
         cand_set = set(cand.tolist())
         keep = [c for c, ids in by_class.items() if cand_set.intersection(ids)]
         if not keep:
-            return rd.from_arrow(
-                pa.table({"conv_id": pa.array([], type=pa.string()),
-                          "turn_idx": pa.array([], type=pa.int32()),
-                          "text": pa.array([], type=pa.large_string())})
-            )
+            return _empty()
         paths = [
             os.path.join(routed, f"logtype_class={c}", f)
             for c in sorted(keep)
@@ -332,7 +311,11 @@ def search_archive(archive_dir: str, query: str, columns=None):
     if inline:
         cols += ["logtype", "dict_vars"]
     ds = rd.read_parquet(paths, columns=cols)
-    rx = wildcard_to_regex(effective_query)
+    rx = wildcard_to_regex(cq.processed)
+    if ignore_case:
+        rx = "(?i)" + rx
+    subqueries = cq.subqueries
+    match_all = cq.match_all
 
     import ray
 
@@ -344,7 +327,7 @@ def search_archive(archive_dir: str, query: str, columns=None):
         dicts_ref = ray.put(load_dicts(archive_dir))
 
     class Scan:
-        """Phase-3 scan: isin prune → decode candidates only → wildcard check."""
+        """Phase-3 scan: subquery prune → decode candidates → wildcard check."""
 
         def __init__(self):
             if dicts_ref is not None:
@@ -355,13 +338,21 @@ def search_archive(archive_dir: str, query: str, columns=None):
                 self.var_values = vdict.column("value").combine_chunks()
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            hit = pc.is_in(batch.column("logtype_id"), value_set=cand_arr)
-            batch = batch.filter(hit)
-            if len(batch) and required_vars:
-                m = rows_matching_var_subsequence(
-                    batch.column("encoded_vars"), required_vars
-                )
-                batch = batch.filter(pa.array(m))
+            if not match_all:
+                keep = np.zeros(len(batch), dtype=bool)
+                lt = batch.column("logtype_id")
+                for sq in subqueries:
+                    m = np.asarray(
+                        pc.is_in(lt, value_set=pa.array(sq.logtype_ids)), dtype=bool
+                    )
+                    if sq.var_conds and m.any():
+                        m &= rows_matching_subquery_vars(
+                            batch.column("encoded_vars"), sq.var_conds
+                        )
+                    keep |= m
+                    if keep.all():
+                        break
+                batch = batch.filter(pa.array(keep))
             if len(batch) == 0:
                 return pa.table(
                     {"conv_id": pa.array([], type=pa.string()),
