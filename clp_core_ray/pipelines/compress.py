@@ -50,13 +50,14 @@ class FullEncodeStage:
     """
 
     def __init__(self, keep_text: bool = False, dict_delta_dir: str | None = None,
-                 compact: bool = False):
+                 compact: bool = False, dict_cap_entries: int | None = None):
         self.route = RouteStage()
         self.enrich = EnrichStage()
         self.encode = EncodeStage(
             keep_text=keep_text,
             dict_delta_dir=dict_delta_dir,
             keep_dict_vars=not compact,
+            dict_cap_entries=dict_cap_entries,
         )
         self.compact = compact
 
@@ -71,6 +72,10 @@ def build_encoded(ds, keep_text: bool = False, concurrency=None,
                   dict_delta_dir: str | None = None, compact: bool = False):
     """transcripts Dataset → routed+enriched+encoded Dataset (lazy)."""
     import ray
+
+    # resolve the dictionary-epoch cap on the driver (workers may not see
+    # env changes made after the Ray session started)
+    dict_cap = int(os.environ.get("CLP_DICT_CAP_ENTRIES", 4_000_000))
 
     use_actors = dict_delta_dir is not None and os.environ.get(
         "CLP_ENCODE_ACTORS", "0"
@@ -88,6 +93,7 @@ def build_encoded(ds, keep_text: bool = False, concurrency=None,
                 "keep_text": keep_text,
                 "dict_delta_dir": dict_delta_dir,
                 "compact": compact,
+                "dict_cap_entries": dict_cap,
             },
             batch_format="pyarrow",
             batch_size=ENCODE_BATCH_SIZE,
@@ -98,7 +104,8 @@ def build_encoded(ds, keep_text: bool = False, concurrency=None,
     # duplicate entries across blocks are removed by the finalize distinct
     return ds.map_batches(
         FullEncodeStage(keep_text=keep_text, compact=compact,
-                        dict_delta_dir=dict_delta_dir),
+                        dict_delta_dir=dict_delta_dir,
+                        dict_cap_entries=dict_cap),
         batch_format="pyarrow",
         batch_size=ENCODE_BATCH_SIZE,
         concurrency=concurrency,

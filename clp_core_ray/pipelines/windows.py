@@ -1,21 +1,61 @@
 """Per-conversation windowing: sessionization over the ordered turn log.
 
-Ray Data has no event-time windows; the streaming-shaped rebuild is
-groupby(conv_id).map_groups over turns sorted by turn_idx (the input_hint's
-"stable turn ordering" contract), with the window logic vectorized inside the
-group. Hot conversations (the generator plants ~5%-of-all-turns convs) make
-single groups large — that is fine for map_groups (one task per group), and
-per-batch pre-aggregation keeps the *aggregate* paths skew-immune; a key so
-hot it breaks a single task would be salted into (conv_id, salt) subgroups
-and merged, as stats_by's partial step already effectively does.
+Ray Data has no event-time windows; the rebuild shuffles once by a HASH
+BUCKET of conv_id (64 buckets, not one group per conversation) and runs a
+fully vectorized Arrow/numpy pass inside each bucket: lexsort by
+(conv_id, turn_idx), detect conversation starts and gap breaks, and derive
+per-conversation session ids with cumulative tricks — no pandas conversion,
+64 python calls total instead of one per conversation. Hot conversations
+(the generator plants ~5%-of-all-turns convs) just make one bucket somewhat
+larger; the work inside stays vectorized.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
 
 SESSION_GAP_SECONDS = 600
+N_BUCKETS = 64
+
+
+def _add_bucket(batch: pa.Table) -> pa.Table:
+    offsets, data = _string_buffers(batch.column("conv_id"))
+    h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+    return batch.append_column(
+        "_bucket", pa.array((h & np.uint64(N_BUCKETS - 1)).astype(np.int32))
+    )
+
+
+def _sorted_session_arrays(group: pa.Table, gap_seconds: int):
+    """lexsort by (conv, turn) → (order, conv codes, ts seconds, session_id)."""
+    conv = group.column("conv_id").combine_chunks()
+    enc = pc.dictionary_encode(conv)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    turn = np.asarray(group.column("turn_idx"), dtype=np.int64)
+    ts = np.asarray(
+        pc.cast(group.column("ts").combine_chunks(), pa.int64()), dtype=np.int64
+    ) // 1_000_000
+    order = np.lexsort((turn, codes))
+    c = codes[order]
+    t = ts[order]
+    n = len(c)
+    newconv = np.ones(n, dtype=bool)
+    if n > 1:
+        newconv[1:] = c[1:] != c[:-1]
+    gap = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        gap[1:] = t[1:] - t[:-1]
+    brk = newconv | (gap > gap_seconds)
+    run = np.cumsum(brk)
+    conv_base = np.maximum.accumulate(np.where(newconv, run, 0))
+    sid = run - conv_base
+    return order, c, t, sid, brk
 
 
 def sessionize(ds, gap_seconds: int = SESSION_GAP_SECONDS):
@@ -25,32 +65,57 @@ def sessionize(ds, gap_seconds: int = SESSION_GAP_SECONDS):
     sessions per conversation starting at 0.
     """
 
-    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("turn_idx")
-        ts = df["ts"].astype("datetime64[us]").astype(np.int64) // 1_000_000
-        gap = ts.diff().fillna(0)
-        df["session_id"] = (gap > gap_seconds).cumsum().astype(np.int64)
-        return df[["conv_id", "turn_idx", "session_id"]]
+    def per_bucket(group: pa.Table) -> pa.Table:
+        order, _, _, sid, _ = _sorted_session_arrays(group, gap_seconds)
+        take = pa.array(order)
+        return pa.table(
+            {
+                "conv_id": group.column("conv_id").take(take),
+                "turn_idx": group.column("turn_idx").take(take),
+                "session_id": pa.array(sid, type=pa.int64()),
+            }
+        )
 
-    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    return (
+        ds.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def session_stats(ds, gap_seconds: int = SESSION_GAP_SECONDS):
     """Per-session aggregate: n_turns, span_seconds (windowed aggregate)."""
 
-    def per_conv(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("turn_idx")
-        ts = df["ts"].astype("datetime64[us]").astype(np.int64) // 1_000_000
-        gap = ts.diff().fillna(0)
-        sid = (gap > gap_seconds).cumsum()
-        out = (
-            pd.DataFrame({"conv_id": df["conv_id"], "session_id": sid, "ts_s": ts})
-            .groupby(["conv_id", "session_id"], sort=True)
-            .agg(n_turns=("ts_s", "size"), span_seconds=("ts_s", lambda s: s.max() - s.min()))
-            .reset_index()
+    def per_bucket(group: pa.Table) -> pa.Table:
+        order, _, t, sid, brk = _sorted_session_arrays(group, gap_seconds)
+        starts = np.flatnonzero(brk)
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {"conv_id": pa.array([], type=pa.string()),
+                 "session_id": pa.array([], type=pa.int64()),
+                 "n_turns": pa.array([], type=pa.int64()),
+                 "span_seconds": pa.array([], type=pa.int64())}
+            )
+        ends = np.append(starts[1:], n) - 1
+        n_turns = np.append(starts[1:], n) - starts
+        # turns are time-ordered within a session only if ts is monotone per
+        # conversation; span = max-min via reduceat to stay order-agnostic
+        mx = np.maximum.reduceat(t, starts)
+        mn = np.minimum.reduceat(t, starts)
+        del ends
+        take = pa.array(order[starts])
+        return pa.table(
+            {
+                "conv_id": group.column("conv_id").take(take),
+                "session_id": pa.array(sid[starts], type=pa.int64()),
+                "n_turns": pa.array(n_turns, type=pa.int64()),
+                "span_seconds": pa.array(mx - mn, type=pa.int64()),
+            }
         )
-        out["session_id"] = out["session_id"].astype(np.int64)
-        out["span_seconds"] = out["span_seconds"].astype(np.int64)
-        return out
 
-    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    return (
+        ds.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

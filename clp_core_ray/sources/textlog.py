@@ -74,12 +74,48 @@ def assemble_messages(lines: pa.Array, path: str = "") -> pa.Table:
     )
 
 
+def expand_log_payload(name: str, data: bytes, out: list) -> None:
+    """Recursively expand compressed/archived inputs into (name, bytes) text
+    payloads — the LibarchiveReader role (clp/LibarchiveReader.hpp:19, use at
+    clp/clp/FileCompressor.cpp:271-281): gzip members, tar archives (incl.
+    .tar.gz/.tar.bz2/.tar.xz), and zip archives, nested arbitrarily.
+    """
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    if data[:2] == b"\x1f\x8b":
+        inner = name[:-3] if name.endswith(".gz") else name + "!gunzip"
+        expand_log_payload(inner, gzip.decompress(data), out)
+        return
+    if data[:4] == b"PK\x03\x04":
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            for info in z.infolist():
+                if not info.is_dir():
+                    expand_log_payload(f"{name}:{info.filename}", z.read(info), out)
+        return
+    if len(data) >= 512:
+        try:
+            with tarfile.open(fileobj=io.BytesIO(data)) as t:
+                members = [m for m in t.getmembers() if m.isreg()]
+                for m in members:
+                    expand_log_payload(
+                        f"{name}:{m.name}", t.extractfile(m).read(), out
+                    )
+                return
+        except tarfile.ReadError:
+            pass
+    out.append((name, data))
+
+
 def read_log_messages(paths: list[str] | str):
     """Dataset of assembled messages from raw log files.
 
     One task per file (a file is the assembly unit — CLP's FileCompressor
     works file-at-a-time too); line order within the file is preserved by
-    reading the file inside the task.
+    reading the file inside the task. Compressed inputs (.gz/.tar.*/.zip)
+    expand recursively, one assembled unit per archive entry (S2).
     """
     import ray.data as rd
 
@@ -97,11 +133,17 @@ def read_log_messages(paths: list[str] | str):
         tables = []
         for p in batch.column("path").to_pylist():
             with open(p, "rb") as f:
-                text = f.read().decode("utf-8", errors="replace")
-            lines = text.split("\n")
-            if lines and lines[-1] == "":
-                lines.pop()
-            tables.append(assemble_messages(pa.array(lines, type=pa.large_string()), p))
+                raw = f.read()
+            payloads: list = []
+            expand_log_payload(p, raw, payloads)
+            for name, data in payloads:
+                text = data.decode("utf-8", errors="replace")
+                lines = text.split("\n")
+                if lines and lines[-1] == "":
+                    lines.pop()
+                tables.append(
+                    assemble_messages(pa.array(lines, type=pa.large_string()), name)
+                )
         return pa.concat_tables(tables) if tables else assemble_messages(
             pa.array([], type=pa.large_string())
         )

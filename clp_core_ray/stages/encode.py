@@ -17,6 +17,19 @@ from clp_core_ray.vec.decoder import decode_batch
 from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers, encode_batch
 
 
+def _resolve_fs(path: str):
+    """(filesystem, path) for a local path or a storage URI (s3://, hdfs://…).
+
+    Dictionary deltas must land on storage every node can read at finalize
+    time — on a multi-node cluster pass a shared URI as the delta dir
+    (round-1 ADVICE: local out_dir paths silently lose entries off-node)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def logtype_ids(logtype: pa.Array) -> pa.Array:
     """Content-hash (FNV-1a 64) id per logtype string — stable across
     partitions and retries, so no id-coordination shuffle is ever needed.
@@ -43,18 +56,28 @@ class EncodeStage:
     """
 
     def __init__(self, text_col: str = "text", keep_text: bool = False,
-                 keep_dict_vars: bool = True, dict_delta_dir: str | None = None):
+                 keep_dict_vars: bool = True, dict_delta_dir: str | None = None,
+                 dict_cap_entries: int | None = None):
+        import os
+
         self.text_col = text_col
         self.keep_text = keep_text
         self.keep_dict_vars = keep_dict_vars
         self.dict_delta_dir = dict_delta_dir
+        # Epoch rollover cap (CLP splits archives when dictionaries reach
+        # 100 MiB, CommandLineArguments.hpp:28-30; here the per-actor seen-set
+        # is the bounded resource — content-hash ids make re-emission after a
+        # roll harmless, the finalize distinct dedups across epochs).
+        if dict_cap_entries is None:
+            dict_cap_entries = int(os.environ.get("CLP_DICT_CAP_ENTRIES", 4_000_000))
+        self.dict_cap_entries = dict_cap_entries
+        self._epoch = 0
         self._seen_var_ids: set[int] = set()
         self._seen_logtype: set[tuple[int, str]] = set()
         self._delta_seq = 0
         if dict_delta_dir:
-            import os
-
-            os.makedirs(dict_delta_dir, exist_ok=True)
+            self._fs, self._delta_path = _resolve_fs(dict_delta_dir)
+            self._fs.create_dir(self._delta_path, recursive=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         enc = encode_batch(batch.column(self.text_col))
@@ -156,11 +179,24 @@ class EncodeStage:
                 ),
             }
         )
-        path = os.path.join(
-            self.dict_delta_dir, f"delta-{uuid.uuid4().hex}-{self._delta_seq}.parquet"
+        path = (
+            f"{self._delta_path}/delta-e{self._epoch}-"
+            f"{uuid.uuid4().hex}-{self._delta_seq}.parquet"
         )
         self._delta_seq += 1
-        pq.write_table(delta, path, compression="zstd")
+        pq.write_table(delta, path, compression="zstd", filesystem=self._fs)
+        # epoch rollover: bound the per-actor seen-sets for long jobs
+        if (len(self._seen_var_ids) > self.dict_cap_entries
+                or len(self._seen_logtype) > self.dict_cap_entries):
+            import logging
+
+            logging.getLogger("clp_core_ray.encode").info(
+                "dictionary epoch %d rolled over (%d var ids, %d logtypes)",
+                self._epoch, len(self._seen_var_ids), len(self._seen_logtype),
+            )
+            self._epoch += 1
+            self._seen_var_ids.clear()
+            self._seen_logtype.clear()
 
 
 class DecodeStage:

@@ -166,22 +166,33 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None) -> dict:
     import ray.data as rd
 
     routed = os.path.join(out_dir, "routed")
-    if delta_dir and os.path.isdir(delta_dir) and os.listdir(delta_dir):
+    delta_files, delta_fs, total = [], None, 0
+    if delta_dir:
+        from pyarrow import fs as pafs
+
+        from clp_core_ray.stages.encode import _resolve_fs
+
+        delta_fs, dpath = _resolve_fs(delta_dir)
+        try:
+            infos = delta_fs.get_file_info(pafs.FileSelector(dpath))
+        except FileNotFoundError:
+            infos = []
+        delta_files = sorted(
+            i.path for i in infos
+            if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+        )
+        total = sum(i.size for i in infos if i.path in set(delta_files))
+    if delta_files:
         # encode-stage actors already flushed per-partition dict deltas in the
         # unified schema — dedup them directly (no sink re-read at all)
-        files = [
-            os.path.join(delta_dir, f)
-            for f in sorted(os.listdir(delta_dir))
-            if f.endswith(".parquet")
-        ]
-        total = sum(os.path.getsize(f) for f in files)
+        files = delta_files
         # small delta sets finalize on the driver (no pipeline latency); big
         # ones go through the distributed bucketed distinct so the finalize
         # cost scales with the cluster instead of sitting on the driver
         if total < 256 * 1024 * 1024:
             # small enough: finalize on the driver — no Ray pipelines, no
             # shuffle latency (the deltas ARE the pre-aggregated partials)
-            return _finalize_dicts_driver(out_dir, files)
+            return _finalize_dicts_driver(out_dir, files, fs=delta_fs)
         partials = rd.read_parquet(delta_dir)
     else:
         partials = None
@@ -289,7 +300,7 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None) -> dict:
     return {"n_logtypes": len(ldict), "classes": sorted(by_class)}
 
 
-def _finalize_dicts_driver(out_dir: str, delta_files: list[str]) -> dict:
+def _finalize_dicts_driver(out_dir: str, delta_files: list[str], fs=None) -> dict:
     """Driver-side dict finalize for small delta sets (vectorized dedup)."""
     import json
     import os
@@ -299,7 +310,7 @@ def _finalize_dicts_driver(out_dir: str, delta_files: list[str]) -> dict:
     import pyarrow.parquet as pq
 
     with ThreadPoolExecutor(16) as ex:
-        tables = list(ex.map(pq.read_table, delta_files))
+        tables = list(ex.map(lambda f: pq.read_table(f, filesystem=fs), delta_files))
     t = pa.concat_tables(tables).combine_chunks()
     kinds = np.asarray(t.column("kind"), dtype=np.int8)
     # var rows dominate (kind 1); their dedup key is the id alone → 1-key

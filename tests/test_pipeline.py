@@ -143,3 +143,31 @@ def test_search_matches_bruteforce(ray_session, tiny_transcripts, tmp_path):
     want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert len(hits) == len(want)
     assert (hits["text"].values == want["text"].values).all()
+
+
+def test_dict_epoch_rollover(ray_session, tmp_path, monkeypatch):
+    """A tiny dictionary cap forces epoch rollover (CLP's 100 MiB archive
+    split, CommandLineArguments.hpp:28-30): the stage's seen-sets reset, later
+    batches re-emit entries, and multi-epoch archives still decode
+    byte-identical (finalize dedups across epochs)."""
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.decompress import decompress
+    from clp_core_ray.sources.transcripts import read_transcripts
+    from clp_core_ray.stages.encode import EncodeStage
+
+    # unit: one long-lived stage over several batches rolls epochs
+    ddir = str(tmp_path / "unit_deltas")
+    st = EncodeStage(dict_delta_dir=ddir, dict_cap_entries=5)
+    for b in range(3):
+        st(pa.table({"text": [f"call id=req{b}x{i} done" for i in range(10)]}))
+    epochs = {f.split("-")[1] for f in os.listdir(ddir)}
+    assert len(epochs) > 1, f"expected multi-epoch deltas, got {epochs}"
+    assert st._epoch >= 1
+
+    # e2e: compress under a tiny cap still decodes byte-identical
+    monkeypatch.setenv("CLP_DICT_CAP_ENTRIES", "20")
+    out = str(tmp_path / "epochs")
+    compress(SF, out)
+    dec = decompress(out).to_pandas().sort_values(["conv_id", "turn_idx"])
+    orig = read_transcripts(SF).to_pandas().sort_values(["conv_id", "turn_idx"])
+    assert (dec["text"].values == orig["text"].values).all()

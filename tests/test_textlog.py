@@ -96,3 +96,42 @@ def test_ray_text_pipeline(ray_session, tmp_path):
     for path, want in files.items():
         sub = tbl.filter(pa.compute.equal(tbl.column("path"), path))
         assert reconstruct_file_text(sub) == want
+
+
+def test_targz_ingestion_roundtrip(ray_session, tmp_path):
+    """The reference fixture read from inside .tar.gz / .zip / .gz must
+    round-trip byte-identical (LibarchiveReader recursion, S2;
+    FileCompressor.cpp:271-281)."""
+    import gzip
+    import tarfile
+    import zipfile
+
+    import pyarrow as pa
+
+    from clp_core_ray.sources.textlog import read_log_messages, reconstruct_file_text
+
+    with open(FIXTURE, "rb") as f:
+        raw = f.read()
+
+    tgz = tmp_path / "logs.tar.gz"
+    with tarfile.open(tgz, "w:gz") as t:
+        t.add(FIXTURE, arcname="inner/log.txt")
+    gz = tmp_path / "log.txt.gz"
+    gz.write_bytes(gzip.compress(raw))
+    zf = tmp_path / "logs.zip"
+    with zipfile.ZipFile(zf, "w") as z:
+        z.writestr("log.txt", raw)
+    # nested: a .gz inside a tar
+    nested = tmp_path / "nested.tar"
+    with tarfile.open(nested, "w") as t:
+        t.add(gz, arcname="log.txt.gz")
+
+    want = raw.decode().rstrip("\n")
+    for p in (tgz, gz, zf, nested):
+        msgs = pa.concat_tables(
+            pa.table(b)
+            for b in read_log_messages(str(p)).iter_batches(batch_format="pyarrow")
+        )
+        name = msgs.column("path")[0].as_py()
+        assert name.startswith(str(p).removesuffix(".gz"))
+        assert reconstruct_file_text(msgs) == want, p
