@@ -35,6 +35,65 @@ from clp_core_ray.state import manifest as mf
 ENCODE_BATCH_SIZE = 16 * 1024  # rows; ~2-4 MB of text per batch → warm scratch
 
 
+class _DeltaWatcher:
+    """Overlap dictionary finalize with the sink write: a driver thread polls
+    the delta dir and submits pre-dedup Ray tasks for new files as encode
+    tasks flush them (atomic rename makes partially-written files
+    invisible). By the time write_parquet returns, most of the finalize's
+    read+dedup work is done or in flight — the serial tail is just the
+    per-bucket merge. This converts the finalize from a constant ~2 s of
+    driver time into work that scales with the cluster."""
+
+    def __init__(self, delta_dir: str, poll_s: float = 0.25, min_batch: int = 24):
+        import threading
+
+        self.delta_dir = delta_dir
+        self.poll_s = poll_s
+        self.min_batch = min_batch
+        self.seen: set[str] = set()
+        self.refs: list = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "_DeltaWatcher":
+        self._thread.start()
+        return self
+
+    def _pending(self) -> list[str]:
+        try:
+            names = os.listdir(self.delta_dir)
+        except FileNotFoundError:
+            return []
+        return [n for n in names if n.endswith(".parquet") and n not in self.seen]
+
+    def _submit(self, names: list[str]) -> None:
+        import ray
+
+        from clp_core_ray.state.dictionaries import N_FINALIZE_BUCKETS, _prededup_files
+
+        if not hasattr(self, "_task"):
+            self._task = ray.remote(num_returns=N_FINALIZE_BUCKETS)(_prededup_files)
+        self.refs.append(
+            self._task.remote([os.path.join(self.delta_dir, n) for n in names])
+        )
+        self.seen.update(names)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.poll_s):
+            p = self._pending()
+            if len(p) >= self.min_batch:
+                self._submit(p)
+
+    def finish(self) -> list:
+        """Stop polling, submit any remaining files, return all task refs."""
+        self._stop.set()
+        self._thread.join()
+        p = self._pending()
+        if p:
+            self._submit(p)
+        return self.refs
+
+
 class FullEncodeStage:
     """route → enrich → encode fused into one stage (single object-store hop).
 
@@ -126,6 +185,8 @@ def compress(
     model (ids + encoded vars, dictionaries separate); compact=False keeps
     the logtype/dict_vars inline per row (self-contained rows, bigger sinks).
     """
+    import time
+
     ds = read_transcripts(sf_dir_or_sf)
     delta_dir = os.path.join(out_dir, "dict.deltas")
     encoded = build_encoded(
@@ -133,13 +194,39 @@ def compress(
         compact=compact,
     )
     routed_dir = os.path.join(out_dir, "routed")
+    timing = os.environ.get("CLP_TIMING") == "1"
+    t0 = time.time()
+    # watcher default OFF: overlapping pre-dedup with the write helps when
+    # the write leaves idle slots (low CPU counts) but contends with a
+    # saturated 16-way write in this VM (+~3s); the bucketed finalize after
+    # the write is already ~1s
+    use_watcher = os.environ.get("CLP_DELTA_WATCHER") == "1"
+    watcher = _DeltaWatcher(delta_dir).start() if use_watcher else None
     encoded.write_parquet(routed_dir, partition_cols=["logtype_class"], compression="zstd")
-    # per-class counts from the written sinks' parquet footers (no data read)
-    counts_tbl = sink_class_counts(routed_dir)
-    # persist the archive dictionaries + class→logtype segment index (K1/T1/T2)
+    t_write = time.time()
+    # the two post-write steps are independent (footer reads vs the delta
+    # bucket merge, whose pre-dedup tasks the watcher already launched) —
+    # overlap them so only the slower one sits on the critical path
+    from concurrent.futures import ThreadPoolExecutor
+
     from clp_core_ray.state.dictionaries import write_archive_dicts
 
-    write_archive_dicts(out_dir, delta_dir=delta_dir)
+    with ThreadPoolExecutor(2) as ex:
+        f_counts = ex.submit(sink_class_counts, routed_dir)
+        f_dicts = ex.submit(
+            write_archive_dicts, out_dir, delta_dir,
+            prededup_refs=watcher.finish() if watcher else None,
+        )
+        counts_tbl = f_counts.result()
+        f_dicts.result()
+    if timing:
+        import sys
+
+        print(
+            f"[clp timing] write={t_write - t0:.2f}s "
+            f"finalize(counts+dicts)={time.time() - t_write:.2f}s",
+            file=sys.stderr,
+        )
     mf.record_fragment(
         out_dir,
         "full",

@@ -184,7 +184,10 @@ class EncodeStage:
             f"{uuid.uuid4().hex}-{self._delta_seq}.parquet"
         )
         self._delta_seq += 1
-        pq.write_table(delta, path, compression="zstd", filesystem=self._fs)
+        # write-then-rename: concurrent finalize pre-readers (the compress
+        # delta watcher) must never observe a half-written file
+        pq.write_table(delta, path + ".tmp", compression="zstd", filesystem=self._fs)
+        self._fs.move(path + ".tmp", path)
         # epoch rollover: bound the per-actor seen-sets for long jobs
         if (len(self._seen_var_ids) > self.dict_cap_entries
                 or len(self._seen_logtype) > self.dict_cap_entries):

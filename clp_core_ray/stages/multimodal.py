@@ -1,4 +1,4 @@
-"""Multimodal (image/audio/video) stages: real Ray plumbing, stubbed codecs.
+"""Multimodal (image/audio/video) stages over Ray actor pools.
 
 Media ride as opaque ``binary`` columns with typed metadata columns
 (media_type, width/height or sample_rate/duration). Decode / resize /
@@ -6,10 +6,11 @@ feature-extract / frame-sample are actor-pool map_batches stages: expensive
 codec setup belongs in __init__, per-batch work in __call__, small
 batch_size because rows are wide.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernel is pluggable: the default raises NotImplementedError; tests and
-the demo use the deterministic fake decoder (bytes-hash-seeded arrays), which
-exercises the full schema/batch/actor path end-to-end.
+Codecs implemented with the standard library only (no PIL/ffmpeg in this
+container): PNG (zlib inflate + scanline unfilter, 8-bit gray/RGB/RGBA),
+24/32-bit BMP, and PCM WAV (the ``wave`` module). JPEG/video would need
+external libraries — ``real_image_decode`` raises for those formats, and the
+deterministic fake decoder remains available for schema-level tests.
 """
 
 from __future__ import annotations
@@ -19,19 +20,154 @@ import pyarrow as pa
 
 MEDIA_BATCH_SIZE = 64  # wide binary rows: keep batch × concurrency in heap
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
 
 def fake_image_decode(buf: bytes, height: int = 32, width: int = 32) -> np.ndarray:
-    """Deterministic stand-in for a real image decoder (seeded by content)."""
+    """Deterministic stand-in decoder (seeded by content) for schema tests."""
     seed = int.from_bytes(buf[:8].ljust(8, b"\0"), "little")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def decode_png(buf: bytes) -> np.ndarray:
+    """Pure-python PNG decode (8-bit gray / RGB / RGBA, non-interlaced) →
+    (h, w, 3) uint8. Spec: RFC 2083; filters 0-4 unapplied per scanline."""
+    import struct
+    import zlib
+
+    if buf[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = bit_depth = color_type = None
+    idat = []
+    while pos + 8 <= len(buf):
+        (length,), ctype = struct.unpack(">I", buf[pos:pos + 4]), buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG variant unsupported (depth={bit_depth}, "
+                    f"color={color_type}, interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * nch
+    out = np.empty((height, stride), dtype=np.uint8)
+    rawa = np.frombuffer(raw, dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = rawa[y * (stride + 1)]
+        line = rawa[y * (stride + 1) + 1:(y + 1) * (stride + 1)].copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            line += prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                b = prev[x]
+                if f == 1:
+                    line[x] = (int(line[x]) + int(a)) & 0xFF
+                elif f == 3:
+                    line[x] = (int(line[x]) + ((int(a) + int(b)) >> 1)) & 0xFF
+                else:
+                    c = prev[x - nch] if x >= nch else 0
+                    p = int(a) + int(b) - int(c)
+                    pr = min((a, b, c), key=lambda v: abs(p - int(v)))
+                    line[x] = (int(line[x]) + int(pr)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = line
+        prev = out[y]
+    img = out.reshape(height, width, nch)
+    if nch == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif nch == 4:
+        img = img[:, :, :3]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0, 8-bit RGB) — test/fixture side."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24/32-bit uncompressed BMP → (h, w, 3) uint8 (top-down output)."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", buf[10:14])[0]
+    w, h = struct.unpack("<ii", buf[18:26])
+    bpp = struct.unpack("<H", buf[28:30])[0]
+    comp = struct.unpack("<I", buf[30:34])[0]
+    if bpp not in (24, 32) or comp != 0:
+        raise NotImplementedError(f"BMP variant unsupported (bpp={bpp})")
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    flip = h > 0
+    h = abs(h)
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    img = img[:, :, 2::-1]  # BGR(A) → RGB
+    return img[::-1] if flip else img
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (float32 mono samples in [-1,1], sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        pcm = np.frombuffer(frames, dtype=np.int16).astype(np.float32) / 32768.0
+    elif width == 1:
+        pcm = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 4:
+        pcm = np.frombuffer(frames, dtype=np.int32).astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    return pcm, rate
+
+
 def real_image_decode(buf: bytes) -> np.ndarray:
-    """Real decoder — requires an imaging library not present in this env."""
+    """Dispatch by magic bytes: PNG and BMP decode natively; other formats
+    (JPEG/WebP/…) need codecs absent from this container."""
+    if buf[:8] == _PNG_MAGIC:
+        return decode_png(buf)
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
     raise NotImplementedError(
-        "image codec not available in this environment; pass "
-        "decode_fn=fake_image_decode or install an imaging library"
+        "only PNG and BMP decode without external codecs; pass "
+        "decode_fn=fake_image_decode for schema-level tests"
     )
 
 
@@ -63,13 +199,23 @@ class ImageDecodeStage:
         )
 
 
+def real_audio_decode(buf: bytes) -> np.ndarray:
+    """PCM samples from a WAV payload (other containers need ffmpeg)."""
+    if buf[:4] == b"RIFF":
+        pcm, _ = decode_wav(buf)
+        return pcm
+    raise NotImplementedError(
+        "only PCM WAV decodes without external codecs; pass a custom decode_fn"
+    )
+
+
 class AudioFrameStage:
-    """binary audio column → fixed-rate frame energy features (stubbed codec)."""
+    """binary audio column → fixed-rate frame energy features (WAV codec)."""
 
     def __init__(self, data_col: str = "audio", n_frames: int = 16, decode_fn=None):
         self.data_col = data_col
         self.n_frames = n_frames
-        self.decode_fn = decode_fn or self._fake_pcm
+        self.decode_fn = decode_fn or real_audio_decode
 
     @staticmethod
     def _fake_pcm(buf: bytes) -> np.ndarray:

@@ -146,7 +146,8 @@ def var_dict(encoded_ds):
     return distinct_by_key(partials, "var_id", check_value_col="value")
 
 
-def write_archive_dicts(out_dir: str, delta_dir: str | None = None) -> dict:
+def write_archive_dicts(out_dir: str, delta_dir: str | None = None,
+                        prededup_refs: list | None = None) -> dict:
     """Persist logtype.dict.parquet / var.dict.parquet + class→logtype map.
 
     CLP persists both dictionaries inside the archive
@@ -166,6 +167,11 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None) -> dict:
     import ray.data as rd
 
     routed = os.path.join(out_dir, "routed")
+    if prededup_refs is not None:
+        # the compress delta watcher already submitted pre-dedup tasks for
+        # every delta file during the sink write — go straight to the
+        # parallel bucket merge
+        return _finalize_dicts_parallel(out_dir, prededup_refs=prededup_refs)
     delta_files, delta_fs, total = [], None, 0
     if delta_dir:
         from pyarrow import fs as pafs
@@ -186,13 +192,13 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None) -> dict:
         # encode-stage actors already flushed per-partition dict deltas in the
         # unified schema — dedup them directly (no sink re-read at all)
         files = delta_files
-        # small delta sets finalize on the driver (no pipeline latency); big
-        # ones go through the distributed bucketed distinct so the finalize
-        # cost scales with the cluster instead of sitting on the driver
-        if total < 256 * 1024 * 1024:
-            # small enough: finalize on the driver — no Ray pipelines, no
-            # shuffle latency (the deltas ARE the pre-aggregated partials)
+        # three regimes by delta volume: tiny → all-driver; medium → Ray tasks
+        # pre-dedup file groups in parallel, driver merges the (small)
+        # partials; huge → full distributed bucketed distinct
+        if total < 16 * 1024 * 1024:
             return _finalize_dicts_driver(out_dir, files, fs=delta_fs)
+        if total < 1024 * 1024 * 1024:
+            return _finalize_dicts_parallel(out_dir, files, fs=delta_fs)
         partials = rd.read_parquet(delta_dir)
     else:
         partials = None
@@ -300,22 +306,14 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None) -> dict:
     return {"n_logtypes": len(ldict), "classes": sorted(by_class)}
 
 
-def _finalize_dicts_driver(out_dir: str, delta_files: list[str], fs=None) -> dict:
-    """Driver-side dict finalize for small delta sets (vectorized dedup)."""
-    import json
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-
+def _dedup_unified(t: pa.Table) -> pa.Table:
+    """Dedup a unified dict-delta table: var rows (kind 1) by id with the
+    hash-collision check, logtype rows (kind 0) by (id, class). Pure
+    table→table so it runs on the driver or inside a Ray task."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    with ThreadPoolExecutor(16) as ex:
-        tables = list(ex.map(lambda f: pq.read_table(f, filesystem=fs), delta_files))
-    t = pa.concat_tables(tables).combine_chunks()
+    t = t.combine_chunks()
     kinds = np.asarray(t.column("kind"), dtype=np.int8)
-    # var rows dominate (kind 1); their dedup key is the id alone → 1-key
-    # np.unique. Logtype rows (kind 0, a few thousand) dedup on (id, class)
-    # in pandas.
     var_rows = np.flatnonzero(kinds == 1)
     var_ids = np.asarray(t.column("id"), dtype=np.int64)[var_rows]
     order = np.argsort(var_ids, kind="stable")
@@ -329,7 +327,33 @@ def _finalize_dicts_driver(out_dir: str, delta_files: list[str], fs=None) -> dic
             b = vals.take(pa.array(order[1:][dup]))
             if pc.all(pc.equal(a, b)).as_py() is not True:
                 raise ValueError("var dictionary id collision (FNV-1a 64)")
-    vt = t.take(var_rows[np.sort(order[change])])
+    keep_var = var_rows[np.sort(order[change])]
+
+    lt_rows = np.flatnonzero(kinds == 0)
+    lt_ids = np.asarray(t.column("id"), dtype=np.int64)[lt_rows]
+    cls = t.column("logtype_class").take(pa.array(lt_rows)).combine_chunks()
+    enc = pc.dictionary_encode(cls)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+    order2 = np.lexsort((codes, lt_ids))
+    change2 = np.ones(len(lt_ids), dtype=bool)
+    if len(lt_ids) > 1:
+        change2[1:] = (lt_ids[order2][1:] != lt_ids[order2][:-1]) | (
+            codes[order2][1:] != codes[order2][:-1]
+        )
+    keep_lt = lt_rows[np.sort(order2[change2])]
+    return t.take(np.sort(np.concatenate([keep_lt, keep_var])))
+
+
+def _finalize_from_table(out_dir: str, t: pa.Table) -> dict:
+    """Write logtype.dict.parquet / class_logtypes.json / var.dict from a
+    deduped unified table."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     lt = t.filter(pc.equal(t.column("kind"), 0)).to_pandas()
     lt = lt.drop_duplicates(["id", "logtype_class"])
@@ -342,12 +366,115 @@ def _finalize_dicts_driver(out_dir: str, delta_files: list[str], fs=None) -> dic
     with open(os.path.join(out_dir, "class_logtypes.json"), "w") as f:
         json.dump({k: list(map(int, v)) for k, v in by_class.items()}, f)
 
+    vt = t.filter(pc.equal(t.column("kind"), 1))
     var_tbl = pa.table(
         {"var_id": vt.column("id"), "value": vt.column("value").cast(pa.string())}
     )
     vdir = os.path.join(out_dir, "var.dict")
     os.makedirs(vdir, exist_ok=True)
     pq.write_table(var_tbl, os.path.join(vdir, "part-0.parquet"), compression="zstd")
+    return {"n_logtypes": len(ldict), "classes": sorted(by_class)}
+
+
+def _finalize_dicts_driver(out_dir: str, delta_files: list[str], fs=None) -> dict:
+    """Driver-side dict finalize for small delta sets (vectorized dedup)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    with ThreadPoolExecutor(16) as ex:
+        tables = list(ex.map(lambda f: pq.read_table(f, filesystem=fs), delta_files))
+    return _finalize_from_table(out_dir, _dedup_unified(pa.concat_tables(tables)))
+
+
+N_FINALIZE_BUCKETS = 16
+
+
+def _prededup_files(paths: list, fs=None):
+    """Read delta files, dedup, and split into the N id-hash finalize buckets
+    (one Ray-task return per bucket, so each merge task fetches only its own
+    slice; also used by the compress delta watcher to overlap finalize with
+    the sink write)."""
+    import pyarrow.parquet as pq
+
+    tables = [pq.read_table(p, filesystem=fs) for p in paths]
+    t = _dedup_unified(pa.concat_tables(tables)).combine_chunks()
+    ids = np.asarray(t.column("id"), dtype=np.int64)
+    b = (ids & (N_FINALIZE_BUCKETS - 1)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(N_FINALIZE_BUCKETS + 1))
+    # take (not slice) per bucket: a slice serializes its whole parent
+    # buffer into the object store, take materializes compact arrays
+    return tuple(
+        t.take(order[bounds[i]:bounds[i + 1]])
+        for i in range(N_FINALIZE_BUCKETS)
+    )
+
+
+def _merge_write_bucket(b: int, var_part_path: str, *parts) -> pa.Table:
+    """Merge one id-hash bucket's pre-deduped slices: write its var-dict
+    parquet part, return its (small) logtype rows for the driver."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = _dedup_unified(pa.concat_tables(parts))
+    vt = t.filter(pc.equal(t.column("kind"), 1))
+    var_tbl = pa.table(
+        {"var_id": vt.column("id"), "value": vt.column("value").cast(pa.string())}
+    )
+    pq.write_table(var_tbl, var_part_path, compression="zstd")
+    return t.filter(pc.equal(t.column("kind"), 0))
+
+
+def _finalize_dicts_parallel(out_dir: str, delta_files: list[str] = (), fs=None,
+                             n_tasks: int = 16, prededup_refs: list | None = None
+                             ) -> dict:
+    """Medium delta sets, fully parallel two-phase finalize: Ray tasks
+    read+dedup file groups (phase 1, possibly pre-started during the sink
+    write), then one task per id-hash bucket merges and writes its var.dict
+    part directly (phase 2). The driver only assembles the small logtype
+    dictionary + class index."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    prededup_task = ray.remote(num_returns=N_FINALIZE_BUCKETS)(_prededup_files)
+    merge_task = ray.remote(_merge_write_bucket)
+
+    refs = list(prededup_refs or [])  # each entry: tuple/list of N bucket refs
+    if delta_files:
+        groups = [g.tolist() for g in np.array_split(np.array(delta_files), n_tasks)
+                  if len(g)]
+        refs += [prededup_task.remote(g, fs) for g in groups]
+    if not refs:
+        return _finalize_from_table(
+            out_dir,
+            pa.table({"kind": pa.array([], pa.int8()), "id": pa.array([], pa.int64()),
+                      "value": pa.array([], pa.large_string()),
+                      "n_vars": pa.array([], pa.int32()),
+                      "logtype_class": pa.array([], pa.string())}),
+        )
+    vdir = os.path.join(out_dir, "var.dict")
+    os.makedirs(vdir, exist_ok=True)
+    lt_refs = [
+        merge_task.remote(
+            b, os.path.join(vdir, f"part-{b}.parquet"),
+            *[group_refs[b] for group_refs in refs],
+        )
+        for b in range(N_FINALIZE_BUCKETS)
+    ]
+    lt = pa.concat_tables(ray.get(lt_refs)).to_pandas()
+    lt = lt.drop_duplicates(["id", "logtype_class"])
+    by_class = lt.groupby("logtype_class")["id"].agg(lambda s: sorted(set(s))).to_dict()
+    ldict = lt.drop_duplicates("id")[["id", "value", "n_vars"]].rename(
+        columns={"id": "logtype_id", "value": "logtype"}
+    )
+    pq.write_table(pa.Table.from_pandas(ldict, preserve_index=False),
+                   os.path.join(out_dir, "logtype.dict.parquet"))
+    with open(os.path.join(out_dir, "class_logtypes.json"), "w") as f:
+        json.dump({k: list(map(int, v)) for k, v in by_class.items()}, f)
     return {"n_logtypes": len(ldict), "classes": sorted(by_class)}
 
 
