@@ -39,89 +39,325 @@ class Bool:
     args: list
 
 
-# ---- KQL-ish parser --------------------------------------------------------
+# ---- KQL parser ------------------------------------------------------------
+#
+# Full port of the reference KQL grammar (clp_s/search/kql/Kql.g4) and its
+# ANTLR visitor (kql/kql.cpp): nested queries `col: {q}`, value-only search
+# (pure-wildcard column), value lists `col: (a or b)`, date literals,
+# range operators, and the escape semantics of
+# StringUtils::unescape_kql_internal / tokenize_column_descriptor
+# (clp_s/Utils.cpp:670-782, 520-575). Precedence mirrors the ANTLR
+# left-recursive rule: AND and OR share one precedence level (left-assoc)
+# and NOT binds tighter than both. The reference's SQL grammar
+# (clp_s/search/sql/Sql.g4) is an empty work-in-progress stub
+# (`start: EOF`), so KQL is the only real structured-query frontend.
 
-_TOKEN = re.compile(
-    r"""\s*(?:(?P<lpar>\()|(?P<rpar>\))|(?P<op>AND\b|OR\b|NOT\b)
-        |(?P<cmp>(?P<cpath>[\w.]+)\s*(?P<crel>>=|<=|>|<)\s*(?P<cval>-?\d+(?:\.\d+)?))
-        |(?P<kv>(?P<path>[\w.*]+)\s*:\s*(?P<val>"[^"]*"|[^\s)]+)))""",
+_SIMPLE_UNESCAPES = {
+    '"': '"', "t": "\t", "r": "\r", "n": "\n", "b": "\b", "f": "\f",
+    "{": "{", "}": "}", "(": "(", ")": ")", "<": "<", ">": ">",
+}
+
+
+def unescape_kql_value(s: str, is_value: bool = True) -> str:
+    """StringUtils::unescape_kql_value (clp_s/Utils.cpp:670-782).
+
+    Decodes `\\t`-style escapes; wildcard characters that were escaped (or
+    arrived via `\\uXXXX`) STAY escaped in the output so downstream wildcard
+    matching treats them as literals. Raises ValueError on invalid escapes.
+    """
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError(f"dangling escape in {s!r}")
+        e = s[i + 1]
+        i += 2
+        if e == "\\":
+            out.append("\\\\")
+        elif e in _SIMPLE_UNESCAPES:
+            out.append(_SIMPLE_UNESCAPES[e])
+        elif e == "*":
+            out.append("\\*")
+        elif e == "?":
+            out.append("\\?" if is_value else "?")
+        elif e == "u":
+            if i + 4 > n:
+                raise ValueError(f"truncated unicode escape in {s!r}")
+            ch = chr(int(s[i:i + 4], 16))
+            i += 4
+            # unicode escapes are always literal characters
+            if ch == "\\":
+                out.append("\\\\")
+            elif ch == "?" and is_value:
+                out.append("\\?")
+            elif ch == "*":
+                out.append("\\*")
+            else:
+                out.append(ch)
+        else:
+            raise ValueError(f"invalid escape \\{e} in {s!r}")
+    return "".join(out)
+
+
+def tokenize_column_descriptor(desc: str) -> list[str]:
+    """Split a column path on unescaped dots (clp_s/Utils.cpp:520-575).
+
+    `a\\.b.c` → ["a.b", "c"]; empty tokens (`.a`, `a.`, `a..c`) raise.
+    """
+    toks: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(desc)
+    while i < n:
+        c = desc[i]
+        if c == "\\":
+            if i + 1 >= n:
+                raise ValueError(f"dangling escape in column {desc!r}")
+            nxt = desc[i + 1]
+            cur.append("." if nxt == "." else "\\" + nxt)
+            i += 2
+        elif c == ".":
+            if not cur:
+                raise ValueError(f"empty token in column {desc!r}")
+            toks.append(unescape_kql_value("".join(cur), is_value=False))
+            cur = []
+            i += 1
+        else:
+            cur.append(c)
+            i += 1
+    if not cur:
+        raise ValueError(f"empty token in column {desc!r}")
+    toks.append(unescape_kql_value("".join(cur), is_value=False))
+    return toks
+
+
+def clean_up_wildcard_search_string(s: str) -> str:
+    """Collapse runs of unescaped '*' (string_utils clean_up_wildcard_...)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            out.append(s[i:i + 2])
+            i += 2
+        elif c == "*":
+            if not out or out[-1] != "*":
+                out.append("*")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+_INT_RX = re.compile(r"-?\d+\Z")
+_FLOAT_RX = re.compile(r"-?(\d+\.\d*|\.\d+|\d+[eE][+-]?\d+|\d+\.\d*[eE][+-]?\d+)\Z")
+
+
+def _typed_literal(token: str):
+    """Integral/Boolean/Null/String literal typing (kql.cpp unquote_literal)."""
+    if _INT_RX.match(token):
+        return int(token)
+    if _FLOAT_RX.match(token):
+        return float(token)
+    if token in ("true", "false"):
+        return token == "true"
+    if token == "null":
+        return None
+    return clean_up_wildcard_search_string(token)
+
+
+def _parse_date_literal(text: str):
+    """date(...) → epoch millis via the known-timestamp-pattern table
+    (DateLiteral::create_from_string → TimestampPattern::search_known_...)."""
+    inner = text[5:-1]
+    if inner.startswith('"') and inner.endswith('"') and len(inner) >= 2:
+        inner = inner[1:-1]
+    inner = unescape_kql_value(inner)
+    if _INT_RX.match(inner):
+        return int(inner)
+    if _FLOAT_RX.match(inner):
+        return float(inner)
+    import pyarrow as _pa
+
+    from clp_core_ray.timestamps import parse_and_strip
+
+    got = parse_and_strip(_pa.array([inner]))
+    ts = got["ts_ms"][0].as_py()
+    if ts is None:
+        raise ValueError(f"unparseable date literal: {text!r}")
+    return ts
+
+
+# lexer: ( ) { } : range-ops, AND/OR/NOT (case-insensitive), date(...),
+# quoted strings, unquoted literals (excluding \():<>"{} and whitespace)
+_LEX = re.compile(
+    r"""\s*(?:
+        (?P<lpar>\()|(?P<rpar>\))|(?P<lbrace>\{)|(?P<rbrace>\})|(?P<colon>:)
+        |(?P<range><=|>=|<|>)
+        |(?P<date>date\(\s*(?:"(?:\\.|[^"])*"|[^)\s]+)\s*\))
+        |(?P<quoted>"(?:\\.|[^"])*")
+        |(?P<unquoted>(?:\\.|[^\\():<>"{}\s])+)
+    )""",
     re.X,
 )
+_KEYWORDS = {"and": "AND", "or": "OR", "not": "NOT"}
+
+
+def _lex_kql(q: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(q):
+        if q[pos].isspace():
+            pos += 1
+            continue
+        m = _LEX.match(q, pos)
+        if not m:
+            raise ValueError(f"cannot lex query at: {q[pos:]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group(kind)
+        if kind == "unquoted" and text.lower() in _KEYWORDS:
+            toks.append((_KEYWORDS[text.lower()], text))
+        elif kind in ("quoted", "unquoted"):
+            toks.append(("LIT", text))
+        elif kind == "date":
+            toks.append(("DATE", text))
+        elif kind == "range":
+            toks.append(("RANGE", text))
+        else:
+            toks.append((kind.upper(), text))
+    return toks
+
+
+def _unquote(text: str) -> str:
+    if text.startswith('"'):
+        return text[1:-1]
+    return text
+
+
+_RANGE_OPS = {"<": "lt", ">": "gt", "<=": "lte", ">=": "gte"}
+
+
+def _prefix_paths(node, prefix: str):
+    if isinstance(node, Pred):
+        path = prefix if node.path == "" else (
+            node.path if prefix == "" else f"{prefix}.{node.path}")
+        return Pred(node.op, path, node.value)
+    return Bool(node.op, [_prefix_paths(a, prefix) for a in node.args])
+
+
+def _make_filter(path: str, op: str, value):
+    """FilterExpr::create analogue: pure-wildcard EQ value → EXISTS."""
+    if op == "eq" and isinstance(value, str) and value == "*":
+        return Pred("exists", path)
+    return Pred(op, path, value)
 
 
 def parse_kql(q: str):
-    """Parse a KQL-ish query: `path: value`, `path > n`, AND/OR/NOT, parens.
+    """Parse a KQL query into the Pred/Bool AST (grammar: Kql.g4).
 
-    `path: *` means EXISTS; `NOT path: *` gives NEXISTS; quoted values keep
-    spaces; unquoted values may contain wildcards.
+    Supports `path: value`, `path: (a or b)`, `path: {nested}`, range
+    comparisons (`path > n`, also on `date(...)` literals), value-only
+    search (bare literal → pure-wildcard column), AND/OR/NOT (one shared
+    precedence level for AND/OR, left-assoc; NOT binds tighter), escapes,
+    and quoted columns/values. `path: *` means EXISTS.
     """
+    toks = _lex_kql(q)
+    n = len(toks)
     pos = 0
-    toks = []
-    while pos < len(q):
-        m = _TOKEN.match(q, pos)
-        if not m:
-            if q[pos:].strip():
-                raise ValueError(f"cannot parse query at: {q[pos:]!r}")
-            break
-        pos = m.end()
-        if m.group("lpar"):
-            toks.append(("(",))
-        elif m.group("rpar"):
-            toks.append((")",))
-        elif m.group("op"):
-            toks.append((m.group("op"),))
-        elif m.group("cmp"):
-            rel = {">": "gt", "<": "lt", ">=": "gte", "<=": "lte"}[m.group("crel")]
-            v = m.group("cval")
-            toks.append(("pred", Pred(rel, m.group("cpath"), float(v) if "." in v else int(v))))
-        else:
-            path, val = m.group("path"), m.group("val")
-            if val.startswith('"'):
-                val = val[1:-1]
-            if val == "*":
-                toks.append(("pred", Pred("exists", path)))
+
+    def peek():
+        return toks[pos][0] if pos < n else None
+
+    def take(kind):
+        nonlocal pos
+        if pos >= n or toks[pos][0] != kind:
+            got = toks[pos][0] if pos < n else "end"
+            raise ValueError(f"expected {kind}, got {got} in {q!r}")
+        pos += 1
+        return toks[pos - 1][1]
+
+    def parse_query():
+        node = parse_unary()
+        while peek() in ("AND", "OR"):
+            op = take(peek()).lower()
+            op = "and" if op == "and" else "or"
+            rhs = parse_unary()
+            if isinstance(node, Bool) and node.op == op:
+                node.args.append(rhs)
             else:
-                toks.append(("pred", Pred("eq", path, val)))
+                node = Bool(op, [node, rhs])
+        return node
 
-    def parse_or(i):
-        node, i = parse_and(i)
-        args = [node]
-        while i < len(toks) and toks[i][0] == "OR":
-            nxt, i = parse_and(i + 1)
-            args.append(nxt)
-        return (Bool("or", args) if len(args) > 1 else args[0]), i
+    def parse_unary():
+        if peek() == "NOT":
+            take("NOT")
+            return Bool("not", [parse_unary()])
+        if peek() == "LPAR":
+            take("LPAR")
+            node = parse_query()
+            take("RPAR")
+            return node
+        return parse_expression()
 
-    def parse_and(i):
-        node, i = parse_not(i)
-        args = [node]
-        while i < len(toks) and toks[i][0] == "AND":
-            nxt, i = parse_not(i + 1)
-            args.append(nxt)
-        return (Bool("and", args) if len(args) > 1 else args[0]), i
+    def parse_expression():
+        nonlocal pos
+        if peek() == "DATE":  # bare date literal → value-only search
+            return _make_filter("*", "eq", _parse_date_literal(take("DATE")))
+        lit = take("LIT")
+        if peek() == "COLON":
+            take("COLON")
+            path = ".".join(tokenize_column_descriptor(_unquote(lit)))
+            if peek() == "LBRACE":  # NestedQuery: col: { q }
+                take("LBRACE")
+                inner = parse_query()
+                take("RBRACE")
+                return _prefix_paths(inner, path)
+            if peek() == "LPAR":  # list_of_values: col: (and|or|not? lit*)
+                take("LPAR")
+                mode = "or"
+                invert_each = False
+                if peek() in ("AND", "OR", "NOT"):
+                    kw = take(peek())
+                    lk = kw.lower()
+                    if lk == "and":
+                        mode = "and"
+                    elif lk == "not":
+                        mode, invert_each = "and", True
+                preds = []
+                while peek() == "LIT":
+                    v = _typed_literal(unescape_kql_value(_unquote(take("LIT"))))
+                    p = _make_filter(path, "eq", v)
+                    preds.append(Bool("not", [p]) if invert_each else p)
+                take("RPAR")
+                if not preds:
+                    raise ValueError(f"empty value list in {q!r}")
+                return preds[0] if len(preds) == 1 else Bool(mode, preds)
+            if peek() == "DATE":
+                return _make_filter(path, "eq", _parse_date_literal(take("DATE")))
+            val = take("LIT")
+            v = _typed_literal(unescape_kql_value(_unquote(val)))
+            return _make_filter(path, "eq", v)
+        if peek() == "RANGE":
+            op = _RANGE_OPS[take("RANGE")]
+            path = ".".join(tokenize_column_descriptor(_unquote(lit)))
+            if peek() == "DATE":
+                return Pred(op, path, _parse_date_literal(take("DATE")))
+            v = _typed_literal(unescape_kql_value(_unquote(take("LIT"))))
+            if isinstance(v, str):
+                raise ValueError(f"non-numeric range operand in {q!r}")
+            return Pred(op, path, v)
+        # value_expression: bare literal → pure-wildcard column
+        return _make_filter("*", "eq", _typed_literal(unescape_kql_value(_unquote(lit))))
 
-    def parse_not(i):
-        if i < len(toks) and toks[i][0] == "NOT":
-            node, i = parse_not(i + 1)
-            return Bool("not", [node]), i
-        return parse_atom(i)
-
-    def parse_atom(i):
-        if i >= len(toks):
-            raise ValueError(f"unexpected end of query: {q!r}")
-        if toks[i][0] == "(":
-            node, i = parse_or(i + 1)
-            if i >= len(toks) or toks[i][0] != ")":
-                raise ValueError(f"unbalanced parenthesis in query: {q!r}")
-            return node, i + 1
-        if toks[i][0] != "pred":
-            raise ValueError(f"expected predicate, got {toks[i][0]!r} in {q!r}")
-        return toks[i][1], i + 1
-
-    if not toks:
-        raise ValueError(f"empty query: {q!r}")
-    node, i = parse_or(0)
-    if i != len(toks):
-        raise ValueError("trailing tokens in query")
+    node = parse_query()
+    if pos != n:
+        raise ValueError(f"trailing tokens in query: {q!r}")
     return node
 
 
@@ -160,11 +396,81 @@ def to_dnf(node) -> list[list[Pred]]:
 # ---- evaluation ------------------------------------------------------------
 
 
+def _has_unescaped_wildcard(v: str) -> bool:
+    i = 0
+    while i < len(v):
+        if v[i] == "\\":
+            i += 2
+        elif v[i] in "*?":
+            return True
+        else:
+            i += 1
+    return False
+
+
+def _strip_escapes(v: str) -> str:
+    out = []
+    i = 0
+    while i < len(v):
+        if v[i] == "\\" and i + 1 < len(v):
+            out.append(v[i + 1])
+            i += 2
+        else:
+            out.append(v[i])
+            i += 1
+    return "".join(out)
+
+
 def _wildcardish(v) -> bool:
-    return isinstance(v, str) and ("*" in v or "?" in v)
+    return isinstance(v, str) and _has_unescaped_wildcard(v)
+
+
+def _path_is_wildcard(path: str) -> bool:
+    return _has_unescaped_wildcard(path)
+
+
+def _wildcard_path_columns(batch: pa.Table, path: str) -> list[str]:
+    """Columns of the flattened view whose dotted path matches a wildcard
+    descriptor. A lone `*` token spans one-or-more levels (ColumnDescriptor
+    wildcard); wildcards inside a token stay within that level."""
+    parts = []
+    for tok in path.split("."):
+        if tok == "*":
+            parts.append(r"[^.]+(?:\.[^.]+)*")
+        else:
+            seg = []
+            i = 0
+            while i < len(tok):
+                c = tok[i]
+                if c == "\\" and i + 1 < len(tok):
+                    seg.append(re.escape(tok[i + 1]))
+                    i += 2
+                elif c == "*":
+                    seg.append(r"[^.]*")
+                    i += 1
+                elif c == "?":
+                    seg.append(r"[^.]")
+                    i += 1
+                else:
+                    seg.append(re.escape(c))
+                    i += 1
+            parts.append("".join(seg))
+    rx = re.compile(r"\.".join(parts) + r"\Z")
+    return [c for c in batch.column_names if rx.match(c)]
 
 
 def eval_pred(batch: pa.Table, p: Pred) -> pa.Array:
+    if _path_is_wildcard(p.path):
+        # clp_s wildcard-column semantics (Output::evaluate_filter): the
+        # record matches if ANY matching column satisfies the (possibly
+        # inverted) operation.
+        out = None
+        for name in _wildcard_path_columns(batch, p.path):
+            m = eval_pred(batch, Pred(p.op, name, p.value))
+            out = m if out is None else pc.or_(out, m)
+        if out is not None:
+            return out
+        return pa.array([p.op == "nexists"] * len(batch))
     cols = set(batch.column_names)
     if p.op == "exists":
         return (pc.is_valid(batch.column(p.path)) if p.path in cols
@@ -177,6 +483,9 @@ def eval_pred(batch: pa.Table, p: Pred) -> pa.Array:
     col = batch.column(p.path)
     v = p.value
     if p.op in ("eq", "neq"):
+        if v is None:  # null literal
+            m = pc.is_null(col)
+            return pc.invert(m) if p.op == "neq" else m
         if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
             try:
                 v = float(v) if pa.types.is_floating(col.type) else int(v)
@@ -184,13 +493,17 @@ def eval_pred(batch: pa.Table, p: Pred) -> pa.Array:
                 return pa.array([p.op == "neq"] * len(batch))
             m = pc.equal(col, v)
         elif pa.types.is_boolean(col.type):
-            m = pc.equal(col, str(v).lower() in ("true", "1"))
+            if isinstance(v, bool):
+                m = pc.equal(col, v)
+            else:
+                m = pc.equal(col, str(v).lower() in ("true", "1"))
         elif _wildcardish(v):
             from clp_core_ray.pipelines.search import wildcard_match
 
             m = wildcard_match(col, v)
         else:
-            m = pc.equal(col, str(v))
+            sv = _strip_escapes(v) if isinstance(v, str) else str(v)
+            m = pc.equal(col, sv)
         m = pc.fill_null(m, False)
         return pc.invert(m) if p.op == "neq" else m
     rel = {"lt": pc.less, "gt": pc.greater, "lte": pc.less_equal,
@@ -214,8 +527,12 @@ def eval_dnf(batch: pa.Table, dnf: list[list[Pred]]) -> pa.Array:
 
 
 def conj_required_paths(conj: list[Pred]) -> set[str]:
-    """Paths a record MUST have for this conjunction to hold (prunes schemas)."""
-    return {p.path for p in conj if p.op in ("eq", "lt", "gt", "lte", "gte", "exists")}
+    """Paths a record MUST have for this conjunction to hold (prunes schemas).
+
+    Wildcard paths can't be required exactly — they never prune."""
+    return {p.path for p in conj
+            if p.op in ("eq", "lt", "gt", "lte", "gte", "exists")
+            and not _path_is_wildcard(p.path)}
 
 
 # ---- clp_s archive search ---------------------------------------------------

@@ -29,7 +29,11 @@ def load_dicts(archive_dir: str):
         os.path.join(var_dir, f) for f in sorted(os.listdir(var_dir))
         if f.endswith(".parquet")
     ]
-    vdict = pa.concat_tables(pq.read_table(f) for f in vfiles)
+    # column-pruned: the classes segment-index column is search-only state,
+    # not worth broadcasting to decoders
+    vdict = pa.concat_tables(
+        pq.read_table(f, columns=["var_id", "value"]) for f in vfiles
+    )
     return ldict, vdict
 
 

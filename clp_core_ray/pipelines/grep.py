@@ -212,6 +212,10 @@ def tokenize_query(processed: str) -> list[QueryToken]:
 class SubQuery:
     logtype_ids: np.ndarray
     var_conds: list = field(default_factory=list)  # each: np.ndarray of allowed int64s
+    # the subset of var_conds that are dictionary-id sets — usable against the
+    # per-variable segment index for partition pruning (clg.cpp:249-298);
+    # int/float literal conds are not indexed, as in CLP
+    dict_conds: list = field(default_factory=list)
 
 
 @dataclass
@@ -317,6 +321,7 @@ def compile_query(
         chosen = dict(zip(map(id, ambiguous), combo))
         pieces: list[str] = []
         var_conds: list = []
+        dict_conds: list = []
         last_end = 0
         wont_match = False
         for t in tokens:
@@ -353,6 +358,7 @@ def compile_query(
                             wont_match = True
                             break
                         var_conds.append(ids.astype(np.int64))
+                        dict_conds.append(ids.astype(np.int64))
                 continue
             if t.prefix_star:
                 pieces.append(ANY)
@@ -369,6 +375,7 @@ def compile_query(
                             wont_match = True
                             break
                         var_conds.append(ids.astype(np.int64))
+                        dict_conds.append(ids.astype(np.int64))
             if t.suffix_star:
                 pieces.append(ANY)
         if wont_match:
@@ -386,7 +393,9 @@ def compile_query(
         ids = np.asarray(logtype_ids, dtype=np.int64)[np.asarray(hit, dtype=bool)]
         if len(ids) == 0:
             continue  # WontMatch
-        subqueries.append(SubQuery(logtype_ids=ids, var_conds=var_conds))
+        subqueries.append(
+            SubQuery(logtype_ids=ids, var_conds=var_conds, dict_conds=dict_conds)
+        )
 
     return CompiledQuery(subqueries, match_all=match_all, processed=processed,
                          ignore_case=ignore_case)

@@ -257,8 +257,10 @@ def search_archive(archive_dir: str, query: str, columns=None,
             for b in logtype_dict(dict_ds).iter_batches(batch_format="pyarrow")
         )
 
-    # variable dictionary (small side) for precise/wildcard dict-token lookup
-    var_ids = var_values = None
+    # variable dictionary (small side) for precise/wildcard dict-token lookup;
+    # its `classes` column is the per-variable segment index (dict entry →
+    # containing sink partitions, DictionaryWriter.hpp:179-202)
+    var_ids = var_values = var_classes = None
     var_dict_path = os.path.join(archive_dir, "var.dict")
     if os.path.isdir(var_dict_path):
         vfiles = [
@@ -269,6 +271,8 @@ def search_archive(archive_dir: str, query: str, columns=None,
             vtbl = pa.concat_tables(pq.read_table(f) for f in vfiles)
             var_ids = np.asarray(vtbl.column("var_id"), dtype=np.int64)
             var_values = vtbl.column("value").combine_chunks()
+            if "classes" in vtbl.column_names:
+                var_classes = vtbl.column("classes").combine_chunks()
 
     cq = compile_query(
         query,
@@ -287,14 +291,46 @@ def search_archive(archive_dir: str, query: str, columns=None,
         return _empty()
     cand = cq.all_logtype_ids()
 
-    # partition pruning via the class→logtype_ids segment index
+    # partition pruning: class→logtype index (J4) refined per subquery by the
+    # per-variable segment index — a partition can host a subquery match only
+    # if it contains the subquery's logtypes AND, for every dictionary-var
+    # condition, at least one of that condition's dict entries
+    # (clg.cpp:249-298 segment intersection)
     paths = routed
     idx_path = os.path.join(archive_dir, "class_logtypes.json")
     if not cq.match_all and os.path.exists(idx_path):
         with open(idx_path) as f:
             by_class = json.load(f)
-        cand_set = set(cand.tolist())
-        keep = [c for c, ids in by_class.items() if cand_set.intersection(ids)]
+
+        def classes_of_cond(cond: np.ndarray) -> set | None:
+            """Union of partition classes over the cond's dict ids; None =
+            unknown (no index / unindexed entry) → can't prune on it."""
+            if var_classes is None:
+                return None
+            pos = pc.index_in(pa.array(cond, type=pa.int64()), pa.array(var_ids))
+            allowed: set = set()
+            for p in pos.to_pylist():
+                if p is None:
+                    return None
+                cls_list = var_classes[p].as_py()
+                if not cls_list or "" in cls_list:
+                    return None
+                allowed.update(cls_list)
+            return allowed
+
+        keep_set: set = set()
+        for sq in cq.subqueries:
+            sq_lt = set(sq.logtype_ids.tolist())
+            sq_classes = {c for c, ids in by_class.items()
+                          if sq_lt.intersection(ids)}
+            for cond in sq.dict_conds:
+                if not sq_classes:
+                    break
+                allowed = classes_of_cond(cond)
+                if allowed is not None:
+                    sq_classes &= allowed
+            keep_set |= sq_classes
+        keep = sorted(keep_set)
         if not keep:
             return _empty()
         paths = [

@@ -72,7 +72,10 @@ class EncodeStage:
             dict_cap_entries = int(os.environ.get("CLP_DICT_CAP_ENTRIES", 4_000_000))
         self.dict_cap_entries = dict_cap_entries
         self._epoch = 0
-        self._seen_var_ids: set[int] = set()
+        # per-class seen sets: the var delta is keyed (var_id, class) so the
+        # finalize can build the per-variable segment index (dict entry →
+        # containing partitions, DictionaryWriter.hpp:179-202)
+        self._seen_var_ids: dict[str, set[int]] = {}
         self._seen_logtype: set[tuple[int, str]] = set()
         self._delta_seq = 0
         if dict_delta_dir:
@@ -134,14 +137,43 @@ class EncodeStage:
                 self._seen_logtype.add(k)
                 lt_rows.append(i)
 
-        flat = enc["dict_vars"].flatten()
-        uniq = flat.unique()
-        offsets, data = _string_buffers(uniq)
-        vids = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets)).view(np.int64)
-        new_mask = np.array([v not in self._seen_var_ids for v in vids.tolist()])
-        self._seen_var_ids.update(vids.tolist())
+        # vars keyed (value, class): repeat each row's class code over its
+        # dict-var list, unique the (value_code, class_code) pairs, then hash
+        # only the unique value strings once
+        dv = enc["dict_vars"]
+        if isinstance(dv, pa.ChunkedArray):
+            dv = dv.combine_chunks()
+        flat = dv.flatten()
+        new_vals: list = []
+        new_ids_l: list[int] = []
+        new_cls: list[str] = []
+        if len(flat):
+            dv_off = np.asarray(dv.offsets, dtype=np.int64)
+            lengths = np.diff(dv_off)
+            rep_codes = np.repeat(codes, lengths)
+            fenc = pc.dictionary_encode(flat)
+            if isinstance(fenc, pa.ChunkedArray):
+                fenc = fenc.combine_chunks()
+            vcodes = np.asarray(fenc.indices, dtype=np.int64)
+            uniq = fenc.dictionary
+            offsets, data = _string_buffers(uniq)
+            vids = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets)).view(np.int64)
+            pair = vcodes * len(cls_names) + rep_codes
+            upairs = np.unique(pair)
+            uv = (upairs // len(cls_names)).tolist()
+            uc = (upairs % len(cls_names)).tolist()
+            vals_py = uniq.to_pylist()
+            for v_code, c_code in zip(uv, uc):
+                cname = cls_names[c_code]
+                seen = self._seen_var_ids.setdefault(cname, set())
+                vid = int(vids[v_code])
+                if vid not in seen:
+                    seen.add(vid)
+                    new_vals.append(vals_py[v_code])
+                    new_ids_l.append(vid)
+                    new_cls.append(cname)
 
-        n_new_v = int(new_mask.sum()) if len(new_mask) else 0
+        n_new_v = len(new_ids_l)
         if not lt_rows and not n_new_v:
             return
         lt_tbl = out.select(
@@ -152,8 +184,6 @@ class EncodeStage:
             lt_tbl = lt_tbl.append_column(
                 "logtype_class", pa.array([""] * len(lt_tbl), type=pa.string())
             )
-        new_v = uniq.filter(pa.array(new_mask)) if n_new_v else uniq.slice(0, 0)
-        new_ids = vids[new_mask] if n_new_v else vids[:0]
         delta = pa.table(
             {
                 "kind": pa.array(
@@ -163,11 +193,11 @@ class EncodeStage:
                 ),
                 "id": pa.concat_arrays(
                     [lt_tbl.column("logtype_id").combine_chunks().cast(pa.int64()),
-                     pa.array(new_ids, type=pa.int64())]
+                     pa.array(new_ids_l, type=pa.int64())]
                 ),
                 "value": pa.concat_arrays(
                     [lt_tbl.column("logtype").combine_chunks().cast(pa.large_string()),
-                     new_v.cast(pa.large_string())]
+                     pa.array(new_vals, type=pa.large_string())]
                 ),
                 "n_vars": pa.concat_arrays(
                     [lt_tbl.column("n_vars").combine_chunks().cast(pa.int32()),
@@ -175,7 +205,7 @@ class EncodeStage:
                 ),
                 "logtype_class": pa.concat_arrays(
                     [lt_tbl.column("logtype_class").combine_chunks().cast(pa.string()),
-                     pa.nulls(n_new_v, pa.string())]
+                     pa.array(new_cls, type=pa.string())]
                 ),
             }
         )
@@ -189,13 +219,14 @@ class EncodeStage:
         pq.write_table(delta, path + ".tmp", compression="zstd", filesystem=self._fs)
         self._fs.move(path + ".tmp", path)
         # epoch rollover: bound the per-actor seen-sets for long jobs
-        if (len(self._seen_var_ids) > self.dict_cap_entries
+        n_var_seen = sum(len(s) for s in self._seen_var_ids.values())
+        if (n_var_seen > self.dict_cap_entries
                 or len(self._seen_logtype) > self.dict_cap_entries):
             import logging
 
             logging.getLogger("clp_core_ray.encode").info(
                 "dictionary epoch %d rolled over (%d var ids, %d logtypes)",
-                self._epoch, len(self._seen_var_ids), len(self._seen_logtype),
+                self._epoch, n_var_seen, len(self._seen_logtype),
             )
             self._epoch += 1
             self._seen_var_ids.clear()

@@ -225,23 +225,50 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None,
             .aggregate([("logtype", "first"), ("n_vars", "first")])
             .rename_columns(["logtype_id", "logtype_class", "logtype", "n_vars"])
         )
-        flat = batch.column("dict_vars").combine_chunks().flatten()
-        uniq = flat.unique()
-        offsets, data = _string_buffers(uniq)
-        ids = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets)).view(np.int64)
-        n_lt, n_v = len(lt), len(uniq)
+        # vars keyed (value, class) so the finalize can build the per-variable
+        # segment index — same pairing trick as the encode-stage delta flush
+        dv = batch.column("dict_vars").combine_chunks()
+        flat = dv.flatten()
+        if len(flat):
+            cls_enc = pc.dictionary_encode(batch.column("logtype_class").combine_chunks())
+            if isinstance(cls_enc, pa.ChunkedArray):
+                cls_enc = cls_enc.combine_chunks()
+            row_codes = np.asarray(cls_enc.indices, dtype=np.int64)
+            cls_names = cls_enc.dictionary
+            lengths = np.diff(np.asarray(dv.offsets, dtype=np.int64))
+            rep = np.repeat(row_codes, lengths)
+            fenc = pc.dictionary_encode(flat)
+            if isinstance(fenc, pa.ChunkedArray):
+                fenc = fenc.combine_chunks()
+            vcodes = np.asarray(fenc.indices, dtype=np.int64)
+            uniq = fenc.dictionary
+            offsets, data = _string_buffers(uniq)
+            ids = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets)).view(np.int64)
+            upairs = np.unique(vcodes * len(cls_names) + rep)
+            uv = upairs // len(cls_names)
+            uc = upairs % len(cls_names)
+            v_ids = ids[uv]
+            v_vals = uniq.take(pa.array(uv))
+            v_cls = cls_names.take(pa.array(uc))
+            n_v = len(upairs)
+        else:
+            v_ids = np.empty(0, dtype=np.int64)
+            v_vals = pa.array([], type=pa.string())
+            v_cls = pa.array([], type=pa.string())
+            n_v = 0
+        n_lt = len(lt)
         return pa.table(
             {
                 "kind": pa.array(
                     np.concatenate([np.zeros(n_lt, np.int8), np.ones(n_v, np.int8)])
                 ),
                 "id": pa.concat_arrays(
-                    [lt.column("logtype_id").combine_chunks(), pa.array(ids)]
+                    [lt.column("logtype_id").combine_chunks(), pa.array(v_ids)]
                 ),
                 "value": pa.concat_arrays(
                     [
                         lt.column("logtype").combine_chunks().cast(pa.large_string()),
-                        uniq.cast(pa.large_string()),
+                        v_vals.cast(pa.large_string()),
                     ]
                 ),
                 "n_vars": pa.concat_arrays(
@@ -253,7 +280,7 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None,
                 "logtype_class": pa.concat_arrays(
                     [
                         lt.column("logtype_class").combine_chunks().cast(pa.string()),
-                        pa.nulls(n_v, pa.string()),
+                        v_cls.cast(pa.string()),
                     ]
                 ),
             }
@@ -294,56 +321,99 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None,
     with open(os.path.join(out_dir, "class_logtypes.json"), "w") as f:
         json.dump({k: list(map(int, v)) for k, v in by_class.items()}, f)
 
-    def as_var_rows(b: pa.Table) -> pa.Table:
+    # aggregate per-id class lists inside id-hash bucket groups (an id never
+    # spans buckets), one small shuffle over unique var rows only
+    def var_bucket(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("kind"), 1))
-        return pa.table(
-            {"var_id": b.column("id"), "value": b.column("value").cast(pa.string())}
-        )
+        bk = pc.cast(pc.bit_wise_and(b.column("id"), N_DEDUP_BUCKETS - 1), pa.int32())
+        return b.append_column("_bucket", bk)
 
-    distinct.map_batches(as_var_rows, batch_format="pyarrow").write_parquet(
-        os.path.join(out_dir, "var.dict"), compression="zstd"
+    (
+        distinct.map_batches(var_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: _var_rows_to_dict_table(g.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
+        .write_parquet(os.path.join(out_dir, "var.dict"), compression="zstd")
     )
     return {"n_logtypes": len(ldict), "classes": sorted(by_class)}
 
 
 def _dedup_unified(t: pa.Table) -> pa.Table:
-    """Dedup a unified dict-delta table: var rows (kind 1) by id with the
-    hash-collision check, logtype rows (kind 0) by (id, class). Pure
-    table→table so it runs on the driver or inside a Ray task."""
+    """Dedup a unified dict-delta table by (kind, id, class) — both logtype
+    and var rows keep one row per class they appear in (the class list IS the
+    per-entry segment index, DictionaryWriter.hpp:179-202). The hash-collision
+    check compares values of adjacent same-(kind, id) rows regardless of
+    class. Pure table→table so it runs on the driver or inside a Ray task."""
     import pyarrow.compute as pc
 
     t = t.combine_chunks()
-    kinds = np.asarray(t.column("kind"), dtype=np.int8)
-    var_rows = np.flatnonzero(kinds == 1)
-    var_ids = np.asarray(t.column("id"), dtype=np.int64)[var_rows]
-    order = np.argsort(var_ids, kind="stable")
-    change = np.ones(len(var_ids), dtype=bool)
-    if len(var_ids) > 1:
-        change[1:] = var_ids[order][1:] != var_ids[order][:-1]
-        dup = ~change[1:]
-        if dup.any():  # hash-collision check (ADVICE r1): dup ids ⇒ equal text
-            vals = t.column("value").take(pa.array(var_rows))
-            a = vals.take(pa.array(order[:-1][dup]))
-            b = vals.take(pa.array(order[1:][dup]))
-            if pc.all(pc.equal(a, b)).as_py() is not True:
-                raise ValueError("var dictionary id collision (FNV-1a 64)")
-    keep_var = var_rows[np.sort(order[change])]
-
-    lt_rows = np.flatnonzero(kinds == 0)
-    lt_ids = np.asarray(t.column("id"), dtype=np.int64)[lt_rows]
-    cls = t.column("logtype_class").take(pa.array(lt_rows)).combine_chunks()
+    n = len(t)
+    if n == 0:
+        return t
+    kinds = np.asarray(t.column("kind"), dtype=np.int8).astype(np.int64)
+    ids = np.asarray(t.column("id"), dtype=np.int64)
+    cls = t.column("logtype_class").combine_chunks()
     enc = pc.dictionary_encode(cls)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
     codes = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
-    order2 = np.lexsort((codes, lt_ids))
-    change2 = np.ones(len(lt_ids), dtype=bool)
-    if len(lt_ids) > 1:
-        change2[1:] = (lt_ids[order2][1:] != lt_ids[order2][:-1]) | (
-            codes[order2][1:] != codes[order2][:-1]
+    order = np.lexsort((codes, ids, kinds))
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = (
+            (kinds[order][1:] != kinds[order][:-1])
+            | (ids[order][1:] != ids[order][:-1])
+            | (codes[order][1:] != codes[order][:-1])
         )
-    keep_lt = lt_rows[np.sort(order2[change2])]
-    return t.take(np.sort(np.concatenate([keep_lt, keep_var])))
+        same_id = (kinds[order][1:] == kinds[order][:-1]) & (
+            ids[order][1:] == ids[order][:-1]
+        )
+        if same_id.any():  # hash-collision check (ADVICE r1)
+            vals = t.column("value").combine_chunks()
+            a = vals.take(pa.array(order[:-1][same_id]))
+            b = vals.take(pa.array(order[1:][same_id]))
+            if pc.all(pc.equal(a, b)).as_py() is not True:
+                raise ValueError("dictionary id collision (FNV-1a 64)")
+    return t.take(np.sort(order[change]))
+
+
+def _var_rows_to_dict_table(vt: pa.Table) -> pa.Table:
+    """(kind-1 delta rows, one per (id, class)) → var-dict table
+    (var_id, value, classes:list<string>). The classes column is the
+    per-variable segment index (dict entry → containing sink partitions,
+    DictionaryWriter.hpp:179-202) used by search partition pruning
+    (clg.cpp:249-298)."""
+    import pyarrow.compute as pc
+
+    vt = vt.combine_chunks()
+    ids = np.asarray(vt.column("id"), dtype=np.int64)
+    empty = pa.table(
+        {"var_id": pa.array([], pa.int64()), "value": pa.array([], pa.string()),
+         "classes": pa.array([], pa.list_(pa.string()))}
+    )
+    if len(ids) == 0:
+        return empty
+    order = np.argsort(ids, kind="stable")
+    sids = ids[order]
+    change = np.ones(len(ids), dtype=bool)
+    if len(ids) > 1:
+        change[1:] = sids[1:] != sids[:-1]
+    starts = np.flatnonzero(change)
+    offsets = np.append(starts, len(ids)).astype(np.int32)
+    cls_sorted = pc.fill_null(
+        vt.column("logtype_class").take(pa.array(order)).cast(pa.string()), ""
+    )
+    if isinstance(cls_sorted, pa.ChunkedArray):
+        cls_sorted = cls_sorted.combine_chunks()
+    classes = pa.ListArray.from_arrays(pa.array(offsets), cls_sorted)
+    first = pa.array(order[starts])
+    return pa.table(
+        {"var_id": pa.array(sids[starts]),
+         "value": vt.column("value").take(first).cast(pa.string()),
+         "classes": classes}
+    )
 
 
 def _finalize_from_table(out_dir: str, t: pa.Table) -> dict:
@@ -366,10 +436,7 @@ def _finalize_from_table(out_dir: str, t: pa.Table) -> dict:
     with open(os.path.join(out_dir, "class_logtypes.json"), "w") as f:
         json.dump({k: list(map(int, v)) for k, v in by_class.items()}, f)
 
-    vt = t.filter(pc.equal(t.column("kind"), 1))
-    var_tbl = pa.table(
-        {"var_id": vt.column("id"), "value": vt.column("value").cast(pa.string())}
-    )
+    var_tbl = _var_rows_to_dict_table(t.filter(pc.equal(t.column("kind"), 1)))
     vdir = os.path.join(out_dir, "var.dict")
     os.makedirs(vdir, exist_ok=True)
     pq.write_table(var_tbl, os.path.join(vdir, "part-0.parquet"), compression="zstd")
@@ -418,10 +485,9 @@ def _merge_write_bucket(b: int, var_part_path: str, *parts) -> pa.Table:
     import pyarrow.parquet as pq
 
     t = _dedup_unified(pa.concat_tables(parts))
-    vt = t.filter(pc.equal(t.column("kind"), 1))
-    var_tbl = pa.table(
-        {"var_id": vt.column("id"), "value": vt.column("value").cast(pa.string())}
-    )
+    # ids are hash-bucketed, so an id never spans buckets — per-bucket class
+    # aggregation is globally correct
+    var_tbl = _var_rows_to_dict_table(t.filter(pc.equal(t.column("kind"), 1)))
     pq.write_table(var_tbl, var_part_path, compression="zstd")
     return t.filter(pc.equal(t.column("kind"), 0))
 

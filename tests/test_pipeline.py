@@ -171,3 +171,61 @@ def test_dict_epoch_rollover(ray_session, tmp_path, monkeypatch):
     dec = decompress(out).to_pandas().sort_values(["conv_id", "turn_idx"])
     orig = read_transcripts(SF).to_pandas().sort_values(["conv_id", "turn_idx"])
     assert (dec["text"].values == orig["text"].values).all()
+
+
+def test_var_segment_index(ray_session, tiny_transcripts, tmp_path):
+    """The var dictionary carries a per-entry class list (the per-variable
+    segment index, DictionaryWriter.hpp:179-202) and a dict-var search
+    prunes sink partitions that lack the entry (clg.cpp:249-298)."""
+    import numpy as np
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import search_archive
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    out = str(tmp_path / "arch_vidx")
+    compress(SF, out)
+
+    # every var.dict part has the classes column; class lists are non-empty
+    vdir = os.path.join(out, "var.dict")
+    parts = [os.path.join(vdir, f) for f in sorted(os.listdir(vdir))
+             if f.endswith(".parquet")]
+    vtbl = pa.concat_tables(pq.read_table(p) for p in parts)
+    assert "classes" in vtbl.column_names
+    assert pc.min(pc.list_value_length(vtbl.column("classes"))).as_py() >= 1
+    # ids unique across parts (aggregated, not exploded)
+    ids = vtbl.column("var_id").to_pylist()
+    assert len(ids) == len(set(ids))
+
+    # cross-check the index against the data: each (var, class) observed in
+    # a driver-side re-encode must be present in the entry's class list
+    from clp_core_ray.stages.encode import EncodeStage
+    from clp_core_ray.stages.route import RouteStage
+    from clp_core_ray.sources.transcripts import synth_transcripts
+
+    raw = synth_transcripts(3000)
+    enc_tbl = EncodeStage(keep_text=False)(RouteStage()(raw))
+    routed = enc_tbl.select(["dict_vars", "logtype_class"]).to_pandas()
+    df = read_transcripts(SF).to_pandas()
+    sample = vtbl.slice(0, 200).to_pylist()
+    for row in sample[:20]:
+        observed = set(
+            routed.loc[
+                routed["dict_vars"].map(lambda dv, v=row["value"]: v in list(dv)),
+                "logtype_class",
+            ]
+        )
+        assert observed <= set(row["classes"])
+        assert observed  # entry must occur somewhere
+
+    # a dict-var query must still return exact results under index pruning
+    val = None
+    for row in sample:
+        cls = set(row["classes"])
+        if len(cls) == 1 and " " not in row["value"]:
+            val = row["value"]
+            break
+    if val is not None:
+        hits = search_archive(os.path.join(out, "routed"), val).to_pandas()
+        want = df[df["text"].str.contains(val, regex=False)]
+        assert len(hits) == len(want)
