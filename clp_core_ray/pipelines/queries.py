@@ -228,6 +228,32 @@ def clp_decompress(sf_dir: str):
     return decompress(_archive_dir(sf_dir))
 
 
+@register(
+    "clp_reducer_pipeline",
+    "SELECT role, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes, "
+    "min(ts) AS min_ts, max(ts) AS max_ts FROM {T} GROUP BY role",
+)
+def clp_reducer_pipeline(sf_dir: str):
+    """User-extensible reducer surface (§2.10): built-in count/min-max
+    operators plus a custom MapPartialOperator (byte-length sum) sharing one
+    shuffle. Reference: reducer/Operator.hpp:20-51, CountOperator.cpp:4-31,
+    Pipeline.cpp:24-41."""
+    from clp_core_ray.functions import reducer as red
+
+    def bytes_partial(keys, batch: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.binary_length(batch.column("text")), pa.int64())
+        b = batch.select(keys).append_column("__b", ln)
+        out = b.group_by(keys).aggregate([("__b", "sum")])
+        return out.rename_columns(keys + ["sum_bytes"])
+
+    ops = [
+        red.CountOperator(alias="cnt"),
+        red.MapPartialOperator(bytes_partial, [("sum_bytes", "sum", "sum_bytes")]),
+        red.MinMaxOperator("ts", "min_ts", "max_ts"),
+    ]
+    return red.run_reducer(read_transcripts(sf_dir), "role", ops)
+
+
 def _archive_dir(sf_dir: str) -> str:
     """Compress once per scale into a cached archive dir (CLP: search reads
     what compression wrote)."""
