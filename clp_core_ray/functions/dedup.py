@@ -220,24 +220,110 @@ def dup_clusters(pairs: pa.Table, max_rounds: int = 20) -> pa.Table:
     b = np.asarray(pairs.column("doc_b"), dtype=np.int64)
     nodes = np.unique(np.concatenate([a, b]))
     label = nodes.copy()
-    pos = {int(n): i for i, n in enumerate(nodes.tolist())}
-    ia = np.array([pos[int(x)] for x in a], dtype=np.int64)
-    ib = np.array([pos[int(x)] for x in b], dtype=np.int64)
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
     for _ in range(max_rounds):
         new = label.copy()
         # propagate min label across each edge, both directions
         np.minimum.at(new, ia, label[ib])
         np.minimum.at(new, ib, label[ia])
-        # pointer jumping: follow labels one hop (labels are doc ids → map)
-        idx = np.array([pos.get(int(l), -1) for l in new.tolist()], dtype=np.int64)
-        hop = np.where(idx >= 0, new[idx.clip(0)], new)
-        new = np.minimum(new, hop)
+        # pointer jumping: labels are always node ids, so one searchsorted
+        # maps label value → its node slot; follow one hop
+        new = np.minimum(new, label[np.searchsorted(nodes, new)])
         if (new == label).all():
             break
         label = new
     return pa.table(
         {"doc_id": pa.array(nodes), "cluster_id": pa.array(label)}
     )
+
+
+def dup_clusters_ds(pairs_ds, max_rounds: int = 20):
+    """Distributed connected components over a pairs Dataset (doc_a, doc_b).
+
+    The iterative-shuffle formulation for pair volumes beyond driver RAM:
+    each round hash-joins the static edge list against the current label
+    table on both endpoints, emits the neighbor's label across every edge,
+    takes a per-node min (groupby), then pointer-jumps: labels are node ids,
+    so joining the label column back onto the label table substitutes each
+    node's label with its label's label (one extra 1:1 hash join). The jump
+    doubles the propagation horizon per round → O(log diameter) rounds even
+    on path graphs. Labels decrease monotonically, so the global label sum
+    is a convergence certificate — when it stops falling, components are
+    stable. Near-dup clusters are dense, so 2-3 rounds in practice.
+    Returns (doc_id, cluster_id).
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from clp_core_ray.pipelines.join import hash_join
+
+    npart = max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+    def nodes_of(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([
+            batch.column("doc_a").combine_chunks().cast(pa.int64()),
+            batch.column("doc_b").combine_chunks().cast(pa.int64()),
+        ])
+        return pa.table({"doc_id": ids, "cluster_id": ids})
+
+    labels = (
+        pairs_ds.map_batches(nodes_of, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+    )
+
+    def _sum(ds) -> int:
+        out = ds.aggregate(Sum("cluster_id", alias_name="s"))
+        return int(out["s"])
+
+    labels = labels.materialize()
+    prev = _sum(labels)
+    for _ in range(max_rounds):
+        # Each join is materialized before the next launches: a single
+        # execution plan holding N JoinOperators spins up N aggregator
+        # pools at once and deadlocks a small cluster (observed with the
+        # unioned two-join plan on 4 CPUs); one join in flight at a time
+        # keeps the exchange's resource needs constant.
+        la = hash_join(pairs_ds, labels, "doc_a", "doc_id",
+                       num_partitions=npart).map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_b"),
+                                "cluster_id": t.column("cluster_id")}),
+            batch_format="pyarrow").materialize()
+        lb = hash_join(pairs_ds, labels, "doc_b", "doc_id",
+                       num_partitions=npart).map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_a"),
+                                "cluster_id": t.column("cluster_id")}),
+            batch_format="pyarrow").materialize()
+        labels = (
+            labels.union(la, lb)
+            .groupby("doc_id")
+            .aggregate(Min("cluster_id", alias_name="cluster_id"))
+            .materialize()
+        )
+        # pointer jump: replace each label with its label's label (1:1 join
+        # on cluster_id → doc_id; every label value is a node id, so the
+        # inner join keeps every row exactly once)
+        hop = labels.map_batches(
+            lambda t: t.rename_columns(["p_doc", "p_cluster"]),
+            batch_format="pyarrow",
+        )
+        labels = hash_join(labels, hop, "cluster_id", "p_doc",
+                           num_partitions=npart).map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"),
+                "cluster_id": pc.min_element_wise(
+                    t.column("cluster_id"), t.column("p_cluster")),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        cur = _sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
 
 
 # --------------------------------------------------------------------------

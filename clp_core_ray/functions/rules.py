@@ -9,6 +9,13 @@ actor) into a single prioritized alternation, scanned per batch with C-speed
 regex over the batch's concatenated byte buffer — one Python-level loop over
 *matches*, none over rows.
 
+Delimiter semantics (log-surgeon: variables are delimiter-bounded tokens)
+are honored by anchoring every rule between delimiters/line edges and by
+rewriting unescaped ``.`` atoms to ``[^delims]`` — so the reference's
+``hasNumber:.*\\d.*`` matches one token, not the rest of the line.
+``timestamp:`` rules strip a leading timestamp into a ``ts_text`` column
+before variable scanning (the reference stores timestamps out-of-band).
+
 Output is the standard encoded schema (logtype + encoded_vars + var_types +
 dict_vars), so the stock decoder round-trips rule-encoded messages untouched.
 """
@@ -35,38 +42,101 @@ DEFAULT_RULES: list[tuple[str, str]] = [
 ]
 
 
+def _token_bound(rx: str, delim_class: str) -> str:
+    """Rewrite unescaped ``.`` (outside char classes) to ``[^delims]`` so a
+    schema rule cannot swallow delimiters — log-surgeon lexes tokens between
+    delimiters before rules apply, so ``.`` there never crosses one."""
+    out = []
+    i, in_class = 0, False
+    while i < len(rx):
+        ch = rx[i]
+        if ch == "\\" and i + 1 < len(rx):
+            out.append(rx[i : i + 2])
+            i += 2
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "]":
+            in_class = False
+        if ch == "." and not in_class:
+            out.append(f"[^{delim_class}]")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 @dataclass
 class RuleSet:
     """Ordered named rules; earlier rules win on overlap (log-surgeon
     priority). ``int``/``float`` rules produce specially-encoded variables
-    when the token is canonical; everything else is a dictionary variable."""
+    when the token is canonical; everything else is a dictionary variable.
+
+    ``delimiters`` is the raw char-class body from the schema file's
+    ``delimiters:`` line (None = rules self-bound, legacy behavior);
+    ``timestamp_rules`` are the ``timestamp:`` regexes, applied at line
+    start only."""
 
     rules: list[tuple[str, str]] = field(default_factory=lambda: list(DEFAULT_RULES))
+    delimiters: str | None = None
+    timestamp_rules: list[str] = field(default_factory=list)
+
+    def _delim_class(self) -> str | None:
+        if self.delimiters is None:
+            return None
+        d = self.delimiters
+        if "\\n" not in d and "\n" not in d:
+            d += r"\n"  # row sentinel must always bound tokens
+        return d
 
     def compile(self) -> re.Pattern:
+        d = self._delim_class()
         alts = []
         for i, (name, rx) in enumerate(self.rules):
+            if d is not None:
+                rx = _token_bound(rx, d)
             alts.append(f"(?P<r{i}>{rx})")
-        return re.compile("|".join(alts))
+        body = "|".join(alts)
+        if d is None:
+            return re.compile(body)
+        # delimiter-bounded: each match must start after a delimiter (or line
+        # start) and end before one (or line end)
+        return re.compile(
+            rf"(?:^|(?<=[{d}]))(?:{body})(?=[{d}]|$)", re.MULTILINE
+        )
+
+    def compile_timestamps(self) -> re.Pattern | None:
+        if not self.timestamp_rules:
+            return None
+        body = "|".join(f"(?:{rx})" for rx in self.timestamp_rules)
+        return re.compile(rf"^(?:{body})", re.MULTILINE)
 
     @classmethod
     def from_schema_text(cls, text: str) -> "RuleSet":
-        """Parse the CLP schema-file format: `name:regex` lines, // comments.
-        ``delimiters:`` and ``timestamp:`` lines are accepted and ignored
-        (timestamps are handled by the timestamp engine)."""
-        rules = []
+        """Parse the CLP schema-file format: `name:regex` lines, // comments,
+        plus ``delimiters:`` (char set, kept verbatim as a regex-class body)
+        and ``timestamp:`` (line-start regexes) declarations."""
+        rules: list[tuple[str, str]] = []
+        delimiters: str | None = None
+        ts_rules: list[str] = []
         for line in text.splitlines():
-            line = line.strip()
-            if not line or line.startswith("//"):
+            stripped = line.strip()
+            if not stripped or stripped.startswith("//"):
                 continue
-            if ":" not in line:
+            if ":" not in stripped:
                 continue
-            name, rx = line.split(":", 1)
+            name, rx = stripped.split(":", 1)
             name = name.strip()
-            if name in ("delimiters", "timestamp"):
+            if name == "delimiters":
+                # keep everything after the colon: a leading space means
+                # space IS a delimiter (it is, in the reference file)
+                delimiters = line.split(":", 1)[1].rstrip("\r\n")
+                continue
+            if name == "timestamp":
+                ts_rules.append(rx.strip())
                 continue
             rules.append((name, rx.strip()))
-        return cls(rules)
+        return cls(rules, delimiters=delimiters, timestamp_rules=ts_rules)
 
 
 class RuleEncodeStage:
@@ -74,26 +144,52 @@ class RuleEncodeStage:
 
     Rules are compiled once per actor (stateful-stage setup); per batch the
     row texts are joined with '\\n' sentinels and scanned with one finditer
-    pass. Longest-leftmost within the alternation follows Python-re
-    first-alternative priority, matching log-surgeon's rule order semantics.
+    pass; match→row mapping is one vectorized searchsorted. Longest-leftmost
+    within the alternation follows Python-re first-alternative priority,
+    matching log-surgeon's rule order semantics. When the ruleset declares
+    timestamp rules, a leading timestamp is stripped per row into ``ts_text``
+    before variable scanning (FileCompressor.cpp:196-228 event boundaries).
     """
 
     def __init__(self, ruleset: RuleSet | None = None, text_col: str = "text",
                  keep_text: bool = False):
         self.ruleset = ruleset or RuleSet()
         self.pattern = self.ruleset.compile()
+        self.ts_pattern = self.ruleset.compile_timestamps()
         self.rule_names = [n for n, _ in self.ruleset.rules]
         self.text_col = text_col
         self.keep_text = keep_text
+
+    @staticmethod
+    def _join(texts: list[str]):
+        joined = "\n".join(texts)
+        row_starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum([len(t) + 1 for t in texts], out=row_starts[1:])
+        return joined, row_starts
+
+    def _strip_timestamps(self, texts: list[str]):
+        """Return (stripped_texts, ts_strs): leading timestamp per row."""
+        joined, row_starts = self._join(texts)
+        ts_strs = [""] * len(texts)
+        spans = [(m.start(), m.end()) for m in self.ts_pattern.finditer(joined)]
+        if spans:
+            starts = np.fromiter((s for s, _ in spans), dtype=np.int64)
+            rows = np.searchsorted(row_starts, starts, side="right") - 1
+            for (s, e), row in zip(spans, rows):
+                if s == row_starts[row]:  # anchored at the row's first char
+                    ts_strs[row] = texts[row][: e - s]
+        out = [t[len(ts) :] for t, ts in zip(texts, ts_strs)]
+        return out, ts_strs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         texts = col.fill_null("").to_pylist()
-        joined = "\n".join(texts)
-        row_starts = np.zeros(len(texts) + 1, dtype=np.int64)
-        np.cumsum([len(t) + 1 for t in texts], out=row_starts[1:])
+        ts_strs = None
+        if self.ts_pattern is not None:
+            texts, ts_strs = self._strip_timestamps(texts)
+        joined, row_starts = self._join(texts)
 
         logtypes: list[list[str]] = [[] for _ in texts]
         evs: list[list[int]] = [[] for _ in texts]
@@ -101,14 +197,25 @@ class RuleEncodeStage:
         dvs: list[list[str]] = [[] for _ in texts]
         last_end = [0] * len(texts)  # per row, relative
 
-        for m in self.pattern.finditer(joined):
-            row = int(np.searchsorted(row_starts, m.start(), side="right")) - 1
-            rel_b = m.start() - row_starts[row]
-            rel_e = m.end() - row_starts[row]
+        # pass 1: collect spans, then map match→row in one searchsorted
+        matches = [(m.start(), m.end(), m.lastgroup) for m in
+                   self.pattern.finditer(joined)]
+        if matches:
+            mstarts = np.fromiter((s for s, _, _ in matches), dtype=np.int64)
+            rows = np.searchsorted(row_starts, mstarts, side="right") - 1
+        else:
+            rows = ()
+
+        # pass 2: assemble per-row logtype/vars (inherently per-match: each
+        # token appends to its row's buffers in order)
+        for (mstart, mend, group), row in zip(matches, rows):
+            row = int(row)
+            rel_b = mstart - row_starts[row]
+            rel_e = mend - row_starts[row]
             if rel_e > len(texts[row]):  # spans the sentinel; cannot happen
                 continue
-            tok = m.group(0)
-            rule = self.rule_names[int(m.lastgroup[1:])]
+            tok = joined[mstart:mend]
+            rule = self.rule_names[int(group[1:])]
             out_lt = logtypes[row]
             E._append_escaped(texts[row][last_end[row]:rel_b], out_lt)
             if rule == "int" and (iv := E.encode_int(tok)) is not None:
@@ -141,4 +248,6 @@ class RuleEncodeStage:
         cols["var_types"] = pa.array(vts, type=pa.list_(pa.int8()))
         cols["dict_vars"] = pa.array(dvs, type=pa.list_(pa.string()))
         cols["n_vars"] = pa.array([len(v) for v in evs], type=pa.int32())
+        if ts_strs is not None:
+            cols["ts_text"] = pa.array(ts_strs, type=pa.string())
         return pa.table(cols)

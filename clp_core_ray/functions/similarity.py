@@ -125,9 +125,16 @@ def topk_cosine_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     """
     import ray
 
+    # train centroids on a RANDOM sample, not the first blocks — limit()
+    # would see only the head of the dataset and skew centroids on sorted
+    # or sharded-by-source inputs. count() is parquet-metadata-cheap.
+    n_total = ds.count() or 1
+    frac = min(1.0, (2.0 * sample_rows) / n_total)
+    sample_ds = ds.random_sample(frac, seed=11) if frac < 1.0 else ds
     sample = _emb_matrix(
         pa.concat_tables(
-            pa.table(b) for b in ds.limit(sample_rows).iter_batches(batch_format="pyarrow")
+            pa.table(b)
+            for b in sample_ds.limit(sample_rows).iter_batches(batch_format="pyarrow")
         ),
         emb_col,
     )

@@ -308,27 +308,42 @@ def sink_class_counts(routed_dir: str) -> pa.Table:
 
     (The A1 aggregate over the data itself is count_by(); this is the
     sink-side accounting used for the lineage manifest and the routed-row
-    equality check.)"""
+    equality check.) Footer reads run as one Ray task per class dir — true
+    parallelism (the pq.ParquetFile metadata path holds the GIL, so driver
+    threads serialize); falls back to driver threads without a Ray session."""
+    dirs = sorted(
+        d for d in os.listdir(routed_dir) if d.startswith("logtype_class=")
+    )
+
+    import ray
+
+    if ray.is_initialized() and len(dirs) > 1:
+        task = _count_task_cache.setdefault(
+            "t", ray.remote(num_cpus=0.5)(_count_sink_dir_local)
+        )
+        counts = ray.get(
+            [task.remote(os.path.join(routed_dir, d)) for d in dirs]
+        )
+    else:
+        counts = [_count_sink_dir_local(os.path.join(routed_dir, d)) for d in dirs]
+    return pa.table(
+        {"logtype_class": pa.array([d.split("=", 1)[1] for d in dirs],
+                                   type=pa.string()),
+         "cnt": pa.array(counts, type=pa.int64())}
+    )
+
+
+def _count_sink_dir_local(full: str) -> int:
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    def count_dir(d: str) -> tuple[str, int]:
-        full = os.path.join(routed_dir, d)
-        files = [os.path.join(full, f) for f in os.listdir(full) if f.endswith(".parquet")]
-        with ThreadPoolExecutor(16) as ex:
-            ns = list(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, files))
-        return d.split("=", 1)[1], sum(ns)
+    files = [os.path.join(full, f) for f in os.listdir(full) if f.endswith(".parquet")]
+    with ThreadPoolExecutor(8) as ex:
+        return sum(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, files))
 
-    classes, cnts = [], []
-    for d in sorted(os.listdir(routed_dir)):
-        if not d.startswith("logtype_class="):
-            continue
-        cls, n = count_dir(d)
-        classes.append(cls)
-        cnts.append(n)
-    return pa.table({"logtype_class": pa.array(classes, type=pa.string()),
-                     "cnt": pa.array(cnts, type=pa.int64())})
+
+_count_task_cache: dict = {}
 
 
 def _to_table(ds) -> pa.Table:

@@ -315,35 +315,27 @@ def events_topk_latest(sf_dir: str):
     "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1",
 )
 def orders_by_nation(sf_dir: str):
-    """Broadcast join: customer/nation are the small sides (J6 pattern)."""
+    """Two-hop join sized by the build side: nation is always broadcast
+    (25 rows), customer goes through auto_join — broadcast under the 64 MiB
+    cap, partitioned hash join above it (the 100-TB-safe path)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    from clp_core_ray.pipelines.join import auto_join, broadcast_join
+
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nat_of_cust = pa.table(
-        {
-            "c_custkey": cust.column("c_custkey"),
-            "nation": pc.take(
-                nat.column("n_name"),
-                pc.index_in(cust.column("c_nationkey"), nat.column("n_nationkey")),
-            ),
-        }
+    nat = nat.rename_columns(["n_nationkey", "nation"])
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    import ray
-
-    ref = ray.put(nat_of_cust)
-
-    class Attach:
-        def __init__(self):
-            self.small = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pos = pc.index_in(batch.column("o_custkey"), self.small.column("c_custkey"))
-            return batch.append_column("nation", pc.take(self.small.column("nation"), pos))
+    # resolve nation name onto customer first (tiny broadcast), so the big
+    # orders↔customer hop carries only (c_custkey, nation)
+    cust = broadcast_join(cust, nat, "c_nationkey", "n_nationkey", ["nation"])
+    cust = cust.select_columns(["c_custkey", "nation"])
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    joined = orders.map_batches(Attach, batch_format="pyarrow", concurrency=2)
+    joined = auto_join(orders, cust, "o_custkey", "c_custkey", ["nation"])
     return agg.count_by(joined, "nation")
 
 

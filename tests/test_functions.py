@@ -357,3 +357,33 @@ def test_embedding_dup_pairs_lsh_recall(ray_session):
     assert ap <= ex  # no false positives: buckets verify with exact cosine
     assert len(ex) >= 20
     assert len(ex & ap) / len(ex) >= 0.9  # recall of the 8x8 configuration
+
+
+def test_dup_clusters_ds_matches_driver(ray_session):
+    """Distributed label propagation == driver version on chains + cliques."""
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import dup_clusters, dup_clusters_ds
+
+    rng = np.random.default_rng(17)
+    edges = []
+    # a 12-node chain (pointer jumping covers it in ~4 rounds), three
+    # 20-cliques, random noise
+    edges += [(i, i + 1) for i in range(100, 112)]
+    for base in (1000, 2000, 3000):
+        ids = base + rng.permutation(20)
+        edges += [(int(ids[i]), int(ids[i + 1])) for i in range(19)]
+    edges += [(int(a), int(a) + 7) for a in rng.integers(5000, 5200, size=50)]
+    pairs = pa.table({
+        "doc_a": pa.array([a for a, _ in edges], type=pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], type=pa.int64()),
+    })
+
+    want = {r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, max_rounds=64).to_pylist()}
+    got_ds = dup_clusters_ds(rd.from_arrow(pairs).repartition(4), max_rounds=8)
+    got = {r["doc_id"]: r["cluster_id"]
+           for b in got_ds.iter_batches(batch_format="pyarrow")
+           for r in pa.table(b).to_pylist()}
+    assert got == want

@@ -63,3 +63,47 @@ def test_rules_in_ray_pipeline(ray_session):
     dec = enc.map_batches(DecodeStage(out_col="text2"), batch_format="pyarrow")
     got = sorted(dec.to_pandas()["text2"])
     assert got == sorted(msgs)
+
+
+def test_schema_file_delimiters_and_timestamps():
+    """delimiters:/timestamp: lines are honored, not ignored (schemas.txt)."""
+    text = open("/root/reference/components/core/config/schemas.txt").read()
+    rs = RuleSet.from_schema_text(text)
+    assert rs.delimiters is not None and "\\t" in rs.delimiters
+    assert len(rs.timestamp_rules) == 2
+    stage = RuleEncodeStage(rs, keep_text=True)
+    msgs = [
+        "2024-01-02 03:04:05.123 job 17 done in 1.5 s",
+        "[20240102-03:04:05] worker started",
+        "no timestamp here 42",
+    ]
+    out = stage(pa.table({"text": pa.array(msgs)}))
+    ts = out.column("ts_text").to_pylist()
+    assert ts[0] == "2024-01-02 03:04:05.123"
+    assert ts[1] == "[20240102-03:04:05]"
+    assert ts[2] == ""
+    # timestamp digits are NOT encoded as variables; body vars are
+    vts0 = out.column("var_types")[0].as_py()
+    assert len(vts0) == 2 and E.VT_INT in vts0 and E.VT_FLOAT in vts0
+    # ts_text + decoded body reproduces the original line
+    for i in range(len(msgs)):
+        body = E.decode_message(
+            out.column("logtype")[i].as_py(),
+            out.column("encoded_vars")[i].as_py(),
+            dict_vars=out.column("dict_vars")[i].as_py(),
+        )
+        assert ts[i] + body == msgs[i]
+
+
+def test_delimiter_bounded_tokens():
+    """With delimiters declared, '123abc' is one hasNumber token (reference
+    maximal-munch over delimiter-separated tokens), not int 123 + hex abc."""
+    text = open("/root/reference/components/core/config/schemas.txt").read()
+    rs = RuleSet.from_schema_text(text)
+    out = RuleEncodeStage(rs, keep_text=True)(
+        pa.table({"text": pa.array(["x 123abc y 99", "a=1,b=2"])})
+    )
+    assert out.column("dict_vars")[0].as_py() == ["123abc"]
+    assert out.column("var_types")[0].as_py() == [E.VT_DICT, E.VT_INT]
+    # ',' is a delimiter: two equals-rule tokens, bounded at the comma
+    assert out.column("dict_vars")[1].as_py() == ["a=1", "b=2"]
