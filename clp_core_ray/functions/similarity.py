@@ -74,24 +74,7 @@ def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")
     )
     # final exact top-k per query on the tiny candidate set
-    qid = np.asarray(cand.column("query_id"), dtype=np.int64)
-    nid = np.asarray(cand.column("neighbor_id"), dtype=np.int64)
-    sc = np.asarray(cand.column("score"), dtype=np.float64)
-    order = np.lexsort((nid, -sc, qid))
-    qs, ns, ss = qid[order], nid[order], sc[order]
-    # rank within query
-    new_q = np.ones(len(qs), dtype=bool)
-    new_q[1:] = qs[1:] != qs[:-1]
-    grp_start = np.flatnonzero(new_q)
-    rank = np.arange(len(qs)) - np.repeat(grp_start, np.diff(np.append(grp_start, len(qs))))
-    keep = rank < k
-    return pa.table(
-        {
-            "query_id": pa.array(qs[keep]),
-            "neighbor_id": pa.array(ns[keep]),
-            "rank": pa.array((rank[keep] + 1).astype(np.int64)),
-        }
-    )
+    return _merge_topk(cand, k)
 
 
 def train_ivf_centroids(sample: np.ndarray, n_centroids: int = 16,
@@ -128,17 +111,9 @@ def topk_cosine_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     # train centroids on a RANDOM sample, not the first blocks — limit()
     # would see only the head of the dataset and skew centroids on sorted
     # or sharded-by-source inputs. count() is parquet-metadata-cheap.
-    n_total = ds.count() or 1
-    frac = min(1.0, (2.0 * sample_rows) / n_total)
-    sample_ds = ds.random_sample(frac, seed=11) if frac < 1.0 else ds
-    sample = _emb_matrix(
-        pa.concat_tables(
-            pa.table(b)
-            for b in sample_ds.limit(sample_rows).iter_batches(batch_format="pyarrow")
-        ),
-        emb_col,
+    cents = train_ivf_centroids(
+        _sample_matrix(ds, emb_col, sample_rows), n_centroids
     )
-    cents = train_ivf_centroids(sample, n_centroids)
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
     probe_set = np.unique(probes)
@@ -181,6 +156,12 @@ def topk_cosine_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
              "neighbor_id": pa.array([], type=pa.int64()),
              "rank": pa.array([], type=pa.int64())}
         )
+    return _merge_topk(cand, k)
+
+
+def _merge_topk(cand: pa.Table, k: int) -> pa.Table:
+    """Exact top-k per query over the candidate set: rank by score desc,
+    ties by neighbor_id asc (deterministic across partitionings)."""
     qid = np.asarray(cand.column("query_id"), dtype=np.int64)
     nid = np.asarray(cand.column("neighbor_id"), dtype=np.int64)
     sc = np.asarray(cand.column("score"), dtype=np.float64)
@@ -198,30 +179,171 @@ def topk_cosine_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     )
 
 
+def _sample_matrix(ds, emb_col: str, sample_rows: int, seed: int = 11) -> np.ndarray:
+    """Random-sample up to ``sample_rows`` embeddings (head-skew-free)."""
+    n_total = ds.count() or 1
+    frac = min(1.0, (2.0 * sample_rows) / n_total)
+    sample_ds = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    return _emb_matrix(
+        pa.concat_tables(
+            pa.table(b)
+            for b in sample_ds.limit(sample_rows).iter_batches(batch_format="pyarrow")
+        ),
+        emb_col,
+    )
+
+
+def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    sample_rows: int = 4096, seed: int = 11) -> np.ndarray:
+    """Write an IVF index *at rest*: rows bucketed by nearest centroid into
+    hive-partitioned parquet (``cells/ivf_cell=N/``), centroids alongside.
+
+    This is the 100-TB ANN shape the in-flight ``topk_cosine_ivf`` lacks:
+    there every batch is still scanned to assign centroids per query run;
+    here assignment happens once at build time and a probe reads ONLY the
+    probed cells' partitions off storage (IVF coarse quantizer role,
+    cf. reference's archive partition pruning at clg.cpp:249-298).
+    Returns the centroid matrix.
+    """
+    import ray
+
+    cents = train_ivf_centroids(
+        _sample_matrix(ds, emb_col, sample_rows, seed), n_centroids, seed=seed
+    )
+    ref = ray.put(cents)
+
+    def assign_cell(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        e = _normalize(_emb_matrix(batch, emb_col))
+        cell = (e @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(cell))
+
+    ds.map_batches(assign_cell, batch_format="pyarrow").write_parquet(
+        f"{index_dir}/cells", partition_cols=["ivf_cell"], compression="zstd"
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"cell": pa.array(range(len(cents)), type=pa.int64()),
+                  "centroid": pa.FixedSizeListArray.from_arrays(
+                      pa.array(cents.reshape(-1)), cents.shape[1])}),
+        f"{index_dir}/centroids.parquet",
+    )
+    return cents
+
+
+def ivf_index_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
+                   k: int = 10, n_probe: int = 4, id_col: str = "vec_id",
+                   emb_col: str = "embedding", exclude_self: bool = True):
+    """Probe an at-rest IVF index: only partitions for the union of the
+    queries' ``n_probe`` nearest cells are read (partition-pruned at the
+    parquet fragment level), then brute-force cosine within them.
+
+    With ``n_probe >= n_centroids`` this reads everything and is exact —
+    equal to ``topk_cosine`` output — which is how it is oracled.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    ct = pq.read_table(f"{index_dir}/centroids.parquet")
+    cents = np.asarray(
+        ct.column("centroid").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(ct), -1)
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    n_probe = min(n_probe, len(cents))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    probe_set = [int(c) for c in np.unique(probes)]
+
+    # partition pruning by construction: only the probed cells' hive dirs
+    # are handed to the reader, so unprobed partitions never leave storage
+    import os
+
+    paths = [os.path.join(p, f)
+             for c in probe_set
+             if os.path.isdir(p := f"{index_dir}/cells/ivf_cell={c}")
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not paths:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int64()),
+             "neighbor_id": pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int64())}
+        )
+    cells_ds = rd.read_parquet(paths, columns=[id_col, emb_col])
+    ref = ray.put((q, np.asarray(query_ids, dtype=np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm, qids = ray.get(ref)
+        e = _normalize(_emb_matrix(batch, emb_col))
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        scores = qm @ e.T
+        if exclude_self:
+            scores[qids[:, None] == ids[None, :]] = -np.inf
+        kk = min(k, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        return pa.table(
+            {"query_id": pa.array(np.repeat(qids, kk)),
+             "neighbor_id": pa.array(ids[part].reshape(-1)),
+             "score": pa.array(np.take_along_axis(scores, part, axis=1).reshape(-1))}
+        )
+
+    cand = pa.concat_tables(
+        pa.table(b)
+        for b in cells_ds.map_batches(score, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    if len(cand) == 0:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int64()),
+             "neighbor_id": pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int64())}
+        )
+    return _merge_topk(cand, k)
+
+
 def knn_label_vote(ds, k: int = 5, id_col: str = "vec_id",
                    emb_col: str = "embedding", label_col: str = "label"):
     """Predict each row's label by majority over its k nearest neighbors.
 
     Demonstrates the embedding join: the (small) label table is collected and
-    broadcast; neighbors come from brute-force top-k.
+    broadcast; neighbors come from brute-force top-k. The vote itself is one
+    numpy grouped-count pass (sort by (query, neighbor label), run-length
+    count, argmax per query; count ties break to the smaller label).
     """
-    labels = {}
-    for b in ds.select_columns([id_col, label_col]).iter_batches(batch_format="pyarrow"):
-        t = pa.table(b)
-        for i, l in zip(t.column(id_col).to_pylist(), t.column(label_col).to_pylist()):
-            labels[i] = l
+    lab_parts = [
+        pa.table(b) for b in
+        ds.select_columns([id_col, label_col]).iter_batches(batch_format="pyarrow")
+    ]
+    lab = pa.concat_tables(lab_parts)
+    lab_ids = np.asarray(lab.column(id_col), dtype=np.int64)
+    lab_vals = np.asarray(lab.column(label_col), dtype=np.int64)
+    order = np.argsort(lab_ids)
+    lab_ids, lab_vals = lab_ids[order], lab_vals[order]
+
     mat, ids = _collect_normalized(ds, id_col, emb_col)
     topk = topk_cosine(ds, mat, ids, k=k, id_col=id_col, emb_col=emb_col)
     qid = np.asarray(topk.column("query_id"), dtype=np.int64)
     nid = np.asarray(topk.column("neighbor_id"), dtype=np.int64)
-    import collections
+    nlab = lab_vals[np.searchsorted(lab_ids, nid)]
 
-    votes: dict[int, collections.Counter] = collections.defaultdict(collections.Counter)
-    for q, n in zip(qid.tolist(), nid.tolist()):
-        votes[q][labels[n]] += 1
-    out_ids = sorted(votes)
-    pred = [votes[i].most_common(1)[0][0] for i in out_ids]
+    # count votes per (query, label): sort, run-length encode, then keep the
+    # max-count run per query (ties → smaller label via the sort order)
+    o = np.lexsort((nlab, qid))
+    q, l = qid[o], nlab[o]
+    new_run = np.ones(len(q), dtype=bool)
+    new_run[1:] = (q[1:] != q[:-1]) | (l[1:] != l[:-1])
+    starts = np.flatnonzero(new_run)
+    counts = np.diff(np.append(starts, len(q)))
+    rq, rl = q[starts], l[starts]
+    # per query, pick run with max count; lexsort keys: primary query,
+    # then -count, then label — first run of each query wins
+    o2 = np.lexsort((rl, -counts, rq))
+    rq, rl = rq[o2], rl[o2]
+    first = np.ones(len(rq), dtype=bool)
+    first[1:] = rq[1:] != rq[:-1]
     return pa.table(
-        {id_col: pa.array(out_ids, type=pa.int64()),
-         "label_pred": pa.array(pred, type=pa.int32())}
+        {id_col: pa.array(rq[first], type=pa.int64()),
+         "label_pred": pa.array(rl[first].astype(np.int32), type=pa.int32())}
     )

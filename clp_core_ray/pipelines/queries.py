@@ -749,6 +749,42 @@ def emb_ann_topk(sf_dir: str):
     return out.select(["query_id", "neighbor_id"])
 
 
+@register(
+    "emb_ann_topk_ivf_index",
+    "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id "
+    "FROM embeddings q, embeddings e "
+    "WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id "
+    "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 10",
+)
+def emb_ann_topk_ivf_index(sf_dir: str):
+    """ANN over the at-rest IVF index (cell-partitioned parquet). Probing
+    every cell is exact, so the brute-force oracle applies; the scale path
+    sets n_probe < n_centroids and reads only those partitions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.functions.dedup import _emb_matrix
+    from clp_core_ray.functions.similarity import build_ivf_index, ivf_index_topk
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/ivf_index_sf{sf_of_dir(sf_dir)}"
+    if not os.path.exists(f"{idx}/centroids.parquet"):
+        import ray.data as rd
+
+        build_ivf_index(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]),
+            idx, n_centroids=16,
+        )
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 5))
+    out = ivf_index_topk(idx, _emb_matrix(qt, "embedding"),
+                         qt.column("vec_id").to_pylist(), k=10, n_probe=16)
+    return out.select(["query_id", "neighbor_id"])
+
+
 @register("emb_ann_topk_ivf")  # approximate (recall<1): rows-only
 def emb_ann_topk_ivf(sf_dir: str):
     import pyarrow.parquet as pq

@@ -129,6 +129,50 @@ def test_topk_cosine_and_ivf_recall(ray_session):
     assert recall >= 0.6, recall
 
 
+def test_ivf_index_at_rest(ray_session, tmp_path):
+    """Index-at-rest: full probe == brute force exactly; partial probe reads
+    only the probed cells' partitions and keeps decent recall."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 400, 32
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), d
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(rd.from_arrow(tbl), idx, n_centroids=8)
+    assert cents.shape == (8, d)
+    # partition layout on disk: one hive dir per non-empty cell
+    import os
+
+    cells = sorted(os.listdir(f"{idx}/cells"))
+    assert all(c.startswith("ivf_cell=") for c in cells) and len(cells) >= 2
+
+    q, qids = mat[:5], np.arange(5)
+    exact = topk_cosine(rd.from_arrow(tbl), q, qids, k=10)
+    full = ivf_index_topk(idx, q, qids, k=10, n_probe=8)
+    assert full.equals(exact)
+
+    part = ivf_index_topk(idx, q, qids, k=10, n_probe=3)
+    ex = set(zip(exact.column("query_id").to_pylist(),
+                 exact.column("neighbor_id").to_pylist()))
+    ap = set(zip(part.column("query_id").to_pylist(),
+                 part.column("neighbor_id").to_pylist()))
+    assert len(ex & ap) / len(ex) >= 0.5
+
+
 def test_knn_label_vote(ray_session):
     import ray.data as rd
 
