@@ -158,10 +158,17 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 4, 16
-    # best-of-2 fresh processes per level: this host's run-to-run variance is
-    # ±50%; the min is the honest cost (each process is itself best-of-2)
-    lo = min((run(lo_cpus) for _ in range(2)), key=lambda d: d["value"])
-    hi = min((run(hi_cpus) for _ in range(2)), key=lambda d: d["value"])
+    # best-of-3 fresh processes per level, INTERLEAVED (lo,hi,lo,hi,...):
+    # this host's run-to-run variance is ±50% and slow phases last minutes,
+    # so consecutive same-level runs share the noise — alternating levels
+    # decorrelates it; the min is the honest cost (each process is itself
+    # best-of-2)
+    lo_runs, hi_runs = [], []
+    for _ in range(3):
+        lo_runs.append(run(lo_cpus))
+        hi_runs.append(run(hi_cpus))
+    lo = min(lo_runs, key=lambda d: d["value"])
+    hi = min(hi_runs, key=lambda d: d["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     print(
@@ -175,6 +182,8 @@ def run_scaling() -> None:
                 "turns_per_sec_lo": lo["turns_per_sec"],
                 "turns_per_sec_hi": hi["turns_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "runs_lo": [d["value"] for d in lo_runs],
+                "runs_hi": [d["value"] for d in hi_runs],
                 "sf": lo["sf"],
             }
         )

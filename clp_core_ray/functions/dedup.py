@@ -366,6 +366,111 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(ga & gb) / max(1, len(ga | gb))
 
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.4, k: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT pairs with word-k-gram Jaccard ≥ threshold, distributed.
+
+    Same block-self-join shape as :func:`embedding_dup_pairs`: shingle sets
+    are hashed per block (vectorized FNV over split words, empties dropped —
+    the :func:`ngram_jaccard` tokenization), blocks stay in the object store,
+    and one task per (block_i, block_j) computes all cross Jaccards via
+    bit-packed set matrices (shared vocab → packbits → AND + popcount; the
+    inner loop is per-row-of-A with the whole of B vectorized). Pairs where
+    either side has no grams are excluded. Exact is O(n²) by nature — the
+    100-TB scale path is :func:`minhash_lsh_pairs` over the same shingles.
+    """
+    import re
+
+    import ray
+    import ray.data as rd
+
+    from hashlib import blake2b
+
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sets, offs = [], [0]
+        for t in texts:
+            w = [x for x in re.split(r"[^a-zà-ÿ]+", (t or "").lower()) if x]
+            # deterministic cross-process hash (builtin hash() is salted
+            # per worker, which would desync the shared vocab across blocks)
+            grams = {
+                int.from_bytes(
+                    blake2b("\x1f".join(w[i:i + k]).encode(),
+                            digest_size=8).digest(), "little") >> 1
+                for i in range(max(0, len(w) - k + 1))
+            }
+            sets.append(np.fromiter(grams, dtype=np.int64, count=len(grams)))
+            offs.append(offs[-1] + len(grams))
+        flat = (np.concatenate(sets) if sets else np.zeros(0, np.int64))
+        return pa.table({
+            id_col: batch.column(id_col).combine_chunks().cast(pa.int64()),
+            "grams": pa.LargeListArray.from_arrays(
+                pa.array(offs, type=pa.int64()), pa.array(flat)),
+        })
+
+    blocks = ds.map_batches(prep, batch_format="pyarrow").materialize().to_arrow_refs()
+
+    def _unpack(t: pa.Table):
+        col = t.column("grams").combine_chunks()
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        vals = np.asarray(col.values, dtype=np.int64)
+        return vals, offs - offs[0]
+
+    @ray.remote
+    def pair_block(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        va, oa = _unpack(ta)
+        vb, ob = _unpack(tb)
+        ia = np.asarray(ta.column(id_col), dtype=np.int64)
+        ib = np.asarray(tb.column(id_col), dtype=np.int64)
+        vocab = np.unique(np.concatenate([va, vb]))
+        nbits = len(vocab)
+        if nbits == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+
+        def pack(vals, offs, n):
+            bits = np.zeros((n, nbits), dtype=np.uint8)
+            rows = np.repeat(np.arange(n), np.diff(offs))
+            bits[rows, np.searchsorted(vocab, vals)] = 1
+            return np.packbits(bits, axis=1)
+
+        pa_bits = pack(va, oa, len(ia))
+        pb_bits = pack(vb, ob, len(ib))
+        sa = np.diff(oa)
+        sb = np.diff(ob)
+        out_a, out_b = [], []
+        for r in range(len(ia)):
+            if sa[r] == 0:
+                continue
+            inter = _POPCOUNT8[pb_bits & pa_bits[r]].sum(axis=1).astype(np.int64)
+            union = sa[r] + sb - inter
+            m = (sb > 0) & (inter >= threshold * union)
+            if same:
+                m &= ia[r] < ib
+            if m.any():
+                hits = ib[m]
+                out_a.append(np.full(len(hits), ia[r]))
+                out_b.append(hits)
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table({"doc_a": pa.array(np.minimum(a, b)),
+                         "doc_b": pa.array(np.maximum(a, b))})
+
+    tasks = [pair_block.remote(blocks[i], blocks[j], i == j)
+             for i in range(len(blocks)) for j in range(i, len(blocks))]
+    tables = [t for t in ray.get(tasks) if t.num_rows] if tasks else []
+    out = (pa.concat_tables(tables) if tables
+           else pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64())}))
+    return rd.from_arrow(out)
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------

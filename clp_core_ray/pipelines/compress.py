@@ -218,12 +218,16 @@ def compress(
             prededup_refs=watcher.finish() if watcher else None,
         )
         counts_tbl = f_counts.result()
+        t_counts = time.time()
         f_dicts.result()
+        t_dicts = time.time()
     if timing:
         import sys
 
         print(
             f"[clp timing] write={t_write - t0:.2f}s "
+            f"counts_done=+{t_counts - t_write:.2f}s "
+            f"dicts_done=+{t_dicts - t_write:.2f}s "
             f"finalize(counts+dicts)={time.time() - t_write:.2f}s",
             file=sys.stderr,
         )

@@ -102,6 +102,23 @@ def decompress(archive_dir: str, columns=("conv_id", "turn_idx"), ordered: bool 
     return out
 
 
+def extract_ir_chunks(archive_dir: str, out_dir: str,
+                      four_byte: bool = True) -> list[str]:
+    """Archive → CLP IR stream chunk files (K8: the reference's clo IR
+    extraction job, clo/OutputHandler.hpp IR-chunk role — the log viewer
+    consumes archives as IR chunks, not text).
+
+    Composition of the two existing stages: decode the archive's encoded
+    columns back to (ts, text), then serialize each block as one IR stream
+    via ``ir.write_ir``; one chunk per block keeps the extraction streaming
+    (no per-archive materialization). Returns the chunk paths.
+    """
+    from clp_core_ray.ir import write_ir
+
+    ds = decompress(archive_dir, columns=("ts",))
+    return write_ir(ds, out_dir, four_byte=four_byte, ts_col="ts")
+
+
 def _first_parquet(routed: str) -> str:
     for root, _, files in os.walk(routed):
         for f in sorted(files):

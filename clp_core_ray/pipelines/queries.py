@@ -229,6 +229,33 @@ def clp_decompress(sf_dir: str):
 
 
 @register(
+    "clp_ir_extract",
+    "SELECT text, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM {T}",
+)
+def clp_ir_extract(sf_dir: str):
+    """K8: archive → IR chunk extraction (clo role). The archive's encoded
+    rows are decoded and re-serialized as CLP IR stream chunks; reading the
+    chunks back must reproduce every (text, ts) of the original input."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray import ir
+    from clp_core_ray.pipelines.decompress import extract_ir_chunks
+
+    out = tempfile.mkdtemp(prefix="clp_ir_extract_")
+    try:
+        paths = extract_ir_chunks(_archive_dir(sf_dir), out)
+        back = ir.read_ir(paths)
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({"text": b.column("text"), "ts_ms": b.column("ts")})
+
+        return back.map_batches(rename, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "clp_reducer_pipeline",
     "SELECT role, count(*) AS cnt, CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes, "
     "min(ts) AS min_ts, max(ts) AS max_ts FROM {T} GROUP BY role",
@@ -708,6 +735,32 @@ def docs_minhash_pairs(sf_dir: str):
     return pairs.map_batches(
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
+
+
+@register(
+    "docs_ngram_dup_pairs",
+    "WITH g AS ("
+    "  SELECT doc_id, list_distinct(["
+    "    w[i] || chr(31) || w[i+1] || chr(31) || w[i+2]"
+    "    for i in range(1, greatest(len(w) - 1, 1))"
+    "  ]) AS grams"
+    "  FROM (SELECT doc_id, list_filter("
+    "    regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'), x -> x <> '') AS w"
+    "    FROM documents)"
+    ") SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)"
+    "      / greatest(len(list_distinct(a.grams || b.grams)), 1) >= 0.4",
+)
+def docs_ngram_dup_pairs(sf_dir: str):
+    """EXACT n-gram-Jaccard duplicate pairs (block self-join, bit-packed set
+    intersections) — the ground-truth op the MinHash path approximates."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds.repartition(4), threshold=0.4)
 
 
 @register("docs_simhash")  # signature column: no SQL equivalent

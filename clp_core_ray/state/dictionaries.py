@@ -506,6 +506,11 @@ def _finalize_dicts_parallel(out_dir: str, delta_files: list[str] = (), fs=None,
     import pyarrow.parquet as pq
     import ray
 
+    import time as _time
+
+    _timing = os.environ.get("CLP_TIMING") == "1"
+    _t0 = _time.time()
+
     prededup_task = ray.remote(num_returns=N_FINALIZE_BUCKETS)(_prededup_files)
     merge_task = ray.remote(_merge_write_bucket)
 
@@ -514,6 +519,13 @@ def _finalize_dicts_parallel(out_dir: str, delta_files: list[str] = (), fs=None,
         groups = [g.tolist() for g in np.array_split(np.array(delta_files), n_tasks)
                   if len(g)]
         refs += [prededup_task.remote(g, fs) for g in groups]
+    if _timing and refs:
+        ray.wait([r[0] if isinstance(r, (tuple, list)) else r for r in refs],
+                 num_returns=len(refs))
+        import sys
+
+        print(f"[clp timing] dict prededup=+{_time.time() - _t0:.2f}s",
+              file=sys.stderr)
     if not refs:
         return _finalize_from_table(
             out_dir,

@@ -403,6 +403,42 @@ def test_embedding_dup_pairs_lsh_recall(ray_session):
     assert len(ex & ap) / len(ex) >= 0.9  # recall of the 8x8 configuration
 
 
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Distributed exact pairs == brute-force ngram_jaccard over all pairs,
+    across block boundaries (repartition(3) forces cross-block pairs)."""
+    import itertools
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import ngram_jaccard, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        base,
+        base + " tonight",                     # near-dup of 0
+        "a completely different sentence about ray data pipelines at scale",
+        "a completely different sentence about ray data pipelines at scales",
+        "short one",                            # < 3 words of letters → no grams
+        base.replace("quick", "slow"),
+        "unrelated text with nothing shared among the rest of them",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                    "text": pa.array(docs)})
+    t = 0.4
+    want = sorted(
+        (a, b) for a, b in itertools.combinations(range(len(docs)), 2)
+        if ngram_jaccard(docs[a], docs[b]) >= t
+        and min(len(docs[a].split()), len(docs[b].split())) >= 3
+    )
+    got_ds = ngram_jaccard_pairs(rd.from_arrow(tbl).repartition(3), threshold=t)
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for b in got_ds.iter_batches(batch_format="pyarrow")
+        for r in pa.table(b).to_pylist()
+    )
+    assert got == want and len(want) >= 2
+
+
 def test_dup_clusters_ds_matches_driver(ray_session):
     """Distributed label propagation == driver version on chains + cliques."""
     import numpy as np

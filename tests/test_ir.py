@@ -121,6 +121,25 @@ def test_var_str_length_widths():
         assert got == [msg]
 
 
+def test_extract_ir_chunks_from_archive(ray_session, tmp_path):
+    """K8: compress → extract IR chunks → read back == original (text, ts)."""
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.decompress import extract_ir_chunks
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    SF = 0.0005
+    arch = str(tmp_path / "arch")
+    compress(SF, arch)
+    out = str(tmp_path / "irs")
+    paths = extract_ir_chunks(arch, out)
+    assert paths and all(p.endswith(".clp.ir") for p in paths)
+    back = ir.read_ir(paths).to_pandas()
+    orig = read_transcripts(SF, columns=["ts", "text"]).to_pandas()
+    assert sorted(back["text"]) == sorted(orig["text"])
+    want_ms = orig["ts"].astype("datetime64[ms]").astype("int64").sort_values().tolist()
+    assert sorted(back["ts"].tolist()) == want_ms
+
+
 def test_write_read_ir_ray(ray_session, tmp_path):
     """Ray integration: transcripts → IR stream files → decoded Dataset."""
     import pyarrow.compute as pc
