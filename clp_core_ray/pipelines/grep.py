@@ -231,6 +231,38 @@ class CompiledQuery:
         return np.unique(np.concatenate([s.logtype_ids for s in self.subqueries]))
 
 
+def dict_probe_patterns(query: str, ignore_case: bool = False):
+    """The (exact needles, wildcard regexes) :func:`compile_query` would look
+    up in the variable dictionary for ``query``.
+
+    Lets callers prefilter a large on-disk dictionary down to just the
+    entries these patterns select before compiling. compile_query's dict
+    lookups are pure selections (equality / regex match over values), so
+    compiling against the filtered subset yields identical subqueries —
+    this is how a 100-TB archive's var dict stays off the driver (the
+    reference holds dicts in memory, DictionaryReader.hpp role; ours can
+    exceed driver RAM at scale).
+    """
+    processed = clean_up_wildcard_search_string(f"*{query}*")
+    for_subqueries = clean_up_wildcard_search_string(processed.replace("?", "*"))
+    exact: list[str] = []
+    regexes: list[str] = []
+    for t in tokenize_query(for_subqueries):
+        if t.middle_star or "wildcard" in t.possible_types:
+            continue  # absorbed into '*' / never a dict lookup
+        needle = t.value.lower() if ignore_case else t.value
+        if not t.contains_wildcards:
+            if (T_DICT in t.possible_types
+                    and E.encode_int(t.value) is None
+                    and E.encode_float(t.value) is None):
+                exact.append(needle)
+        elif t.cannot_convert and T_DICT in t.possible_types:
+            from clp_core_ray.pipelines.search import wildcard_to_regex
+
+            regexes.append(wildcard_to_regex(needle))
+    return exact, regexes
+
+
 ANY = "[\\s\\S]*"
 
 

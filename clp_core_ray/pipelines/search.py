@@ -219,6 +219,50 @@ def rows_matching_var_subsequence(encoded_vars, required: list[int]) -> np.ndarr
     return ok
 
 
+def _probe_var_dict(vfiles: list, query: str, ignore_case: bool):
+    """Distributed variable-dictionary probe: scan the dict with Ray and
+    return only entries the query's tokens could select (exact needles +
+    wildcard regexes from :func:`grep.dict_probe_patterns`).
+
+    compile_query's dict lookups are selections over (value → var_id), so
+    compiling against the probed subset produces identical subqueries while
+    driver memory stays bounded by the number of MATCHING entries — not by
+    dictionary size, which at 100-TB archives can exceed driver RAM (the
+    reference's clg holds dicts in memory, DictionaryReader.hpp:19 role).
+    Returns None when the query performs no dict lookups.
+    """
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.grep import dict_probe_patterns
+
+    exact, regexes = dict_probe_patterns(query, ignore_case)
+    if not exact and not regexes:
+        return None
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = b.column("value").combine_chunks()
+        vc = pc.utf8_lower(v) if ignore_case else v
+        m = np.zeros(len(b), dtype=bool)
+        if exact:
+            m |= np.asarray(pc.is_in(vc, value_set=pa.array(exact)), dtype=bool)
+        for rx in regexes:
+            m |= np.asarray(pc.match_substring_regex(vc, rx), dtype=bool)
+        return b.filter(pa.array(m))
+
+    hits = [
+        pa.table(b)
+        for b in rd.read_parquet(vfiles)
+        .map_batches(keep, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not hits:  # no matching entries: empty dict → conds prune to WontMatch
+        import pyarrow.parquet as pq
+
+        return pq.read_table(vfiles[0]).slice(0, 0)
+    return pa.concat_tables(hits)
+
+
 def search_archive(archive_dir: str, query: str, columns=None,
                    ignore_case: bool = False):
     """Search a compressed archive → Dataset[(conv_id, turn_idx, text)].
@@ -268,11 +312,20 @@ def search_archive(archive_dir: str, query: str, columns=None,
             for f in sorted(os.listdir(var_dict_path)) if f.endswith(".parquet")
         ]
         if vfiles:
-            vtbl = pa.concat_tables(pq.read_table(f) for f in vfiles)
-            var_ids = np.asarray(vtbl.column("var_id"), dtype=np.int64)
-            var_values = vtbl.column("value").combine_chunks()
-            if "classes" in vtbl.column_names:
-                var_classes = vtbl.column("classes").combine_chunks()
+            # size-aware: small dicts load directly; a dict too big for the
+            # driver is probed distributedly — only entries the query's
+            # tokens could select come back (bounded by matches, not dict
+            # size), and compile_query sees identical lookups either way
+            cap = int(os.environ.get("CLP_VAR_DICT_DRIVER_BYTES", 64 << 20))
+            if sum(os.path.getsize(f) for f in vfiles) <= cap:
+                vtbl = pa.concat_tables(pq.read_table(f) for f in vfiles)
+            else:
+                vtbl = _probe_var_dict(vfiles, query, ignore_case)
+            if vtbl is not None:
+                var_ids = np.asarray(vtbl.column("var_id"), dtype=np.int64)
+                var_values = vtbl.column("value").combine_chunks()
+                if "classes" in vtbl.column_names:
+                    var_classes = vtbl.column("classes").combine_chunks()
 
     cq = compile_query(
         query,

@@ -216,7 +216,8 @@ class EncodeStage:
         self._delta_seq += 1
         # write-then-rename: concurrent finalize pre-readers (the compress
         # delta watcher) must never observe a half-written file
-        pq.write_table(delta, path + ".tmp", compression="zstd", filesystem=self._fs)
+        pq.write_table(delta, path + ".tmp", compression="zstd",
+                       use_dictionary=False, filesystem=self._fs)
         self._fs.move(path + ".tmp", path)
         # epoch rollover: bound the per-actor seen-sets for long jobs
         n_var_seen = sum(len(s) for s in self._seen_var_ids.values())

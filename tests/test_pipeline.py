@@ -145,6 +145,39 @@ def test_search_matches_bruteforce(ray_session, tiny_transcripts, tmp_path):
     assert (hits["text"].values == want["text"].values).all()
 
 
+def test_var_dict_distributed_probe(ray_session, tiny_transcripts, tmp_path,
+                                    monkeypatch):
+    """Forcing the distributed var-dict probe (driver-size cap 0) must give
+    byte-identical search results to the driver-load path, across query
+    shapes: dict-var exact, wildcard dict token, dictionary miss (prunes to
+    empty), and a query with no dict lookups (probe short-circuits)."""
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import search_archive
+
+    out = str(tmp_path / "arch_probe")
+    compress(SF, out)
+    queries = ["ERROR*timeout", "*latency*", "zz_no_such_token_zz", "42"]
+
+    def run_all():
+        res = {}
+        for q in queries:
+            got = search_archive(out, q).to_pandas()
+            if len(got):  # empty frames can lose their schema in to_pandas
+                got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            res[q] = got
+        return res
+
+    base = run_all()
+    monkeypatch.setenv("CLP_VAR_DICT_DRIVER_BYTES", "0")
+    probed = run_all()
+    assert len(base["ERROR*timeout"]) > 0
+    assert len(base["zz_no_such_token_zz"]) == 0
+    for q in queries:
+        assert len(base[q]) == len(probed[q]), q
+        if len(base[q]):
+            assert base[q].equals(probed[q]), q
+
+
 def test_dict_epoch_rollover(ray_session, tmp_path, monkeypatch):
     """A tiny dictionary cap forces epoch rollover (CLP's 100 MiB archive
     split, CommandLineArguments.hpp:28-30): the stage's seen-sets reset, later
