@@ -64,7 +64,8 @@ class _DeltaWatcher:
             names = os.listdir(self.delta_dir)
         except FileNotFoundError:
             return []
-        return [n for n in names if n.endswith(".parquet") and n not in self.seen]
+        return [n for n in names
+                if n.endswith((".parquet", ".arrow")) and n not in self.seen]
 
     def _submit(self, names: list[str]) -> None:
         import ray
@@ -210,8 +211,12 @@ def compress(
     dict_cols = ["conv_id", "role", "tool", "role_group", "tool_category"]
     if not compact:
         dict_cols.append("logtype")
+    # zstd level 3 = CLP's own default (CommandLineArguments.hpp:90); at this
+    # level the sink write costs the same wall time as level 1 but produces
+    # ~6% smaller archives (measured 8.4s/269MB vs 8.5s/286MB at sf1.6)
     encoded.write_parquet(routed_dir, partition_cols=["logtype_class"],
-                          compression="zstd", use_dictionary=dict_cols)
+                          compression="zstd", compression_level=3,
+                          use_dictionary=dict_cols)
     t_write = time.time()
     # the two post-write steps are independent (footer reads vs the delta
     # bucket merge, whose pre-dedup tasks the watcher already launched) —

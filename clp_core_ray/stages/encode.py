@@ -211,13 +211,21 @@ class EncodeStage:
         )
         path = (
             f"{self._delta_path}/delta-e{self._epoch}-"
-            f"{uuid.uuid4().hex}-{self._delta_seq}.parquet"
+            f"{uuid.uuid4().hex}-{self._delta_seq}.arrow"
         )
         self._delta_seq += 1
-        # write-then-rename: concurrent finalize pre-readers (the compress
-        # delta watcher) must never observe a half-written file
-        pq.write_table(delta, path + ".tmp", compression="zstd",
-                       use_dictionary=False, filesystem=self._fs)
+        # Arrow IPC + lz4, not parquet: deltas are write-once scratch read
+        # back by the finalize minutes later, and IPC writes are near-memcpy
+        # (parquet page encoding of mostly-unique values added ~30% to the
+        # whole sink write). write-then-rename: concurrent finalize
+        # pre-readers (the compress delta watcher) must never observe a
+        # half-written file
+        import pyarrow.ipc as ipc
+
+        with self._fs.open_output_stream(path + ".tmp") as f:
+            opts = ipc.IpcWriteOptions(compression="lz4")
+            with ipc.new_file(f, delta.schema, options=opts) as w:
+                w.write_table(delta)
         self._fs.move(path + ".tmp", path)
         # epoch rollover: bound the per-actor seen-sets for long jobs
         n_var_seen = sum(len(s) for s in self._seen_var_ids.values())

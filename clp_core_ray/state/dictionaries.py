@@ -185,7 +185,8 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None,
             infos = []
         delta_files = sorted(
             i.path for i in infos
-            if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+            if i.type == pafs.FileType.File
+            and i.path.endswith((".parquet", ".arrow"))
         )
         total = sum(i.size for i in infos if i.path in set(delta_files))
     if delta_files:
@@ -199,7 +200,16 @@ def write_archive_dicts(out_dir: str, delta_dir: str | None = None,
             return _finalize_dicts_driver(out_dir, files, fs=delta_fs)
         if total < 1024 * 1024 * 1024:
             return _finalize_dicts_parallel(out_dir, files, fs=delta_fs)
-        partials = rd.read_parquet(delta_dir)
+        _fs_cap = delta_fs
+
+        def _load_paths(b: pa.Table) -> pa.Table:
+            return pa.concat_tables(
+                _read_delta(p, _fs_cap) for p in b.column("path").to_pylist()
+            )
+
+        partials = rd.from_items(
+            [{"path": p} for p in files]
+        ).map_batches(_load_paths, batch_format="pyarrow", batch_size=4)
     else:
         partials = None
     ds = (
@@ -445,6 +455,23 @@ def _finalize_from_table(out_dir: str, t: pa.Table) -> dict:
     return {"n_logtypes": len(ldict), "classes": sorted(by_class)}
 
 
+def _read_delta(path: str, fs=None) -> pa.Table:
+    """Read one dict-delta file — Arrow IPC (current format) or parquet
+    (pre-IPC archives / shared-storage deltas)."""
+    import pyarrow.parquet as pq
+
+    if path.endswith(".arrow"):
+        import pyarrow.ipc as ipc
+
+        if fs is None:
+            from pyarrow import fs as pafs
+
+            fs = pafs.LocalFileSystem()
+        with fs.open_input_file(path) as f:
+            return ipc.open_file(f).read_all()
+    return pq.read_table(path, filesystem=fs)
+
+
 def _finalize_dicts_driver(out_dir: str, delta_files: list[str], fs=None) -> dict:
     """Driver-side dict finalize for small delta sets (vectorized dedup)."""
     from concurrent.futures import ThreadPoolExecutor
@@ -452,7 +479,7 @@ def _finalize_dicts_driver(out_dir: str, delta_files: list[str], fs=None) -> dic
     import pyarrow.parquet as pq
 
     with ThreadPoolExecutor(16) as ex:
-        tables = list(ex.map(lambda f: pq.read_table(f, filesystem=fs), delta_files))
+        tables = list(ex.map(lambda f: _read_delta(f, fs), delta_files))
     return _finalize_from_table(out_dir, _dedup_unified(pa.concat_tables(tables)))
 
 
@@ -466,7 +493,7 @@ def _prededup_files(paths: list, fs=None):
     the sink write)."""
     import pyarrow.parquet as pq
 
-    tables = [pq.read_table(p, filesystem=fs) for p in paths]
+    tables = [_read_delta(p, fs) for p in paths]
     t = _dedup_unified(pa.concat_tables(tables)).combine_chunks()
     ids = np.asarray(t.column("id"), dtype=np.int64)
     b = (ids & (N_FINALIZE_BUCKETS - 1)).astype(np.int64)
