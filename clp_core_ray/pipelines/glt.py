@@ -18,6 +18,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 COMBINE_THRESHOLD_ROWS = 1000  # groups smaller than this go to the misc sink
 
@@ -116,3 +117,390 @@ def read_var_column(glt_dir: str, logtype_id: int, position: int):
 
     d = os.path.join(glt_dir, f"logtype_id={logtype_id & 0xFFFFFFFFFFFFFFFF:016x}")
     return rd.read_parquet(d, columns=["conv_id", "turn_idx", f"var_{position}"])
+
+
+# --------------------------------------------------------------------------
+# GLT search — the column-oriented search engine over the GLT layout
+# (glt/Grep.cpp's LogtypeTable search; reported 7.8x faster than clp because
+# a var condition touches one column, docs/core-unstructured/glt.md:6-7)
+# --------------------------------------------------------------------------
+
+_TYPE_CODE = {"int": 0, "float": 1, "dict": 2}
+_PH_TYPE = {"\x11": "int", "\x13": "float", "\x12": "dict"}
+
+
+def template_placeholder_types(template: str) -> list[str]:
+    """Placeholder types of a stored logtype in order ('int'|'float'|'dict').
+
+    Honors storage escapes: '\\' escapes the next byte, so an escaped
+    placeholder byte is literal text, not a variable (parsing.inc:12-33
+    escape model, same as the decoder's _active_escapes)."""
+    out: list[str] = []
+    i = 0
+    n = len(template)
+    while i < n:
+        c = template[i]
+        if c == "\\":
+            i += 2
+            continue
+        t = _PH_TYPE.get(c)
+        if t is not None:
+            out.append(t)
+        i += 1
+    return out
+
+
+def align_positions(ph_types: list[str], cond_types: list[str]):
+    """Feasible variable positions per condition, or None if infeasible.
+
+    Conditions are an in-order subsequence over the logtype's variables
+    (Query.cpp:150-172 semantics); cond i may sit at any position of matching
+    type within [earliest_i, latest_i] given the other conditions."""
+    k = len(ph_types)
+    m = len(cond_types)
+    if m == 0:
+        return []
+    earliest = []
+    j = 0
+    for t in cond_types:
+        while j < k and ph_types[j] != t:
+            j += 1
+        if j >= k:
+            return None
+        earliest.append(j)
+        j += 1
+    latest = [0] * m
+    j = k - 1
+    for i in range(m - 1, -1, -1):
+        while j >= 0 and ph_types[j] != cond_types[i]:
+            j -= 1
+        if j < 0:
+            return None
+        latest[i] = j
+        j -= 1
+    return [
+        [p for p in range(earliest[i], latest[i] + 1) if ph_types[p] == cond_types[i]]
+        for i in range(m)
+    ]
+
+
+def _lid_dir(lid: int) -> str:
+    return f"logtype_id={lid & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _rg_can_match(meta_rg, col_index: dict, specs) -> bool:
+    """Row-group pruning from parquet column statistics: a row group can host
+    a subquery match only if, for every condition, at least one feasible
+    column's [min,max] admits an allowed value (clg's segment-intersection
+    idea applied at parquet row-group granularity)."""
+    for conds, pos_sets in specs:
+        if not conds:
+            return True
+        sq_ok = True
+        for allowed, positions in zip(conds, pos_sets):
+            cond_ok = False
+            for j in positions:
+                idx = col_index.get(f"var_{j}")
+                if idx is None:
+                    cond_ok = True
+                    break
+                st = meta_rg.column(idx).statistics
+                if st is None or not st.has_min_max:
+                    cond_ok = True
+                    break
+                if ((allowed >= st.min) & (allowed <= st.max)).any():
+                    cond_ok = True
+                    break
+            if not cond_ok:
+                sq_ok = False
+                break
+        if sq_ok:
+            return True
+    return False
+
+
+def _rows_matching_positions(cols: dict, n: int, k: int, specs) -> np.ndarray:
+    """OR over subqueries of the positional in-order condition match."""
+    keep = np.zeros(n, dtype=bool)
+    for conds, pos_sets in specs:
+        if not conds:
+            return np.ones(n, dtype=bool)
+        ok = np.ones(n, dtype=bool)
+        pos = np.zeros(n, dtype=np.int64)
+        for allowed, positions in zip(conds, pos_sets):
+            best = np.full(n, k, dtype=np.int64)
+            for j in sorted(positions, reverse=True):
+                c = cols[j]
+                hit = (c == allowed[0]) if len(allowed) == 1 else np.isin(c, allowed)
+                sel = hit & (pos <= j)
+                best[sel] = j
+            ok &= best < k
+            pos = np.where(ok, best + 1, pos)
+        keep |= ok
+        if keep.all():
+            break
+    return keep
+
+
+def glt_search(archive_dir: str, query: str, ignore_case: bool = False,
+               glt_dir: str | None = None):
+    """Search the GLT layout → Dataset[(conv_id, turn_idx, text)].
+
+    Per candidate logtype the query's var conditions are aligned to that
+    logtype's variable *positions* (glt/Grep.cpp's
+    get_converted_logtype_query role), so the filter phase reads ONLY the
+    conditioned var columns of the dedicated tables — plus row-group
+    statistics pruning — and the remaining columns are late-materialized
+    for matching row groups only. The combined 'misc' sink falls back to
+    the row-oriented in-order var match. Results are decode-verified with
+    the effective wildcard pattern, so they equal :func:`search_archive`.
+    """
+    import ray
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.grep import rows_matching_subquery_vars
+    from clp_core_ray.pipelines.search import compile_for_archive, wildcard_to_regex
+    from clp_core_ray.vec.decoder import decode_batch
+
+    glt_dir = glt_dir or os.path.join(archive_dir, "glt")
+    cq, ldict, var_ids, var_values, _ = compile_for_archive(
+        archive_dir, query, ignore_case
+    )
+
+    def _empty():
+        return rd.from_arrow(
+            pa.table({"conv_id": pa.array([], type=pa.string()),
+                      "turn_idx": pa.array([], type=pa.int32()),
+                      "text": pa.array([], type=pa.large_string())})
+        )
+
+    if not cq.match_all and not cq.subqueries:
+        return _empty()
+
+    lt_ids = np.asarray(ldict.column("logtype_id"), dtype=np.int64)
+    lt_values = ldict.column("logtype").to_pylist()
+    template_of = dict(zip(lt_ids.tolist(), lt_values))
+    cand = set(lt_ids.tolist()) if cq.match_all else set(cq.all_logtype_ids().tolist())
+
+    dedicated = {}
+    for name in sorted(os.listdir(glt_dir)) if os.path.isdir(glt_dir) else []:
+        if name.startswith("logtype_id="):
+            v = int(name.split("=", 1)[1], 16)
+            dedicated[v - (1 << 64) if v >= (1 << 63) else v] = os.path.join(
+                glt_dir, name
+            )
+
+    rx = wildcard_to_regex(cq.processed)
+    if ignore_case:
+        rx = "(?i)" + rx
+
+    # per-dedicated-logtype scan specs: lid → (template, k, specs, filter_cols)
+    items = []
+    spec_by_lid = {}
+    for lid, d in dedicated.items():
+        if lid not in cand:
+            continue
+        templ = template_of.get(lid)
+        if templ is None:
+            continue
+        ph = template_placeholder_types(templ)
+        k = len(ph)
+        specs = []
+        if cq.match_all:
+            specs.append(((), ()))
+        else:
+            for sq in cq.subqueries:
+                if lid not in sq.logtype_ids:
+                    continue
+                pos_sets = align_positions(ph, sq.var_cond_types)
+                if pos_sets is None:
+                    continue
+                # conds beyond the typed ones (none today) would break the
+                # parallel-list assumption; guard it
+                if len(sq.var_conds) != len(sq.var_cond_types):
+                    pos_sets = None
+                if pos_sets is None:
+                    specs.append(((), ()))
+                else:
+                    specs.append((tuple(sq.var_conds), tuple(pos_sets)))
+            if not specs:
+                continue
+        filter_cols = sorted({
+            j for conds, pos_sets in specs for ps in pos_sets for j in ps
+        })
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.endswith(".parquet")]
+        for f in files:
+            items.append({"path": f, "lid": lid})
+        spec_by_lid[lid] = (templ, k, specs, filter_cols)
+
+    specs_ref = ray.put(spec_by_lid)
+    vdict_ref = ray.put((var_ids, var_values)) if var_ids is not None else None
+
+    out_schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("text", pa.large_string()),
+    ])
+
+    def _empty_tbl():
+        return pa.table(
+            {"conv_id": pa.array([], type=pa.string()),
+             "turn_idx": pa.array([], type=pa.int32()),
+             "text": pa.array([], type=pa.large_string())}
+        )
+
+    def scan_dedicated(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        spec_map = ray.get(specs_ref)
+        dids, dvals = ray.get(vdict_ref) if vdict_ref is not None else (None, None)
+        out = []
+        for path, lid in zip(batch.column("path").to_pylist(),
+                             batch.column("lid").to_pylist()):
+            templ, k, specs, filter_cols = spec_map[lid]
+            all_var_cols = [f"var_{j}" for j in range(k)]
+            vt = np.array(
+                [_TYPE_CODE[t] for t in template_placeholder_types(templ)],
+                dtype=np.int8,
+            )
+            pf = pq.ParquetFile(path)
+            col_index = {}
+            if pf.metadata.num_row_groups:
+                rg0 = pf.metadata.row_group(0)
+                col_index = {rg0.column(i).path_in_schema: i
+                             for i in range(rg0.num_columns)}
+            for rg in range(pf.metadata.num_row_groups):
+                if filter_cols and not _rg_can_match(
+                    pf.metadata.row_group(rg), col_index, specs
+                ):
+                    continue
+                t = pf.read_row_group(
+                    rg, columns=["conv_id", "turn_idx"]
+                    + [f"var_{j}" for j in filter_cols]
+                )
+                n = len(t)
+                if n == 0:
+                    continue
+                cols = {j: np.asarray(t.column(f"var_{j}"), dtype=np.int64)
+                        for j in filter_cols}
+                keep = _rows_matching_positions(cols, n, k, specs)
+                if not keep.any():
+                    continue
+                idx = np.flatnonzero(keep)
+                # late materialization: remaining var columns only for hits
+                if k:
+                    full = pf.read_row_group(rg, columns=all_var_cols)
+                    mat = np.column_stack([
+                        np.asarray(full.column(c), dtype=np.int64)
+                        for c in all_var_cols
+                    ])[idx]
+                else:
+                    mat = np.zeros((len(idx), 0), dtype=np.int64)
+                nh = len(idx)
+                offs = pa.array(np.arange(nh + 1, dtype=np.int32) * k)
+                ev = pa.ListArray.from_arrays(offs, pa.array(mat.ravel()))
+                vts = pa.ListArray.from_arrays(offs, pa.array(np.tile(vt, nh)))
+                templ_arr = pa.array([templ] * nh, type=pa.large_string())
+                text = decode_batch(templ_arr, ev, vts,
+                                    dict_ids=dids, dict_values=dvals)
+                m = pc.match_substring_regex(text, rx)
+                hit = pa.table({
+                    "conv_id": t.column("conv_id").take(pa.array(idx)),
+                    "turn_idx": t.column("turn_idx").take(pa.array(idx)),
+                    "text": text,
+                }).filter(m)
+                if hit.num_rows:
+                    out.append(hit)
+        if not out:
+            return _empty_tbl()
+        return pa.concat_tables(out).cast(pa.schema(out[0].schema))
+
+    pieces = []
+    if items:
+        dds = rd.from_arrow(pa.table({
+            "path": pa.array([i["path"] for i in items]),
+            "lid": pa.array([i["lid"] for i in items], type=pa.int64()),
+        }))
+        # one file per block → file-level parallelism for the scanners
+        dds = dds.repartition(max(1, len(items)))
+        pieces.append(dds.map_batches(scan_dedicated, batch_format="pyarrow"))
+
+    misc = os.path.join(glt_dir, "misc")
+    misc_cand = sorted(c for c in cand if c not in dedicated)
+    if os.path.isdir(misc) and misc_cand:
+        cand_arr = pa.array(np.array(misc_cand, dtype=np.int64))
+        # per-lid var_types + template for decode (derived from the template,
+        # identical for every row of a logtype)
+        types_seqs = [
+            np.array([_TYPE_CODE[t]
+                      for t in template_placeholder_types(template_of[c])],
+                     dtype=np.int8)
+            for c in misc_cand
+        ]
+        type_lens = np.array([len(s) for s in types_seqs], dtype=np.int64)
+        type_starts = np.concatenate([[0], np.cumsum(type_lens)])[:-1]
+        types_flat = (np.concatenate(types_seqs) if types_seqs
+                      else np.zeros(0, dtype=np.int8))
+        templates_arr = pa.array([template_of[c] for c in misc_cand],
+                                 type=pa.large_string())
+        subqueries = cq.subqueries
+        match_all = cq.match_all
+
+        def scan_misc(b: pa.Table) -> pa.Table:
+            dids, dvals = ray.get(vdict_ref) if vdict_ref is not None else (None, None)
+            lt = b.column("logtype_id")
+            pos = pc.index_in(lt, cand_arr)
+            keep = np.asarray(pc.is_valid(pos), dtype=bool)
+            if not match_all:
+                m = np.zeros(len(b), dtype=bool)
+                for sq in subqueries:
+                    s = np.asarray(
+                        pc.is_in(lt, value_set=pa.array(sq.logtype_ids)), dtype=bool
+                    )
+                    if sq.var_conds and s.any():
+                        s &= rows_matching_subquery_vars(
+                            b.column("encoded_vars"), sq.var_conds
+                        )
+                    m |= s
+                keep &= m
+            b = b.filter(pa.array(keep))
+            if len(b) == 0:
+                return _empty_tbl()
+            pos = np.asarray(
+                pc.index_in(b.column("logtype_id"), cand_arr), dtype=np.int64
+            )
+            lens = type_lens[pos]
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            flat = types_flat[
+                np.repeat(type_starts[pos], lens)
+                + (np.arange(int(offs[-1])) - np.repeat(offs[:-1], lens))
+            ]
+            vts = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()), pa.array(flat)
+            )
+            templ_arr = pc.take(templates_arr, pa.array(pos))
+            text = decode_batch(
+                templ_arr.cast(pa.large_string()), b.column("encoded_vars"),
+                vts, dict_ids=dids, dict_values=dvals,
+            )
+            m = pc.match_substring_regex(text, rx)
+            return pa.table({
+                "conv_id": b.column("conv_id").combine_chunks(),
+                "turn_idx": b.column("turn_idx").combine_chunks(),
+                "text": text,
+            }).filter(m)
+
+        mds = rd.read_parquet(
+            misc, columns=["conv_id", "turn_idx", "logtype_id", "encoded_vars"]
+        )
+        pieces.append(mds.map_batches(scan_misc, batch_format="pyarrow"))
+
+    if not pieces:
+        return _empty()
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out.map_batches(
+        lambda t: t.cast(out_schema) if t.num_rows else _empty_tbl(),
+        batch_format="pyarrow",
+    )

@@ -216,6 +216,10 @@ class SubQuery:
     # per-variable segment index for partition pruning (clg.cpp:249-298);
     # int/float literal conds are not indexed, as in CLP
     dict_conds: list = field(default_factory=list)
+    # per-cond placeholder type ("int" | "float" | "dict"), parallel to
+    # var_conds — lets a GLT scan align each condition to the variable
+    # *positions* of a concrete logtype (glt's LogtypeTable column search)
+    var_cond_types: list = field(default_factory=list)
 
 
 @dataclass
@@ -354,6 +358,7 @@ def compile_query(
         pieces: list[str] = []
         var_conds: list = []
         dict_conds: list = []
+        var_cond_types: list = []
         last_end = 0
         wont_match = False
         for t in tokens:
@@ -379,9 +384,11 @@ def compile_query(
                 if iv is not None:
                     pieces.append(re.escape(E.PLACEHOLDER_INT))
                     var_conds.append(np.array([iv], dtype=np.int64))
+                    var_cond_types.append(T_INT)
                 elif fv is not None:
                     pieces.append(re.escape(E.PLACEHOLDER_FLOAT))
                     var_conds.append(np.array([fv], dtype=np.int64))
+                    var_cond_types.append(T_FLOAT)
                 else:
                     ids = dict_exact_ids(t.value)
                     pieces.append(re.escape(E.PLACEHOLDER_DICT))
@@ -391,6 +398,7 @@ def compile_query(
                             break
                         var_conds.append(ids.astype(np.int64))
                         dict_conds.append(ids.astype(np.int64))
+                        var_cond_types.append(T_DICT)
                 continue
             if t.prefix_star:
                 pieces.append(ANY)
@@ -408,6 +416,7 @@ def compile_query(
                             break
                         var_conds.append(ids.astype(np.int64))
                         dict_conds.append(ids.astype(np.int64))
+                        var_cond_types.append(T_DICT)
             if t.suffix_star:
                 pieces.append(ANY)
         if wont_match:
@@ -426,7 +435,8 @@ def compile_query(
         if len(ids) == 0:
             continue  # WontMatch
         subqueries.append(
-            SubQuery(logtype_ids=ids, var_conds=var_conds, dict_conds=dict_conds)
+            SubQuery(logtype_ids=ids, var_conds=var_conds, dict_conds=dict_conds,
+                     var_cond_types=var_cond_types)
         )
 
     return CompiledQuery(subqueries, match_all=match_all, processed=processed,

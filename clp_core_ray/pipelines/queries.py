@@ -297,6 +297,38 @@ def _archive_dir(sf_dir: str) -> str:
     return out
 
 
+def _glt_dir(arch: str) -> str:
+    """Regroup the archive into the GLT layout once (cached by marker)."""
+    import shutil
+
+    out = os.path.join(arch, "glt")
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        from clp_core_ray.pipelines.glt import write_glt
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_glt(arch, out)
+        open(marker, "w").close()
+    return out
+
+
+@register(
+    "clp_glt_search",
+    "SELECT conv_id, turn_idx, text FROM {T} WHERE text LIKE '%.bin errno=42%'",
+)
+def clp_glt_search(sf_dir: str):
+    """Column-oriented GLT search (glt's LogtypeTable engine,
+    docs/core-unstructured/glt.md:6-7 — 7.8x vs clp): the int var condition
+    '42' is aligned to each candidate logtype's variable *positions*, so the
+    filter phase reads only those var columns of the dedicated tables, prunes
+    row groups by parquet column statistics, and late-materializes the rest
+    only for matching row groups. Must equal the row-oriented search."""
+    from clp_core_ray.pipelines.glt import glt_search
+
+    arch = _archive_dir(sf_dir)
+    return glt_search(arch, "*.bin errno=42*", glt_dir=_glt_dir(arch))
+
+
 # --------------------------------------------------------------------------
 # events / TPC-H-ish operator parity queries
 # --------------------------------------------------------------------------

@@ -263,35 +263,25 @@ def _probe_var_dict(vfiles: list, query: str, ignore_case: bool):
     return pa.concat_tables(hits)
 
 
-def search_archive(archive_dir: str, query: str, columns=None,
-                   ignore_case: bool = False):
-    """Search a compressed archive → Dataset[(conv_id, turn_idx, text)].
+def compile_for_archive(archive_dir: str, query: str, ignore_case: bool = False):
+    """Load an archive's dictionaries and compile ``query`` against them.
 
-    Compile (driver): the Grep subquery compiler (pipelines.grep) enumerates
-    interpretations of ambiguous tokens against the archive's logtype and
-    variable dictionaries — possible-logtype sets plus in-order var
-    conditions per subquery (Grep.cpp:499-628). Prune: sink partitions
-    are skipped via the class→logtype index (J4). Scan (vectorized): rows
-    matching any subquery are decoded and wildcard-verified (the verify
-    keeps results exact even where subqueries are imprecise,
-    Grep.cpp:900-959). ``ignore_case`` mirrors wildcard_match_unsafe's
-    lowercase-both mode (string_utils.hpp:88-94).
+    Shared by row-oriented search (:func:`search_archive`) and the GLT
+    column-oriented search (:func:`clp_core_ray.pipelines.glt.glt_search`).
+    Returns ``(cq, ldict, var_ids, var_values, var_classes)`` where ``ldict``
+    is the logtype dictionary table and ``var_classes`` the per-variable
+    segment index column (DictionaryWriter.hpp:179-202), if persisted.
     """
-    import json
     import os
 
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from clp_core_ray.pipelines.grep import compile_query, rows_matching_subquery_vars
+    from clp_core_ray.pipelines.grep import compile_query
     from clp_core_ray.state.dictionaries import logtype_dict
-    from clp_core_ray.vec.decoder import decode_batch
 
-    if os.path.basename(os.path.normpath(archive_dir)) == "routed":
-        archive_dir = os.path.dirname(os.path.normpath(archive_dir))
     routed = os.path.join(archive_dir, "routed")
     dict_path = os.path.join(archive_dir, "logtype.dict.parquet")
-    import pyarrow.parquet as pq
-
     if os.path.exists(dict_path):
         ldict = pq.read_table(dict_path)
     else:  # archive without persisted dicts: derive (distributed distinct)
@@ -331,6 +321,39 @@ def search_archive(archive_dir: str, query: str, columns=None,
         query,
         ldict.column("logtype_id"), ldict.column("logtype").combine_chunks(),
         var_ids=var_ids, var_values=var_values, ignore_case=ignore_case,
+    )
+    return cq, ldict, var_ids, var_values, var_classes
+
+
+def search_archive(archive_dir: str, query: str, columns=None,
+                   ignore_case: bool = False):
+    """Search a compressed archive → Dataset[(conv_id, turn_idx, text)].
+
+    Compile (driver): the Grep subquery compiler (pipelines.grep) enumerates
+    interpretations of ambiguous tokens against the archive's logtype and
+    variable dictionaries — possible-logtype sets plus in-order var
+    conditions per subquery (Grep.cpp:499-628). Prune: sink partitions
+    are skipped via the class→logtype index (J4). Scan (vectorized): rows
+    matching any subquery are decoded and wildcard-verified (the verify
+    keeps results exact even where subqueries are imprecise,
+    Grep.cpp:900-959). ``ignore_case`` mirrors wildcard_match_unsafe's
+    lowercase-both mode (string_utils.hpp:88-94).
+    """
+    import json
+    import os
+
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.grep import rows_matching_subquery_vars
+    from clp_core_ray.vec.decoder import decode_batch
+
+    if os.path.basename(os.path.normpath(archive_dir)) == "routed":
+        archive_dir = os.path.dirname(os.path.normpath(archive_dir))
+    routed = os.path.join(archive_dir, "routed")
+    import pyarrow.parquet as pq
+
+    cq, ldict, var_ids, var_values, var_classes = compile_for_archive(
+        archive_dir, query, ignore_case
     )
 
     def _empty():

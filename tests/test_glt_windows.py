@@ -36,6 +36,55 @@ def test_glt_layout_roundtrip(ray_session, tmp_path):
         assert f"var_0" in col.columns
 
 
+def test_template_placeholder_types():
+    from clp_core_ray.pipelines.glt import template_placeholder_types
+
+    assert template_placeholder_types("a \x11 b \x12 c \x13") == [
+        "int", "dict", "float"
+    ]
+    # escaped placeholder bytes are literal text, not variables
+    assert template_placeholder_types("x \\\x11 y \x12") == ["dict"]
+    assert template_placeholder_types("no vars") == []
+
+
+def test_align_positions():
+    from clp_core_ray.pipelines.glt import align_positions
+
+    ph = ["int", "dict", "int", "float"]
+    # single int cond may sit at either int position
+    assert align_positions(ph, ["int"]) == [[0, 2]]
+    # ordered pair (int, float): int must precede the float
+    assert align_positions(ph, ["int", "float"]) == [[0, 2], [3]]
+    # two ints use both int positions in order
+    assert align_positions(ph, ["int", "int"]) == [[0], [2]]
+    # infeasible: no second dict
+    assert align_positions(ph, ["dict", "dict"]) is None
+    assert align_positions(ph, []) == []
+
+
+def test_glt_search_matches_row_search(ray_session, tmp_path):
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.glt import glt_search, write_glt
+    from clp_core_ray.pipelines.search import search_archive
+
+    arch = str(tmp_path / "arch")
+    compress(0.001, arch)
+    glt_dir = str(tmp_path / "glt")
+    write_glt(arch, glt_dir)
+    for q, ic in [("ERROR*timeout", False), ("*.bin errno=42*", False),
+                  ("*calling svc-77 *", False),
+                  ("error upstream*", True)]:
+        a = search_archive(arch, q, ignore_case=ic).to_pandas()
+        g = glt_search(arch, q, ignore_case=ic, glt_dir=glt_dir).to_pandas()
+        assert len(a) == len(g), f"count diverges for {q!r}: {len(a)} vs {len(g)}"
+        if len(a):
+            a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            g = g.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            assert a.equals(g), f"glt_search diverges for {q!r}"
+    # dictionary-miss query prunes to empty without scanning
+    assert glt_search(arch, "*zzz-never-present*", glt_dir=glt_dir).count() == 0
+
+
 def test_sessionize_gap_split(ray_session):
     import ray.data as rd
 
