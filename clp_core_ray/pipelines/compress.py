@@ -245,6 +245,7 @@ def compress(
             f"finalize(counts+dicts)={time.time() - t_write:.2f}s",
             file=sys.stderr,
         )
+    ts_range = sink_ts_range(routed_dir)
     mf.record_fragment(
         out_dir,
         "full",
@@ -258,6 +259,7 @@ def compress(
                 )
             ),
             "archive_bytes": dir_bytes(out_dir),
+            **({"ts_min": ts_range[0], "ts_max": ts_range[1]} if ts_range else {}),
         },
     )
     return counts_tbl
@@ -364,6 +366,46 @@ def _count_sink_dir_local(full: str) -> int:
 _count_task_cache: dict = {}
 
 
+def sink_ts_range(sink_dir: str, column: str = "ts") -> tuple[int, int] | None:
+    """(min, max) epoch-microseconds of ``column`` across a sink's parquet
+    footers — metadata only, no data read.
+
+    This is the per-archive begin/end timestamp CLP's metadata DB records for
+    time-range archive pruning (streaming_archive metadata role; clg's
+    --tge/--tle selection). Returns None when the column has no stats."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for root, _, files in os.walk(sink_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            try:
+                ci = md.schema.names.index(column)
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, _dt.datetime):
+                    # naive datetimes are UTC here; .timestamp() would apply
+                    # the host zone — use epoch arithmetic instead
+                    epoch = _dt.datetime(1970, 1, 1, tzinfo=mn.tzinfo)
+                    us = _dt.timedelta(microseconds=1)
+                    mn = (mn - epoch) // us
+                    mx = (mx - epoch) // us
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+    if lo is None:
+        return None
+    return int(lo), int(hi)
+
+
 def _to_table(ds) -> pa.Table:
     tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
     return pa.concat_tables(tables) if tables else pa.table({})
@@ -392,6 +434,7 @@ def run_fragments(sf_dir_or_sf, out_dir: str) -> list[str]:
         sink = os.path.join(out_dir, f"fragment={frag}")
         encoded.write_parquet(sink, partition_cols=["logtype_class"], compression="zstd")
         counts = sink_class_counts(sink)
+        ts_range = sink_ts_range(sink)
         mf.record_fragment(
             out_dir,
             frag,
@@ -405,6 +448,8 @@ def run_fragments(sf_dir_or_sf, out_dir: str) -> list[str]:
                         counts.column("cnt").to_pylist(),
                     )
                 ),
+                **({"ts_min": ts_range[0], "ts_max": ts_range[1]}
+                   if ts_range else {}),
             },
         )
     return todo

@@ -59,3 +59,31 @@ def read_manifests(out_dir: str) -> list[dict]:
 def pending_fragments(all_ids: list[str], out_dir: str) -> list[str]:
     done = completed_fragments(out_dir)
     return [f for f in all_ids if f not in done]
+
+
+def select_fragments(out_dir: str, path_glob: str | None = None,
+                     ts_range: tuple[int, int] | None = None) -> list[dict]:
+    """Archive/fragment pruning by input path and time range (J5).
+
+    The reference's clg selects archives from the metadata DB by file path
+    and --tge/--tle begin/end timestamps before opening any archive data
+    (clg.cpp archive iteration + metadata time-range columns); here the
+    manifests play the metadata-DB role: a fragment survives only if its
+    ``input`` matches ``path_glob`` and its [ts_min, ts_max] (epoch µs)
+    overlaps ``ts_range``. Fragments without a recorded ts range are kept
+    (unknown → cannot prune), mirroring conservative candidate semantics.
+    """
+    import fnmatch
+
+    out = []
+    for man in read_manifests(out_dir):
+        if path_glob is not None and not fnmatch.fnmatch(
+            str(man.get("input", "")), path_glob
+        ):
+            continue
+        if ts_range is not None and "ts_min" in man and "ts_max" in man:
+            lo, hi = ts_range
+            if int(man["ts_max"]) < lo or int(man["ts_min"]) > hi:
+                continue
+        out.append(man)
+    return out

@@ -96,6 +96,38 @@ def test_fragment_resume(ray_session, tiny_transcripts, tmp_path):
     assert done3 == []
 
 
+def test_fragment_pruning_by_path_and_time(ray_session, tiny_transcripts, tmp_path):
+    """J5: manifests play the metadata-DB role — fragments are selectable by
+    input path glob and begin/end timestamp overlap before any data is read
+    (clg's archive selection by file path + --tge/--tle)."""
+    from clp_core_ray.pipelines.compress import run_fragments
+    from clp_core_ray.state.manifest import read_manifests, select_fragments
+
+    out = str(tmp_path / "fragsel")
+    done = run_fragments(SF, out)
+    mans = read_manifests(out)
+    assert len(mans) == len(done)
+    # every fragment records its sink's time range from parquet footers
+    assert all("ts_min" in m and "ts_max" in m for m in mans)
+    assert all(int(m["ts_min"]) <= int(m["ts_max"]) for m in mans)
+
+    # no filters → everything
+    assert len(select_fragments(out)) == len(mans)
+    # path pruning: a glob matching exactly one input file
+    one = mans[0]
+    sel = select_fragments(out, path_glob=str(one["input"]))
+    assert [m["fragment_id"] for m in sel] == [one["fragment_id"]]
+    assert select_fragments(out, path_glob="*/nonexistent*") == []
+    # time pruning: a window covering only one fragment's range keeps it
+    # (plus any other fragment whose range overlaps), and a disjoint window
+    # far in the future prunes everything
+    lo, hi = int(one["ts_min"]), int(one["ts_max"])
+    sel = select_fragments(out, ts_range=(lo, hi))
+    assert one["fragment_id"] in {m["fragment_id"] for m in sel}
+    far = max(int(m["ts_max"]) for m in mans) + 10_000_000
+    assert select_fragments(out, ts_range=(far, far + 1)) == []
+
+
 def test_dictionaries_and_broadcast_decode(ray_session, tiny_transcripts):
     from clp_core_ray.pipelines.compress import build_encoded
     from clp_core_ray.sources.transcripts import read_transcripts

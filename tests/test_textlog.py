@@ -98,6 +98,30 @@ def test_ray_text_pipeline(ray_session, tmp_path):
         assert reconstruct_file_text(sub) == want
 
 
+def test_invalid_utf8_ingestion(ray_session, tmp_path):
+    """M9: non-UTF-8 bytes must not crash ingestion — they are sanitized to
+    replacement characters and the sanitized text round-trips through
+    encode→decode (the reference validates UTF-8 on ingest,
+    utf8_utils / FileCompressor parse path)."""
+    from clp_core_ray.sources.textlog import read_log_messages, reconstruct_file_text
+    from clp_core_ray.stages.encode import DecodeStage, EncodeStage
+
+    p = tmp_path / "bad.log"
+    p.write_bytes(
+        b"2016-05-08 07:34:05.251 valid line id=7\n"
+        b"2016-05-08 07:34:06.000 bad bytes \xff\xfe\x80 tail=3\n"
+    )
+    ds = read_log_messages(str(p))
+    enc = ds.map_batches(EncodeStage(text_col="content"), batch_format="pyarrow")
+    dec = enc.map_batches(DecodeStage(out_col="content"), batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        pa.table(b) for b in dec.iter_batches(batch_format="pyarrow")
+    )
+    want = p.read_bytes().decode("utf-8", errors="replace").rstrip("\n")
+    assert reconstruct_file_text(tbl) == want
+    assert "�" in reconstruct_file_text(tbl)  # replacement chars present
+
+
 def test_targz_ingestion_roundtrip(ray_session, tmp_path):
     """The reference fixture read from inside .tar.gz / .zip / .gz must
     round-trip byte-identical (LibarchiveReader recursion, S2;
