@@ -30,10 +30,12 @@ def load_dicts(archive_dir: str):
         if f.endswith(".parquet")
     ]
     # column-pruned: the classes segment-index column is search-only state,
-    # not worth broadcasting to decoders
+    # not worth broadcasting to decoders. Sorted by var_id so decode_batch
+    # resolves ids with a binary search instead of a per-batch hash build.
     vdict = pa.concat_tables(
         pq.read_table(f, columns=["var_id", "value"]) for f in vfiles
     )
+    vdict = vdict.sort_by("var_id")
     return ldict, vdict
 
 
@@ -91,6 +93,7 @@ def decompress(archive_dir: str, columns=("conv_id", "turn_idx"), ordered: bool 
             ArchiveDecodeStage,
             fn_constructor_kwargs={"dicts_ref": dicts_ref},
             batch_format="pyarrow",
+            batch_size=32 * 1024,
             concurrency=(1, ncpu),
             num_cpus=1,
         )

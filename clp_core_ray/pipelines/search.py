@@ -495,8 +495,10 @@ def search_archive(archive_dir: str, query: str, columns=None,
 
     # task-based: Scan's state (broadcast dicts) is a cheap zero-copy
     # plasma get per task, while an actor pool costs ~3s spin-up per query
-    # in this sandbox — wrong trade for interactive search
-    return ds.map_batches(Scan(), batch_format="pyarrow")
+    # in this sandbox — wrong trade for interactive search. batch_size
+    # bundles the small per-class sink files into real batches so per-call
+    # fixed costs (dict lookup setup, regex launch) amortize.
+    return ds.map_batches(Scan(), batch_format="pyarrow", batch_size=32 * 1024)
 
 
 def _first_parquet_file(routed: str):
