@@ -70,11 +70,19 @@ def run_once() -> None:
         os.environ["CLP_TRANSCRIPTS_DIR_OVERRIDE"] = staged
 
     # untimed warm-up: spawn+import the Ray workers and touch the input once,
-    # so the timed section measures compute+shuffle, not process cold start
-    from clp_core_ray.pipelines.compress import build_encoded
+    # so the timed section measures compute+shuffle, not process cold start.
+    # The tiny throwaway compress also warms the WRITE path (parquet writer,
+    # zstd contexts, delta flush) — first-touch page faults in this VM cost
+    # the first full run ~4x otherwise.
+    from clp_core_ray.pipelines.compress import build_encoded, compress
     from clp_core_ray.sources.transcripts import read_transcripts
 
     build_encoded(read_transcripts(sf_dir)).count()
+    warm_base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
+    warm_out = f"{warm_base}/clp_bench_warmup_{ncpu}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    compress(0.001, warm_out)
+    shutil.rmtree(warm_out, ignore_errors=True)
 
     # Archive sinks go to RAM-backed tmpfs when available: this sandbox's
     # virtio disk does buffered writes at ~20 MB/s (O_DIRECT does 400 MB/s),

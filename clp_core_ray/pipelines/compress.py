@@ -226,12 +226,12 @@ def compress(
     from clp_core_ray.state.dictionaries import write_archive_dicts
 
     with ThreadPoolExecutor(2) as ex:
-        f_counts = ex.submit(sink_class_counts, routed_dir)
+        f_counts = ex.submit(sink_class_stats, routed_dir)
         f_dicts = ex.submit(
             write_archive_dicts, out_dir, delta_dir,
             prededup_refs=watcher.finish() if watcher else None,
         )
-        counts_tbl = f_counts.result()
+        counts_tbl, ts_range = f_counts.result()
         t_counts = time.time()
         f_dicts.result()
         t_dicts = time.time()
@@ -245,7 +245,6 @@ def compress(
             f"finalize(counts+dicts)={time.time() - t_write:.2f}s",
             file=sys.stderr,
         )
-    ts_range = sink_ts_range(routed_dir)
     mf.record_fragment(
         out_dir,
         "full",
@@ -323,14 +322,17 @@ def raw_text_bytes(sf_dir_or_sf) -> int:
     return int(pa.compute.sum(tbl.column("b")).as_py() or 0)
 
 
-def sink_class_counts(routed_dir: str) -> pa.Table:
-    """Per-class row counts from sink parquet footers — metadata only, exact.
+def sink_class_stats(routed_dir: str) -> tuple[pa.Table, tuple[int, int] | None]:
+    """(per-class row counts, (ts_min, ts_max)) from one pass over the sink
+    parquet footers — metadata only, exact.
 
     (The A1 aggregate over the data itself is count_by(); this is the
     sink-side accounting used for the lineage manifest and the routed-row
-    equality check.) Footer reads run as one Ray task per class dir — true
-    parallelism (the pq.ParquetFile metadata path holds the GIL, so driver
-    threads serialize); falls back to driver threads without a Ray session."""
+    equality check; the ts range is the per-archive begin/end timestamp CLP's
+    metadata DB records for time-range archive pruning.) Footer reads run as
+    one Ray task per class dir — true parallelism (the pq.ParquetFile
+    metadata path holds the GIL, so driver threads serialize); falls back to
+    driver threads without a Ray session."""
     dirs = sorted(
         d for d in os.listdir(routed_dir) if d.startswith("logtype_class=")
     )
@@ -339,28 +341,70 @@ def sink_class_counts(routed_dir: str) -> pa.Table:
 
     if ray.is_initialized() and len(dirs) > 1:
         task = _count_task_cache.setdefault(
-            "t", ray.remote(num_cpus=0.5)(_count_sink_dir_local)
+            "t", ray.remote(num_cpus=0.5)(_stat_sink_dir_local)
         )
-        counts = ray.get(
+        stats = ray.get(
             [task.remote(os.path.join(routed_dir, d)) for d in dirs]
         )
     else:
-        counts = [_count_sink_dir_local(os.path.join(routed_dir, d)) for d in dirs]
-    return pa.table(
+        stats = [_stat_sink_dir_local(os.path.join(routed_dir, d)) for d in dirs]
+    counts_tbl = pa.table(
         {"logtype_class": pa.array([d.split("=", 1)[1] for d in dirs],
                                    type=pa.string()),
-         "cnt": pa.array(counts, type=pa.int64())}
+         "cnt": pa.array([s[0] for s in stats], type=pa.int64())}
     )
+    los = [s[1] for s in stats if s[1] is not None]
+    his = [s[2] for s in stats if s[2] is not None]
+    ts_range = (min(los), max(his)) if los else None
+    return counts_tbl, ts_range
 
 
-def _count_sink_dir_local(full: str) -> int:
+def sink_class_counts(routed_dir: str) -> pa.Table:
+    """Per-class row counts from sink parquet footers — metadata only."""
+    return sink_class_stats(routed_dir)[0]
+
+
+def _stat_sink_dir_local(full: str, ts_column: str = "ts"):
+    """(num_rows, ts_min_us, ts_max_us) of one sink dir from parquet footers."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
     files = [os.path.join(full, f) for f in os.listdir(full) if f.endswith(".parquet")]
+
+    def one(p):
+        md = pq.ParquetFile(p).metadata
+        lo = hi = None
+        try:
+            ci = md.schema.names.index(ts_column)
+        except ValueError:
+            return md.num_rows, None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = _ts_stat_to_us(st.min), _ts_stat_to_us(st.max)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        return md.num_rows, lo, hi
+
     with ThreadPoolExecutor(8) as ex:
-        return sum(ex.map(lambda p: pq.ParquetFile(p).metadata.num_rows, files))
+        parts = list(ex.map(one, files))
+    n = sum(p[0] for p in parts)
+    los = [p[1] for p in parts if p[1] is not None]
+    his = [p[2] for p in parts if p[2] is not None]
+    return n, (min(los) if los else None), (max(his) if his else None)
+
+
+def _ts_stat_to_us(v) -> int:
+    """Parquet footer timestamp statistic → epoch microseconds (naive
+    datetimes are UTC here; .timestamp() would apply the host zone)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+    return int(v)
 
 
 _count_task_cache: dict = {}
@@ -433,8 +477,7 @@ def run_fragments(sf_dir_or_sf, out_dir: str) -> list[str]:
         encoded = build_encoded(rd.read_parquet(path))
         sink = os.path.join(out_dir, f"fragment={frag}")
         encoded.write_parquet(sink, partition_cols=["logtype_class"], compression="zstd")
-        counts = sink_class_counts(sink)
-        ts_range = sink_ts_range(sink)
+        counts, ts_range = sink_class_stats(sink)
         mf.record_fragment(
             out_dir,
             frag,
