@@ -120,3 +120,34 @@ def test_numeric_edge_values():
         ".9999999999999999", "-.9999999999999999", "9999999999999999.9",
     ]]
     check_equivalence(msgs)
+
+
+def test_decode_broadcast_dict_paths():
+    """The sorted-dictionary binary-search path, the unsorted index_in
+    fallback, and the missing-id error must all resolve identically."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from clp_core_ray.vec.decoder import decode_batch
+
+    lt = pa.array(["x \x12 y", "\x12"], type=pa.large_string())
+    ev = pa.array([[7], [5]], type=pa.list_(pa.int64()))
+    vt = pa.array([[2], [2]], type=pa.list_(pa.int8()))
+    want = ["x B y", "a"]
+
+    sorted_ids = np.array([5, 7, 9])
+    vals = pa.array(["a", "B", "c"])
+    assert decode_batch(lt, ev, vt, dict_ids=sorted_ids, dict_values=vals).to_pylist() == want
+
+    # unsorted and duplicate-id dictionaries take the hash fallback
+    assert decode_batch(
+        lt, ev, vt, dict_ids=np.array([9, 5, 7]), dict_values=pa.array(["c", "a", "B"])
+    ).to_pylist() == want
+    assert decode_batch(
+        lt, ev, vt, dict_ids=np.array([5, 7, 7, 9]),
+        dict_values=pa.array(["a", "B", "B", "c"]),
+    ).to_pylist() == want
+
+    with pytest.raises(KeyError):
+        decode_batch(lt, ev, vt, dict_ids=np.array([5, 8, 9]), dict_values=vals)
