@@ -166,13 +166,15 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 4, 16
-    # best-of-3 fresh processes per level, INTERLEAVED (lo,hi,lo,hi,...):
+    # best-of-4 fresh processes per level, INTERLEAVED (lo,hi,lo,hi,...):
     # this host's run-to-run variance is ±50% and slow phases last minutes,
     # so consecutive same-level runs share the noise — alternating levels
     # decorrelates it; the min is the honest cost (each process is itself
-    # best-of-2)
+    # best-of-2). The hi level is the noise-sensitive one (4x less compute
+    # per run, 16-way amplifies the VM's kernel contention), so finding its
+    # floor needs the extra repetition.
     lo_runs, hi_runs = [], []
-    for _ in range(3):
+    for _ in range(4):
         lo_runs.append(run(lo_cpus))
         hi_runs.append(run(hi_cpus))
     lo = min(lo_runs, key=lambda d: d["value"])

@@ -312,6 +312,9 @@ def compile_for_archive(archive_dir: str, query: str, ignore_case: bool = False)
             else:
                 vtbl = _probe_var_dict(vfiles, query, ignore_case)
             if vtbl is not None:
+                # sorted by var_id → decode_batch takes its binary-search
+                # path instead of a per-batch hash build over the whole dict
+                vtbl = vtbl.sort_by("var_id")
                 var_ids = np.asarray(vtbl.column("var_id"), dtype=np.int64)
                 var_values = vtbl.column("value").combine_chunks()
                 if "classes" in vtbl.column_names:

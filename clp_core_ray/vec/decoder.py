@@ -157,8 +157,10 @@ def decode_batch(
                 raise ValueError("dict vars present but no dictionary provided")
             ids_np = np.asarray(dict_ids, dtype=np.int64)
             need = ev[is_dict]
-            if len(ids_np) > 1 and ids_np[0] < ids_np[-1] and \
-                    not (np.diff(ids_np) <= 0).any():
+            # sortedness via comparison, not np.diff: ids are full-range
+            # int64 content hashes, and diff overflows (a drop from +9e18
+            # to -9e18 wraps positive), which would fake "sorted"
+            if len(ids_np) > 1 and (ids_np[1:] > ids_np[:-1]).all():
                 # sorted dictionary → binary search: O(k log n) per batch with
                 # no per-call hash-table build (pc.index_in rebuilds a hash of
                 # the whole dict every call — ~20ms at 200k entries, which

@@ -151,3 +151,16 @@ def test_decode_broadcast_dict_paths():
 
     with pytest.raises(KeyError):
         decode_batch(lt, ev, vt, dict_ids=np.array([5, 8, 9]), dict_values=vals)
+
+    # int64-overflow trap: np.diff of full-range hash ids wraps (a drop from
+    # +9e18 to -9e18 looks positive), which must NOT be taken as "sorted" —
+    # this is the concatenated-bucket order real var dictionaries arrive in
+    big = np.array([9_100_000_000_000_000_000, -9_100_000_000_000_000_000, 7],
+                   dtype=np.int64)
+    got = decode_batch(
+        pa.array(["\x12"], type=pa.large_string()),
+        pa.array([[-9_100_000_000_000_000_000]], type=pa.list_(pa.int64())),
+        pa.array([[2]], type=pa.list_(pa.int8())),
+        dict_ids=big, dict_values=pa.array(["x", "y", "B"]),
+    ).to_pylist()
+    assert got == ["y"]
