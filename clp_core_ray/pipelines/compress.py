@@ -178,6 +178,8 @@ def compress(
     keep_text: bool = False,
     concurrency=None,
     compact: bool = True,
+    ds=None,
+    input_label: str | None = None,
 ):
     """Run the flagship pipeline; returns the per-class count table (small).
 
@@ -185,10 +187,14 @@ def compress(
     a manifest with per-class counts. compact=True stores CLP's three-column
     model (ids + encoded vars, dictionaries separate); compact=False keeps
     the logtype/dict_vars inline per row (self-contained rows, bigger sinks).
+    ``ds`` overrides the input with an arbitrary transcript Dataset (the
+    archive-per-input-group model, clp/compression.cpp:133-163 file grouping);
+    ``input_label`` is then recorded as the manifest's input.
     """
     import time
 
-    ds = read_transcripts(sf_dir_or_sf)
+    if ds is None:
+        ds = read_transcripts(sf_dir_or_sf)
     delta_dir = os.path.join(out_dir, "dict.deltas")
     encoded = build_encoded(
         ds, keep_text=keep_text, concurrency=concurrency, dict_delta_dir=delta_dir,
@@ -249,7 +255,8 @@ def compress(
         out_dir,
         "full",
         {
-            "input": str(transcripts_path(sf_dir_or_sf)),
+            "input": (input_label if input_label is not None
+                      else str(transcripts_path(sf_dir_or_sf))),
             "sink": routed_dir,
             "class_counts": dict(
                 zip(

@@ -297,6 +297,65 @@ def _archive_dir(sf_dir: str) -> str:
     return out
 
 
+def _multi_archive_dir(sf_dir: str) -> str:
+    """Two self-contained archives (own dicts) from the input's file halves —
+    CLP's archive-per-input-group model (clp/compression.cpp:133-163) — under
+    one base dir, cached per scale."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.sources.transcripts import sf_of_dir, transcript_files
+    from clp_core_ray.state.manifest import completed_fragments
+
+    sf = sf_of_dir(sf_dir)
+    base = f"/tmp/clp_core_ray_data/multi_archive_sf{sf}"
+    files = transcript_files(sf)
+    halves = [files[0::2], files[1::2]] if len(files) > 1 else [files]
+    for i, part in enumerate(halves):
+        out = os.path.join(base, f"archive-{i:03d}")
+        if "full" not in completed_fragments(out):
+            compress(sf, out, ds=rd.read_parquet(part),
+                     input_label=";".join(part))
+    return base
+
+
+@register(
+    "clp_search_count",
+    "SELECT count(*) AS cnt FROM {T} WHERE text LIKE '%ERROR%timeout%'",
+)
+def clp_search_count(sf_dir: str):
+    """clg --count over search results (reducer CountOperator parity)."""
+    from clp_core_ray.pipelines.search import search_count
+
+    return search_count(_archive_dir(sf_dir), "ERROR*timeout")
+
+
+@register(
+    "clp_search_count_by_hour",
+    "SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt FROM {T} "
+    "WHERE text LIKE '%ERROR%timeout%' GROUP BY 1",
+)
+def clp_search_count_by_hour(sf_dir: str):
+    """clo count-by-time over search results (OutputHandler bucket counts)."""
+    from clp_core_ray.pipelines.search import search_count_by_time
+
+    return search_count_by_time(_archive_dir(sf_dir), "ERROR*timeout",
+                                granularity="hour")
+
+
+@register(
+    "clp_search_multi_archive",
+    "SELECT conv_id, turn_idx, text FROM {T} WHERE text LIKE '%ERROR%timeout%'",
+)
+def clp_search_multi_archive(sf_dir: str):
+    """clg archive iteration: the same query over a base dir of two
+    self-contained archives (per-archive dictionaries + subquery compile,
+    manifest-driven selection) must union to the single-archive result."""
+    from clp_core_ray.pipelines.search import search_archives
+
+    return search_archives(_multi_archive_dir(sf_dir), "ERROR*timeout")
+
+
 def _glt_dir(arch: str) -> str:
     """Regroup the archive into the GLT layout once (cached by marker)."""
     import shutil

@@ -359,12 +359,22 @@ def search_archive(archive_dir: str, query: str, columns=None,
         archive_dir, query, ignore_case
     )
 
+    # passthrough columns (e.g. ts for count-by-time over results): carried
+    # from the sink rows into the match table
+    sink_schema = pq.ParquetFile(_first_parquet_file(routed)).schema_arrow
+    extra = [c for c in (columns or [])
+             if c not in ("conv_id", "turn_idx", "text")]
+    missing = [c for c in extra if c not in sink_schema.names]
+    if missing:
+        raise KeyError(f"columns not in archive sinks: {missing}")
+
     def _empty():
-        return rd.from_arrow(
-            pa.table({"conv_id": pa.array([], type=pa.string()),
-                      "turn_idx": pa.array([], type=pa.int32()),
-                      "text": pa.array([], type=pa.large_string())})
-        )
+        t = {"conv_id": pa.array([], type=pa.string()),
+             "turn_idx": pa.array([], type=pa.int32()),
+             "text": pa.array([], type=pa.large_string())}
+        for c in extra:
+            t[c] = pa.array([], type=sink_schema.field(c).type)
+        return rd.from_arrow(pa.table(t))
 
     if not cq.match_all and not cq.subqueries:
         return _empty()
@@ -419,10 +429,9 @@ def search_archive(archive_dir: str, query: str, columns=None,
             if f.endswith(".parquet")
         ]
 
-    first_schema = pq.ParquetFile(paths[0] if isinstance(paths, list) else
-                                  _first_parquet_file(routed)).schema_arrow.names
-    inline = "dict_vars" in first_schema
+    inline = "dict_vars" in sink_schema.names
     cols = ["conv_id", "turn_idx", "logtype_id", "encoded_vars", "var_types"]
+    cols += [c for c in extra if c not in cols]
     if inline:
         cols += ["logtype", "dict_vars"]
     ds = rd.read_parquet(paths, columns=cols)
@@ -469,11 +478,12 @@ def search_archive(archive_dir: str, query: str, columns=None,
                         break
                 batch = batch.filter(pa.array(keep))
             if len(batch) == 0:
-                return pa.table(
-                    {"conv_id": pa.array([], type=pa.string()),
+                t = {"conv_id": pa.array([], type=pa.string()),
                      "turn_idx": pa.array([], type=pa.int32()),
                      "text": pa.array([], type=pa.large_string())}
-                )
+                for c in extra:
+                    t[c] = pa.array([], type=sink_schema.field(c).type)
+                return pa.table(t)
             if dicts_ref is None:
                 text = decode_batch(
                     batch.column("logtype"), batch.column("encoded_vars"),
@@ -489,12 +499,12 @@ def search_archive(archive_dir: str, query: str, columns=None,
                     dict_values=self.var_values,
                 )
             m = pc.match_substring_regex(text, rx)
-            out = pa.table(
-                {"conv_id": batch.column("conv_id").combine_chunks(),
+            t = {"conv_id": batch.column("conv_id").combine_chunks(),
                  "turn_idx": batch.column("turn_idx").combine_chunks(),
                  "text": text}
-            )
-            return out.filter(m)
+            for c in extra:
+                t[c] = batch.column(c).combine_chunks()
+            return pa.table(t).filter(m)
 
     # task-based: Scan's state (broadcast dicts) is a cheap zero-copy
     # plasma get per task, while an actor pool costs ~3s spin-up per query
@@ -512,3 +522,135 @@ def _first_parquet_file(routed: str):
             if f.endswith(".parquet"):
                 return os.path.join(root, f)
     raise FileNotFoundError(routed)
+
+
+# ---------------------------------------------------------------------------
+# Multi-archive search (clg's archive iteration): a base dir holds many
+# self-contained archives (own dicts + sinks + manifests), the query driver
+# selects archives from their manifests by path glob and time range before
+# opening any archive data (clg.cpp:132-145 archive selection;
+# query_scheduler.py:369-398 metadata filtering), searches each, and unions
+# the match Datasets. Archives are visited newest-first (end-timestamp
+# descending, query_scheduler.py:389 ordering) so a limit consumer sees
+# recent matches first.
+# ---------------------------------------------------------------------------
+
+
+def list_archives(base_dir: str) -> list[dict]:
+    """[{dir, ts_min, ts_max, input}] for every archive under ``base_dir``.
+
+    An archive is any direct subdirectory with a ``routed/`` sink; its time
+    range and input label come from the lineage manifest (the per-archive
+    begin/end timestamp CLP's metadata DB rows carry)."""
+    import os
+
+    from clp_core_ray.state import manifest as mf
+
+    out = []
+    for name in sorted(os.listdir(base_dir)):
+        d = os.path.join(base_dir, name)
+        if not os.path.isdir(os.path.join(d, "routed")):
+            continue
+        info = {"dir": d, "ts_min": None, "ts_max": None, "input": None}
+        for m in mf.read_manifests(d):
+            if m.get("ts_min") is not None:
+                info["ts_min"] = (m["ts_min"] if info["ts_min"] is None
+                                  else min(info["ts_min"], m["ts_min"]))
+            if m.get("ts_max") is not None:
+                info["ts_max"] = (m["ts_max"] if info["ts_max"] is None
+                                  else max(info["ts_max"], m["ts_max"]))
+            info["input"] = info["input"] or m.get("input")
+        out.append(info)
+    return out
+
+
+def select_archives(base_dir: str, path_glob: str | None = None,
+                    ts_min: int | None = None,
+                    ts_max: int | None = None) -> list[str]:
+    """Archive dirs matching the path/time predicates, newest-first.
+
+    Conservative: an archive with no recorded time range cannot be pruned by
+    time (unknown → keep), mirroring clg's metadata selection semantics.
+    ``ts_min``/``ts_max`` are epoch microseconds (the manifest unit)."""
+    import fnmatch
+
+    keep = []
+    for a in list_archives(base_dir):
+        if path_glob and a["input"] and not fnmatch.fnmatch(a["input"], path_glob):
+            continue
+        if ts_min is not None and a["ts_max"] is not None and a["ts_max"] < ts_min:
+            continue
+        if ts_max is not None and a["ts_min"] is not None and a["ts_min"] > ts_max:
+            continue
+        keep.append(a)
+    keep.sort(key=lambda a: (a["ts_max"] is not None, a["ts_max"] or 0),
+              reverse=True)
+    return [a["dir"] for a in keep]
+
+
+def search_archives(base_dir: str, query: str, ignore_case: bool = False,
+                    columns=None, path_glob: str | None = None,
+                    ts_min: int | None = None, ts_max: int | None = None):
+    """Search every selected archive under ``base_dir`` → one match Dataset.
+
+    Each archive compiles against its OWN dictionaries (per-archive subquery
+    compilation, as clg does per archive) and contributes a lazy Dataset;
+    the union streams — no per-archive materialization."""
+    dirs = select_archives(base_dir, path_glob, ts_min, ts_max)
+    if not dirs:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"conv_id": pa.array([], type=pa.string()),
+                      "turn_idx": pa.array([], type=pa.int32()),
+                      "text": pa.array([], type=pa.large_string())})
+        )
+    parts = [search_archive(d, query, columns=columns, ignore_case=ignore_case)
+             for d in dirs]
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out
+
+
+def _search_target(target: str, query: str, ignore_case: bool, columns=None,
+                   **prune):
+    """Dispatch: a dir containing routed/ is one archive; otherwise treat it
+    as a base dir of archives."""
+    import os
+
+    if os.path.isdir(os.path.join(target, "routed")) or \
+            os.path.basename(os.path.normpath(target)) == "routed":
+        return search_archive(target, query, columns=columns,
+                              ignore_case=ignore_case)
+    return search_archives(target, query, ignore_case=ignore_case,
+                           columns=columns, **prune)
+
+
+def search_count(target: str, query: str, ignore_case: bool = False,
+                 **prune) -> pa.Table:
+    """clg --count: total number of matching messages (reducer CountOperator
+    role, reducer/CountOperator.cpp:4-31 — the cross-task merge is a sum of
+    per-block partial counts, not a row materialization)."""
+    ds = _search_target(target, query, ignore_case, **prune)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"cnt": pa.array([len(b)], type=pa.int64())})
+
+    tot = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        tot += sum(pa.table(b).column("cnt").to_pylist())
+    return pa.table({"cnt": pa.array([tot], type=pa.int64())})
+
+
+def search_count_by_time(target: str, query: str, granularity: str = "hour",
+                         ignore_case: bool = False, ts_col: str = "ts",
+                         **prune):
+    """clo count-by-time: matches bucketed by truncated event timestamp
+    (OutputHandler.hpp:255-286 bucket = ts/size*size; the reducer merge is
+    the groupby shuffle over per-batch partials)."""
+    from clp_core_ray.pipelines.aggregate import add_time_bucket, count_by
+
+    ds = _search_target(target, query, ignore_case, columns=[ts_col], **prune)
+    return count_by(
+        add_time_bucket(ds, ts_col=ts_col, granularity=granularity), "bucket"
+    )

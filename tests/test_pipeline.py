@@ -294,3 +294,57 @@ def test_var_segment_index(ray_session, tiny_transcripts, tmp_path):
         hits = search_archive(os.path.join(out, "routed"), val).to_pandas()
         want = df[df["text"].str.contains(val, regex=False)]
         assert len(hits) == len(want)
+
+
+def test_multi_archive_search_and_pruning(ray_session, tmp_path):
+    """clg archive iteration: per-archive dicts, manifest-driven time/path
+    selection, newest-first order, and union equality vs one big archive."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import (
+        search_archives,
+        search_count,
+        search_count_by_time,
+        select_archives,
+    )
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    base = str(tmp_path / "archives")
+    full = read_transcripts(0.001)
+    # time-split halves → disjoint ts ranges → time pruning can bite
+    import pyarrow.compute as pc
+
+    tbl = full.to_pandas()
+    mid = tbl["ts"].quantile(0.5)
+    lo = tbl[tbl["ts"] <= mid]
+    hi = tbl[tbl["ts"] > mid]
+    compress(0.001, f"{base}/a0", ds=rd.from_pandas(lo), input_label="half-lo")
+    compress(0.001, f"{base}/a1", ds=rd.from_pandas(hi), input_label="half-hi")
+
+    # selection: no predicate → both, newest (a1) first
+    dirs = select_archives(base)
+    assert [d.rsplit("/", 1)[1] for d in dirs] == ["a1", "a0"]
+    # time pruning: a window strictly inside the upper half keeps only a1
+    import json
+    import os
+
+    m1 = json.load(open(os.path.join(base, "a1", "_manifests", "full.json")))
+    assert select_archives(base, ts_min=m1["ts_min"]) == [os.path.join(base, "a1")]
+    # path pruning by the recorded input label
+    assert select_archives(base, path_glob="half-lo") == [os.path.join(base, "a0")]
+
+    # union equality vs a single archive over the same rows
+    single = str(tmp_path / "single")
+    compress(0.001, single)
+    a = search_archives(base, "ERROR*timeout").to_pandas()
+    b = __import__("clp_core_ray.pipelines.search", fromlist=["search_archive"]) \
+        .search_archive(single, "ERROR*timeout").to_pandas()
+    key = ["conv_id", "turn_idx"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+
+    # count modes agree with the row search
+    assert search_count(base, "ERROR*timeout").column("cnt")[0].as_py() == len(a)
+    cbh = search_count_by_time(base, "ERROR*timeout").to_pandas()
+    assert cbh["cnt"].sum() == len(a)
