@@ -33,6 +33,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -550,4 +551,40 @@ def schema_counts(out_dir: str) -> pa.Table:
     return pa.table(
         {"schema_id": pa.array([int(k) for k in ks], type=pa.int64()),
          "n_records": pa.array([m[k] for k in ks], type=pa.int64())}
+    )
+
+
+_TYPE_TAIL = re.compile(r"^(.*):((?:bool|int|float|str)|list<.*>|\{.*\})$")
+
+
+def clps_field_index(out_dir: str) -> pa.Table:
+    """Column-metadata index of an archive: (field_path, type, n_records).
+
+    The clp_s indexer role (indexer/IndexManager.hpp:12-24): walk each
+    archive schema root→leaf, emit dot-joined leaf paths with their types so
+    a SQL engine can resolve column metadata across archives. Here the walk
+    already happened at compress time — each schema table's footer carries
+    its sorted (path:type) set and schemas.json its record count — so the
+    index is a footer-only aggregation, no data read. Divergence from the
+    reference: array-typed leaves are indexed with a list<...> type instead
+    of being skipped (IndexManager indexes primitive leaves only).
+    """
+    with open(os.path.join(out_dir, SCHEMA_META)) as f:
+        counts = {int(k): int(v) for k, v in json.load(f).items()}
+    agg: dict[tuple[str, str], int] = {}
+    for f_ in _schema_files(out_dir):
+        md = pq.ParquetFile(f_).schema_arrow.metadata or {}
+        sid = int(md.get(b"schema_id", b"0").decode())
+        key = json.loads(md.get(b"schema_key", b"[]").decode())
+        n = counts.get(sid, 0)
+        for entry in key:
+            m = _TYPE_TAIL.match(entry)
+            path, typ = (m.group(1), m.group(2)) if m else (entry, "str")
+            k = (path, typ)
+            agg[k] = agg.get(k, 0) + n
+    items = sorted(agg.items())
+    return pa.table(
+        {"field_path": pa.array([p for (p, _), _ in items], type=pa.string()),
+         "type": pa.array([t for (_, t), _ in items], type=pa.string()),
+         "n_records": pa.array([n for _, n in items], type=pa.int64())}
     )

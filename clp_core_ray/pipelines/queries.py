@@ -614,6 +614,32 @@ def clps_roundtrip(sf_dir: str):
 
 
 @register(
+    "clps_field_index",
+    "SELECT field_path, count(*) AS n_records FROM (SELECT "
+    "unnest(json_keys(props)) AS field_path FROM events) GROUP BY 1",
+)
+def clps_field_index_q(sf_dir: str):
+    """clp_s indexer (IndexManager.hpp): leaf field paths + record counts
+    from the archive's schema-table footers — metadata only, no data read."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray.pipelines.clps import (
+        clps_compress,
+        clps_field_index,
+        ndjson_from_parquet_column,
+    )
+
+    out = tempfile.mkdtemp(prefix="clps_fi_")
+    try:
+        src = ndjson_from_parquet_column(f"{sf_dir}/events.parquet", "props")
+        clps_compress(src, out)
+        return clps_field_index(out).select(["field_path", "n_records"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "clp_ir_roundtrip",
     "SELECT text, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM {T}",
 )

@@ -137,3 +137,26 @@ def test_serialize_fast_path_matches_json_dumps():
         json.dumps({"a": -7, "b": {"inner": False}, "s": "back\\slash\ttab"}, sort_keys=True),
     ]
     assert got == want
+
+
+def test_field_index_nested(ray_session, tmp_path):
+    """IndexManager parity: dot-joined leaf paths with types and record
+    counts, aggregated across heterogeneous schemas, footer-only."""
+    from clp_core_ray.pipelines.clps import clps_compress, clps_field_index
+
+    lines = [
+        '{"a": 1, "b": {"c": "x", "d": 2.5}}',
+        '{"a": 2, "b": {"c": "y", "d": 3.5}}',
+        '{"a": "s", "tags": [1, 2]}',
+        '{"b": {"c": "z"}, "objs": [{"u": 1}]}',
+    ]
+    out = str(tmp_path / "arch")
+    clps_compress(lines, out)
+    t = clps_field_index(out)
+    rows = {(r["field_path"], r["type"]): r["n_records"] for r in t.to_pylist()}
+    assert rows[("a", "int")] == 2
+    assert rows[("a", "str")] == 1          # same path, different type = new column
+    assert rows[("b.c", "str")] == 3        # dot-joined nested path
+    assert rows[("b.d", "float")] == 2
+    assert ("tags", "list<int>") in rows    # arrays indexed with list type
+    assert any(p == "objs" for p, _ in rows)
