@@ -1,0 +1,191 @@
+"""Job-submission CLI — the `ray job submit` entrypoint for this engine.
+
+Mirrors the reference's command-line surface (clp c/x compress/extract:
+components/core/src/clp/clp/CommandLineArguments.hpp; clg search:
+clg/CommandLineArguments.hpp; clo count / count-by-time:
+clo/OutputHandler.hpp:255-286) as one module runnable on a cluster:
+
+    ray job submit --working-dir . -- python -m clp_core_ray compress \
+        --input /data/transcripts --out /archives/run1
+
+Ray init is guarded: under `ray job submit` (or any pre-initialised driver)
+the existing session is reused; standalone it connects to RAY_ADDRESS or
+local. The CLI owns its Ray session only when it created one.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ensure_ray():
+    """Connect if nobody has; return True if WE initialised (and must shut down)."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    ray.init(include_dashboard=False, ignore_reinit_error=True)
+    return True
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, default=str))
+
+
+def cmd_compress(args) -> dict:
+    import re
+
+    from clp_core_ray.pipelines.compress import compress, dir_bytes, raw_text_bytes
+
+    t0 = time.time()
+    src = args.input
+    if re.search(r"sf[0-9.]+", src.rstrip("/").rsplit("/", 1)[-1]):
+        counts = compress(src, args.out, compact=not args.no_compact)
+    else:
+        # arbitrary transcript parquet path: read it directly (the reference's
+        # archive-per-input-group model, clp/compression.cpp:133-163)
+        import ray.data as rd
+
+        counts = compress(None, args.out, compact=not args.no_compact,
+                          ds=rd.read_parquet(src), input_label=src)
+    wall = time.time() - t0
+    total = sum(counts.column("cnt").to_pylist())
+    out = {
+        "cmd": "compress", "out": args.out, "rows": total,
+        "classes": counts.num_rows, "sec": round(wall, 3),
+        "rows_per_sec": round(total / wall, 1) if wall else None,
+        "archive_bytes": dir_bytes(args.out),
+    }
+    try:
+        out["raw_text_bytes"] = raw_text_bytes(args.input)
+    except Exception:
+        pass
+    return out
+
+
+def cmd_decompress(args) -> dict:
+    from clp_core_ray.pipelines.decompress import decompress
+
+    t0 = time.time()
+    ds = decompress(args.archive, ordered=args.ordered)
+    ds.write_parquet(args.out, compression="zstd")
+    rows = ds.count()
+    return {"cmd": "decompress", "out": args.out, "rows": rows,
+            "sec": round(time.time() - t0, 3)}
+
+
+def cmd_search(args) -> dict:
+    from clp_core_ray.pipelines.search import (
+        _search_target, search_count, search_count_by_time,
+    )
+
+    prune = {}
+    if args.path_glob:
+        prune["path_glob"] = args.path_glob
+    if args.ts_min is not None:
+        prune["ts_min"] = args.ts_min
+    if args.ts_max is not None:
+        prune["ts_max"] = args.ts_max
+    t0 = time.time()
+    if args.count:
+        tbl = search_count(args.archive, args.query,
+                           ignore_case=args.ignore_case, **prune)
+        return {"cmd": "search", "count": tbl.column("cnt")[0].as_py(),
+                "sec": round(time.time() - t0, 3)}
+    if args.count_by_time:
+        res = search_count_by_time(args.archive, args.query,
+                                   granularity=args.count_by_time,
+                                   ignore_case=args.ignore_case, **prune)
+        pdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+        cnt_col = "cnt" if "cnt" in pdf.columns else "count"
+        return {"cmd": "search", "buckets": len(pdf),
+                "total": int(pdf[cnt_col].sum()),
+                "sec": round(time.time() - t0, 3)}
+    ds = _search_target(args.archive, args.query, args.ignore_case)
+    if args.out:
+        ds.write_parquet(args.out, compression="zstd")
+        rows = ds.count()
+        return {"cmd": "search", "out": args.out, "rows": rows,
+                "sec": round(time.time() - t0, 3)}
+    # print up to --limit matches to stdout (clg's default sink)
+    shown = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for t in b.column("text").to_pylist():
+            print(t)
+            shown += 1
+            if shown >= args.limit:
+                break
+        if shown >= args.limit:
+            break
+    return {"cmd": "search", "rows_shown": shown,
+            "sec": round(time.time() - t0, 3)}
+
+
+def cmd_stats(args) -> dict:
+    from clp_core_ray.pipelines.search import list_archives
+
+    rows = list_archives(args.archive)
+    return {"cmd": "stats", "archives": len(rows), "detail": rows}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="clp_core_ray",
+        description="Ray-Data-native CLP-class log engine (job-submit entrypoint)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress", help="parse→enrich→route→aggregate (clp c)")
+    c.add_argument("--input", required=True,
+                   help="sf dir or transcript parquet path")
+    c.add_argument("--out", required=True, help="archive output dir")
+    c.add_argument("--no-compact", action="store_true",
+                   help="inline logtype/dict_vars per row")
+    c.set_defaults(fn=cmd_compress)
+
+    x = sub.add_parser("decompress", help="archive → text parquet (clp x)")
+    x.add_argument("--archive", required=True)
+    x.add_argument("--out", required=True)
+    x.add_argument("--ordered", action="store_true",
+                   help="stable (conv_id, turn_idx) order")
+    x.set_defaults(fn=cmd_decompress)
+
+    s = sub.add_parser("search", help="wildcard search (clg / clo)")
+    s.add_argument("--archive", required=True,
+                   help="one archive dir or a base dir of archives")
+    s.add_argument("--query", required=True)
+    s.add_argument("--ignore-case", action="store_true")
+    s.add_argument("--count", action="store_true", help="clg --count")
+    s.add_argument("--count-by-time", metavar="GRANULARITY",
+                   help="clo count-by-time: hour/minute/day")
+    s.add_argument("--out", help="write matches to parquet instead of stdout")
+    s.add_argument("--limit", type=int, default=1000,
+                   help="max matches printed to stdout")
+    s.add_argument("--path-glob", help="archive input-path prune")
+    s.add_argument("--ts-min", type=int, help="archive ts-range prune (us)")
+    s.add_argument("--ts-max", type=int, help="archive ts-range prune (us)")
+    s.set_defaults(fn=cmd_search)
+
+    st = sub.add_parser("stats", help="list archives + manifests")
+    st.add_argument("--archive", required=True, help="base dir of archives")
+    st.set_defaults(fn=cmd_stats)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    owned = _ensure_ray()
+    try:
+        _emit(args.fn(args))
+        return 0
+    finally:
+        if owned:
+            import ray
+
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""CLI (ray-job-submit entrypoint) smoke tests — compress → search → extract
+through `clp_core_ray.cli.main`, reusing the session Ray (the guard must NOT
+re-init or shut down a session it didn't create)."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_sf_dir(ray_session, tmp_path_factory):
+    from clp_core_ray.sources.transcripts import transcripts_path
+
+    # transcripts_path returns the sf dir containing transcripts.parquet
+    return transcripts_path(0.0005)
+
+
+def _run(capsys, argv):
+    from clp_core_ray.cli import main
+
+    rc = main(argv)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1]), out[:-1]
+
+
+def test_cli_compress_search_extract(ray_session, tiny_sf_dir, tmp_path, capsys):
+    import ray
+
+    arch = str(tmp_path / "arch")
+    res, _ = _run(capsys, ["compress", "--input", tiny_sf_dir, "--out", arch])
+    assert res["cmd"] == "compress" and res["rows"] > 0
+    assert res["classes"] >= 1 and res["archive_bytes"] > 0
+    assert ray.is_initialized()  # CLI must not have torn down the session
+
+    res, _ = _run(capsys, ["search", "--archive", arch,
+                           "--query", "*ERROR*", "--count"])
+    n_err = res["count"]
+    assert n_err > 0
+
+    res, lines = _run(capsys, ["search", "--archive", arch,
+                               "--query", "*ERROR*", "--limit", "5"])
+    assert res["rows_shown"] == min(5, n_err)
+    assert all("ERROR" in ln for ln in lines[-res["rows_shown"]:])
+
+    res, _ = _run(capsys, ["search", "--archive", arch, "--query", "*ERROR*",
+                           "--count-by-time", "hour"])
+    assert res["total"] == n_err and res["buckets"] >= 1
+
+    out_pq = str(tmp_path / "x")
+    res, _ = _run(capsys, ["decompress", "--archive", arch,
+                           "--out", out_pq, "--ordered"])
+    import os
+
+    n_in = sum(
+        pq.ParquetFile(os.path.join(tiny_sf_dir, f)).metadata.num_rows
+        for f in os.listdir(tiny_sf_dir) if f.endswith(".parquet")
+    )
+    assert res["rows"] == n_in
+    got = pq.read_table(out_pq)
+    assert set(got.column_names) >= {"conv_id", "turn_idx", "text"}
+
+    res, _ = _run(capsys, ["stats", "--archive", str(tmp_path)])
+    assert res["archives"] == 1
