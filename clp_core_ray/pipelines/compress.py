@@ -266,6 +266,15 @@ def compress(
             ),
             "archive_bytes": dir_bytes(out_dir),
             **({"ts_min": ts_range[0], "ts_max": ts_range[1]} if ts_range else {}),
+            # per-partition metrics alongside lineage (north-rule: manifests
+            # carry both; write/finalize walls + derived throughput)
+            "metrics": {
+                "write_sec": round(t_write - t0, 3),
+                "finalize_sec": round(t_dicts - t_write, 3),
+                "rows_per_sec": round(
+                    sum(counts_tbl.column("cnt").to_pylist())
+                    / max(t_dicts - t0, 1e-9), 1),
+            },
         },
     )
     return counts_tbl
@@ -480,18 +489,25 @@ def run_fragments(sf_dir_or_sf, out_dir: str) -> list[str]:
     todo = mf.pending_fragments(frag_ids, out_dir)
     by_id = dict(zip(frag_ids, files))
     for frag in todo:
+        import time
+
+        t0 = time.time()
         path = by_id[frag]
         encoded = build_encoded(rd.read_parquet(path))
         sink = os.path.join(out_dir, f"fragment={frag}")
         encoded.write_parquet(sink, partition_cols=["logtype_class"], compression="zstd")
         counts, ts_range = sink_class_stats(sink)
+        n_rows = int(sum(counts.column("cnt").to_pylist()))
+        wall = time.time() - t0
         mf.record_fragment(
             out_dir,
             frag,
             {
                 "input": path,
                 "sink": sink,
-                "rows": int(sum(counts.column("cnt").to_pylist())),
+                "rows": n_rows,
+                "metrics": {"wall_sec": round(wall, 3),
+                            "rows_per_sec": round(n_rows / max(wall, 1e-9), 1)},
                 "class_counts": dict(
                     zip(
                         counts.column("logtype_class").to_pylist(),

@@ -90,8 +90,10 @@ def test_fragment_resume(ray_session, tiny_transcripts, tmp_path):
     done2 = run_fragments(SF, out)
     assert done2 == [victim]
     assert len(completed_fragments(out)) == 8
-    # lineage records carry counts
-    assert all("class_counts" in m for m in read_manifests(out))
+    # lineage records carry counts AND metrics (north-rule: lineage + metrics)
+    for m in read_manifests(out):
+        assert "class_counts" in m
+        assert m["metrics"]["wall_sec"] > 0 and m["metrics"]["rows_per_sec"] > 0
     done3 = run_fragments(SF, out)
     assert done3 == []
 
