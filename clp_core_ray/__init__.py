@@ -44,5 +44,24 @@ def _tune_arrow_threads() -> None:
         pass
 
 
+def _export_tuning_env() -> None:
+    """Make the tuning heritable by child processes (Ray workers).
+
+    mallopt/_tune_arrow_threads fix THIS process, but Ray Data's
+    ReadParquet/Write workers never import this package — they inherit the
+    raylet's env instead. Exporting the equivalent env vars (glibc reads
+    MALLOC_*_THRESHOLD_ at startup; Arrow/BLAS size pools from
+    OMP_NUM_THREADS) tunes every worker, provided this package is imported
+    before ray.init. setdefault: never overrides an operator's choice.
+    """
+    import os
+
+    for k, v in (("MALLOC_MMAP_THRESHOLD_", str(1 << 30)),
+                 ("MALLOC_TRIM_THRESHOLD_", str(1 << 30)),
+                 ("OMP_NUM_THREADS", "2")):
+        os.environ.setdefault(k, v)
+
+
 _tune_malloc()
 _tune_arrow_threads()
+_export_tuning_env()

@@ -3,6 +3,7 @@ import pytest
 
 @pytest.fixture(scope="session")
 def ray_session():
+    import clp_core_ray  # noqa: F401  (exports worker tuning env pre-init)
     import ray
 
     if not ray.is_initialized():
