@@ -54,7 +54,7 @@ def run_once() -> None:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-                 log_to_driver=False, object_store_memory=4_000_000_000)
+                 log_to_driver=False, object_store_memory=8_000_000_000)
 
     from clp_core_ray.pipelines.compress import compress, roundtrip_check
     from clp_core_ray.pipelines.search import search_archive
