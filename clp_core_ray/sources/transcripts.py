@@ -140,6 +140,19 @@ def synth_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
 FILES_PER_DATASET = 8  # fragment unit: at scale each input shard is a file
 
 
+def _n_files(n_turns: int) -> int:
+    """Shard count for a generated dataset: more turns → more files.
+
+    Read parallelism equals the file count (Ray Data's SplitBlocks re-slices
+    a read task's OUTPUT, not the read itself), so a big dataset in 8 files
+    caps the read phase at 8 concurrent tasks — measured 38% idle CPU at
+    16-way on sf1.6 (CPU-seconds equal at 4 and 16 CPUs, wall 2.4× worse
+    than ideal). One file per ~200k turns keeps every level's read phase
+    saturated while small test datasets keep their exact 8-fragment layout.
+    """
+    return max(FILES_PER_DATASET, min(64, n_turns // 200_000))
+
+
 def transcripts_path(sf_dir_or_sf: str | float, seed: int = SEED) -> str:
     """Directory of cached transcript Parquet files for a scale (generated once).
 
@@ -161,8 +174,9 @@ def transcripts_path(sf_dir_or_sf: str | float, seed: int = SEED) -> str:
         table = synth_transcripts(n_turns_for_sf(sf), seed=seed)
         tmp = tempfile.mkdtemp(dir=CACHE_DIR)
         n = len(table)
-        step = (n + FILES_PER_DATASET - 1) // FILES_PER_DATASET
-        for i in range(FILES_PER_DATASET):
+        nf = _n_files(n)
+        step = (n + nf - 1) // nf
+        for i in range(nf):
             part = table.slice(i * step, step)
             if len(part):
                 pq.write_table(
@@ -186,14 +200,23 @@ def transcript_files(sf_dir_or_sf: str | float, seed: int = SEED) -> list[str]:
 def read_transcripts(sf_dir_or_sf: str | float, seed: int = SEED, **read_kwargs):
     """Ray Dataset of the transcript table for a scale.
 
-    Splits the read into ~2 blocks per CPU so downstream map_batches stages
-    use the whole machine even when the dataset has few files (8 files would
-    otherwise cap parallelism at 8 tasks).
+    Block count balances two failure modes of downstream map_batches tasks
+    (task granularity = input block, regardless of batch_size):
+    - too few blocks → straggler tasks hold the whole-stage tail (measured
+      2.1-10 s task spread at 300k-row tasks: one late task = 25% of wall);
+      target ~4 blocks per CPU so a slow task back-fills.
+    - too many blocks → blocks shrink below one encode batch and per-task
+      overhead dominates; floor at 2×ENCODE_BATCH_SIZE rows per block.
     """
     import ray
     import ray.data as rd
 
     if "override_num_blocks" not in read_kwargs:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        read_kwargs["override_num_blocks"] = max(FILES_PER_DATASET, 2 * ncpu)
+        sf = sf_of_dir(sf_dir_or_sf) if isinstance(sf_dir_or_sf, str) else float(sf_dir_or_sf)
+        n = n_turns_for_sf(sf)
+        by_rows = n // (2 * 16 * 1024)  # ≥2 encode batches per block
+        read_kwargs["override_num_blocks"] = max(
+            FILES_PER_DATASET, 2 * ncpu, min(4 * ncpu, by_rows)
+        )
     return rd.read_parquet(transcripts_path(sf_dir_or_sf, seed), **read_kwargs)
