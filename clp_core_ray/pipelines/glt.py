@@ -22,6 +22,13 @@ import pyarrow.compute as pc
 
 COMBINE_THRESHOLD_ROWS = 1000  # groups smaller than this go to the misc sink
 
+# Hot-logtype salting: a dominant template (in real logs one logtype routinely
+# owns >50% of rows) must not become a single map_groups task materializing the
+# whole group. Logtypes bigger than this are split into ceil(size/target)
+# salted sub-groups; explode_vars is row-independent, so each sub-group writes
+# an independent part file under the same logtype directory.
+TARGET_ROWS_PER_PART = 250_000
+
 
 def explode_vars(group: pa.Table) -> pa.Table:
     """One logtype's rows → per-position var columns (vectorized reshape)."""
@@ -45,13 +52,17 @@ def explode_vars(group: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def write_glt(archive_dir: str, out_dir: str | None = None) -> dict:
+def write_glt(archive_dir: str, out_dir: str | None = None,
+              target_rows_per_part: int = TARGET_ROWS_PER_PART) -> dict:
     """Archive routed sinks → GLT layout on disk.
 
-    groupby(logtype_id) — the logtype dictionary is small, so this shuffle
-    moves each row once into its logtype bucket; big logtypes get their own
-    directory, small ones are combined (in original list form) under misc/.
-    Returns {logtype_id: rows} for the dedicated tables.
+    groupby(logtype_id, _salt) — the logtype dictionary is small, so this
+    shuffle moves each row once into its logtype bucket; big logtypes get
+    their own directory, small ones are combined (in original list form)
+    under misc/. Hot logtypes are salted into ceil(size/target) sub-groups
+    so no single map_groups task materializes a dominant template's whole
+    group (GLTSegment.hpp:88-113 solves small-group skew; this is the
+    hot-group side). Returns {logtype_id: rows} for the dedicated tables.
     """
     import ray.data as rd
 
@@ -74,16 +85,34 @@ def write_glt(archive_dir: str, out_dir: str | None = None) -> dict:
     )
     big_set = set(big)
 
+    # salt count per logtype: 1 for small/misc groups, size/target for hot
+    # ones. The per-batch cyclic assignment below spreads a logtype's rows
+    # round-robin over its salts, so sub-group sizes stay ~target regardless
+    # of how skewed the logtype distribution is.
+    n_salt = {lid: max(1, -(-c // target_rows_per_part)) if lid in big_set else 1
+              for lid, c in sizes.items()}
+    salt_ids = pa.array(np.fromiter(n_salt.keys(), dtype=np.int64,
+                                    count=len(n_salt)))
+    salt_ns = np.fromiter(n_salt.values(), dtype=np.int64, count=len(n_salt))
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        pos = np.asarray(pc.index_in(b.column("logtype_id"), salt_ids),
+                         dtype=np.int64)
+        ns = salt_ns[pos]
+        salt = np.arange(len(b), dtype=np.int64) % np.maximum(ns, 1)
+        return b.append_column("_salt", pa.array(salt))
+
     def route_glt(group: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.parquet as pq
+
         lid = group.column("logtype_id")[0].as_py()
+        group = group.drop_columns(["_salt"])
         if lid in big_set:
             t = explode_vars(group)
             pos_dir = os.path.join(out_dir, f"logtype_id={lid & 0xFFFFFFFFFFFFFFFF:016x}")
             os.makedirs(pos_dir, exist_ok=True)
-            import uuid
-
-            import pyarrow.parquet as pq
-
             pq.write_table(
                 t, os.path.join(pos_dir, f"part-{uuid.uuid4().hex}.parquet"),
                 compression="zstd",
@@ -91,10 +120,6 @@ def write_glt(archive_dir: str, out_dir: str | None = None) -> dict:
             return pa.table({"logtype_id": pa.array([lid]),
                              "rows": pa.array([len(group)]),
                              "sink": pa.array(["dedicated"])})
-        import uuid
-
-        import pyarrow.parquet as pq
-
         misc = os.path.join(out_dir, "misc")
         os.makedirs(misc, exist_ok=True)
         pq.write_table(group, os.path.join(misc, f"part-{uuid.uuid4().hex}.parquet"),
@@ -104,11 +129,13 @@ def write_glt(archive_dir: str, out_dir: str | None = None) -> dict:
                          "sink": pa.array(["misc"])})
 
     result = (
-        ds.groupby("logtype_id")
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["logtype_id", "_salt"])
         .map_groups(route_glt, batch_format="pyarrow")
         .to_pandas()
     )
-    return dict(zip(result.logtype_id, result.rows))
+    # sub-group rows sum back to per-logtype totals
+    return result.groupby("logtype_id")["rows"].sum().to_dict()
 
 
 def read_var_column(glt_dir: str, logtype_id: int, position: int):
@@ -259,13 +286,22 @@ def glt_search(archive_dir: str, query: str, ignore_case: bool = False,
     import ray.data as rd
 
     from clp_core_ray.pipelines.grep import rows_matching_subquery_vars
-    from clp_core_ray.pipelines.search import compile_for_archive, wildcard_to_regex
+    from clp_core_ray.pipelines.search import (
+        compile_for_archive,
+        subquery_logtype_prune,
+        wildcard_to_regex,
+    )
     from clp_core_ray.vec.decoder import decode_batch
 
     glt_dir = glt_dir or os.path.join(archive_dir, "glt")
-    cq, ldict, var_ids, var_values, _ = compile_for_archive(
+    cq, ldict, var_ids, var_values, var_classes = compile_for_archive(
         archive_dir, query, ignore_case
     )
+    # per-variable segment index pruning (same index the row engine consults,
+    # search.py subquery_logtype_prune): a dict-var condition whose entries
+    # live only in certain sink classes restricts which logtypes can host a
+    # match — their GLT tables/cells are never opened.
+    lt_allowed = subquery_logtype_prune(archive_dir, cq, var_ids, var_classes)
 
     def _empty():
         return rd.from_arrow(
@@ -280,7 +316,14 @@ def glt_search(archive_dir: str, query: str, ignore_case: bool = False,
     lt_ids = np.asarray(ldict.column("logtype_id"), dtype=np.int64)
     lt_values = ldict.column("logtype").to_pylist()
     template_of = dict(zip(lt_ids.tolist(), lt_values))
-    cand = set(lt_ids.tolist()) if cq.match_all else set(cq.all_logtype_ids().tolist())
+    if cq.match_all:
+        cand = set(lt_ids.tolist())
+    else:
+        cand = set()
+        for sq, ok in zip(cq.subqueries, lt_allowed):
+            cand |= set(sq.logtype_ids.tolist()) if ok is None else ok
+        if not cand:
+            return _empty()
 
     dedicated = {}
     for name in sorted(os.listdir(glt_dir)) if os.path.isdir(glt_dir) else []:
@@ -309,9 +352,11 @@ def glt_search(archive_dir: str, query: str, ignore_case: bool = False,
         if cq.match_all:
             specs.append(((), ()))
         else:
-            for sq in cq.subqueries:
+            for sq, ok in zip(cq.subqueries, lt_allowed):
                 if lid not in sq.logtype_ids:
                     continue
+                if ok is not None and lid not in ok:
+                    continue  # segment index: this logtype's cells can't match
                 pos_sets = align_positions(ph, sq.var_cond_types)
                 if pos_sets is None:
                     continue

@@ -328,6 +328,58 @@ def compile_for_archive(archive_dir: str, query: str, ignore_case: bool = False)
     return cq, ldict, var_ids, var_values, var_classes
 
 
+def subquery_logtype_prune(archive_dir: str, cq, var_ids, var_classes):
+    """Per-subquery allowed-logtype sets from the class→logtype index refined
+    by the per-variable segment index (DictionaryWriter.hpp:179-202;
+    clg.cpp:249-298 segment intersection).
+
+    Returns a list parallel to ``cq.subqueries``: each entry is the set of
+    logtype_ids that can possibly host a match for that subquery given which
+    sink classes contain BOTH the subquery's logtypes AND every
+    dictionary-var condition's entries — or ``None`` when no index exists to
+    prune on. A subquery whose intersection is empty gets ``set()`` (it
+    cannot match anywhere in this archive).
+    """
+    import json
+    import os
+
+    idx_path = os.path.join(archive_dir, "class_logtypes.json")
+    if cq.match_all or not os.path.exists(idx_path):
+        return [None] * len(cq.subqueries)
+    with open(idx_path) as f:
+        by_class = json.load(f)
+
+    def classes_of_cond(cond: np.ndarray):
+        if var_classes is None:
+            return None
+        pos = pc.index_in(pa.array(cond, type=pa.int64()), pa.array(var_ids))
+        allowed: set = set()
+        for p in pos.to_pylist():
+            if p is None:
+                return None
+            cls_list = var_classes[p].as_py()
+            if not cls_list or "" in cls_list:
+                return None
+            allowed.update(cls_list)
+        return allowed
+
+    out = []
+    for sq in cq.subqueries:
+        sq_lt = set(sq.logtype_ids.tolist())
+        sq_classes = {c for c, ids in by_class.items() if sq_lt.intersection(ids)}
+        for cond in sq.dict_conds:
+            if not sq_classes:
+                break
+            allowed = classes_of_cond(cond)
+            if allowed is not None:
+                sq_classes &= allowed
+        lt_allowed: set = set()
+        for c in sq_classes:
+            lt_allowed.update(by_class[c])
+        out.append(sq_lt & lt_allowed)
+    return out
+
+
 def search_archive(archive_dir: str, query: str, columns=None,
                    ignore_case: bool = False):
     """Search a compressed archive → Dataset[(conv_id, turn_idx, text)].

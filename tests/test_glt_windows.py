@@ -85,6 +85,98 @@ def test_glt_search_matches_row_search(ray_session, tmp_path):
     assert glt_search(arch, "*zzz-never-present*", glt_dir=glt_dir).count() == 0
 
 
+def test_glt_hot_logtype_salting(ray_session, tmp_path):
+    """A dominant logtype must split into multiple part files (no single
+    map_groups task materializing the whole group)."""
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.glt import COMBINE_THRESHOLD_ROWS, write_glt
+
+    arch = str(tmp_path / "arch")
+    compress(0.01, arch)
+    glt_dir = str(tmp_path / "glt")
+    rows = write_glt(arch, glt_dir, target_rows_per_part=2000)
+    hot = {lid: n for lid, n in rows.items()
+           if n >= max(2 * 2000, COMBINE_THRESHOLD_ROWS)}
+    assert hot, "fixture needs at least one logtype with >= 1000 rows"
+    for lid, n in hot.items():
+        d = os.path.join(glt_dir, f"logtype_id={lid & 0xFFFFFFFFFFFFFFFF:016x}")
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(parts) >= 2, f"hot logtype {lid} ({n} rows) wrote 1 part"
+        # parts still hold exactly the logtype's rows
+        assert sum(pq.ParquetFile(os.path.join(d, p)).metadata.num_rows
+                   for p in parts) == n
+
+
+def _synth_two_class_archive(tmp_path, n_per_class=1200):
+    """Two classes with distinct templates; dict var 'zebrapath' only in
+    class alpha."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+
+    base = 1_700_000_000_000_000
+    n = n_per_class
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i % 7}" for i in range(2 * n)]),
+        "turn_idx": pa.array(np.arange(2 * n) % 997, type=pa.int32()),
+        "role": pa.array(["user"] * (2 * n)),
+        "text": pa.array(
+            [f"request handled user=zebrapath latency={i}" for i in range(n)]
+            + [f"response sent user=plainuser latency={i}" for i in range(n)]
+        ),
+        "tool": pa.array(["alpha"] * n + ["beta"] * n),
+        "ts": pa.array([base + i * 1000 for i in range(2 * n)],
+                       type=pa.timestamp("us")),
+    })
+    arch = str(tmp_path / "arch2")
+    compress(None, arch, ds=rd.from_arrow(tbl), input_label="synthetic")
+    return arch
+
+
+def test_glt_segment_index_prunes_cells(ray_session, tmp_path):
+    """The per-variable segment index must exclude logtypes whose classes
+    can't host a dict-var condition — their GLT cells are never opened."""
+    from clp_core_ray.pipelines.glt import glt_search, write_glt
+    from clp_core_ray.pipelines.search import (
+        compile_for_archive,
+        search_archive,
+        subquery_logtype_prune,
+    )
+
+    arch = _synth_two_class_archive(tmp_path)
+    glt_dir = str(tmp_path / "glt2")
+    write_glt(arch, glt_dir)
+
+    q = "*user=zebrapath*"
+    cq, ldict, var_ids, var_values, var_classes = compile_for_archive(arch, q)
+    assert cq.subqueries
+    allowed = subquery_logtype_prune(arch, cq, var_ids, var_classes)
+    # the index must narrow every subquery to the alpha-class logtype(s)
+    import json
+    with open(os.path.join(arch, "class_logtypes.json")) as f:
+        by_class = json.load(f)
+    beta_only = set(by_class["beta"]) - set(by_class["alpha"])
+    assert beta_only, "fixture must produce a beta-exclusive logtype"
+    for ok in allowed:
+        assert ok is not None and not (ok & beta_only)
+
+    # poison the beta logtype's GLT cells: if pruning works they are never
+    # opened; without pruning the scan would crash on the invalid parquet
+    for lid in beta_only:
+        d = os.path.join(glt_dir, f"logtype_id={lid & 0xFFFFFFFFFFFFFFFF:016x}")
+        if os.path.isdir(d):
+            for fpart in os.listdir(d):
+                with open(os.path.join(d, fpart), "wb") as fh:
+                    fh.write(b"not a parquet file")
+
+    g = glt_search(arch, q, glt_dir=glt_dir).to_pandas()
+    a = search_archive(arch, q).to_pandas()
+    assert len(g) == len(a) == 1200
+    g = g.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert g.equals(a)
+
+
 def test_sessionize_gap_split(ray_session):
     import ray.data as rd
 
