@@ -237,8 +237,12 @@ def _type_name(t: pa.DataType) -> str:
     return "str"
 
 
-def schema_ids_for(leaves: dict[str, pa.Array], n: int) -> tuple[np.ndarray, dict]:
-    """Per-row schema id = FNV hash over the sorted present (path:type) set."""
+def schema_ids_for(
+    leaves: dict[str, pa.Array], n: int
+) -> tuple[np.ndarray, dict, dict]:
+    """Per-row schema id = FNV hash over the sorted present (path:type) set.
+
+    Returns (sid_per_row, {sid: sorted key entries}, {sid: present paths})."""
     paths = sorted(leaves)
     present = np.zeros((len(paths), n), dtype=bool)
     for i, p in enumerate(paths):
@@ -252,69 +256,111 @@ def schema_ids_for(leaves: dict[str, pa.Array], n: int) -> tuple[np.ndarray, dic
         acc = (acc ^ (acc >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
     sid = acc.view(np.int64)
     key_of = {}
+    paths_of = {}
     for row_sid in np.unique(sid):
         rows = np.flatnonzero(sid == row_sid)
         mask = present[:, rows[0]]
-        key_of[int(row_sid)] = sorted(
-            f"{paths[i]}:{_type_name(leaves[paths[i]].type)}"
+        pairs = sorted(
+            (f"{paths[i]}:{_type_name(leaves[paths[i]].type)}", paths[i])
             for i in np.flatnonzero(mask)
         )
-    return sid, key_of
+        key_of[int(row_sid)] = [e for e, _ in pairs]
+        paths_of[int(row_sid)] = [p for _, p in pairs]
+    return sid, key_of, paths_of
 
 
 # ---- compress ----------------------------------------------------------------
 
 
-def clps_compress(source, out_dir: str, timestamp_key: str | None = None) -> dict:
+def _ipc_bytes(t: pa.Table) -> bytes:
+    """Table → compressed Arrow IPC stream bytes (the shuffle payload)."""
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression="lz4")
+    with pa.ipc.new_stream(sink, t.schema, options=opts) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_table(b) -> pa.Table:
+    return pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+
+
+def clps_compress(source, out_dir: str, timestamp_key: str | None = None,
+                  _parse_audit_dir: str | None = None) -> dict:
     """Compress NDJSON → per-schema columnar tables + schema map.
 
     ``source``: NDJSON file path(s), a Dataset[(log_event_idx, raw)] (see
     ndjson_from_files / ndjson_from_parquet_column), or a list of lines
     (tests / small inputs). One shuffle (groupby schema_id); everything else
     is map_batches. Returns {schema_id: n_records} (small accounting).
+
+    Each record parses exactly ONCE: the assign stage ships the already-
+    parsed leaf columns through the schema shuffle as per-(batch, schema)
+    compressed Arrow IPC chunks — the write stage just concatenates chunks
+    (JsonParser.cpp parses once into its in-memory schema tables too; round-2
+    shipped raw lines and re-parsed per group, 2x the dominant CPU cost).
+    ``_parse_audit_dir`` (tests) records per-call parsed-row counts so the
+    parse-once property is assertable.
     """
     ds = _as_line_dataset(source)
     os.makedirs(out_dir, exist_ok=True)
 
-    # phase 1: assign schema ids (vectorized parse per batch)
+    # phase 1: parse (vectorized, once) + schema ids; emit one IPC chunk per
+    # (input batch, schema id) with only that schema's present leaf columns
     def assign(batch: pa.Table) -> pa.Table:
         lines = batch.column("raw").to_pylist()
-        sid = np.empty(len(lines), dtype=np.int64)
-        keys: dict[int, str] = {}
+        if _parse_audit_dir:
+            import uuid as _uuid
+
+            os.makedirs(_parse_audit_dir, exist_ok=True)
+            with open(os.path.join(_parse_audit_dir,
+                                   f"{_uuid.uuid4().hex}.cnt"), "w") as f:
+                f.write(str(len(lines)))
+        lei = np.asarray(batch.column("log_event_idx"), dtype=np.int64)
+        out_sid: list[int] = []
+        out_key: list[str] = []
+        out_n: list[int] = []
+        out_chunk: list[bytes] = []
         for rows, parsed in _parse_batch(lines):
             leaves = _flatten(parsed)
-            s, key_of = schema_ids_for(leaves, len(rows))
-            sid[rows] = s
-            for k, v in key_of.items():
-                keys[int(k)] = json.dumps(v)
-        uniq, inv = np.unique(sid, return_inverse=True)
-        key_col = pa.DictionaryArray.from_arrays(
-            pa.array(inv.astype(np.int32)),
-            pa.array([keys[int(u)] for u in uniq], type=pa.string()),
-        ).cast(pa.string())
-        return pa.table(
-            {
-                "log_event_idx": batch.column("log_event_idx"),
-                "raw": batch.column("raw"),
-                "schema_id": pa.array(sid),
-                "schema_key": key_col,
-            }
-        )
+            s, key_of, paths_of = schema_ids_for(leaves, len(rows))
+            for sid_val in np.unique(s):
+                sel = np.flatnonzero(s == sid_val)
+                take = pa.array(sel)
+                cols: dict[str, pa.Array] = {
+                    "log_event_idx": pa.array(lei[rows[sel]])
+                }
+                for p in paths_of[int(sid_val)]:
+                    cols[p] = leaves[p].take(take)
+                out_sid.append(int(sid_val))
+                out_key.append(json.dumps(key_of[int(sid_val)]))
+                out_n.append(len(sel))
+                out_chunk.append(_ipc_bytes(pa.table(cols)))
+        return pa.table({
+            "schema_id": pa.array(out_sid, type=pa.int64()),
+            "schema_key": pa.array(out_key, type=pa.string()),
+            "n_rows": pa.array(out_n, type=pa.int64()),
+            "chunk": pa.array(out_chunk, type=pa.large_binary()),
+        })
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
 
-    # phase 2: shuffle by schema id → per-schema columnar table (rows within a
-    # schema share one present-(path:type) set, so the group parse is
-    # homogeneous by construction)
+    # phase 2: shuffle the (small) chunk rows by schema id → concatenate each
+    # schema's chunks into its columnar table (rows within a schema share one
+    # present-(path:type) set, so chunk schemas agree by construction)
     ts_path = (timestamp_key or "").strip()
 
     def write_schema_table(group: pa.Table) -> pa.Table:
         sid = group.column("schema_id")[0].as_py()
-        lines = group.column("raw").to_pylist()
-        parsed = _parse_lines(lines)
-        leaves = _flatten(parsed)
+        merged = pa.concat_tables(
+            (_ipc_table(c) for c in group.column("chunk").to_pylist()),
+            promote_options="permissive",
+        ).combine_chunks()
+        n_records = len(merged)
+        leaves = {c: merged.column(c).combine_chunks()
+                  for c in merged.column_names if c != "log_event_idx"}
         cols: dict[str, pa.Array] = {
-            "log_event_idx": group.column("log_event_idx").combine_chunks()
+            "log_event_idx": merged.column("log_event_idx").combine_chunks()
         }
         clp_encoded: list[str] = []
         for path, arr in sorted(leaves.items()):
@@ -356,7 +402,7 @@ def clps_compress(source, out_dir: str, timestamp_key: str | None = None) -> dic
             compression="zstd",
         )
         return pa.table({"schema_id": pa.array([sid]),
-                         "n_records": pa.array([len(group)])})
+                         "n_records": pa.array([n_records])})
 
     acct = (
         assigned.groupby("schema_id")

@@ -58,6 +58,28 @@ def test_clps_end_to_end(ray_session, tmp_path):
     assert sum(counts.column("n_records").to_pylist()) == len(lines)
 
 
+def test_clps_parses_each_record_once(ray_session, tmp_path):
+    """The schema shuffle carries parsed leaves, not raw lines: total rows
+    seen by the parse stage equals the input row count exactly."""
+    from clp_core_ray.pipelines.clps import clps_compress, clps_decompress
+
+    lines = synth_ndjson(n=400)
+    out = str(tmp_path / "clps")
+    audit = str(tmp_path / "audit")
+    schemas = clps_compress(lines, out, _parse_audit_dir=audit)
+    assert sum(schemas.values()) == len(lines)
+    import os
+
+    parsed_rows = sum(
+        int(open(os.path.join(audit, f)).read())
+        for f in os.listdir(audit) if f.endswith(".cnt")
+    )
+    assert parsed_rows == len(lines)
+    back = clps_decompress(out, ordered=True).to_pandas()["json"].tolist()
+    for orig, rec in zip(lines, back):
+        assert json.loads(orig) == json.loads(rec)
+
+
 def test_clps_type_polymorphic_paths(ray_session, tmp_path):
     """Same key with different types → different schemas (clp_s node identity
     includes type)."""
