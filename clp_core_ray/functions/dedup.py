@@ -111,77 +111,110 @@ def band_hashes(sig: np.ndarray) -> np.ndarray:
     return out.view(np.int64)
 
 
+def _signature_table(batch: pa.Table, id_col: str, text_col: str,
+                     k_shingle: int) -> pa.Table:
+    """(doc_id, sig: fixed_size_list<int64>[N_PERM]) — one row per doc."""
+    sig = minhash_signatures(batch.column(text_col), k_shingle)
+    return pa.table({
+        id_col: batch.column(id_col).combine_chunks().cast(pa.int64()),
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.view(np.int64).reshape(-1)), N_PERM
+        ),
+    })
+
+
+def _explode_bands(sig_tbl: pa.Table, id_col: str) -> pa.Table:
+    """Signature rows → LIGHT (band, band_hash, doc_id) shuffle rows.
+
+    The 512-byte signature does NOT ride the band shuffle (round-2 shipped it
+    once per band = 16x the needed exchange payload); verification re-joins
+    signatures per candidate pair instead."""
+    n = len(sig_tbl)
+    sig = np.asarray(
+        sig_tbl.column("sig").combine_chunks().flatten(), dtype=np.int64
+    ).reshape(n, N_PERM).view(np.uint64)
+    bh = band_hashes(sig)
+    ids = np.asarray(sig_tbl.column(id_col), dtype=np.int64)
+    return pa.table({
+        "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+        "band_hash": pa.array(bh.reshape(-1)),
+        id_col: pa.array(np.repeat(ids, N_BANDS)),
+    })
+
+
 def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.5, k_shingle: int = 3):
     """Near-duplicate pairs via MinHash-LSH, verified by signature similarity.
 
-    Stage 1 (map_batches): signature + band keys per doc → explode to
-    (band, band_hash, doc_id, sig) rows.
-    Stage 2 (groupby band+hash): per-bucket pairs; verify estimated Jaccard =
+    Stage 1 (map_batches): one (doc_id, sig) row per doc, kept in the object
+    store. Stage 2: explode to LIGHT (band, band_hash, doc_id) rows — 20
+    bytes/row instead of shipping the 512-byte signature per band — and
+    groupby band+hash into candidate pairs (distinct). Stage 3 (verify):
+    join each side's signature back (broadcast under the auto_join cap,
+    partitioned hash join above it) and keep pairs with estimated Jaccard =
     fraction of matching minhashes ≥ threshold.
     Returns Dataset[(doc_a, doc_b, est_jaccard)] with doc_a < doc_b, distinct.
     """
+    from clp_core_ray.pipelines.join import auto_join
 
-    def explode(batch: pa.Table) -> pa.Table:
-        sig = minhash_signatures(batch.column(text_col), k_shingle)
-        bh = band_hashes(sig)
-        n = len(batch)
-        ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        return pa.table(
-            {
-                "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
-                "band_hash": pa.array(bh.reshape(-1)),
-                id_col: pa.array(np.repeat(ids, N_BANDS)),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.repeat(sig.view(np.int64), N_BANDS, axis=0).reshape(-1)),
-                    N_PERM,
-                ),
-            }
-        )
+    sig_ds = ds.map_batches(
+        lambda b: _signature_table(b, id_col, text_col, k_shingle),
+        batch_format="pyarrow",
+    ).materialize()
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column(id_col), dtype=np.int64)
-        empty = pa.table(
-            {"doc_a": pa.array([], type=pa.int64()),
-             "doc_b": pa.array([], type=pa.int64()),
-             "est_jaccard": pa.array([], type=pa.float64())}
-        )
-        # bucket = same (band, band_hash); duplicates of the same doc possible
-        uniq_ids, first = np.unique(ids, return_index=True)
-        if len(uniq_ids) < 2:
-            return empty
-        sig = np.asarray(
-            group.column("sig").combine_chunks().flatten(), dtype=np.int64
-        ).reshape(len(ids), N_PERM)[first]
-        if len(uniq_ids) > BUCKET_CAP:
+    def bucket_candidates(group: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(group.column(id_col), dtype=np.int64))
+        if len(ids) < 2:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        if len(ids) > BUCKET_CAP:
             # boilerplate-heavy corpora produce huge buckets; emitting all
             # O(n²) pairs is the explosion, not the fix. Star pairing against
             # the min-id representative keeps the duplicate component
             # connected with O(n) pairs — and we LOG it (silent drop was the
-            # round-1 bug).
-            _log_oversized_bucket("MinHash-LSH", len(uniq_ids), BUCKET_CAP)
-            est = (sig[1:] == sig[0]).mean(axis=1)
-            keep = est >= threshold
-            return pa.table(
-                {"doc_a": pa.array(np.full(int(keep.sum()), uniq_ids[0])),
-                 "doc_b": pa.array(uniq_ids[1:][keep]),
-                 "est_jaccard": pa.array(est[keep])}
-            )
-        i, j = np.triu_indices(len(uniq_ids), k=1)
-        est = (sig[i] == sig[j]).mean(axis=1)
-        keep = est >= threshold
-        return pa.table(
-            {"doc_a": pa.array(uniq_ids[i[keep]]),
-             "doc_b": pa.array(uniq_ids[j[keep]]),
-             "est_jaccard": pa.array(est[keep])}
-        )
+            # round-1 bug). The verify join filters by est_jaccard as usual.
+            _log_oversized_bucket("MinHash-LSH", len(ids), BUCKET_CAP)
+            return pa.table({"doc_a": pa.array(np.full(len(ids) - 1, ids[0])),
+                             "doc_b": pa.array(ids[1:])})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[i]), "doc_b": pa.array(ids[j])})
 
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
+    cands = (
+        sig_ds.map_batches(lambda b: _explode_bands(b, id_col),
+                           batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_groups(bucket_candidates, batch_format="pyarrow")
     )
-    return _distinct_pairs(pairs)
+    cands = _distinct_pairs(cands)
+
+    # verify pass: signatures shipped once per SIDE of a surviving candidate
+    # pair (plus once per doc for the build side), not once per band
+    sig_a = sig_ds.map_batches(lambda t: t.rename_columns(["_ida", "sig_a"]),
+                               batch_format="pyarrow")
+    sig_b = sig_ds.map_batches(lambda t: t.rename_columns(["_idb", "sig_b"]),
+                               batch_format="pyarrow")
+    joined = auto_join(cands, sig_a, "doc_a", "_ida", ["sig_a"])
+    joined = auto_join(joined, sig_b, "doc_b", "_idb", ["sig_b"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "est_jaccard": pa.array([], type=pa.float64())})
+        sa = np.asarray(t.column("sig_a").combine_chunks().flatten(),
+                        dtype=np.int64).reshape(n, N_PERM)
+        sb = np.asarray(t.column("sig_b").combine_chunks().flatten(),
+                        dtype=np.int64).reshape(n, N_PERM)
+        est = (sa == sb).mean(axis=1)
+        keep = pa.array(est >= threshold)
+        return pa.table({
+            "doc_a": t.column("doc_a").combine_chunks().cast(pa.int64()),
+            "doc_b": t.column("doc_b").combine_chunks().cast(pa.int64()),
+            "est_jaccard": pa.array(est),
+        }).filter(keep)
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def _distinct_pairs(pairs_ds):

@@ -70,6 +70,25 @@ def test_minhash_lsh_pairs_ray(ray_session):
     assert (0, 2) not in got and (2, 3) not in got
 
 
+def test_minhash_band_shuffle_is_light():
+    """The band shuffle rows must NOT carry the 512-byte signature — the
+    exchange payload is >=8x smaller than the round-2 per-band-sig layout."""
+    from clp_core_ray.functions.dedup import (
+        N_BANDS,
+        N_PERM,
+        _explode_bands,
+        _signature_table,
+    )
+
+    t = docs_table()
+    sig_tbl = _signature_table(t, "doc_id", "text", 3)
+    ex = _explode_bands(sig_tbl, "doc_id")
+    assert "sig" not in ex.column_names
+    assert len(ex) == len(t) * N_BANDS
+    per_band_sig_bytes = len(t) * N_BANDS * (N_PERM * 8)
+    assert ex.nbytes * 8 <= per_band_sig_bytes
+
+
 def test_simhash_similarity():
     from clp_core_ray.functions.dedup import simhash64
 
