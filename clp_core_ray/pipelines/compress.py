@@ -128,8 +128,36 @@ class FullEncodeStage:
         return out
 
 
+def _use_encode_actors(expected_rows: int | None) -> bool:
+    """Actor pool vs stateless tasks for the encode stage.
+
+    Actors keep per-actor dictionary seen-sets across blocks (fewest delta
+    re-emissions — right for long jobs) but pay ~seconds of pool spin-up —
+    wrong for short interactive runs. Auto rule: actors when the job has
+    ≳4 encode batches per CPU (blocks ≫ CPUs ⇒ the spin-up amortizes and
+    per-block dedup would inflate delta volume). ``CLP_ENCODE_ACTORS=0/1``
+    still force-overrides in either direction."""
+    env = os.environ.get("CLP_ENCODE_ACTORS")
+    if env is not None:
+        return env == "1"
+    if expected_rows is None:
+        return False
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return expected_rows >= 4 * ncpu * ENCODE_BATCH_SIZE
+
+
+def _rows_from_footers(files) -> int:
+    """Exact row count from parquet footers (metadata only, no data read)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def build_encoded(ds, keep_text: bool = False, concurrency=None,
-                  dict_delta_dir: str | None = None, compact: bool = False):
+                  dict_delta_dir: str | None = None, compact: bool = False,
+                  expected_rows: int | None = None):
     """transcripts Dataset → routed+enriched+encoded Dataset (lazy)."""
     import ray
 
@@ -137,9 +165,7 @@ def build_encoded(ds, keep_text: bool = False, concurrency=None,
     # env changes made after the Ray session started)
     dict_cap = int(os.environ.get("CLP_DICT_CAP_ENTRIES", 4_000_000))
 
-    use_actors = dict_delta_dir is not None and os.environ.get(
-        "CLP_ENCODE_ACTORS", "0"
-    ) == "1"
+    use_actors = dict_delta_dir is not None and _use_encode_actors(expected_rows)
     if use_actors:
         # actor-pool mode: per-actor dictionary seen-sets span many blocks
         # (fewest delta duplicates), but each execution pays pool spin-up —
@@ -193,12 +219,17 @@ def compress(
     """
     import time
 
+    expected_rows = None
     if ds is None:
+        from clp_core_ray.sources.transcripts import transcript_files
+
         ds = read_transcripts(sf_dir_or_sf)
+        # footer-only row count feeds the encode actor-mode auto-switch
+        expected_rows = _rows_from_footers(transcript_files(sf_dir_or_sf))
     delta_dir = os.path.join(out_dir, "dict.deltas")
     encoded = build_encoded(
         ds, keep_text=keep_text, concurrency=concurrency, dict_delta_dir=delta_dir,
-        compact=compact,
+        compact=compact, expected_rows=expected_rows,
     )
     routed_dir = os.path.join(out_dir, "routed")
     timing = os.environ.get("CLP_TIMING") == "1"

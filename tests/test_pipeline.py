@@ -2,6 +2,8 @@
 routed-count invariants, SURVEY.md §5)."""
 
 import os
+
+import numpy as np
 import shutil
 
 import pyarrow as pa
@@ -350,3 +352,57 @@ def test_multi_archive_search_and_pruning(ray_session, tmp_path):
     assert search_count(base, "ERROR*timeout").column("cnt")[0].as_py() == len(a)
     cbh = search_count_by_time(base, "ERROR*timeout").to_pandas()
     assert cbh["cnt"].sum() == len(a)
+
+
+def test_encode_actor_mode_auto(ray_session, monkeypatch):
+    """Actor vs task encode mode is auto-selected from expected rows; env
+    still force-overrides in both directions."""
+    from clp_core_ray.pipelines import compress as cp
+
+    monkeypatch.delenv("CLP_ENCODE_ACTORS", raising=False)
+    assert cp._use_encode_actors(None) is False
+    assert cp._use_encode_actors(10**9) is True
+    assert cp._use_encode_actors(100) is False
+    monkeypatch.setenv("CLP_ENCODE_ACTORS", "1")
+    assert cp._use_encode_actors(None) is True
+    monkeypatch.setenv("CLP_ENCODE_ACTORS", "0")
+    assert cp._use_encode_actors(10**9) is False
+
+
+def test_encode_actor_mode_delta_floor(ray_session, tmp_path, monkeypatch):
+    """Long job (blocks >> CPUs) over repetitive content: per-actor
+    seen-sets emit far fewer dictionary delta files than per-block task
+    instances (the auto-switch's whole point)."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import build_encoded
+
+    n = 6000
+    base = 1_700_000_000_000_000
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i % 5}" for i in range(n)]),
+        "turn_idx": pa.array(np.arange(n) % 97, type=pa.int32()),
+        "role": pa.array(["assistant"] * n),
+        "text": pa.array([f"INFO job step {i % 20} finished ok" for i in range(n)]),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([base + i * 1000 for i in range(n)], type=pa.timestamp("us")),
+    })
+    monkeypatch.delenv("CLP_ENCODE_ACTORS", raising=False)
+    # small encode batches → map_batches cannot bundle the 48 blocks into one
+    # task, so the job really has many tasks (the long-job shape)
+    from clp_core_ray.pipelines import compress as cp
+
+    monkeypatch.setattr(cp, "ENCODE_BATCH_SIZE", 128)
+
+    def run(expected_rows, sub):
+        ds = rd.from_arrow(tbl).repartition(48)
+        delta = str(tmp_path / sub)
+        out = build_encoded(ds, dict_delta_dir=delta, compact=True,
+                            expected_rows=expected_rows)
+        for _ in out.iter_batches(batch_format="pyarrow"):
+            pass
+        return len([f for f in os.listdir(delta) if f.endswith(".arrow")])
+
+    actor_files = run(10**9, "deltas_actor")  # auto → actor pool
+    task_files = run(None, "deltas_task")     # auto → stateless tasks
+    assert actor_files * 2 <= task_files, (actor_files, task_files)
