@@ -571,10 +571,14 @@ def clps_search(out_dir: str, query: str,
             if float(meta["ts_max"]) < lo or float(meta["ts_min"]) > hi:
                 continue
             # AddTimestampConditions pass: row-level ts predicates on the
-            # designated timestamp leaf of surviving tables
+            # designated timestamp leaf of surviving tables; string-dated
+            # archives carry a hidden parsed epoch-ms column (ts_string flag)
             ts_key = meta.get("ts_key")
             if ts_key:
-                ts_preds = [Pred("gte", ts_key, lo), Pred("lte", ts_key, hi)]
+                pred_path = ("\x00ts_ms" if meta.get("ts_string") == "1"
+                             else ts_key)
+                ts_preds = [Pred("gte", pred_path, lo),
+                            Pred("lte", pred_path, hi)]
         leaf_paths = {k.split(":")[0] for k in json.loads(meta.get("schema_key", "[]"))}
         viable = [c + ts_preds for c in dnf if conj_required_paths(c) <= leaf_paths]
         if not viable:

@@ -151,9 +151,44 @@ def _as_line_dataset(source):
 # ---- parse + schema assignment ---------------------------------------------
 
 
+def _demote_timestamp_type(t: pa.DataType):
+    """Recursively replace timestamp types with string; None if unchanged."""
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+        return pa.string()
+    if pa.types.is_struct(t):
+        changed = False
+        fields = []
+        for f in t:
+            nt = _demote_timestamp_type(f.type)
+            changed |= nt is not None
+            fields.append(pa.field(f.name, nt or f.type))
+        return pa.struct(fields) if changed else None
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        nt = _demote_timestamp_type(t.value_type)
+        if nt is None:
+            return None
+        return pa.large_list(nt) if pa.types.is_large_list(t) else pa.list_(nt)
+    return None
+
+
 def _parse_lines(lines: list[str]) -> pa.Table:
     buf = io.BytesIO(("\n".join(lines)).encode())
-    return pj.read_json(buf)
+    t = pj.read_json(buf)
+    # pyarrow.json infers ISO-like date strings as timestamps; clp_s keeps
+    # them as strings (DateString handling belongs to the timestamp range
+    # index, TimestampEntry.hpp:19-58) — reparse with those fields demoted so
+    # the round-trip stays byte-exact
+    fields = []
+    changed = False
+    for f in t.schema:
+        nt = _demote_timestamp_type(f.type)
+        changed |= nt is not None
+        fields.append(pa.field(f.name, nt or f.type))
+    if changed:
+        buf.seek(0)
+        t = pj.read_json(buf, parse_options=pj.ParseOptions(
+            explicit_schema=pa.schema(fields)))
+    return t
 
 
 def _type_sig(v) -> str:
@@ -395,6 +430,22 @@ def clps_compress(source, out_dir: str, timestamp_key: str | None = None,
                     meta["ts_min"] = str(mn)
                     meta["ts_max"] = str(mx)
                     meta["ts_key"] = ts_path
+            elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                # DateString handling (JsonParser.cpp:310-330,
+                # TimestampEntry.hpp:19-58): parse the designated string leaf
+                # by pattern into epoch ms; the range index then covers
+                # date-string JSON, and a hidden parsed column supports
+                # row-level time predicates at search time
+                from clp_core_ray.timestamps import parse_and_strip
+
+                parsed = parse_and_strip(pc.fill_null(col, ""))
+                ts_ms = parsed["ts_ms"]
+                if pc.any(pc.is_valid(ts_ms)).as_py():
+                    meta["ts_min"] = str(pc.min(ts_ms).as_py())
+                    meta["ts_max"] = str(pc.max(ts_ms).as_py())
+                    meta["ts_key"] = ts_path
+                    meta["ts_string"] = "1"  # range unit: epoch ms (parsed)
+                    t = t.append_column("\x00ts_ms", ts_ms)
         t = t.replace_schema_metadata({k: v for k, v in meta.items()})
         pq.write_table(
             t,
@@ -439,6 +490,10 @@ def _decoded_view(t: pa.Table, meta: dict) -> pa.Table:
     for name in t.column_names:
         if "\x00" not in name and name != "log_event_idx":
             cols[name] = t.column(name)
+    # the parsed-string-timestamp helper column rides along for row-level time
+    # predicates (never serialized back to JSON — see _serialize_schema_table)
+    if "\x00ts_ms" in t.column_names:
+        cols["\x00ts_ms"] = t.column("\x00ts_ms")
     return pa.table(cols)
 
 
@@ -465,7 +520,8 @@ def _serialize_schema_table(view: pa.Table) -> pa.Array:
     slots, stitched by binary_join_element_wise. Floats / lists / exotic
     strings fall back to per-row json.dumps (identical output format).
     """
-    paths = sorted(c for c in view.column_names if c != "log_event_idx")
+    paths = sorted(c for c in view.column_names
+                   if c != "log_event_idx" and "\x00" not in c)
     n = len(view)
 
     Q = pa.scalar('"', type=pa.large_string())

@@ -640,6 +640,57 @@ def clps_field_index_q(sf_dir: str):
 
 
 @register(
+    "clps_ts_prune",
+    "SELECT count(*) AS cnt FROM events WHERE event_type = 'click' "
+    "AND floor(epoch(ts)) BETWEEN 1704844800 AND 1705708800",
+)
+def clps_ts_prune(sf_dir: str):
+    """clp_s DateString timestamp handling (JsonParser.cpp:310-330,
+    TimestampEntry.hpp:19-58): string-dated NDJSON gets a parsed epoch-ms
+    range index (+ hidden row-level parsed column), and a time-filtered KQL
+    search prunes schema tables by range and filters rows by the parsed
+    timestamp. Window: 2024-01-10..2024-01-20 UTC inclusive at second
+    resolution (the string format's resolution, hence the oracle's floor)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.filters import clps_search
+    from clp_core_ray.pipelines.clps import clps_compress
+
+    out = tempfile.mkdtemp(prefix="clps_tsp_")
+    try:
+        def build(b: pa.Table) -> pa.Table:
+            ts = pc.strftime(b.column("ts"), format="%Y-%m-%d %H:%M:%S").cast(
+                pa.large_string()
+            )
+            et = b.column("event_type").cast(pa.large_string())
+            raw = pc.binary_join_element_wise(
+                pa.scalar('{"t": "', type=pa.large_string()), ts,
+                pa.scalar('", "et": "', type=pa.large_string()), et,
+                pa.scalar('"}', type=pa.large_string()),
+                pa.scalar("", type=pa.large_string()),
+            )
+            return pa.table({
+                "log_event_idx": b.column("event_id").cast(pa.int64()),
+                "raw": raw,
+            })
+
+        src = rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+        ).map_batches(build, batch_format="pyarrow")
+        clps_compress(src, out, timestamp_key="t")
+        n = clps_search(
+            out, 'et: "click"',
+            ts_range=(1704844800000.0, 1705708800000.0),
+        ).count()
+        return pa.table({"cnt": pa.array([n], type=pa.int64())})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "clp_ir_roundtrip",
     "SELECT text, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM {T}",
 )

@@ -58,6 +58,69 @@ def test_clps_end_to_end(ray_session, tmp_path):
     assert sum(counts.column("n_records").to_pylist()) == len(lines)
 
 
+def test_clps_string_ts_range_index(ray_session, tmp_path):
+    """String-dated JSON gets a parsed epoch-ms range index: time-filtered
+    search prunes non-overlapping schema tables WITHOUT reading their data
+    pages (proven by poisoning the pruned file's data section), filters rows
+    by the parsed hidden column, and round-trips byte-identical."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.functions.filters import clps_search
+    from clp_core_ray.pipelines.clps import (
+        _schema_files,
+        clps_compress,
+        clps_decompress,
+    )
+
+    jan = [json.dumps({"t": f"2024-01-{d:02d} 10:00:{s:02d}", "old_field": s},
+                      sort_keys=True)
+           for d in range(1, 11) for s in range(6)]
+    feb = [json.dumps({"t": f"2024-02-{d:02d} 11:00:{s:02d}", "k": s},
+                      sort_keys=True)
+           for d in range(1, 11) for s in range(6)]
+    lines = jan + feb
+    out = str(tmp_path / "arch")
+    clps_compress(lines, out, timestamp_key="t")
+
+    # roundtrip before poisoning: hidden ts column never serializes back
+    back = clps_decompress(out, ordered=True).to_pandas()["json"].tolist()
+    assert back == lines
+
+    # every schema table carries a parsed range index
+    lo_feb = 1706745600000  # 2024-02-01 UTC in epoch ms
+    jan_files, feb_files = [], []
+    for f in _schema_files(out):
+        meta = {k.decode(): v.decode()
+                for k, v in (pq.ParquetFile(f).schema_arrow.metadata or {}).items()}
+        assert meta.get("ts_string") == "1"
+        assert "ts_min" in meta and "ts_max" in meta
+        (jan_files if int(meta["ts_max"]) < lo_feb else feb_files).append(f)
+    assert jan_files and feb_files
+
+    # poison the January tables' data pages (footer stays intact): a pruned
+    # file is never read, so the search must still succeed
+    for f in jan_files:
+        size = os.path.getsize(f)
+        with open(f, "r+b") as fh:
+            fh.seek(4)  # keep the PAR1 magic
+            fh.write(b"\xde\xad\xbe\xef" * min(64, (size - 16) // 4))
+
+    hi_mar = 1709251200000  # 2024-03-01 UTC
+    hits = clps_search(out, "k >= 0", ts_range=(float(lo_feb), float(hi_mar)))
+    assert hits.count() == len(feb)
+
+    # narrower window filters rows via the hidden parsed column
+    import datetime as dt
+
+    lo_5 = int(dt.datetime(2024, 2, 5, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    hi_7 = int(dt.datetime(2024, 2, 7, 23, 59, 59,
+                           tzinfo=dt.timezone.utc).timestamp() * 1000)
+    hits = clps_search(out, "k >= 0", ts_range=(float(lo_5), float(hi_7)))
+    assert hits.count() == 3 * 6  # Feb 5, 6, 7
+
+
 def test_clps_parses_each_record_once(ray_session, tmp_path):
     """The schema shuffle carries parsed leaves, not raw lines: total rows
     seen by the parse stage equals the input row count exactly."""
