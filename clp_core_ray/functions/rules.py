@@ -105,6 +105,21 @@ class RuleSet:
             rf"(?:^|(?<=[{d}]))(?:{body})(?=[{d}]|$)", re.MULTILINE
         )
 
+    def compile_each(self) -> list[re.Pattern]:
+        """One pattern per rule (same delimiter bounding as :meth:`compile`)
+        — the maximal-munch scanner probes each rule at a candidate start."""
+        d = self._delim_class()
+        out = []
+        for name, rx in self.rules:
+            if d is not None:
+                rx = _token_bound(rx, d)
+                out.append(re.compile(
+                    rf"(?:^|(?<=[{d}]))(?:{rx})(?=[{d}]|$)", re.MULTILINE
+                ))
+            else:
+                out.append(re.compile(rx))
+        return out
+
     def compile_timestamps(self) -> re.Pattern | None:
         if not self.timestamp_rules:
             return None
@@ -143,22 +158,58 @@ class RuleEncodeStage:
     """Schema-rule encoder: same output contract as EncodeStage.
 
     Rules are compiled once per actor (stateful-stage setup); per batch the
-    row texts are joined with '\\n' sentinels and scanned with one finditer
-    pass; match→row mapping is one vectorized searchsorted. Longest-leftmost
-    within the alternation follows Python-re first-alternative priority,
-    matching log-surgeon's rule order semantics. When the ruleset declares
-    timestamp rules, a leading timestamp is stripped per row into ``ts_text``
-    before variable scanning (FileCompressor.cpp:196-228 event boundaries).
+    row texts are joined with '\\n' sentinels and lexed with log-surgeon's
+    maximal-munch semantics: the combined alternation finds each leftmost
+    candidate start, then every rule is probed at that position and the
+    LONGEST match wins, ties broken by rule order (log-surgeon's DFA picks
+    longest-match-then-priority; Python-re alternation alone is
+    first-alternative and can pick a shorter higher-priority match).
+    Match→row mapping is one vectorized searchsorted. When the ruleset
+    declares timestamp rules, a leading timestamp is stripped per row into
+    ``ts_text`` before variable scanning (FileCompressor.cpp:196-228 event
+    boundaries).
     """
 
     def __init__(self, ruleset: RuleSet | None = None, text_col: str = "text",
                  keep_text: bool = False):
         self.ruleset = ruleset or RuleSet()
         self.pattern = self.ruleset.compile()
+        self.rule_patterns = self.ruleset.compile_each()
         self.ts_pattern = self.ruleset.compile_timestamps()
         self.rule_names = [n for n, _ in self.ruleset.rules]
         self.text_col = text_col
         self.keep_text = keep_text
+
+    def _scan(self, joined: str) -> list[tuple[int, int, int]]:
+        """Maximal-munch lexing → [(start, end, rule_idx)].
+
+        The combined pattern's search supplies the leftmost candidate start
+        (and a baseline match); each OTHER rule is probed at that start and
+        the longest match wins, earliest rule on ties. One Python iteration
+        per token, #rules regex probes per token — never per character."""
+        out: list[tuple[int, int, int]] = []
+        pos = 0
+        search = self.pattern.search
+        probes = self.rule_patterns
+        while True:
+            m = search(joined, pos)
+            if m is None:
+                return out
+            start = m.start()
+            best_idx = int(m.lastgroup[1:])
+            best_end = m.end()
+            for idx, rx in enumerate(probes):
+                mm = rx.match(joined, start)
+                if mm is None:
+                    continue
+                e = mm.end()
+                if e > best_end or (e == best_end and idx < best_idx):
+                    best_end, best_idx = e, idx
+            if best_end <= start:  # zero-length safeguard
+                pos = start + 1
+                continue
+            out.append((start, best_end, best_idx))
+            pos = best_end
 
     @staticmethod
     def _join(texts: list[str]):
@@ -197,9 +248,8 @@ class RuleEncodeStage:
         dvs: list[list[str]] = [[] for _ in texts]
         last_end = [0] * len(texts)  # per row, relative
 
-        # pass 1: collect spans, then map match→row in one searchsorted
-        matches = [(m.start(), m.end(), m.lastgroup) for m in
-                   self.pattern.finditer(joined)]
+        # pass 1: maximal-munch lex, then map match→row in one searchsorted
+        matches = self._scan(joined)
         if matches:
             mstarts = np.fromiter((s for s, _, _ in matches), dtype=np.int64)
             rows = np.searchsorted(row_starts, mstarts, side="right") - 1
@@ -208,14 +258,14 @@ class RuleEncodeStage:
 
         # pass 2: assemble per-row logtype/vars (inherently per-match: each
         # token appends to its row's buffers in order)
-        for (mstart, mend, group), row in zip(matches, rows):
+        for (mstart, mend, rule_idx), row in zip(matches, rows):
             row = int(row)
             rel_b = mstart - row_starts[row]
             rel_e = mend - row_starts[row]
             if rel_e > len(texts[row]):  # spans the sentinel; cannot happen
                 continue
             tok = joined[mstart:mend]
-            rule = self.rule_names[int(group[1:])]
+            rule = self.rule_names[rule_idx]
             out_lt = logtypes[row]
             E._append_escaped(texts[row][last_end[row]:rel_b], out_lt)
             if rule == "int" and (iv := E.encode_int(tok)) is not None:

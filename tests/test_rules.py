@@ -107,3 +107,55 @@ def test_delimiter_bounded_tokens():
     assert out.column("var_types")[0].as_py() == [E.VT_DICT, E.VT_INT]
     # ',' is a delimiter: two equals-rule tokens, bounded at the comma
     assert out.column("dict_vars")[1].as_py() == ["a=1", "b=2"]
+
+
+def test_maximal_munch_longest_wins():
+    """log-surgeon DFA semantics: at a position the LONGEST match wins even
+    when a shorter match belongs to a higher-priority rule (Python-re
+    first-alternative alone would pick the shorter one)."""
+    # lower-priority alnum beats higher-priority word on length
+    rs = RuleSet([("word", r"[a-z]+"), ("alnum", r"[a-z][a-z0-9]+")])
+    out = RuleEncodeStage(rs, keep_text=True)(
+        pa.table({"text": pa.array(["key abc123 end"])})
+    )
+    assert "abc123" in out.column("dict_vars")[0].as_py()
+    # int listed before float must still yield a float var for '3.14'
+    rs = RuleSet([("int", r"\-?[0-9]+"), ("float", r"\-?[0-9]+\.[0-9]+")])
+    out = RuleEncodeStage(rs, keep_text=True)(
+        pa.table({"text": pa.array(["pi=3.14"])})
+    )
+    vts = out.column("var_types")[0].as_py()
+    assert vts == [E.VT_FLOAT]
+    body = E.decode_message(
+        out.column("logtype")[0].as_py(),
+        out.column("encoded_vars")[0].as_py(),
+        dict_vars=out.column("dict_vars")[0].as_py(),
+    )
+    assert body == "pi=3.14"
+
+
+def test_maximal_munch_tie_breaks_by_priority():
+    """Equal-length matches: the earlier rule wins (int typing observable)."""
+    rs = RuleSet([("int", r"[0-9]+"), ("num", r"[0-9]+")])
+    out = RuleEncodeStage(rs, keep_text=True)(
+        pa.table({"text": pa.array(["v 42"])})
+    )
+    assert out.column("var_types")[0].as_py() == [E.VT_INT]
+    rs = RuleSet([("num", r"[0-9]+"), ("int", r"[0-9]+")])
+    out = RuleEncodeStage(rs, keep_text=True)(
+        pa.table({"text": pa.array(["v 42"])})
+    )
+    # 'num' (a dict rule) wins the tie → dictionary variable, not int
+    assert out.column("var_types")[0].as_py() == [E.VT_DICT]
+
+
+def test_maximal_munch_with_delimiters():
+    """Delimiter-bounded mode keeps working under the maximal-munch scanner."""
+    rs = RuleSet(
+        [("short", r"ab"), ("long", r"ab[a-z0-9]+")],
+        delimiters=r" \t",
+    )
+    out = RuleEncodeStage(rs, keep_text=True)(
+        pa.table({"text": pa.array(["go abzzz9 stop ab"])})
+    )
+    assert out.column("dict_vars")[0].as_py() == ["abzzz9", "ab"]
