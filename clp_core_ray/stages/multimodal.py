@@ -63,31 +63,61 @@ def decode_png(buf: bytes) -> np.ndarray:
     stride = width * nch
     out = np.empty((height, stride), dtype=np.uint8)
     rawa = np.frombuffer(raw, dtype=np.uint8)
+    filters = rawa[:: stride + 1][:height]
+    lines = np.delete(
+        rawa[: height * (stride + 1)].reshape(height, stride + 1), 0, axis=1
+    )
     prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        f = rawa[y * (stride + 1)]
-        line = rawa[y * (stride + 1) + 1:(y + 1) * (stride + 1)].copy()
+    y = 0
+    while y < height:
+        f = int(filters[y])
+        line = lines[y]
         if f == 0:
-            pass
-        elif f == 2:  # Up
-            line += prev
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
-            for x in range(stride):
-                a = line[x - nch] if x >= nch else 0
-                b = prev[x]
-                if f == 1:
-                    line[x] = (int(line[x]) + int(a)) & 0xFF
-                elif f == 3:
-                    line[x] = (int(line[x]) + ((int(a) + int(b)) >> 1)) & 0xFF
+            out[y] = line
+        elif f == 1:  # Sub: out[x] = raw[x] + out[x-nch] → per-channel
+            # prefix sum mod 256, one numpy cumsum per scanline
+            acc = line.reshape(width, nch).astype(np.uint64)
+            out[y] = (np.cumsum(acc, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: vector add
+            out[y] = line + prev
+        elif f in (3, 4):  # Average / Paeth: each output pixel depends on
+            # left, up (and upleft) — an anti-diagonal wavefront computes
+            # every cell of a run of same-filter rows exactly, vectorized
+            # per diagonal (R+width diagonals instead of R*width*nch steps)
+            r1 = y
+            while r1 < height and int(filters[r1]) == f:
+                r1 += 1
+            nrun = r1 - y
+            cur = lines[y:r1].reshape(nrun, width, nch).astype(np.int32)
+            # padded grid: row 0 = previous output row, col 0 = zeros
+            grid = np.zeros((nrun + 1, width + 1, nch), dtype=np.int32)
+            grid[0, 1:] = prev.reshape(width, nch)
+            for k in range(2, nrun + width + 1):
+                lo = max(1, k - width)
+                hi = min(nrun, k - 1)
+                ys = np.arange(lo, hi + 1)
+                xs = k - ys
+                a = grid[ys, xs - 1]
+                b = grid[ys - 1, xs]
+                if f == 3:
+                    pred = (a + b) >> 1
                 else:
-                    c = prev[x - nch] if x >= nch else 0
-                    p = int(a) + int(b) - int(c)
-                    pr = min((a, b, c), key=lambda v: abs(p - int(v)))
-                    line[x] = (int(line[x]) + int(pr)) & 0xFF
+                    c = grid[ys - 1, xs - 1]
+                    p = a + b - c
+                    pa_ = np.abs(p - a)
+                    pb = np.abs(p - b)
+                    pc_ = np.abs(p - c)
+                    pred = np.where((pa_ <= pb) & (pa_ <= pc_), a,
+                                    np.where(pb <= pc_, b, c))
+                grid[ys, xs] = (cur[ys - 1, xs - 1] + pred) & 0xFF
+            out[y:r1] = grid[1:, 1:].astype(np.uint8).reshape(nrun, stride)
+            y = r1
+            prev = out[r1 - 1]
+            continue
         else:
             raise ValueError(f"bad PNG filter {f}")
-        out[y] = line
         prev = out[y]
+        y += 1
     img = out.reshape(height, width, nch)
     if nch == 1:
         img = np.repeat(img, 3, axis=2)
@@ -96,13 +126,39 @@ def decode_png(buf: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Minimal PNG writer (filter 0, 8-bit RGB) — test/fixture side."""
+def encode_png(img: np.ndarray, filter_type=0) -> bytes:
+    """Minimal PNG writer (8-bit RGB) — test/fixture side.
+
+    ``filter_type`` is one filter (0-4) for every scanline or a per-row
+    sequence; forward filtering uses the original pixel values, so it is
+    fully vectorized."""
     import struct
     import zlib
 
     h, w, _ = img.shape
-    raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h))
+    cur = img.astype(np.int32)
+    up = np.zeros_like(cur)
+    up[1:] = cur[:-1]
+    left = np.zeros_like(cur)
+    left[:, 1:] = cur[:, :-1]
+    upleft = np.zeros_like(cur)
+    upleft[1:, 1:] = cur[:-1, :-1]
+    p = left + up - upleft
+    pa_ = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc_ = np.abs(p - upleft)
+    paeth = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                     np.where(pb <= pc_, up, upleft))
+    variants = [cur, cur - left, cur - up, cur - ((left + up) >> 1),
+                cur - paeth]
+    fts = ([int(filter_type)] * h if np.isscalar(filter_type)
+           else [int(x) for x in filter_type])
+    if len(fts) != h or any(ft not in (0, 1, 2, 3, 4) for ft in fts):
+        raise ValueError(f"bad PNG filter spec {filter_type!r}")
+    raw = b"".join(
+        bytes([ft]) + (variants[ft][y] & 0xFF).astype(np.uint8).tobytes()
+        for y, ft in enumerate(fts)
+    )
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data

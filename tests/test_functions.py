@@ -269,6 +269,14 @@ def test_real_codecs_png_bmp_wav():
     rng = np.random.default_rng(4)
     img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
     assert (real_image_decode(encode_png(img)) == img).all()
+    # every PNG filter type round-trips through the vectorized unfilter
+    for ft in (1, 2, 3, 4):
+        assert (real_image_decode(encode_png(img, filter_type=ft)) == img).all(), ft
+    # mixed per-row filters exercise the wavefront run boundaries
+    fts = [(3 + y) % 5 for y in range(img.shape[0])]
+    assert (real_image_decode(encode_png(img, filter_type=fts)) == img).all()
+    fts = [4 if y % 3 else 3 for y in range(img.shape[0])]
+    assert (real_image_decode(encode_png(img, filter_type=fts)) == img).all()
 
     # 24-bit BMP: bottom-up rows, BGR, 4-byte stride padding
     h, w = 5, 3
