@@ -715,9 +715,33 @@ def clp_ir_roundtrip(sf_dir: str):
         return back.map_batches(rename, batch_format="pyarrow").to_pandas()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+_TEMPLATE_CASE_SQL = (
+    "CASE"
+    " WHEN text LIKE 'INFO request_id=%' THEN 't0'"
+    " WHEN text LIKE 'INFO session %' THEN 't1_' ||"
+    "   CASE WHEN regexp_matches(text, '^INFO session [1-9][0-9]{7} ')"
+    "   THEN 'i' ELSE 'd' END"
+    " WHEN text LIKE 'INFO turn completed%' THEN 't2'"
+    " WHEN text LIKE 'WARN slow query%' THEN 't3'"
+    " WHEN text LIKE 'WARN memory pressure%' THEN 't4'"
+    " WHEN text LIKE 'ERROR failed to open%' THEN 't5'"
+    " WHEN text LIKE 'ERROR upstream timeout%' THEN 't6'"
+    " WHEN text LIKE 'DEBUG cache miss%' THEN 't7'"
+    " WHEN text LIKE 'DEBUG planner chose%' THEN 't8'"
+    " ELSE 't9' END"
+)
+
+
+@register(
+    "clp_glt_layout",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM {T} "
+    f"GROUP BY {_TEMPLATE_CASE_SQL} ORDER BY n_rows DESC",
+)
 def clp_glt_layout(sf_dir: str):
-    """GLT regrouping: per-logtype columnar tables with small-group combine.
-    Returns (logtype_id, rows, sink) accounting for the written layout."""
+    """GLT regrouping accounting: per-logtype row counts of the written
+    layout (every routed row lands in exactly one logtype table; the oracle
+    derives the same per-template count multiset in SQL, like
+    clp_logtype_topk)."""
     import shutil
 
     from clp_core_ray.pipelines.glt import write_glt
@@ -726,10 +750,8 @@ def clp_glt_layout(sf_dir: str):
     out = os.path.join("/tmp/clp_core_ray_data", f"glt_{os.path.basename(arch)}")
     shutil.rmtree(out, ignore_errors=True)
     rows = write_glt(arch, out)
-    return pa.table(
-        {"logtype_id": pa.array(list(rows), type=pa.int64()),
-         "rows": pa.array([int(v) for v in rows.values()], type=pa.int64())}
-    )
+    counts = sorted((int(v) for v in rows.values()), reverse=True)
+    return pa.table({"n_rows": pa.array(counts, type=pa.int64())})
 
 
 import os  # noqa: E402  (used by clp_glt_layout)
@@ -776,19 +798,43 @@ def docs_token_stats(sf_dir: str):
     )
 
 
-@register("docs_lang_id")  # heuristic classifier: no SQL equivalent — and the
-# generator's `lang` label is independent of the text (same vocabulary for
-# every label), so an exact-match oracle is impossible by construction
+@register(
+    "docs_lang_id",
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(*) AS BIGINT) AS n_valid_pred, "
+    "CAST(count(*) AS BIGINT) AS n_stable FROM documents",
+)
 def docs_lang_id(sf_dir: str):
+    """Language-ID invariants as an oracle query. The generator's `lang`
+    label is independent of the text (same vocabulary for every label), so
+    an accuracy oracle is impossible by construction; what IS checkable:
+    every doc gets a prediction from the known label set, deterministically
+    (classifier run twice per batch, n_stable == n_docs)."""
     import ray.data as rd
 
     from clp_core_ray.functions.text import lang_id
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    out = ds.map_batches(lang_id, batch_format="pyarrow")
-    return out.map_batches(
-        lambda b: b.select(["doc_id", "lang", "lang_pred"]), batch_format="pyarrow"
-    )
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    valid_set = pa.array(["en", "de", "fr", "es", "und"])
+
+    def check(b: pa.Table) -> pa.Table:
+        p1 = lang_id(b).column("lang_pred")
+        p2 = lang_id(b).column("lang_pred")
+        valid = pc.is_in(p1, value_set=valid_set)
+        stable = pc.equal(p1, p2)
+        return pa.table({
+            "n_docs": pa.array([len(b)], type=pa.int64()),
+            "n_valid_pred": pa.array(
+                [pc.sum(pc.cast(valid, pa.int64())).as_py() or 0], type=pa.int64()),
+            "n_stable": pa.array(
+                [pc.sum(pc.cast(stable, pa.int64())).as_py() or 0], type=pa.int64()),
+        })
+
+    parts = _tbl(ds.map_batches(check, batch_format="pyarrow"))
+    return pa.table({
+        c: pa.array([int(pc.sum(parts.column(c)).as_py() or 0)], type=pa.int64())
+        for c in ("n_docs", "n_valid_pred", "n_stable")
+    })
 
 
 @register(
@@ -931,19 +977,78 @@ def docs_ngram_dup_pairs(sf_dir: str):
     return ngram_jaccard_pairs(ds.repartition(4), threshold=0.4)
 
 
-@register("docs_simhash")  # signature column: no SQL equivalent
+@register(
+    "docs_simhash",
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(*) AS BIGINT) AS n_stable, "
+    "CAST((SELECT count(*) FROM (SELECT text FROM documents "
+    "GROUP BY text HAVING count(*) > 1)) AS BIGINT) AS n_dup_text_groups, "
+    "CAST(0 AS BIGINT) AS n_sig_mismatch_groups FROM documents",
+)
 def docs_simhash(sf_dir: str):
+    """SimHash invariants as an oracle query (the signature values themselves
+    have no SQL equivalent): every doc gets a signature, signatures are
+    deterministic (computed twice, n_stable == n_docs), and identical texts
+    always share a signature — the duplicate-text group count cross-checks
+    the raw-text hash grouping against SQL's GROUP BY text, and none of
+    those groups may mix signatures."""
     import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
 
     from clp_core_ray.functions.dedup import simhash64
+    from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
+
+    import numpy as np
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def sh(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": b.column("doc_id"),
-                         "simhash": simhash64(b.column("text"))})
+    def sigs(b: pa.Table) -> pa.Table:
+        s1 = simhash64(b.column("text"))
+        s2 = simhash64(b.column("text"))
+        offs, data = _string_buffers(
+            b.column("text").combine_chunks().cast(pa.large_string())
+        )
+        h = _fnv1a64_tokens(data, offs[:-1], np.diff(offs)).view(np.int64)
+        # per-batch partial: per-text-hash count + sig min/max (mismatch
+        # detection needs only min != max, never the distinct set)
+        t = pa.table({"h": pa.array(h), "sig": s1,
+                      "stable": pc.cast(pc.equal(s1, s2), pa.int64())})
+        g = (t.group_by("h", use_threads=False)
+             .aggregate([("sig", "min"), ("sig", "max"), ("sig", "count"),
+                         ("stable", "sum")])
+             .rename_columns(["h", "sig_min", "sig_max", "cnt", "stable"]))
+        return g
 
-    return ds.map_batches(sh, batch_format="pyarrow")
+    agg2 = (
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="cnt"),
+                   Sum("stable", alias_name="stable"),
+                   Min("sig_min", alias_name="sig_min"),
+                   Max("sig_max", alias_name="sig_max"))
+    )
+
+    def reduce_counts(b: pa.Table) -> pa.Table:
+        cnt = pc.cast(b.column("cnt"), pa.int64())
+        dup = pc.greater(cnt, 1)
+        mism = pc.and_(dup, pc.not_equal(b.column("sig_min"),
+                                         b.column("sig_max")))
+        return pa.table({
+            "n_docs": pa.array([pc.sum(cnt).as_py() or 0], type=pa.int64()),
+            "n_stable": pa.array([pc.sum(b.column("stable")).as_py() or 0],
+                                 type=pa.int64()),
+            "n_dup_text_groups": pa.array(
+                [pc.sum(pc.cast(dup, pa.int64())).as_py() or 0], type=pa.int64()),
+            "n_sig_mismatch_groups": pa.array(
+                [pc.sum(pc.cast(mism, pa.int64())).as_py() or 0], type=pa.int64()),
+        })
+
+    parts = _tbl(agg2.map_batches(reduce_counts, batch_format="pyarrow"))
+    return pa.table({
+        c: pa.array([int(pc.sum(parts.column(c)).as_py() or 0)], type=pa.int64())
+        for c in ("n_docs", "n_stable", "n_dup_text_groups",
+                  "n_sig_mismatch_groups")
+    })
 
 
 @register(
