@@ -51,8 +51,13 @@ def _export_tuning_env() -> None:
     ReadParquet/Write workers never import this package — they inherit the
     raylet's env instead. Exporting the equivalent env vars (glibc reads
     MALLOC_*_THRESHOLD_ at startup; Arrow/BLAS size pools from
-    OMP_NUM_THREADS) tunes every worker, provided this package is imported
-    before ray.init. setdefault: never overrides an operator's choice.
+    OMP_NUM_THREADS) tunes every worker, provided it runs before ray.init.
+    setdefault: never overrides an operator's choice.
+
+    EXPLICIT OPT-IN (not an import side effect): mutating process-global env
+    from an import would cap BLAS/OpenMP parallelism for any application
+    that merely imports this package (r2 ADVICE). Our own entry points —
+    bench.py, the CLI, the test session fixture — call it before ray.init.
     """
     import os
 
@@ -62,6 +67,7 @@ def _export_tuning_env() -> None:
         os.environ.setdefault(k, v)
 
 
+# process-local tuning only (allocator + this process's Arrow pools); the
+# env-var export for Ray workers is the explicit _export_tuning_env() opt-in
 _tune_malloc()
 _tune_arrow_threads()
-_export_tuning_env()

@@ -24,8 +24,11 @@ def _ensure_ray():
     """Connect if nobody has; return True if WE initialised (and must shut down)."""
     import ray
 
+    import clp_core_ray
+
     if ray.is_initialized():
         return False
+    clp_core_ray._export_tuning_env()  # worker tuning env, pre-init opt-in
     ray.init(include_dashboard=False, ignore_reinit_error=True)
     return True
 
@@ -35,13 +38,32 @@ def _emit(obj) -> None:
 
 
 def cmd_compress(args) -> dict:
-    import re
+    import os
 
     from clp_core_ray.pipelines.compress import compress, dir_bytes, raw_text_bytes
+    from clp_core_ray.sources.transcripts import CACHE_DIR
 
     t0 = time.time()
     src = args.input
-    if re.search(r"sf[0-9.]+", src.rstrip("/").rsplit("/", 1)[-1]):
+    # the synthetic-dataset path is EXPLICIT: a bare scale factor (e.g.
+    # "0.01") or the generator's own cache layout. Any existing user path is
+    # real input — never silently replaced with generated data (r2 ADVICE).
+    synth_sf = None
+    if not os.path.exists(src):
+        try:
+            synth_sf = float(src)
+        except ValueError:
+            raise SystemExit(
+                f"--input {src!r} does not exist (pass a transcript parquet "
+                f"path/dir, or a bare scale factor like 0.01 for the "
+                f"synthetic dataset)"
+            )
+    norm = os.path.abspath(src.rstrip("/"))
+    is_cache = (os.path.dirname(norm) == CACHE_DIR
+                and os.path.basename(norm).startswith("transcripts_sf"))
+    if synth_sf is not None:
+        counts = compress(synth_sf, args.out, compact=not args.no_compact)
+    elif is_cache:
         counts = compress(src, args.out, compact=not args.no_compact)
     else:
         # arbitrary transcript parquet path: read it directly (the reference's
@@ -58,10 +80,13 @@ def cmd_compress(args) -> dict:
         "rows_per_sec": round(total / wall, 1) if wall else None,
         "archive_bytes": dir_bytes(args.out),
     }
-    try:
-        out["raw_text_bytes"] = raw_text_bytes(args.input)
-    except Exception:
-        pass
+    if synth_sf is not None or is_cache:
+        try:
+            out["raw_text_bytes"] = raw_text_bytes(
+                synth_sf if synth_sf is not None else src
+            )
+        except Exception:
+            pass
     return out
 
 

@@ -219,6 +219,7 @@ def compress(
     """
     import time
 
+    ds_provided = ds is not None
     expected_rows = None
     if ds is None:
         from clp_core_ray.sources.transcripts import transcript_files
@@ -287,6 +288,7 @@ def compress(
         "full",
         {
             "input": (input_label if input_label is not None
+                      else "dataset-override" if ds_provided
                       else str(transcripts_path(sf_dir_or_sf))),
             "sink": routed_dir,
             "class_counts": dict(

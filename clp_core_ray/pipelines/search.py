@@ -407,18 +407,22 @@ def search_archive(archive_dir: str, query: str, columns=None,
     routed = os.path.join(archive_dir, "routed")
     import pyarrow.parquet as pq
 
-    cq, ldict, var_ids, var_values, var_classes = compile_for_archive(
-        archive_dir, query, ignore_case
-    )
-
     # passthrough columns (e.g. ts for count-by-time over results): carried
-    # from the sink rows into the match table
-    sink_schema = pq.ParquetFile(_first_parquet_file(routed)).schema_arrow
+    # from the sink rows into the match table. The sink footer is read ONLY
+    # when extra columns are requested or a scan will actually run — a
+    # dictionary-miss query returns empty without touching sink files, and
+    # an archive with an empty routed/ dir yields an empty Dataset (r2
+    # ADVICE: it used to raise FileNotFoundError on the footer read).
     extra = [c for c in (columns or [])
              if c not in ("conv_id", "turn_idx", "text")]
-    missing = [c for c in extra if c not in sink_schema.names]
-    if missing:
-        raise KeyError(f"columns not in archive sinks: {missing}")
+    first = _first_parquet_file_or_none(routed)
+    sink_schema = None
+    if extra:
+        sink_schema = (pq.ParquetFile(first).schema_arrow if first
+                       else pa.schema([]))
+        missing = [c for c in extra if c not in sink_schema.names]
+        if missing:
+            raise KeyError(f"columns not in archive sinks: {missing}")
 
     def _empty():
         t = {"conv_id": pa.array([], type=pa.string()),
@@ -428,8 +432,17 @@ def search_archive(archive_dir: str, query: str, columns=None,
             t[c] = pa.array([], type=sink_schema.field(c).type)
         return rd.from_arrow(pa.table(t))
 
+    if first is None:  # routed/ exists but holds no sink files yet
+        return _empty()
+
+    cq, ldict, var_ids, var_values, var_classes = compile_for_archive(
+        archive_dir, query, ignore_case
+    )
+
     if not cq.match_all and not cq.subqueries:
         return _empty()
+    if sink_schema is None:
+        sink_schema = pq.ParquetFile(first).schema_arrow
     cand = cq.all_logtype_ids()
 
     # partition pruning: class→logtype index (J4) refined per subquery by the
@@ -567,13 +580,20 @@ def search_archive(archive_dir: str, query: str, columns=None,
 
 
 def _first_parquet_file(routed: str):
+    p = _first_parquet_file_or_none(routed)
+    if p is None:
+        raise FileNotFoundError(routed)
+    return p
+
+
+def _first_parquet_file_or_none(routed: str):
     import os
 
     for root, _, files in os.walk(routed):
         for f in sorted(files):
             if f.endswith(".parquet"):
                 return os.path.join(root, f)
-    raise FileNotFoundError(routed)
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -663,14 +683,52 @@ def search_archives(base_dir: str, query: str, ignore_case: bool = False,
     return out.union(*parts[1:]) if len(parts) > 1 else out
 
 
+def _archive_passes(archive_dir: str, path_glob: str | None = None,
+                    ts_min: int | None = None, ts_max: int | None = None) -> bool:
+    """Manifest-based path/time pruning for ONE archive (same conservative
+    semantics as :func:`select_archives`: unknown range → keep)."""
+    import fnmatch
+
+    from clp_core_ray.state import manifest as mf
+
+    lo = hi = None
+    inp = None
+    for m in mf.read_manifests(archive_dir):
+        if m.get("ts_min") is not None:
+            lo = m["ts_min"] if lo is None else min(lo, m["ts_min"])
+        if m.get("ts_max") is not None:
+            hi = m["ts_max"] if hi is None else max(hi, m["ts_max"])
+        inp = inp or m.get("input")
+    if path_glob and inp and not fnmatch.fnmatch(inp, path_glob):
+        return False
+    if ts_min is not None and hi is not None and hi < ts_min:
+        return False
+    if ts_max is not None and lo is not None and lo > ts_max:
+        return False
+    return True
+
+
 def _search_target(target: str, query: str, ignore_case: bool, columns=None,
                    **prune):
     """Dispatch: a dir containing routed/ is one archive; otherwise treat it
-    as a base dir of archives."""
+    as a base dir of archives. Prune kwargs (ts_min/ts_max/path_glob) apply
+    to a single archive too via its manifest time range (r2 ADVICE: they
+    were silently dropped)."""
     import os
+
+    import ray.data as rd
 
     if os.path.isdir(os.path.join(target, "routed")) or \
             os.path.basename(os.path.normpath(target)) == "routed":
+        arch = target
+        if os.path.basename(os.path.normpath(target)) == "routed":
+            arch = os.path.dirname(os.path.normpath(target))
+        if prune and not _archive_passes(arch, **prune):
+            return rd.from_arrow(
+                pa.table({"conv_id": pa.array([], type=pa.string()),
+                          "turn_idx": pa.array([], type=pa.int32()),
+                          "text": pa.array([], type=pa.large_string())})
+            )
         return search_archive(target, query, columns=columns,
                               ignore_case=ignore_case)
     return search_archives(target, query, ignore_case=ignore_case,

@@ -3,8 +3,10 @@ import pytest
 
 @pytest.fixture(scope="session")
 def ray_session():
-    import clp_core_ray  # noqa: F401  (exports worker tuning env pre-init)
+    import clp_core_ray
     import ray
+
+    clp_core_ray._export_tuning_env()  # worker tuning env, pre-init opt-in
 
     if not ray.is_initialized():
         ray.init(

@@ -126,3 +126,116 @@ def test_dict_collision_detection(ray_session):
     )
     out = distinct_by_key(rd.from_arrow(ok), "var_id", check_value_col="value").to_pandas()
     assert sorted(out["var_id"].tolist()) == [7, 9]
+
+
+# ---- round-2 ADVICE regressions ------------------------------------------
+
+
+def test_cli_compress_real_input_not_replaced(ray_session, tmp_path):
+    """--input pointing at an existing directory is REAL input even when its
+    name contains 'sfN.N' — it must never be replaced by synthetic data."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.cli import cmd_compress
+    from clp_core_ray.sources.transcripts import synth_transcripts
+
+    src = tmp_path / "logs_sf0.5"
+    src.mkdir()
+    tiny = synth_transcripts(10, seed=3)
+    pq.write_table(tiny, str(src / "part-0.parquet"))
+
+    class A:
+        input = str(src)
+        out = str(tmp_path / "arch")
+        no_compact = False
+
+    out = cmd_compress(A())
+    assert out["rows"] == 10  # the 10 real rows, not sf0.5's 3M synthetic
+    # manifest records the real path
+    from clp_core_ray.state.manifest import read_manifests
+
+    assert any(m.get("input") == str(src) for m in read_manifests(A.out))
+
+
+def test_cli_compress_missing_input_errors(ray_session, tmp_path):
+    from clp_core_ray.cli import cmd_compress
+
+    class A:
+        input = str(tmp_path / "nope")
+        out = str(tmp_path / "arch2")
+        no_compact = False
+
+    with pytest.raises(SystemExit):
+        cmd_compress(A())
+
+
+def test_search_empty_routed_dir(ray_session, tmp_path):
+    """An archive whose routed/ dir exists but holds no parquet files yields
+    an empty Dataset (ADVICE r2: used to raise FileNotFoundError)."""
+    from clp_core_ray.pipelines.search import search_archive
+
+    arch = tmp_path / "arch"
+    (arch / "routed").mkdir(parents=True)
+    ds = search_archive(str(arch), "anything")
+    assert ds.schema().names == ["conv_id", "turn_idx", "text"]
+    assert ds.count() == 0
+
+
+def test_single_archive_ts_prune(ray_session, tmp_path):
+    """ts_min/ts_max apply to a single-archive target via its manifest."""
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import _search_target, search_count
+    from clp_core_ray.state.manifest import read_manifests
+
+    out = str(tmp_path / "arch")
+    compress(SF, out)
+    ms = [m for m in read_manifests(out) if m.get("ts_max") is not None]
+    assert ms
+    hi = max(m["ts_max"] for m in ms)
+    # window entirely after the archive's range → zero rows, zero scan
+    n = search_count(out, "ERROR*timeout", ts_min=hi + 10_000_000)
+    assert n.column("cnt")[0].as_py() == 0
+    # window covering the range → matches flow as before
+    n2 = search_count(out, "ERROR*timeout", ts_max=hi)
+    assert n2.column("cnt")[0].as_py() > 0
+    # count-by-time path carries the prune kwargs too
+    got = _search_target(out, "ERROR*timeout", False,
+                         ts_min=hi + 10_000_000).to_pandas()
+    assert len(got) == 0
+
+
+def test_compress_ds_override_default_label(ray_session, tmp_path):
+    """compress(ds=...) without input_label records a placeholder instead of
+    raising TypeError after the pipeline ran."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.sources.transcripts import synth_transcripts
+    from clp_core_ray.state.manifest import read_manifests
+
+    out = str(tmp_path / "arch")
+    compress(None, out, ds=rd.from_arrow(synth_transcripts(20, seed=5)))
+    assert any(m.get("input") == "dataset-override" for m in read_manifests(out))
+
+
+def test_import_does_not_mutate_env():
+    """Importing the package must not set OMP_NUM_THREADS / MALLOC_* for the
+    embedding application (explicit opt-in via _export_tuning_env)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "for k in ('OMP_NUM_THREADS','MALLOC_MMAP_THRESHOLD_',"
+        "'MALLOC_TRIM_THRESHOLD_'): os.environ.pop(k, None)\n"
+        "import clp_core_ray\n"
+        "bad = [k for k in ('OMP_NUM_THREADS','MALLOC_MMAP_THRESHOLD_',"
+        "'MALLOC_TRIM_THRESHOLD_') if k in os.environ]\n"
+        "assert not bad, bad\n"
+        "clp_core_ray._export_tuning_env()\n"
+        "assert os.environ['OMP_NUM_THREADS'] == '2'\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   cwd="/root/repo", timeout=120)
