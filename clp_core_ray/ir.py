@@ -184,8 +184,10 @@ def _serialize_ts_delta(delta: int) -> bytes:
     return struct.pack(">Bq", TS_DELTA_LONG, delta)
 
 
-def serialize_log_event_eight(ts_ms: int, message: str) -> bytes:
-    """eight_byte_encoding::serialize_log_event (encoding_methods.cpp:134-171)."""
+def serialize_message_eight(message: str) -> bytes:
+    """eight_byte_encoding::serialize_message: vars then logtype, no ts
+    (also the payload of a KV-IR ClpStr value, utils.hpp
+    serialize_clp_string)."""
     logtype, evs, vts, dvs = E.encode_message(message)
     out = []
     di = 0
@@ -196,12 +198,16 @@ def serialize_log_event_eight(ts_ms: int, message: str) -> bytes:
         else:
             out.append(struct.pack(">Bq", VAR_EIGHT, ev))
     out.append(_serialize_logtype(logtype.encode()))
-    out.append(struct.pack(">Bq", TS_VAL, int(ts_ms)))
     return b"".join(out)
 
 
-def serialize_log_event_four(ts_delta_ms: int, message: str) -> bytes:
-    """four_byte_encoding::serialize_log_event (encoding_methods.cpp:200-258):
+def serialize_log_event_eight(ts_ms: int, message: str) -> bytes:
+    """eight_byte_encoding::serialize_log_event (encoding_methods.cpp:134-171)."""
+    return serialize_message_eight(message) + struct.pack(">Bq", TS_VAL, int(ts_ms))
+
+
+def serialize_message_four(message: str) -> bytes:
+    """four_byte_encoding::serialize_message (encoding_methods.cpp:200-258):
     re-classifies each token under the 4-byte caps (int32 ints, ≤8-digit
     floats) — tokens that no longer fit become dictionary vars, changing
     their logtype placeholder (the reference does the same via
@@ -228,8 +234,12 @@ def serialize_log_event_four(ts_delta_ms: int, message: str) -> bytes:
         lt.append(E.PLACEHOLDER_DICT)
     E._append_escaped(msg[last:], lt)
     out.append(_serialize_logtype("".join(lt).encode()))
-    out.append(_serialize_ts_delta(int(ts_delta_ms)))
     return b"".join(out)
+
+
+def serialize_log_event_four(ts_delta_ms: int, message: str) -> bytes:
+    """four_byte_encoding::serialize_log_event = message + ts delta."""
+    return serialize_message_four(message) + _serialize_ts_delta(int(ts_delta_ms))
 
 
 def serialize_ir_stream(

@@ -691,6 +691,31 @@ def clps_ts_prune(sf_dir: str):
 
 
 @register(
+    "clps_kv_ir_roundtrip",
+    "SELECT '{\"k\": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)"
+    " || '}' AS json FROM events",
+)
+def clps_kv_ir_roundtrip(sf_dir: str):
+    """Structured key-value IR round trip (ffi/ir_stream Serializer v0.1.0):
+    NDJSON records → KV-IR byte streams on disk → deserialize → canonical
+    JSON equality vs the oracle's re-rendering (the clp_s analogue of
+    clp_ir_roundtrip)."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray.ir_kv import read_kv_ir, write_kv_ir
+    from clp_core_ray.pipelines.clps import ndjson_from_parquet_column
+
+    out = tempfile.mkdtemp(prefix="clps_kvir_")
+    try:
+        src = ndjson_from_parquet_column(f"{sf_dir}/events.parquet", "props")
+        paths = write_kv_ir(src, out)
+        return read_kv_ir(paths).select_columns(["json"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "clp_ir_roundtrip",
     "SELECT text, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM {T}",
 )
