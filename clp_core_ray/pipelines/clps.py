@@ -645,6 +645,212 @@ def clps_decompress(out_dir: str, ordered: bool = True):
     return ds
 
 
+# ---- archive splitting ---------------------------------------------------
+#
+# clp_s rolls to a new archive when the in-flight encoded size reaches
+# --target-encoded-size (JsonParser.cpp:570-575,918 split_archive;
+# CommandLineArguments.cpp:219-221). Re-expressed for the Dataset shape:
+# the input is packed into record-count-bounded groups up front (footer /
+# length metadata only — no data read), and each group compresses into a
+# self-contained sub-archive with its own schema tables + schemas.json.
+# Search and reconstruction iterate sub-archives, pruning by each archive's
+# aggregated timestamp range before opening any schema table.
+
+ARCHIVES_META = "archives.json"
+DEFAULT_ARCHIVE_RECORDS = 1_000_000
+
+
+def _archive_ts_range(archive_dir: str):
+    """(ts_min, ts_max) over the archive's schema-table footers, or None."""
+    lo = hi = None
+    for f in _schema_files(archive_dir):
+        md = pq.ParquetFile(f).schema_arrow.metadata or {}
+        if b"ts_min" not in md:
+            continue
+        mn, mx = int(md[b"ts_min"].decode()), int(md[b"ts_max"].decode())
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return None if lo is None else (lo, hi)
+
+
+def clps_compress_split(source, base_dir: str, timestamp_key: str | None = None,
+                        max_records: int = DEFAULT_ARCHIVE_RECORDS) -> dict:
+    """Compress NDJSON into record-count-bounded sub-archives.
+
+    ``source``: a list of lines, NDJSON file path(s), or a parquet column
+    spec ``(path_or_dir, column)``. Returns the archives.json manifest dict
+    {archive_name: {n_records, ts_min, ts_max}}.
+    """
+    os.makedirs(base_dir, exist_ok=True)
+    groups: list = []
+
+    if isinstance(source, list) and all(isinstance(x, str) for x in source) \
+            and source and source[0].lstrip().startswith("{"):
+        # in-memory lines: chunk directly, carrying the global record index
+        for i in range(0, len(source), max_records):
+            groups.append(("lines", i, source[i:i + max_records]))
+    elif isinstance(source, tuple) and len(source) == 2:
+        # (parquet path/dir, column): pack row-group SLICES by footer row
+        # counts (a row group bigger than the cap splits into index slices —
+        # planning stays metadata-only, tasks slice after the read)
+        path_or_dir, column = source
+        items: list[tuple[str, int, int, int, int]] = []
+        for fi, f in enumerate(sorted(_parquet_files(path_or_dir))):
+            md = pq.ParquetFile(f).metadata
+            base = 0
+            for rg in range(md.num_row_groups):
+                n = md.row_group(rg).num_rows
+                for off in range(0, n, max_records):
+                    ln = min(max_records, n - off)
+                    items.append((f, rg, (fi << _FILE_SHIFT) + base + off,
+                                  off, ln))
+                base += n
+        cur: list = []
+        cur_n = 0
+        for it in items:
+            if cur and cur_n + it[4] > max_records:
+                groups.append(("rg", column, cur))
+                cur, cur_n = [], 0
+            cur.append(it)
+            cur_n += it[4]
+        if cur:
+            groups.append(("rg", column, cur))
+    else:
+        # NDJSON file path(s): one group per cumulative byte budget; each
+        # file keeps its GLOBAL sequence so log_event_idx stays unique
+        paths = [source] if isinstance(source, str) else list(source)
+        budget = max_records * 256  # ~bytes per record heuristic
+        cur, cur_b = [], 0
+        for seq, p in enumerate(sorted(paths)):
+            sz = os.path.getsize(p)
+            if cur and cur_b + sz > budget:
+                groups.append(("files", cur))
+                cur, cur_b = [], 0
+            cur.append((seq, p))
+            cur_b += sz
+        if cur:
+            groups.append(("files", cur))
+
+    import ray.data as rd
+
+    manifest: dict = {}
+    for i, g in enumerate(groups):
+        name = f"archive_{i:04d}"
+        adir = os.path.join(base_dir, name)
+        kind = g[0]
+        if kind == "rg":
+            _, column, items = g
+
+            def read(batch: pa.Table, _column=column) -> pa.Table:
+                tbls = []
+                for path, rg, base, off, ln in zip(
+                    batch.column("path").to_pylist(),
+                    batch.column("rg").to_pylist(),
+                    batch.column("base").to_pylist(),
+                    batch.column("off").to_pylist(),
+                    batch.column("ln").to_pylist(),
+                ):
+                    t = pq.ParquetFile(path).read_row_group(
+                        rg, columns=[_column]
+                    ).slice(off, ln)
+                    idx = np.arange(len(t), dtype=np.int64) + base
+                    tbls.append(pa.table({
+                        "log_event_idx": pa.array(idx),
+                        "raw": t.column(_column).combine_chunks().cast(
+                            pa.large_string()),
+                    }))
+                return pa.concat_tables(tbls)
+
+            src = rd.from_items(
+                [{"path": f, "rg": rg, "base": b, "off": o, "ln": ln}
+                 for f, rg, b, o, ln in items]
+            ).map_batches(read, batch_format="pyarrow")
+        elif kind == "lines":
+            _, start, chunk = g
+            src = rd.from_arrow(pa.table({
+                "log_event_idx": pa.array(
+                    np.arange(start, start + len(chunk), dtype=np.int64)),
+                "raw": pa.array(chunk, type=pa.large_string()),
+            }))
+        else:  # files
+            _, seq_paths = g
+
+            def read_files(batch: pa.Table) -> pa.Table:
+                tbls = []
+                for path, seq in zip(batch.column("path").to_pylist(),
+                                     batch.column("seq").to_pylist()):
+                    with open(path, "rb") as f:
+                        ls = [ln for ln in f.read().splitlines() if ln.strip()]
+                    idx = np.arange(len(ls), dtype=np.int64) + (seq << _FILE_SHIFT)
+                    tbls.append(pa.table({
+                        "log_event_idx": pa.array(idx),
+                        "raw": pa.array([ln.decode() for ln in ls],
+                                        type=pa.large_string()),
+                    }))
+                return pa.concat_tables(tbls)
+
+            src = rd.from_items(
+                [{"path": p, "seq": s} for s, p in seq_paths]
+            ).map_batches(read_files, batch_format="pyarrow")
+        counts = clps_compress(src, adir, timestamp_key=timestamp_key)
+        rng = _archive_ts_range(adir)
+        manifest[name] = {
+            "n_records": int(sum(counts.values())),
+            **({"ts_min": rng[0], "ts_max": rng[1]} if rng else {}),
+        }
+    with open(os.path.join(base_dir, ARCHIVES_META), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def select_split_archives(base_dir: str,
+                          ts_range: tuple[float, float] | None = None) -> list[str]:
+    """Sub-archive dirs whose manifest time range intersects ``ts_range``
+    (unknown range → keep, clg's conservative selection semantics)."""
+    with open(os.path.join(base_dir, ARCHIVES_META)) as f:
+        manifest = json.load(f)
+    keep = []
+    for name in sorted(manifest):
+        m = manifest[name]
+        if ts_range is not None and "ts_min" in m:
+            lo, hi = ts_range
+            if m["ts_max"] < lo or m["ts_min"] > hi:
+                continue
+        keep.append(os.path.join(base_dir, name))
+    return keep
+
+
+def clps_search_split(base_dir: str, query: str,
+                      ts_range: tuple[float, float] | None = None):
+    """KQL search across a split archive set → one union Dataset.
+
+    Archive-level pruning happens on the manifest (no footer reads for
+    skipped archives); surviving archives then prune per schema table as
+    usual (EvaluateTimestampIndex at both granularities)."""
+    from clp_core_ray.functions.filters import clps_search
+
+    dirs = select_split_archives(base_dir, ts_range)
+    if not dirs:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {"log_event_idx": pa.array([], type=pa.int64()),
+             "json": pa.array([], type=pa.large_string())}))
+    parts = [clps_search(d, query, ts_range=ts_range) for d in dirs]
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out
+
+
+def clps_decompress_split(base_dir: str, ordered: bool = True):
+    """Reconstruct all sub-archives → Dataset[(log_event_idx, json)]."""
+    dirs = select_split_archives(base_dir)
+    parts = [clps_decompress(d, ordered=False) for d in dirs]
+    out = parts[0]
+    if len(parts) > 1:
+        out = out.union(*parts[1:])
+    return out.sort("log_event_idx") if ordered else out
+
+
 def schema_counts(out_dir: str) -> pa.Table:
     """A5: per-schema record counts from the schema map."""
     with open(os.path.join(out_dir, SCHEMA_META)) as f:

@@ -691,6 +691,35 @@ def clps_ts_prune(sf_dir: str):
 
 
 @register(
+    "clps_split_roundtrip",
+    "SELECT '{\"k\": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)"
+    " || '}' AS json FROM events",
+)
+def clps_split_roundtrip(sf_dir: str):
+    """clp_s archive splitting (--target-encoded-size rollover,
+    JsonParser.cpp:570-575): the input packs into multiple self-contained
+    sub-archives and the global reconstruction still equals the input."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray.pipelines.clps import (
+        clps_compress_split,
+        clps_decompress_split,
+    )
+
+    out = tempfile.mkdtemp(prefix="clps_split_")
+    try:
+        manifest = clps_compress_split(
+            (f"{sf_dir}/events.parquet", "props"), out, max_records=4000
+        )
+        assert len(manifest) >= 2, "fixture must split into several archives"
+        ds = clps_decompress_split(out, ordered=False)
+        return ds.select_columns(["json"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "clps_kv_ir_roundtrip",
     "SELECT '{\"k\": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)"
     " || '}' AS json FROM events",

@@ -121,6 +121,55 @@ def test_clps_string_ts_range_index(ray_session, tmp_path):
     assert hits.count() == 3 * 6  # Feb 5, 6, 7
 
 
+def test_clps_archive_split_roundtrip(ray_session, tmp_path):
+    """Record-count-bounded archive rollover (clp_s --target-encoded-size,
+    JsonParser.cpp:570-575 split_archive): multiple self-contained
+    sub-archives, global reconstruction equality, archive-level time
+    pruning without opening pruned archives."""
+    import os
+
+    from clp_core_ray.pipelines.clps import (
+        clps_compress_split,
+        clps_decompress_split,
+        clps_search_split,
+        select_split_archives,
+    )
+
+    # time-ordered records: string dates advance with the index
+    lines = [json.dumps({"t": f"2024-0{1 + i // 200}-01 00:{(i % 200) // 60:02d}:{i % 60:02d}",
+                         "k": i}, sort_keys=True)
+             for i in range(600)]
+    base = str(tmp_path / "split")
+    manifest = clps_compress_split(lines, base, timestamp_key="t",
+                                   max_records=200)
+    assert len(manifest) == 3  # 600 records / 200 cap (one per month)
+    assert sum(m["n_records"] for m in manifest.values()) == 600
+    assert all("ts_min" in m for m in manifest.values())
+
+    back = clps_decompress_split(base, ordered=True).to_pandas()["json"].tolist()
+    assert back == lines
+
+    # archive-level pruning: a window inside month 3 keeps only the last
+    # archive; poison the other archives' schema files (data AND footer) to
+    # prove they are never opened
+    import datetime as dt
+
+    lo = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp() * 1000
+    hi = dt.datetime(2024, 4, 1, tzinfo=dt.timezone.utc).timestamp() * 1000
+    keep = select_split_archives(base, (lo, hi))
+    assert len(keep) == 1
+    for name in manifest:
+        d = os.path.join(base, name)
+        if d in keep:
+            continue
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                with open(os.path.join(d, f), "wb") as fh:
+                    fh.write(b"garbage")
+    hits = clps_search_split(base, "k >= 0", ts_range=(lo, hi))
+    assert hits.count() == 200  # records of month 3
+
+
 def test_clps_parses_each_record_once(ray_session, tmp_path):
     """The schema shuffle carries parsed leaves, not raw lines: total rows
     seen by the parse stage equals the input row count exactly."""
