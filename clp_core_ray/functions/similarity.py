@@ -303,14 +303,104 @@ def ivf_index_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
     return _merge_topk(cand, k)
 
 
+def _majority_vote(qid: np.ndarray, nlab: np.ndarray, id_col: str) -> pa.Table:
+    """(query, neighbor-label) rows → majority label per query (one numpy
+    grouped-count pass; count ties break to the smaller label)."""
+    o = np.lexsort((nlab, qid))
+    q, l = qid[o], nlab[o]
+    new_run = np.ones(len(q), dtype=bool)
+    new_run[1:] = (q[1:] != q[:-1]) | (l[1:] != l[:-1])
+    starts = np.flatnonzero(new_run)
+    counts = np.diff(np.append(starts, len(q)))
+    rq, rl = q[starts], l[starts]
+    o2 = np.lexsort((rl, -counts, rq))
+    rq, rl = rq[o2], rl[o2]
+    first = np.ones(len(rq), dtype=bool)
+    first[1:] = rq[1:] != rq[:-1]
+    return pa.table(
+        {id_col: pa.array(rq[first], type=pa.int64()),
+         "label_pred": pa.array(rl[first].astype(np.int32), type=pa.int32())}
+    )
+
+
+def knn_label_vote_ds(ds, k: int = 5, id_col: str = "vec_id",
+                      emb_col: str = "embedding", label_col: str = "label"):
+    """Distributed kNN label vote — every row is a query; nothing lands on
+    the driver but the final (id, label) table.
+
+    Same block self-join shape as :func:`dedup.embedding_dup_pairs`: the
+    normalized blocks (with labels) stay in the object store; one raw task
+    per (query block, data block) emits per-query partial top-k candidates
+    with the neighbors' labels attached, and one reduce task per query block
+    merges its candidates to exact top-k and votes. Candidate volume per
+    reduce = k x n_blocks per query — bounded, never the matrix.
+    """
+    import ray
+    import ray.data as rd
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col)).astype(np.float32)
+        dim = m.shape[1] if m.size else 1
+        return pa.table({
+            id_col: batch.column(id_col).combine_chunks().cast(pa.int64()),
+            label_col: batch.column(label_col).combine_chunks().cast(pa.int64()),
+            "nemb": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), dim),
+        })
+
+    blocks = ds.map_batches(prep, batch_format="pyarrow").materialize() \
+        .to_arrow_refs()
+
+    from clp_core_ray.functions.dedup import _fixed_matrix
+
+    @ray.remote
+    def pair(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        ma = _fixed_matrix(ta, "nemb")
+        mb = _fixed_matrix(tb, "nemb")
+        ia = np.asarray(ta.column(id_col), dtype=np.int64)
+        ib = np.asarray(tb.column(id_col), dtype=np.int64)
+        lb = np.asarray(tb.column(label_col), dtype=np.int64)
+        scores = (ma @ mb.T).astype(np.float64)
+        scores[ia[:, None] == ib[None, :]] = -np.inf  # exclude self
+        kk = min(k, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(ia, kk)),
+            "neighbor_id": pa.array(ib[part].reshape(-1)),
+            "neighbor_label": pa.array(lb[part].reshape(-1)),
+            "score": pa.array(np.take_along_axis(scores, part, axis=1).reshape(-1)),
+        })
+
+    @ray.remote
+    def reduce_votes(*cands) -> pa.Table:
+        cand = pa.concat_tables(cands)
+        top = _merge_topk(cand.select(["query_id", "neighbor_id", "score"]), k)
+        # resolve the kept neighbors' labels from the candidate rows
+        cn = np.asarray(cand.column("neighbor_id"), dtype=np.int64)
+        cl = np.asarray(cand.column("neighbor_label"), dtype=np.int64)
+        order = np.argsort(cn, kind="stable")
+        cn, cl = cn[order], cl[order]
+        nid = np.asarray(top.column("neighbor_id"), dtype=np.int64)
+        nlab = cl[np.searchsorted(cn, nid)]
+        qid = np.asarray(top.column("query_id"), dtype=np.int64)
+        return _majority_vote(qid, nlab, id_col)
+
+    nb = len(blocks)
+    refs = [
+        reduce_votes.remote(*[pair.remote(blocks[i], blocks[j])
+                              for j in range(nb)])
+        for i in range(nb)
+    ]
+    return rd.from_arrow(pa.concat_tables(ray.get(refs)))
+
+
 def knn_label_vote(ds, k: int = 5, id_col: str = "vec_id",
                    emb_col: str = "embedding", label_col: str = "label"):
     """Predict each row's label by majority over its k nearest neighbors.
 
-    Demonstrates the embedding join: the (small) label table is collected and
-    broadcast; neighbors come from brute-force top-k. The vote itself is one
-    numpy grouped-count pass (sort by (query, neighbor label), run-length
-    count, argmax per query; count ties break to the smaller label).
+    Driver-side reference implementation (collects the matrix) kept as the
+    oracle for :func:`knn_label_vote_ds`, the distributed block-self-join
+    path that never materializes the matrix on the driver.
     """
     lab_parts = [
         pa.table(b) for b in
@@ -327,23 +417,4 @@ def knn_label_vote(ds, k: int = 5, id_col: str = "vec_id",
     qid = np.asarray(topk.column("query_id"), dtype=np.int64)
     nid = np.asarray(topk.column("neighbor_id"), dtype=np.int64)
     nlab = lab_vals[np.searchsorted(lab_ids, nid)]
-
-    # count votes per (query, label): sort, run-length encode, then keep the
-    # max-count run per query (ties → smaller label via the sort order)
-    o = np.lexsort((nlab, qid))
-    q, l = qid[o], nlab[o]
-    new_run = np.ones(len(q), dtype=bool)
-    new_run[1:] = (q[1:] != q[:-1]) | (l[1:] != l[:-1])
-    starts = np.flatnonzero(new_run)
-    counts = np.diff(np.append(starts, len(q)))
-    rq, rl = q[starts], l[starts]
-    # per query, pick run with max count; lexsort keys: primary query,
-    # then -count, then label — first run of each query wins
-    o2 = np.lexsort((rl, -counts, rq))
-    rq, rl = rq[o2], rl[o2]
-    first = np.ones(len(rq), dtype=bool)
-    first[1:] = rq[1:] != rq[:-1]
-    return pa.table(
-        {id_col: pa.array(rq[first], type=pa.int64()),
-         "label_pred": pa.array(rl[first].astype(np.int32), type=pa.int32())}
-    )
+    return _majority_vote(qid, nlab, id_col)

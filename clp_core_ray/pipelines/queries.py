@@ -1106,6 +1106,31 @@ def docs_simhash(sf_dir: str):
 
 
 @register(
+    "emb_knn_label_vote",
+    "WITH nn AS (SELECT q.vec_id AS vec_id, e.label AS nlabel "
+    "FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id "
+    "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5), "
+    "votes AS (SELECT vec_id, nlabel, count(*) AS c FROM nn GROUP BY 1, 2) "
+    "SELECT vec_id, CAST(nlabel AS INTEGER) AS label_pred FROM votes "
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nlabel) = 1",
+)
+def emb_knn_label_vote(sf_dir: str):
+    """Distributed kNN majority label vote (every row a query): block
+    self-join partial top-k + per-query-block reduce — no driver-side
+    matrix. Ties: neighbor rank by (cosine desc, vec_id asc); vote by
+    (count desc, label asc) — mirrored exactly in the oracle."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import knn_label_vote_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    out = knn_label_vote_ds(ds.repartition(4), k=5)
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+@register(
     "emb_ann_topk",
     "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id "
     "FROM embeddings q, embeddings e "

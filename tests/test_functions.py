@@ -217,6 +217,13 @@ def test_knn_label_vote(ray_session):
     acc = sum(pred[i] == labels[i] for i in range(40)) / 40
     assert acc == 1.0
 
+    # distributed block-self-join path agrees with the driver reference
+    from clp_core_ray.functions.similarity import knn_label_vote_ds
+
+    out2 = (knn_label_vote_ds(rd.from_arrow(tbl).repartition(4), k=5)
+            .to_pandas().sort_values("vec_id"))
+    assert dict(zip(out2.vec_id, out2.label_pred)) == pred
+
 
 def test_multimodal_image_stage(ray_session):
     import ray.data as rd
