@@ -494,6 +494,91 @@ def decode_ir_stream_to_text(data: bytes) -> pa.Table:
     return pa.table({"ts": tbl.column("ts"), "text": text})
 
 
+def search_ir_stream(data: bytes, query: str, ignore_case: bool = False,
+                     ts_min: int | None = None,
+                     ts_max: int | None = None) -> pa.Table:
+    """Two-phase wildcard search over ONE IR stream → (ts, text) hits.
+
+    The clo-over-IR search shape (the package searches IR chunks before they
+    are archived): the stream's distinct logtypes act as its dictionary —
+    candidate templates are pruned exactly like archive search
+    (Grep.cpp:482-495), then only candidate rows decode and wildcard-verify.
+    ``ts_min``/``ts_max`` (epoch ms, inclusive) pre-filter rows before any
+    decode."""
+    import pyarrow.compute as pc
+
+    from clp_core_ray.pipelines.search import (
+        candidate_logtype_ids,
+        wildcard_to_regex,
+    )
+    from clp_core_ray.vec.decoder import decode_batch
+
+    empty = pa.table({"ts": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.large_string())})
+    meta, tbl = deserialize_ir_stream(data)
+    if len(tbl) == 0:
+        return empty
+    if ts_min is not None:
+        tbl = tbl.filter(pc.greater_equal(tbl.column("ts"), ts_min))
+    if ts_max is not None:
+        tbl = tbl.filter(pc.less_equal(tbl.column("ts"), ts_max))
+    if len(tbl) == 0:
+        return empty
+    enc = pc.dictionary_encode(tbl.column("logtype").combine_chunks())
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    distinct = enc.dictionary
+    codes = enc.indices
+    cand = candidate_logtype_ids(
+        pa.array(range(len(distinct)), type=pa.int64()),
+        distinct.cast(pa.large_string()), query,
+    )
+    if len(cand) == 0:
+        return empty
+    keep = pc.is_in(codes.cast(pa.int64()), value_set=pa.array(cand))
+    tbl = tbl.filter(keep)
+    if len(tbl) == 0:
+        return empty
+    text = decode_batch(tbl.column("logtype"), tbl.column("encoded_vars"),
+                        tbl.column("var_types"), dict_vars=tbl.column("dict_vars"))
+    rx = wildcard_to_regex(f"*{query.strip('*')}*" if query.strip("*") else "*",
+                           full_match=True)
+    if ignore_case:
+        rx = "(?i)" + rx
+    m = pc.match_substring_regex(text, rx)
+    return pa.table({"ts": tbl.column("ts").combine_chunks(),
+                     "text": text}).filter(m)
+
+
+def search_ir(paths, query: str, ignore_case: bool = False,
+              ts_min: int | None = None, ts_max: int | None = None):
+    """Wildcard search across IR stream files → Dataset[(ts, text)].
+
+    One task per file; each file prunes on its own logtype set before
+    decoding (S3 source + §2.11 search semantics, no archive required)."""
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        import os
+
+        paths = [os.path.join(paths, f) for f in sorted(os.listdir(paths))
+                 if f.endswith(".clp.ir")]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        tbls = []
+        for p in batch.column("path").to_pylist():
+            with open(p, "rb") as f:
+                tbls.append(search_ir_stream(f.read(), query, ignore_case,
+                                             ts_min, ts_max))
+        return pa.concat_tables(tbls) if tbls else pa.table(
+            {"ts": pa.array([], type=pa.int64()),
+             "text": pa.array([], type=pa.large_string())})
+
+    return rd.from_items([{"path": p} for p in paths]).map_batches(
+        scan, batch_format="pyarrow"
+    )
+
+
 # ---- Ray integration ---------------------------------------------------------
 
 

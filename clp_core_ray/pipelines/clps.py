@@ -645,6 +645,22 @@ def clps_decompress(out_dir: str, ordered: bool = True):
     return ds
 
 
+def clps_compress_from_kv_ir(paths, out_dir: str,
+                             timestamp_key: str | None = None) -> dict:
+    """Ingest structured key-value IR streams into a clp_s archive
+    (JsonParser::parse_from_ir, clp_s/JsonParser.hpp:83): deserialize the
+    KV-IR events back to records, then run the normal per-schema columnar
+    compression. The auto-gen ``log_event_idx`` keeps the global order."""
+    from clp_core_ray.ir_kv import read_kv_ir
+
+    src = read_kv_ir(paths).map_batches(
+        lambda b: pa.table({"log_event_idx": b.column("log_event_idx"),
+                            "raw": b.column("json")}),
+        batch_format="pyarrow",
+    )
+    return clps_compress(src, out_dir, timestamp_key=timestamp_key)
+
+
 # ---- archive splitting ---------------------------------------------------
 #
 # clp_s rolls to a new archive when the in-flight encoded size reaches

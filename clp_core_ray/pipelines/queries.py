@@ -691,6 +691,34 @@ def clps_ts_prune(sf_dir: str):
 
 
 @register(
+    "clp_ir_search",
+    "SELECT text, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM {T} "
+    "WHERE text LIKE '%ERROR%timeout%'",
+)
+def clp_ir_search(sf_dir: str):
+    """Wildcard search directly over IR stream files (no archive): per-file
+    logtype-candidate pruning + decode-verify — the package's
+    search-before-archival path, reusing the §2.11 semantics."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray import ir
+
+    out = tempfile.mkdtemp(prefix="clp_irs_")
+    try:
+        ds = read_transcripts(sf_dir, columns=["ts", "text"])
+        paths = ir.write_ir(ds, out, four_byte=True)
+        hits = ir.search_ir(paths, "ERROR*timeout")
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({"text": b.column("text"), "ts_ms": b.column("ts")})
+
+        return hits.map_batches(rename, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "clps_split_roundtrip",
     "SELECT '{\"k\": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)"
     " || '}' AS json FROM events",

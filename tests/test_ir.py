@@ -157,3 +157,29 @@ def test_write_read_ir_ray(ray_session, tmp_path):
     assert sorted(back["text"]) == sorted(orig["text"])
     want_ms = (orig["ts"].astype("datetime64[ms]").astype("int64")).sort_values().tolist()
     assert sorted(back["ts"].tolist()) == want_ms
+
+
+def test_search_ir_streams(ray_session, tmp_path):
+    """Wildcard search over IR files matches a brute-force text filter and
+    prunes by per-file logtype candidates + ts range."""
+    from clp_core_ray import ir
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    ds = read_transcripts(0.0005, columns=["ts", "text"])
+    paths = ir.write_ir(ds, str(tmp_path / "ir"))
+    hits = ir.search_ir(paths, "ERROR*timeout").to_pandas()
+    df = read_transcripts(0.0005).to_pandas()
+    import re
+
+    want = df[df.text.str.contains(r"ERROR[\s\S]*timeout", regex=True)]
+    assert len(hits) == len(want)
+    assert sorted(hits.text.tolist()) == sorted(want.text.tolist())
+    # case-insensitive mode
+    hits_ic = ir.search_ir(paths, "error*TIMEOUT", ignore_case=True).to_pandas()
+    assert len(hits_ic) == len(want)
+    # ts-range prefilter: empty window → no hits
+    hi = int(df.ts.astype("int64").max() // 1000)
+    none = ir.search_ir(paths, "ERROR*timeout", ts_min=hi + 10_000_000)
+    assert none.count() == 0
+    # dictionary-miss query prunes without decoding
+    assert ir.search_ir(paths, "*zz-never-there*").count() == 0

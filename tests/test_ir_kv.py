@@ -99,3 +99,28 @@ def test_kv_ir_ray_file_roundtrip(ray_session, tmp_path):
     assert len(paths) >= 1
     back = read_kv_ir(paths).to_pandas().sort_values("log_event_idx")
     assert back["json"].tolist() == lines
+
+
+def test_kv_ir_ingest_to_clps_archive(ray_session, tmp_path):
+    """KV-IR streams ingest into a clp_s archive (JsonParser::parse_from_ir
+    role): archive reconstruction equals direct compression of the lines."""
+    import ray.data as rd
+
+    from clp_core_ray.ir_kv import write_kv_ir
+    from clp_core_ray.pipelines.clps import (
+        clps_compress_from_kv_ir,
+        clps_decompress,
+    )
+
+    lines = [json.dumps({"k": i, "m": f"step {i} took {i * 3} ms"},
+                        sort_keys=True) for i in range(300)]
+    ds = rd.from_arrow(pa.table({
+        "log_event_idx": pa.array(np.arange(300), type=pa.int64()),
+        "raw": pa.array(lines, type=pa.large_string()),
+    })).repartition(3)
+    paths = write_kv_ir(ds, str(tmp_path / "kvir"))
+    out = str(tmp_path / "arch")
+    schemas = clps_compress_from_kv_ir(paths, out)
+    assert sum(schemas.values()) == 300
+    back = clps_decompress(out, ordered=True).to_pandas()["json"].tolist()
+    assert back == lines
