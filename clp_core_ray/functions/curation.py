@@ -1,0 +1,137 @@
+"""Training-data curation operators: PII redaction, benchmark
+decontamination, stratified sampling.
+
+Standard large-scale LLM-data-pipeline stages, expressed Ray-Data-first:
+
+- :func:`redact_pii` — vectorized regex replacement (pyarrow.compute's RE2
+  kernels; patterns compiled once per stage construction). Equivalent to a
+  chain of DuckDB ``regexp_replace(..., 'g')`` calls (both engines run RE2),
+  which is exactly how the oracle checks it.
+- :class:`Decontaminator` / :func:`decontaminate` — flag documents containing
+  any benchmark word n-gram: the benchmark set's shingle hashes are built
+  once and broadcast via ``ray.put`` (never re-shipped per batch); each batch
+  intersects its own shingle hashes vectorized. The 100-TB shape: benchmark
+  sets are tiny (MBs of hashes) next to the corpus, so this is a broadcast
+  semi-join, not a shuffle.
+- :func:`stratified_sample` — deterministic per-stratum downsampling by an
+  id residue (``id % mod < rate[stratum]``): exact, restartable, and
+  SQL-reproducible — no RNG state to coordinate across workers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from clp_core_ray.functions.text import word_shingle_hashes
+
+#: default PII patterns (RE2 syntax — the same engine in Arrow and DuckDB)
+DEFAULT_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[- .]\d{3}[- .]\d{4}\b", "<PHONE>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+)
+
+
+def redact_batch(texts: pa.Array,
+                 patterns=DEFAULT_PII_PATTERNS) -> pa.Array:
+    """Apply each (pattern, replacement) in order — one RE2 pass per rule
+    over the whole column."""
+    out = texts
+    for rx, rep in patterns:
+        out = pc.replace_substring_regex(out, rx, rep)
+    return out
+
+
+def redact_pii(ds, text_col: str = "text", out_col: str = "text_redacted",
+               patterns=DEFAULT_PII_PATTERNS):
+    """Dataset → Dataset with ``out_col`` added (original column kept)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out_col, redact_batch(batch.column(text_col).combine_chunks(),
+                                  patterns)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class Decontaminator:
+    """Stateful stage: benchmark n-gram hash set broadcast once, membership
+    test per batch (callable class → actor pool / per-task reuse)."""
+
+    def __init__(self, bench_ref, n: int, text_col: str, flag_col: str):
+        import ray
+
+        self.bench = ray.get(bench_ref) if not isinstance(
+            bench_ref, np.ndarray) else bench_ref
+        self.n = n
+        self.text_col = text_col
+        self.flag_col = flag_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh, offs = word_shingle_hashes(
+            batch.column(self.text_col).combine_chunks(), k=self.n
+        )
+        hit = np.isin(sh, self.bench)
+        # per-row any() via add.reduceat over the offsets
+        n_rows = len(offs) - 1
+        flags = np.zeros(n_rows, dtype=bool)
+        if len(sh):
+            counts = np.diff(offs)
+            idx = offs[:-1].clip(0, max(len(sh) - 1, 0))
+            red = np.bitwise_or.reduceat(hit, idx)
+            flags[counts > 0] = red[counts > 0]
+        return batch.append_column(self.flag_col, pa.array(flags))
+
+
+def benchmark_shingles(bench_texts, n: int = 8) -> np.ndarray:
+    """Benchmark texts → sorted unique word-n-gram hash array (the broadcast
+    side)."""
+    sh, _ = word_shingle_hashes(
+        pa.array(list(bench_texts), type=pa.large_string()), k=n
+    )
+    return np.unique(sh)
+
+
+def decontaminate(ds, bench_texts, n: int = 8, text_col: str = "text",
+                  flag_col: str = "contaminated", drop: bool = False):
+    """Flag (or drop) documents sharing any word n-gram with the benchmark
+    set. ``bench_texts``: iterable of benchmark strings (small side)."""
+    import ray
+
+    ref = ray.put(benchmark_shingles(bench_texts, n))
+    out = ds.map_batches(
+        Decontaminator, fn_constructor_args=(ref, n, text_col, flag_col),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    if drop:
+        out = out.map_batches(
+            lambda b: b.filter(pc.invert(b.column(flag_col)))
+            .drop_columns([flag_col]),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+def stratified_sample(ds, key_col: str, rates: dict[str, int],
+                      id_col: str = "doc_id", mod: int = 100,
+                      default_rate: int = 0):
+    """Keep a row iff ``id % mod < rates.get(key, default_rate)`` —
+    deterministic per-stratum downsampling (rate units: kept residues out of
+    ``mod``). Exact and coordination-free: reruns and retries keep the same
+    rows, and the oracle reproduces it in SQL verbatim."""
+    keys = pa.array(list(rates.keys()), type=pa.string())
+    vals = np.fromiter(rates.values(), dtype=np.int64, count=len(rates))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch.column(key_col), keys)
+        pos_np = np.asarray(pc.fill_null(pos, -1), dtype=np.int64)
+        rate = np.where(pos_np >= 0, vals[pos_np.clip(0, max(len(vals) - 1, 0))],
+                        default_rate)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        return batch.filter(pa.array((ids % mod) < rate))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

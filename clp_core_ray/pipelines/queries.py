@@ -1134,6 +1134,83 @@ def docs_simhash(sf_dir: str):
 
 
 @register(
+    "clp_redact_pii",
+    "SELECT conv_id, turn_idx, regexp_replace(text, "
+    "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+    "AS text_redacted FROM {T}",
+)
+def clp_redact_pii(sf_dir: str):
+    """PII redaction over transcript text (vectorized RE2 replacement; the
+    'INFO session ... from 10.x.x.x:port' template's IPs actually fire).
+    Oracle is DuckDB's regexp_replace with the same RE2 pattern."""
+    from clp_core_ray.functions.curation import redact_pii
+
+    ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    out = redact_pii(
+        ds, patterns=((r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),)
+    )
+    return out.select_columns(["conv_id", "turn_idx", "text_redacted"])
+
+
+@register(
+    "docs_decontaminate",
+    "WITH bench AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w "
+    "FROM documents WHERE doc_id < 5), "
+    "grams AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g FROM "
+    "(SELECT w, unnest(generate_series(1, len(w) - 7)) AS i FROM bench)) "
+    "SELECT d.doc_id, CAST(EXISTS(SELECT 1 FROM grams "
+    "WHERE instr(' ' || trim(d.text) || ' ', ' ' || g || ' ') > 0) AS BIGINT) "
+    "AS contaminated FROM documents d",
+)
+def docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag documents sharing any word 8-gram
+    with the benchmark set (here: docs 0-4). The benchmark shingle hashes
+    broadcast once via ray.put; each batch intersects vectorized. The oracle
+    enumerates the benchmark 8-grams in SQL and tests word-aligned
+    containment."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import decontaminate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    bench = [
+        r["text"] for b in ds.filter(lambda r: r["doc_id"] < 5)
+        .iter_rows()
+        for r in [b]
+    ]
+    out = decontaminate(ds, bench, n=8)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "contaminated": pc.cast(b.column("contaminated"), pa.int64()),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+@register(
+    "docs_stratified_sample",
+    "SELECT doc_id FROM documents WHERE (doc_id % 100) < "
+    "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END",
+)
+def docs_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum downsampling (id-residue rule — exact,
+    restartable, no RNG coordination): keep 50% of en, 25% of de, 10% of
+    everything else."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    out = stratified_sample(ds, "lang", {"en": 50, "de": 25},
+                            default_rate=10)
+    return out.select_columns(["doc_id"])
+
+
+@register(
     "emb_knn_label_vote",
     "WITH nn AS (SELECT q.vec_id AS vec_id, e.label AS nlabel "
     "FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id "

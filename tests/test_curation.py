@@ -1,0 +1,65 @@
+"""Curation operators: PII redaction, decontamination, stratified sampling."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_redact_batch_patterns():
+    from clp_core_ray.functions.curation import redact_batch
+
+    texts = pa.array([
+        "contact bob.smith+x@example.co.uk now",
+        "peer 192.168.1.254:8080 timed out",
+        "call 555-867-5309 or 555 867 5309",
+        "card 4111 1111 1111 1111 declined",
+        "nothing here",
+    ], type=pa.large_string())
+    out = redact_batch(texts).to_pylist()
+    assert out[0] == "contact <EMAIL> now"
+    assert out[1] == "peer <IP>:8080 timed out"
+    assert out[2] == "call <PHONE> or <PHONE>"
+    assert out[3] == "card <CARD> declined"
+    assert out[4] == "nothing here"
+
+
+def test_decontaminate_flags_ngram_overlap(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import decontaminate
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            # shares the full 8-gram run
+            "intro words then the quick brown fox jumps over the lazy dog and more",
+            # shares only a 5-gram → clean at n=8
+            "the quick brown fox jumps high",
+            "completely unrelated content about databases",
+        ]),
+    })
+    out = decontaminate(rd.from_arrow(docs), bench, n=8).to_pandas() \
+        .sort_values("doc_id")
+    assert out.contaminated.tolist() == [True, False, False]
+    # drop mode removes flagged rows
+    kept = decontaminate(rd.from_arrow(docs), bench, n=8, drop=True).to_pandas()
+    assert sorted(kept.doc_id.tolist()) == [1, 2]
+    assert "contaminated" not in kept.columns
+
+
+def test_stratified_sample_rule(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import stratified_sample
+
+    n = 1000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "lang": pa.array(["en", "de", "zh", "fr"][:4] * (n // 4)),
+    })
+    out = stratified_sample(rd.from_arrow(tbl), "lang",
+                            {"en": 50, "de": 25}, default_rate=10).to_pandas()
+    df = tbl.to_pandas()
+    rate = df.lang.map({"en": 50, "de": 25}).fillna(10)
+    want = df[(df.doc_id % 100) < rate]
+    assert sorted(out.doc_id.tolist()) == sorted(want.doc_id.tolist())
