@@ -116,6 +116,68 @@ def decontaminate(ds, bench_texts, n: int = 8, text_col: str = "text",
     return out
 
 
+def pack_sequences(ds, seq_len: int, id_col: str = "doc_id",
+                   text_col: str = "text", bucket_size: int = 100_000):
+    """Concat-then-chunk sequence packing (GPT-style pretraining prep):
+    documents are laid out token-contiguously in ``id_col`` order and cut
+    into fixed ``seq_len`` chunks; each doc gets its global ``token_start``
+    and the [seq_first, seq_last] chunk range it lands in.
+
+    Distributed global prefix sum in two bounded passes — no driver
+    materialization of per-doc data and no full sort:
+      1. per-ID-RANGE token sums (``bucket = id // bucket_size``) via one
+         small groupby; the driver cumsums the per-bucket totals (#buckets =
+         id_space / bucket_size — thousands, not billions);
+      2. a bucket-partitioned pass computes the intra-bucket exclusive cumsum
+         vectorized and adds the broadcast bucket offset.
+    Requires unique non-negative integer ids; ordering is by id (ties
+    impossible). SQL-reproducible with one window cumsum, which is how the
+    oracle checks it."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from clp_core_ray.functions.text import token_counts
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        n = token_counts(batch.column(text_col).combine_chunks())
+        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+        bucket = pc.divide(ids, bucket_size)
+        return pa.table({id_col: ids, "n_tokens": n.cast(pa.int64()),
+                         "_bucket": bucket})
+
+    toks = ds.map_batches(with_tokens, batch_format="pyarrow").materialize()
+
+    per_bucket = toks.groupby("_bucket").aggregate(
+        Sum("n_tokens", alias_name="bucket_tokens")
+    ).to_pandas().sort_values("_bucket")
+    offsets = {}
+    run = 0
+    for b, t in zip(per_bucket["_bucket"], per_bucket["bucket_tokens"]):
+        offsets[int(b)] = run
+        run += int(t)
+    off_ref = ray.put(offsets)
+
+    def place(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        n = np.asarray(group.column("n_tokens"), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        start_sorted = np.concatenate([[0], np.cumsum(n[order])[:-1]])
+        start = np.empty_like(start_sorted)
+        start[order] = start_sorted
+        start += off[int(group.column("_bucket")[0].as_py())]
+        last = start + np.maximum(n, 1) - 1
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(n),
+            "token_start": pa.array(start),
+            "seq_first": pa.array(start // seq_len),
+            "seq_last": pa.array(last // seq_len),
+        })
+
+    return toks.groupby("_bucket").map_groups(place, batch_format="pyarrow")
+
+
 def stratified_sample(ds, key_col: str, rates: dict[str, int],
                       id_col: str = "doc_id", mod: int = 100,
                       default_rate: int = 0):

@@ -1191,6 +1191,38 @@ def docs_decontaminate(sf_dir: str):
 
 
 @register(
+    "docs_pack_sequences",
+    "SELECT doc_id, n_tokens, "
+    "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+    "AS token_start, "
+    "CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) "
+    "AS seq_first, "
+    "CAST(floor((coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "+ greatest(n_tokens, 1) - 1) / 512) AS BIGINT) AS seq_last "
+    "FROM (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) "
+    "AS BIGINT) AS n_tokens FROM documents)",
+)
+def docs_pack_sequences(sf_dir: str):
+    """Concat-then-chunk sequence packing for training prep: global token
+    offsets via a distributed two-pass prefix sum (per-id-range partials +
+    broadcast bucket offsets), chunk length 512. Oracle: one SQL window
+    cumsum in doc_id order."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = pack_sequences(ds, seq_len=512, bucket_size=64)
+    return out.select_columns(
+        ["doc_id", "n_tokens", "token_start", "seq_first", "seq_last"]
+    )
+
+
+@register(
     "docs_stratified_sample",
     "SELECT doc_id FROM documents WHERE (doc_id % 100) < "
     "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END",

@@ -63,3 +63,27 @@ def test_stratified_sample_rule(ray_session):
     rate = df.lang.map({"en": 50, "de": 25}).fillna(10)
     want = df[(df.doc_id % 100) < rate]
     assert sorted(out.doc_id.tolist()) == sorted(want.doc_id.tolist())
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Global prefix-sum packing: contiguous token layout in id order, and
+    chunk ranges consistent with seq_len, across many buckets/blocks."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import pack_sequences
+
+    rng = np.random.default_rng(7)
+    n = 500
+    texts = [" ".join(["tok"] * int(rng.integers(1, 40))) for _ in range(n)]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n) * 3, type=pa.int64()),  # sparse ids
+        "text": pa.array(texts),
+    })
+    out = pack_sequences(rd.from_arrow(tbl).repartition(7), seq_len=64,
+                         bucket_size=100).to_pandas().sort_values("doc_id")
+    lens = np.array([len(t.split()) for t in texts])
+    assert out.n_tokens.tolist() == lens.tolist()
+    want_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    assert out.token_start.tolist() == want_start.tolist()
+    assert (out.seq_first == out.token_start // 64).all()
+    assert (out.seq_last == (out.token_start + lens - 1) // 64).all()
