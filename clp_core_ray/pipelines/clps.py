@@ -753,6 +753,19 @@ def clps_compress_split(source, base_dir: str, timestamp_key: str | None = None,
     for i, g in enumerate(groups):
         name = f"archive_{i:04d}"
         adir = os.path.join(base_dir, name)
+        # resume: a sub-archive whose schema map exists is complete (the map
+        # is written LAST by clps_compress) — reruns skip it and only
+        # unfinished archives recompress (the fragment-resume model,
+        # state/manifest.pending_fragments)
+        if os.path.exists(os.path.join(adir, SCHEMA_META)):
+            with open(os.path.join(adir, SCHEMA_META)) as f:
+                done_counts = json.load(f)
+            rng = _archive_ts_range(adir)
+            manifest[name] = {
+                "n_records": int(sum(done_counts.values())),
+                **({"ts_min": rng[0], "ts_max": rng[1]} if rng else {}),
+            }
+            continue
         kind = g[0]
         if kind == "rg":
             _, column, items = g
@@ -808,6 +821,11 @@ def clps_compress_split(source, base_dir: str, timestamp_key: str | None = None,
             src = rd.from_items(
                 [{"path": p, "seq": s} for s, p in seq_paths]
             ).map_batches(read_files, batch_format="pyarrow")
+        # an incomplete (crashed) archive dir restarts clean — no stale
+        # schema tables can survive into the rerun
+        import shutil
+
+        shutil.rmtree(adir, ignore_errors=True)
         counts = clps_compress(src, adir, timestamp_key=timestamp_key)
         rng = _archive_ts_range(adir)
         manifest[name] = {

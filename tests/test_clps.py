@@ -170,6 +170,33 @@ def test_clps_archive_split_roundtrip(ray_session, tmp_path):
     assert hits.count() == 200  # records of month 3
 
 
+def test_clps_split_resume(ray_session, tmp_path):
+    """Rerunning a split compression skips completed sub-archives (schema
+    map = completion marker) and recompresses only missing/incomplete ones."""
+    import os
+    import shutil
+
+    from clp_core_ray.pipelines.clps import (
+        SCHEMA_META,
+        clps_compress_split,
+        clps_decompress_split,
+    )
+
+    lines = [json.dumps({"k": i}, sort_keys=True) for i in range(300)]
+    base = str(tmp_path / "split")
+    m1 = clps_compress_split(lines, base, max_records=100)
+    assert len(m1) == 3
+    # snapshot completion times, then simulate a crash: archive_0001 lost
+    done = os.path.join(base, "archive_0000", SCHEMA_META)
+    t0 = os.path.getmtime(done)
+    shutil.rmtree(os.path.join(base, "archive_0001"))
+    m2 = clps_compress_split(lines, base, max_records=100)
+    assert m2 == m1
+    assert os.path.getmtime(done) == t0  # untouched: resume skipped it
+    back = clps_decompress_split(base, ordered=True).to_pandas()["json"].tolist()
+    assert back == lines
+
+
 def test_clps_parses_each_record_once(ray_session, tmp_path):
     """The schema shuffle carries parsed leaves, not raw lines: total rows
     seen by the parse stage equals the input row count exactly."""
