@@ -1465,3 +1465,106 @@ def part_name_like(sf_dir: str):
         lambda b: b.filter(wildcard_match(b.column("p_name"), "*red*")),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal joins / windows (operators Ray Data lacks; pipelines/temporal.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_latest_order",
+    "SELECT event_id, o_orderkey FROM ("
+    " SELECT e.event_id, o.o_orderkey,"
+    "  row_number() OVER (PARTITION BY e.event_id"
+    "   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn"
+    " FROM events e JOIN orders o"
+    "  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts"
+    ") WHERE rn = 1",
+)
+def events_asof_latest_order(sf_dir: str):
+    """As-of join: each event matched to the customer's latest order at or
+    before the event time (ties broken by largest o_orderkey). One hash
+    shuffle by key bucket; compiled merge_asof inside each bucket."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderdate", "o_custkey"])
+    return asof_join(
+        ev, od,
+        left_on="ts", left_by="user_id",
+        right_on="o_orderdate", right_by="o_custkey",
+        left_cols=["event_id"], right_cols=["o_orderkey"],
+        tiebreak="o_orderkey", how="inner",
+    )
+
+
+@register(
+    "events_window_join",
+    "SELECT c.event_id AS event_id, e.event_id AS error_id"
+    " FROM events c JOIN events e ON c.user_id = e.user_id"
+    " AND e.event_type = 'error' AND c.event_type = 'click'"
+    " AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 DAY",
+)
+def events_window_join(sf_dir: str):
+    """Interval (range) join: clicks landing inside the 1-day window after
+    any error by the same user. Overlapping windows per key supported."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import interval_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click"))
+        .select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+    )
+
+    def errors(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "error"))
+        end = pc.add(
+            pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        return pa.table(
+            {
+                "error_id": b.column("event_id"),
+                "ts": b.column("ts"),
+                "end_ts": pc.cast(end, pa.timestamp("us")),
+                "user_id": b.column("user_id"),
+            }
+        )
+
+    errs = ev.map_batches(errors, batch_format="pyarrow")
+    return interval_join(
+        clicks, errs,
+        left_on="ts", left_by="user_id",
+        right_start="ts", right_end="end_ts", right_by="user_id",
+        left_cols=["event_id"], right_cols=["error_id"],
+    )
+
+
+@register(
+    "events_sliding_window",
+    "SELECT ws, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    " SELECT unnest(generate_series("
+    "  time_bucket(INTERVAL 15 MINUTES, ts) - INTERVAL 45 MINUTES,"
+    "  time_bucket(INTERVAL 15 MINUTES, ts), INTERVAL 15 MINUTES)) AS ws"
+    " FROM events) GROUP BY ws",
+)
+def events_sliding_window(sf_dir: str):
+    """Sliding-window count: 1-hour windows every 15 minutes. Expansion +
+    pre-aggregation inside each batch; the shuffle carries partial counts."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import sliding_count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return sliding_count(ds, ts_col="ts", window_s=3600, slide_s=900)

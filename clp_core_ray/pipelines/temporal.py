@@ -1,0 +1,321 @@
+"""Temporal joins and windows Ray Data has no native operator for.
+
+Three custom operators, each expressed as ONE hash shuffle plus a fully
+vectorized in-group pass (the same shape as ``pipelines/windows.py``):
+
+- :func:`asof_join` — for every left row, the latest right row with
+  ``right_on <= left_on`` within the same key (DuckDB ``ASOF JOIN``
+  semantics, with a deterministic tiebreak among equal ``right_on`` values).
+  Both sides are hash-bucketed by key into ``num_buckets`` groups, so a key's
+  full history meets in exactly one group; inside the group the merge is
+  pandas ``merge_asof`` (compiled, sorted-merge, ``by=`` key).
+- :func:`interval_join` — left rows against right ``[start, end)`` intervals
+  sharing a key. In-group: jointly factorize keys, sort intervals by
+  (key, start), then candidate expansion with ``np.repeat`` + one boolean
+  mask. Output size is bounded by (intervals per key) × (left rows per key);
+  the partitioning assumption is that a single key's intervals are modest
+  (sessions/windows per user), which holds for the session-shaped inputs this
+  targets — a pathological key fattens one bucket but never the driver.
+- :func:`sliding_count` — tumbling-stride sliding windows (window = k ×
+  slide): each event is expanded to its k covering window starts INSIDE the
+  batch and pre-aggregated there (``np.unique`` partials), so the shuffle
+  carries at most (windows present in batch) rows, not k × rows.
+
+100-TB notes: the only all-to-all is the single ``groupby(_bucket)`` per
+operator; buckets stream independently; skewed keys fatten one bucket while
+the work inside stays vectorized. No stage materializes the dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
+
+N_BUCKETS = 64
+
+_SPLITMIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_key(col: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    """Bucket ids for an int or string key column (vectorized)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        offsets, data = _string_buffers(col)
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+    else:
+        v = np.asarray(pc.cast(col, pa.int64())).astype(np.uint64)
+        v = (v ^ (v >> np.uint64(30))) * _SPLITMIX
+        h = v ^ (v >> np.uint64(31))
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _field_types(ds, cols: list[str]) -> list[pa.DataType]:
+    """Arrow types for columns of a Dataset (parquet-backed OR pandas blocks)."""
+    sch = ds.schema().base_schema
+    if isinstance(sch, pa.Schema):
+        return [sch.field(c).type for c in cols]
+    m = dict(zip(sch.names, sch.types))  # PandasBlockSchema: numpy dtypes
+    return [
+        t if isinstance(t := m[c], pa.DataType) else pa.from_numpy_dtype(t)
+        for c in cols
+    ]
+
+
+def _on_int64(col) -> pa.Array:
+    """Normalize a timestamp/int ordering column to int64 (us for ts)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.timestamp("us"))
+    return pc.cast(col, pa.int64())
+
+
+def _tag_union(left, right, l_spec, r_spec, num_buckets,
+               l_types=None, r_types=None):
+    """Map both sides onto one shared schema (side tag + nulls for the other
+    side's columns) so a single groupby co-locates them.
+
+    l_spec/r_spec: (on_col, key_col, keep_cols). Returns the union Dataset;
+    shared columns are `_side`, `_on`, `_key`, then left keeps, right keeps.
+    ``l_types``/``r_types`` override the kept columns' Arrow types (avoids a
+    schema probe on a lazily-mapped side).
+    """
+    l_on, l_key, l_keep = l_spec
+    r_on, r_key, r_keep = r_spec
+    clash = set(l_keep) & set(r_keep)
+    if clash:
+        raise ValueError(f"column name clash between sides: {sorted(clash)}")
+
+    def prep(on_col, key_col, keep, other_keep, other_schema, side):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            key = batch.column(key_col).combine_chunks()
+            cols = {
+                "_side": pa.array(np.full(n, side, dtype=np.int8)),
+                "_bucket": pa.array(_hash_key(key, num_buckets)),
+                "_on": _on_int64(batch.column(on_col)),
+                "_key": pc.cast(key, pa.int64()),
+            }
+            for c in keep:
+                cols[c] = batch.column(c)
+            for c, typ in zip(other_keep, other_schema):
+                cols[c] = pa.nulls(n, type=typ)
+            return pa.table(cols)
+
+        return fn
+
+    l_sch = l_types or _field_types(left, l_keep)
+    r_sch = r_types or _field_types(right, r_keep)
+    lt = left.map_batches(
+        prep(l_on, l_key, l_keep, r_keep, r_sch, 0), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        prep(r_on, r_key, r_keep, l_keep, l_sch, 1), batch_format="pyarrow"
+    )
+    # column order must match for union
+    order = ["_side", "_bucket", "_on", "_key"] + l_keep + r_keep
+    lt = lt.map_batches(lambda b: b.select(order), batch_format="pyarrow")
+    rt = rt.map_batches(lambda b: b.select(order), batch_format="pyarrow")
+    return lt.union(rt)
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    left_by: str,
+    right_on: str,
+    right_by: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    tiebreak: str | None = None,
+    how: str = "inner",
+    num_buckets: int = N_BUCKETS,
+):
+    """As-of join: per left row, the latest right row with
+    ``right_on <= left_on`` and equal key.
+
+    ``tiebreak`` (a right column, must be in ``right_cols``) makes the winner
+    among equal ``right_on`` values deterministic: the LARGEST tiebreak wins
+    (SQL: ``ORDER BY right_on DESC, tiebreak DESC LIMIT 1`` per left row).
+    ``how`` is 'inner' (drop unmatched, DuckDB ASOF JOIN) or 'left'.
+
+    Keys are int-valued (ids); `_on` is a timestamp or int column.
+    """
+    union = _tag_union(
+        left,
+        right,
+        (left_on, left_by, left_cols),
+        (right_on, right_by, right_cols),
+        num_buckets,
+    )
+    r_sch = _field_types(right, right_cols)
+    out_fields = list(
+        zip(left_cols, _field_types(left, left_cols))
+    ) + list(zip(right_cols, r_sch))
+    out_schema = pa.schema(out_fields)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = np.asarray(g.column("_side"))
+        lt = g.filter(pa.array(side == 0)).select(["_on", "_key"] + left_cols)
+        rt = g.filter(pa.array(side == 1)).select(["_on", "_key"] + right_cols)
+        if lt.num_rows == 0 or (rt.num_rows == 0 and how == "inner"):
+            return out_schema.empty_table()
+        if rt.num_rows == 0:  # how == "left": all-null right side
+            cols = {c: lt.column(c) for c in left_cols}
+            for f in out_schema:
+                if f.name not in cols:
+                    cols[f.name] = pa.nulls(lt.num_rows, type=f.type)
+            return pa.table(cols).cast(out_schema)
+        ldf = lt.to_pandas()
+        rdf = rt.to_pandas()
+        # merge_asof keeps the LAST right row among equal _on values, so an
+        # ascending tiebreak sort makes "largest tiebreak wins" deterministic
+        rsort = ["_on"] + ([tiebreak] if tiebreak else [])
+        rdf = rdf.sort_values(rsort, kind="mergesort", ignore_index=True)
+        ldf = ldf.sort_values("_on", kind="mergesort", ignore_index=True)
+        out = pd.merge_asof(
+            ldf, rdf, on="_on", by="_key", direction="backward",
+            suffixes=("", "_r"),
+        )
+        if how == "inner" and right_cols:
+            out = out[out[right_cols[0]].notna()]
+        # from_pandas=True maps unmatched-NaN back to null under int types
+        cols = {
+            f.name: pa.array(out[f.name], type=f.type, from_pandas=True)
+            for f in out_schema
+        }
+        return pa.table(cols).cast(out_schema)
+
+    return union.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def interval_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    left_by: str,
+    right_start: str,
+    right_end: str,
+    right_by: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_buckets: int = N_BUCKETS,
+):
+    """Interval (range) join: pairs where ``left_by == right_by`` and
+    ``right_start <= left_on < right_end``. Intervals MAY overlap.
+
+    Right rows carry their interval as two columns; the end column rides the
+    union's ``_key2`` slot. In-group everything is numpy: joint key
+    factorization, lexsort by (key, start), candidate expansion bounded by
+    intervals-per-key, one mask.
+    """
+    # reuse _tag_union with right "_on" = start; carry end as an extra kept col
+    end_tmp = "__end"
+    clash = set(left_cols) & (set(right_cols) | {end_tmp})
+    if clash:
+        raise ValueError(f"column name clash: {sorted(clash)}")
+
+    def add_end(batch: pa.Table) -> pa.Table:
+        return batch.append_column(end_tmp, _on_int64(batch.column(right_end)))
+
+    right2 = right.map_batches(add_end, batch_format="pyarrow")
+    r_sch = _field_types(right, right_cols)
+    union = _tag_union(
+        left,
+        right2,
+        (left_on, left_by, left_cols),
+        (right_start, right_by, right_cols + [end_tmp]),
+        num_buckets,
+        r_types=r_sch + [pa.int64()],
+    )
+    out_fields = [
+        (c, t) for c, t in zip(left_cols, _field_types(left, left_cols))
+    ] + list(zip(right_cols, r_sch))
+    out_schema = pa.schema(out_fields)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("_side"))
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        lkey = np.asarray(lt.column("_key"), dtype=np.int64)
+        lts = np.asarray(lt.column("_on"), dtype=np.int64)
+        rkey = np.asarray(rt.column("_key"), dtype=np.int64)
+        rstart = np.asarray(rt.column("_on"), dtype=np.int64)
+        rend = np.asarray(rt.column(end_tmp), dtype=np.int64)
+        order = np.lexsort((rstart, rkey))
+        rkey_s, rstart_s, rend_s = rkey[order], rstart[order], rend[order]
+        lo = np.searchsorted(rkey_s, lkey, side="left")
+        hi = np.searchsorted(rkey_s, lkey, side="right")
+        reps = hi - lo
+        total = int(reps.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        l_idx = np.repeat(np.arange(len(lkey)), reps)
+        offs = np.zeros(len(lkey), dtype=np.int64)
+        np.cumsum(reps[:-1], out=offs[1:])
+        r_pos = np.arange(total, dtype=np.int64) - np.repeat(offs, reps) + np.repeat(lo, reps)
+        lv = lts[l_idx]
+        keep = (rstart_s[r_pos] <= lv) & (lv < rend_s[r_pos])
+        l_take = pa.array(l_idx[keep])
+        r_take = pa.array(order[r_pos[keep]])
+        cols = {c: lt.column(c).take(l_take) for c in left_cols}
+        for c in right_cols:
+            cols[c] = rt.column(c).take(r_take)
+        return pa.table(cols).cast(out_schema)
+
+    return union.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def sliding_count(
+    ds,
+    *,
+    ts_col: str = "ts",
+    window_s: int = 3600,
+    slide_s: int = 900,
+    out_ts: str = "ws",
+    out_cnt: str = "cnt",
+):
+    """Sliding-window counts: windows ``[ws, ws + window_s)`` at every
+    ``slide_s`` boundary (epoch-aligned); window_s must be a multiple of
+    slide_s. Per-batch the k covering window starts are expanded and
+    pre-aggregated (``np.unique``), so the shuffle carries partial counts,
+    not k× the event stream."""
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    k = window_s // slide_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(_on_int64(batch.column(ts_col)), dtype=np.int64)
+        sec = ts // 1_000_000
+        base = sec - (sec % slide_s)
+        starts = (base[:, None] - np.arange(k, dtype=np.int64) * slide_s).ravel()
+        uniq, cnt = np.unique(starts, return_counts=True)
+        return pa.table(
+            {"_ws_s": pa.array(uniq), out_cnt: pa.array(cnt.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_ws_s")
+        .aggregate(Sum(out_cnt, alias_name=out_cnt))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ws = pc.cast(
+            pc.multiply(batch.column("_ws_s"), pa.scalar(1_000_000, pa.int64())),
+            pa.timestamp("us"),
+        )
+        return pa.table({out_ts: ws, out_cnt: batch.column(out_cnt)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

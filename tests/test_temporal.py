@@ -1,0 +1,189 @@
+"""Temporal operators (pipelines/temporal.py) vs brute-force references.
+
+Randomized inputs (fixed seed) hit the corner cases the bucketed/vectorized
+paths must survive: duplicate right timestamps (tiebreak), keys present on
+one side only, overlapping intervals for the same key, rows on bucket
+boundaries, and empty sides.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from clp_core_ray.pipelines.temporal import (
+    asof_join,
+    interval_join,
+    sliding_count,
+)
+
+US = 1_000_000
+
+
+def _mk_left(rng, n, n_keys):
+    return pd.DataFrame(
+        {
+            "lid": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10_000, n) * US * 60, unit="us"
+            ),
+            "key": rng.integers(0, n_keys, n).astype(np.int64),
+        }
+    )
+
+
+def _mk_right(rng, m, n_keys):
+    # coarse timestamps force duplicate (key, rts) pairs → tiebreak exercised
+    return pd.DataFrame(
+        {
+            "rid": np.arange(m, dtype=np.int64) + 10_000,
+            "rts": pd.to_datetime(
+                rng.integers(0, 100, m) * US * 6000, unit="us"
+            ),
+            "rkey": rng.integers(0, n_keys, m).astype(np.int64),
+        }
+    )
+
+
+def _brute_asof(l, r):
+    out = []
+    for row in l.itertuples():
+        cand = r[(r.rkey == row.key) & (r.rts <= row.ts)]
+        if len(cand):
+            best = cand.sort_values(["rts", "rid"]).iloc[-1]
+            out.append((row.lid, int(best.rid)))
+    return pd.DataFrame(out, columns=["lid", "rid"]).astype(np.int64)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    l = _mk_left(rng, 400, 13)
+    r = _mk_right(rng, 120, 17)  # some keys never on the left and vice versa
+    res = (
+        asof_join(
+            rd.from_pandas(l).repartition(5),
+            rd.from_pandas(r).repartition(3),
+            left_on="ts", left_by="key",
+            right_on="rts", right_by="rkey",
+            left_cols=["lid"], right_cols=["rid"],
+            tiebreak="rid", how="inner", num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = _brute_asof(l, r).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(res.astype(np.int64), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_left_keeps_unmatched():
+    rng = np.random.default_rng(11)
+    l = _mk_left(rng, 100, 5)
+    r = _mk_right(rng, 10, 2)
+    res = asof_join(
+        rd.from_pandas(l), rd.from_pandas(r),
+        left_on="ts", left_by="key",
+        right_on="rts", right_by="rkey",
+        left_cols=["lid"], right_cols=["rid"],
+        tiebreak="rid", how="left", num_buckets=4,
+    ).to_pandas()
+    assert len(res) == len(l)  # every left row survives
+    matched = _brute_asof(l, r)
+    got = res[res.rid.notna()].astype(np.int64).sort_values("lid")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        matched.sort_values("lid").reset_index(drop=True),
+    )
+
+
+def _brute_interval(l, r):
+    out = []
+    for row in l.itertuples():
+        cand = r[
+            (r.rkey == row.key) & (r.start <= row.ts) & (row.ts < r.end)
+        ]
+        out.extend((row.lid, int(c)) for c in cand.rid)
+    return (
+        pd.DataFrame(out, columns=["lid", "rid"])
+        .astype(np.int64)
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_join_overlapping_windows():
+    rng = np.random.default_rng(3)
+    l = _mk_left(rng, 500, 9)
+    m = 80
+    start = rng.integers(0, 9_000, m) * US * 60
+    length = rng.integers(1, 2_000, m) * US * 60  # long → heavy overlap
+    r = pd.DataFrame(
+        {
+            "rid": np.arange(m, dtype=np.int64),
+            "start": pd.to_datetime(start, unit="us"),
+            "end": pd.to_datetime(start + length, unit="us"),
+            "rkey": rng.integers(0, 9, m).astype(np.int64),
+        }
+    )
+    res = (
+        interval_join(
+            rd.from_pandas(l).repartition(4),
+            rd.from_pandas(r).repartition(2),
+            left_on="ts", left_by="key",
+            right_start="start", right_end="end", right_by="rkey",
+            left_cols=["lid"], right_cols=["rid"], num_buckets=8,
+        )
+        .to_pandas()
+        .astype(np.int64)
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    exp = _brute_interval(l, r)
+    assert len(exp) > 100  # the fixture must actually join
+    pd.testing.assert_frame_equal(res, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_join_empty_side():
+    l = pd.DataFrame(
+        {"lid": [1], "ts": pd.to_datetime([0]), "key": [0]}
+    )
+    r = pd.DataFrame(
+        {
+            "rid": pd.Series([], dtype=np.int64),
+            "start": pd.to_datetime(pd.Series([], dtype="int64")),
+            "end": pd.to_datetime(pd.Series([], dtype="int64")),
+            "rkey": pd.Series([], dtype=np.int64),
+        }
+    )
+    res = interval_join(
+        rd.from_pandas(l), rd.from_pandas(r),
+        left_on="ts", left_by="key",
+        right_start="start", right_end="end", right_by="rkey",
+        left_cols=["lid"], right_cols=["rid"], num_buckets=4,
+    ).to_pandas()
+    assert len(res) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sliding_count_conservation():
+    rng = np.random.default_rng(5)
+    n = 1000
+    ts = pd.to_datetime(rng.integers(0, 86_400, n) * US, unit="us")
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts})).repartition(6)
+    out = sliding_count(ds, ts_col="ts", window_s=3600, slide_s=900).to_pandas()
+    # every event lands in exactly window/slide = 4 windows
+    assert out["cnt"].sum() == 4 * n
+    # spot-check one window against brute force
+    ws = out["ws"].iloc[len(out) // 2]
+    lo, hi = ws, ws + pd.Timedelta(seconds=3600)
+    assert out.loc[out.ws == ws, "cnt"].iloc[0] == int(
+        ((ts >= lo) & (ts < hi)).sum()
+    )
+    # window starts are slide-aligned
+    assert (out["ws"].astype(np.int64) % (900 * US) == 0).all()
