@@ -1568,3 +1568,40 @@ def events_sliding_window(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
     return sliding_count(ds, ts_col="ts", window_s=3600, slide_s=900)
+
+
+@register(
+    "emb_kmeans_assign",
+    "SELECT vec_id, cluster FROM ("
+    " SELECT e.vec_id, c.vec_id AS cluster,"
+    "  row_number() OVER (PARTITION BY e.vec_id"
+    "   ORDER BY list_distance(e.embedding, c.embedding), c.vec_id) AS rn"
+    " FROM embeddings e CROSS JOIN"
+    "  (SELECT * FROM embeddings WHERE vec_id < 8) c) WHERE rn = 1",
+)
+def emb_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment against deterministic seed centroids
+    (embeddings of vec_id 0..7): one broadcast matmul per batch."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.clustering import kmeans_assign, seed_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = seed_centroids(ds, k=8)
+    return kmeans_assign(ds, cent)
+
+
+@register("emb_kmeans")  # iterative training: no SQL-expressible oracle
+def emb_kmeans(sf_dir: str):
+    """Full distributed Lloyd's k-means (k=8, 3 iterations: streaming
+    partial-sum reduces, k x d driver state) -> per-cluster sizes.
+    Deterministic by construction (id-seeded init, float64 folds)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.clustering import kmeans_fit, kmeans_sizes
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=8, iters=3)
+    return kmeans_sizes(ds, cent)
