@@ -137,3 +137,69 @@ def word_shingle_hashes(texts: pa.Array, k: int = 3):
     sh_offsets = _cumsum0(n_shingles)
     del valid, keep, for_rows
     return shingles, sh_offsets
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals, all integers (hash-exact vs SQL):
+    per doc — word count, distinct-word count, top word frequency, top
+    bigram frequency (space-split tokens; a doc full of one repeated phrase
+    scores high on top_bigram_cnt / n_words).
+
+    Fully vectorized: words are FNV-hashed; per-row mode/distinct counts come
+    from one lexsort + run-length pass (rows are the primary sort key, so
+    each row's runs are contiguous). Bigram = mix of consecutive word hashes
+    within the row. 64-bit hashes stand in for string identity (the same
+    assumption MinHash dedup makes)."""
+    texts = batch.column(text_col).combine_chunks().fill_null("")
+    words = pc.split_pattern(texts, " ")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    woffs = np.asarray(words.offsets, dtype=np.int64)
+    woffs = woffs - woffs[0]
+    flat = words.flatten()
+    soff, sdata = _string_buffers(flat)
+    h = _fnv1a64_tokens(sdata, soff[:-1], np.diff(soff)).view(np.uint64)
+    n = len(texts)
+    n_words = np.diff(woffs)
+    rows = np.repeat(np.arange(n, dtype=np.int64), n_words)
+
+    def _mode_distinct(keys: np.ndarray, rws: np.ndarray):
+        """(distinct count, max run length) per row for (row, key) pairs."""
+        distinct = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if len(keys) == 0:
+            return distinct, top
+        order = np.lexsort((keys, rws))
+        ks, rs = keys[order], rws[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = (ks[1:] != ks[:-1]) | (rs[1:] != rs[:-1])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, len(ks)))
+        run_row = rs[starts]
+        distinct += np.bincount(run_row, minlength=n)
+        # runs are row-contiguous: max run length per row via reduceat
+        row_first = np.searchsorted(run_row, np.arange(n))
+        present = np.bincount(run_row, minlength=n) > 0
+        safe = row_first.clip(0, len(run_len) - 1)
+        mx = np.maximum.reduceat(run_len, safe) if len(run_len) else top
+        top[present] = mx[present]
+        return distinct, top
+
+    n_distinct, top_word = _mode_distinct(h, rows)
+
+    # bigrams: consecutive word hashes within the same row
+    PRIME = np.uint64(0x9E3779B97F4A7C15)
+    if len(h) > 1:
+        with np.errstate(over="ignore"):
+            bg = (h[:-1] * PRIME) ^ h[1:]
+        same_row = rows[:-1] == rows[1:]
+        _, top_bigram = _mode_distinct(bg[same_row], rows[:-1][same_row])
+    else:
+        top_bigram = np.zeros(n, dtype=np.int64)
+
+    keep = [nm for nm in batch.column_names if nm != text_col]
+    cols = {nm: batch.column(nm) for nm in keep}
+    cols["n_words"] = pa.array(n_words)
+    cols["n_distinct_words"] = pa.array(n_distinct)
+    cols["top_word_cnt"] = pa.array(top_word)
+    cols["top_bigram_cnt"] = pa.array(top_bigram)
+    return pa.table(cols)

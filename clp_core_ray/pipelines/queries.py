@@ -1605,3 +1605,34 @@ def emb_kmeans(sf_dir: str):
                          columns=["vec_id", "embedding"])
     cent = kmeans_fit(ds, k=8, iters=3)
     return kmeans_sizes(ds, cent)
+
+
+@register(
+    "docs_repetition",
+    "WITH tok AS ("
+    " SELECT doc_id, unnest(ws) AS word,"
+    "  unnest(generate_series(1, array_length(ws))) AS i FROM ("
+    "  SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),"
+    " wc AS (SELECT doc_id, count(*) AS n_distinct_words,"
+    "  max(c) AS top_word_cnt FROM ("
+    "   SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2)"
+    "  GROUP BY 1),"
+    " bg AS (SELECT doc_id, word || ' ' ||"
+    "  lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM tok),"
+    " bc AS (SELECT doc_id, max(c) AS top_bigram_cnt FROM ("
+    "   SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL"
+    "   GROUP BY 1, 2) GROUP BY 1)"
+    " SELECT d.doc_id, array_length(string_split(d.text, ' ')) AS n_words,"
+    "  wc.n_distinct_words, wc.top_word_cnt,"
+    "  coalesce(bc.top_bigram_cnt, 0) AS top_bigram_cnt"
+    " FROM documents d JOIN wc USING (doc_id) LEFT JOIN bc USING (doc_id)",
+)
+def docs_repetition(sf_dir: str):
+    """Gopher-style repetition filter signals (integer-exact vs SQL)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import repetition_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
