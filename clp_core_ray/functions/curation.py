@@ -197,3 +197,90 @@ def stratified_sample(ds, key_col: str, rates: dict[str, int],
         return batch.filter(pa.array((ids % mod) < rate))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_keep_min(ds, id_col: str = "doc_id", text_col: str = "text",
+                   num_buckets: int = 64):
+    """First-wins exact dedup that KEEPS the row payload: one shuffle by
+    content-hash bucket, then a vectorized keep-min-id-per-hash pass inside
+    each bucket (lexsort + run boundaries). The 100-TB shape when downstream
+    stages still need the text — `exact_dedup_survivors` is the cheaper
+    ids-only variant."""
+    from clp_core_ray.functions.text import fingerprints
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = fingerprints(batch.column(text_col))
+        b = np.asarray(h, dtype=np.int64).view(np.uint64) % np.uint64(num_buckets)
+        return batch.append_column("_h", h).append_column(
+            "_bucket", pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        h = np.asarray(g.column("_h"), dtype=np.int64)
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        order = np.lexsort((ids, h))
+        first = np.ones(len(h), dtype=bool)
+        hs = h[order]
+        first[1:] = hs[1:] != hs[:-1]
+        keep = pa.array(order[first])
+        out = g.take(keep)
+        return out.drop_columns(["_h", "_bucket"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def curation_pipeline(
+    ds,
+    bench_texts,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strat_col: str = "lang",
+    min_words: int = 20,
+    top_word_max_ratio: int = 5,
+    n_gram: int = 8,
+    rates: dict | None = None,
+    default_rate: int = 10,
+):
+    """The composed LLM-curation flow, end to end on one streaming Dataset:
+
+      repetition-quality filter → exact dedup (first wins) →
+      benchmark decontamination → stratified sampling
+
+    Every stage is a stage documented elsewhere in this module /
+    functions/text.py; the composition itself is the point — one shuffle
+    total (the dedup bucket groupby), everything else stateless or
+    broadcast. The text-keyed filters commute with the text-keyed dedup
+    (duplicates share contamination/quality verdicts), so stage order only
+    affects cost, not the result set.
+
+    Returns Dataset[(id_col,)] of surviving documents.
+    """
+    from clp_core_ray.functions.text import repetition_stats
+
+    rates = rates if rates is not None else {"en": 50, "de": 25}
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        stats = repetition_stats(batch.select([id_col, text_col]),
+                                 text_col=text_col)
+        keep = pc.and_(
+            pc.greater_equal(stats.column("n_words"),
+                             pa.scalar(min_words, pa.int64())),
+            pc.less_equal(
+                pc.multiply(stats.column("top_word_cnt"),
+                            pa.scalar(top_word_max_ratio, pa.int64())),
+                stats.column("n_words"),
+            ),
+        )
+        return batch.filter(keep)
+
+    filtered = ds.map_batches(qfilter, batch_format="pyarrow")
+    deduped = dedup_keep_min(filtered, id_col=id_col, text_col=text_col)
+    clean = decontaminate(deduped, bench_texts, n=n_gram,
+                          text_col=text_col, drop=True)
+    sampled = stratified_sample(clean, strat_col, rates, id_col=id_col,
+                                default_rate=default_rate)
+    return sampled.select_columns([id_col])

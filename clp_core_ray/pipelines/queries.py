@@ -1636,3 +1636,44 @@ def docs_repetition(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+@register(
+    "docs_curation_pipeline",
+    "WITH rep AS ("
+    " SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS nd,"
+    "  max(c) AS top_word_cnt FROM ("
+    "  SELECT doc_id, word, count(*) OVER (PARTITION BY doc_id, word) AS c"
+    "  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word"
+    "        FROM documents)) GROUP BY 1),"
+    " q AS (SELECT d.doc_id, d.text, d.lang FROM documents d"
+    "  JOIN rep USING (doc_id)"
+    "  WHERE rep.n_words >= 20 AND rep.top_word_cnt * 5 <= rep.n_words),"
+    " ded AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),"
+    " q2 AS (SELECT q.* FROM q JOIN ded USING (doc_id)),"
+    " bench AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w"
+    "  FROM documents WHERE doc_id < 5),"
+    " grams AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g FROM"
+    "  (SELECT w, unnest(generate_series(1, len(w) - 7)) AS i FROM bench)),"
+    " clean AS (SELECT q2.* FROM q2 WHERE NOT EXISTS("
+    "  SELECT 1 FROM grams"
+    "  WHERE instr(' ' || trim(q2.text) || ' ', ' ' || g || ' ') > 0))"
+    " SELECT doc_id FROM clean WHERE (doc_id % 100) <"
+    "  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END",
+)
+def docs_curation_pipeline(sf_dir: str):
+    """The composed curation flow: repetition-quality filter -> exact dedup
+    (first wins) -> benchmark 8-gram decontamination -> stratified
+    id-residue sampling. One shuffle total (dedup); the oracle reproduces
+    every stage in SQL."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import curation_pipeline
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    bench = [
+        r["text"]
+        for r in ds.filter(lambda r: r["doc_id"] < 5).iter_rows()
+    ]
+    return curation_pipeline(ds, bench)
