@@ -5,19 +5,36 @@ clp/FileCompressor.cpp:196-228) declares delimiters plus ordered, named regex
 rules; `timestamp` rules mark event boundaries, `int`/`float` rules get the
 specially-encoded forms, every other named rule becomes a dictionary
 variable. This module re-expresses that as a RuleSet compiled ONCE (per
-actor) into a single prioritized alternation, scanned per batch with C-speed
-regex over the batch's concatenated byte buffer — one Python-level loop over
-*matches*, none over rows.
+actor) into BYTE-level patterns (log-surgeon is byte-oriented) scanned over
+the batch's row-concatenated buffer, with the heavy lifting — canonical
+int/float classification, logtype construction with escaping, per-row list
+assembly — delegated to the same vectorized numpy kernel the main encoder
+uses (vec/tokenizer.assemble_encoded). The only Python-level iteration is
+the regex match loop itself (one step per token, C-speed regex in between).
 
-Delimiter semantics (log-surgeon: variables are delimiter-bounded tokens)
-are honored by anchoring every rule between delimiters/line edges and by
-rewriting unescaped ``.`` atoms to ``[^delims]`` — so the reference's
-``hasNumber:.*\\d.*`` matches one token, not the rest of the line.
-``timestamp:`` rules strip a leading timestamp into a ``ts_text`` column
-before variable scanning (the reference stores timestamps out-of-band).
+Maximal munch (log-surgeon DFA semantics: longest match wins, ties by rule
+priority):
+
+- **delimiter mode** (``delimiters:`` declared): every rule is anchored
+  between delimiters, so ANY match covers a whole delimiter-bounded token —
+  all candidate matches at a position have equal length, and Python-re
+  alternation order IS the priority tiebreak. One ``finditer`` pass, no
+  probing.
+- **legacy mode** (no delimiters): rules self-bound; at each candidate start
+  every rule is probed and the longest match wins (priority on ties).
+
+Delimiter semantics are honored by anchoring every rule between
+delimiters/line edges and rewriting unescaped ``.`` atoms to ``[^delims]``
+— so the reference's ``hasNumber:.*\\d.*`` matches one token, not the rest
+of the line. ``timestamp:`` rules strip a leading timestamp into a
+``ts_text`` column before variable scanning (the reference stores
+timestamps out-of-band); the stripped bytes are blanked to ``\\n`` so the
+body start anchors like a line start, as it did when physically stripped.
 
 Output is the standard encoded schema (logtype + encoded_vars + var_types +
-dict_vars), so the stock decoder round-trips rule-encoded messages untouched.
+dict_vars), so the stock decoder round-trips rule-encoded messages
+untouched. Patterns are utf-8-encoded for byte-level matching; non-ASCII
+bytes inside tokens are plain non-delimiter bytes (reference behavior).
 """
 
 from __future__ import annotations
@@ -28,12 +45,15 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-from clp_core_ray import encoding as E
+from clp_core_ray.vec.tokenizer import (
+    _cumsum0,
+    _string_buffers,
+    assemble_encoded,
+)
 
 DEFAULT_RULES: list[tuple[str, str]] = [
     # mirrors config/schemas.txt (timestamp rules live in timestamps.py).
-    # log-surgeon's DFA uses maximal munch; python-re alternation is
-    # first-match, so the longer-matching float rule is listed before int.
+    # maximal munch makes listing order matter only for equal-length ties.
     ("float", r"\-?[0-9]+\.[0-9]+"),
     ("int", r"\-?[0-9]+"),
     ("hex", r"[a-fA-F]+"),
@@ -68,9 +88,10 @@ def _token_bound(rx: str, delim_class: str) -> str:
 
 @dataclass
 class RuleSet:
-    """Ordered named rules; earlier rules win on overlap (log-surgeon
-    priority). ``int``/``float`` rules produce specially-encoded variables
-    when the token is canonical; everything else is a dictionary variable.
+    """Ordered named rules; maximal munch, earlier rules win ties
+    (log-surgeon priority). ``int``/``float`` rules produce specially-encoded
+    variables when the token is canonical; everything else is a dictionary
+    variable.
 
     ``delimiters`` is the raw char-class body from the schema file's
     ``delimiters:`` line (None = rules self-bound, legacy behavior);
@@ -89,7 +110,7 @@ class RuleSet:
             d += r"\n"  # row sentinel must always bound tokens
         return d
 
-    def compile(self) -> re.Pattern:
+    def compile(self, as_bytes: bool = False) -> re.Pattern:
         d = self._delim_class()
         alts = []
         for i, (name, rx) in enumerate(self.rules):
@@ -98,33 +119,36 @@ class RuleSet:
             alts.append(f"(?P<r{i}>{rx})")
         body = "|".join(alts)
         if d is None:
-            return re.compile(body)
-        # delimiter-bounded: each match must start after a delimiter (or line
-        # start) and end before one (or line end)
-        return re.compile(
-            rf"(?:^|(?<=[{d}]))(?:{body})(?=[{d}]|$)", re.MULTILINE
-        )
+            src, flags = body, 0
+        else:
+            # delimiter-bounded: each match must start after a delimiter (or
+            # line start) and end before one (or line end)
+            src = rf"(?:^|(?<=[{d}]))(?:{body})(?=[{d}]|$)"
+            flags = re.MULTILINE
+        return re.compile(src.encode() if as_bytes else src, flags)
 
-    def compile_each(self) -> list[re.Pattern]:
+    def compile_each(self, as_bytes: bool = False) -> list[re.Pattern]:
         """One pattern per rule (same delimiter bounding as :meth:`compile`)
-        — the maximal-munch scanner probes each rule at a candidate start."""
+        — the legacy maximal-munch scanner probes each rule at a candidate
+        start."""
         d = self._delim_class()
         out = []
         for name, rx in self.rules:
             if d is not None:
                 rx = _token_bound(rx, d)
-                out.append(re.compile(
-                    rf"(?:^|(?<=[{d}]))(?:{rx})(?=[{d}]|$)", re.MULTILINE
-                ))
+                src = rf"(?:^|(?<=[{d}]))(?:{rx})(?=[{d}]|$)"
+                out.append(re.compile(src.encode() if as_bytes else src,
+                                      re.MULTILINE))
             else:
-                out.append(re.compile(rx))
+                out.append(re.compile(rx.encode() if as_bytes else rx))
         return out
 
-    def compile_timestamps(self) -> re.Pattern | None:
+    def compile_timestamps(self, as_bytes: bool = False) -> re.Pattern | None:
         if not self.timestamp_rules:
             return None
         body = "|".join(f"(?:{rx})" for rx in self.timestamp_rules)
-        return re.compile(rf"^(?:{body})", re.MULTILINE)
+        src = rf"^(?:{body})"
+        return re.compile(src.encode() if as_bytes else src, re.MULTILINE)
 
     @classmethod
     def from_schema_text(cls, text: str) -> "RuleSet":
@@ -154,34 +178,82 @@ class RuleSet:
         return cls(rules, delimiters=delimiters, timestamp_rules=ts_rules)
 
 
+_NL = np.uint8(10)
+
+
 class RuleEncodeStage:
     """Schema-rule encoder: same output contract as EncodeStage.
 
     Rules are compiled once per actor (stateful-stage setup); per batch the
-    row texts are joined with '\\n' sentinels and lexed with log-surgeon's
-    maximal-munch semantics: the combined alternation finds each leftmost
-    candidate start, then every rule is probed at that position and the
-    LONGEST match wins, ties broken by rule order (log-surgeon's DFA picks
-    longest-match-then-priority; Python-re alternation alone is
-    first-alternative and can pick a shorter higher-priority match).
-    Match→row mapping is one vectorized searchsorted. When the ruleset
-    declares timestamp rules, a leading timestamp is stripped per row into
-    ``ts_text`` before variable scanning (FileCompressor.cpp:196-228 event
-    boundaries).
+    row bytes are joined with ``\\n`` sentinels, lexed with maximal-munch
+    semantics (see module docstring), and the matched variable spans are
+    handed to the shared vectorized assembler — classification, logtype
+    escaping, and per-row list building all run as numpy kernels over the
+    whole batch.
     """
 
     def __init__(self, ruleset: RuleSet | None = None, text_col: str = "text",
                  keep_text: bool = False):
         self.ruleset = ruleset or RuleSet()
-        self.pattern = self.ruleset.compile()
-        self.rule_patterns = self.ruleset.compile_each()
-        self.ts_pattern = self.ruleset.compile_timestamps()
+        self.delim_mode = self.ruleset.delimiters is not None
+        if self.delim_mode:
+            # Matching runs over a buffer whose delimiter bytes are blanked
+            # to \n, so tokens ARE lines: a plain ^(?:alts)$ MULTILINE
+            # pattern (no lookarounds, no per-rule token bounding) matches
+            # exactly the full delimiter-bounded tokens — measured ~25%
+            # faster than the lookbehind/lookahead form on log-shaped input.
+            alts = b"|".join(
+                b"(?P<r%d>" % i + rx.encode() + b")"
+                for i, (_, rx) in enumerate(self.ruleset.rules)
+            )
+            self.pattern = re.compile(b"^(?:" + alts + b")$", re.MULTILINE)
+            probe = re.compile(
+                ("[" + self.ruleset._delim_class() + "]").encode()
+            )
+            self._delim_tbl = np.array(
+                [bool(probe.match(bytes([b]))) for b in range(256)], dtype=bool
+            )
+            self.rule_patterns = None
+        else:
+            self.pattern = self.ruleset.compile(as_bytes=True)
+            self._delim_tbl = None
+            # probes only needed in legacy mode
+            self.rule_patterns = self.ruleset.compile_each(as_bytes=True)
+        # group number → rule index (a rule's own capturing groups get
+        # numbers between its named group and the next rule's)
+        gstarts = sorted(
+            (num, int(name[1:]))
+            for name, num in self.pattern.groupindex.items()
+            if name.startswith("r") and name[1:].isdigit()
+        )
+        self._group_nums = np.array([g for g, _ in gstarts], dtype=np.int64)
+        self._group_rule = np.array([r for _, r in gstarts], dtype=np.int64)
+        # O(1) scalar lookup for the legacy scan loop
+        g2r = [0] * (self.pattern.groups + 1)
+        for (g, r), nxt in zip(
+            gstarts, [x[0] for x in gstarts[1:]] + [self.pattern.groups + 1]
+        ):
+            for k in range(g, nxt):
+                g2r[k] = r
+        self._g2r = g2r
+        self.ts_pattern = self.ruleset.compile_timestamps(as_bytes=True)
         self.rule_names = [n for n, _ in self.ruleset.rules]
+        self.is_int_rule = np.array(
+            [n == "int" for n in self.rule_names], dtype=bool
+        )
+        self.is_float_rule = np.array(
+            [n == "float" for n in self.rule_names], dtype=bool
+        )
         self.text_col = text_col
         self.keep_text = keep_text
 
-    def _scan(self, joined: str) -> list[tuple[int, int, int]]:
-        """Maximal-munch lexing → [(start, end, rule_idx)].
+    def _rule_of(self, lastindex: np.ndarray) -> np.ndarray:
+        """Map re match lastindex values to rule indices."""
+        pos = np.searchsorted(self._group_nums, lastindex, side="right") - 1
+        return self._group_rule[pos]
+
+    def _scan(self, joined: bytes) -> list[tuple[int, int, int]]:
+        """Legacy-mode maximal-munch lexing → [(start, end, rule_idx)].
 
         The combined pattern's search supplies the leftmost candidate start
         (and a baseline match); each OTHER rule is probed at that start and
@@ -196,7 +268,7 @@ class RuleEncodeStage:
             if m is None:
                 return out
             start = m.start()
-            best_idx = int(m.lastgroup[1:])
+            best_idx = self._g2r[m.lastindex]
             best_end = m.end()
             for idx, rx in enumerate(probes):
                 mm = rx.match(joined, start)
@@ -212,92 +284,121 @@ class RuleEncodeStage:
             pos = best_end
 
     @staticmethod
-    def _join(texts: list[str]):
-        joined = "\n".join(texts)
-        row_starts = np.zeros(len(texts) + 1, dtype=np.int64)
-        np.cumsum([len(t) + 1 for t in texts], out=row_starts[1:])
-        return joined, row_starts
-
-    def _strip_timestamps(self, texts: list[str]):
-        """Return (stripped_texts, ts_strs): leading timestamp per row."""
-        joined, row_starts = self._join(texts)
-        ts_strs = [""] * len(texts)
-        spans = [(m.start(), m.end()) for m in self.ts_pattern.finditer(joined)]
-        if spans:
-            starts = np.fromiter((s for s, _ in spans), dtype=np.int64)
-            rows = np.searchsorted(row_starts, starts, side="right") - 1
-            for (s, e), row in zip(spans, rows):
-                if s == row_starts[row]:  # anchored at the row's first char
-                    ts_strs[row] = texts[row][: e - s]
-        out = [t[len(ts) :] for t, ts in zip(texts, ts_strs)]
-        return out, ts_strs
+    def _scatter(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """Indices covering [starts[i], starts[i]+lengths[i]) for every i."""
+        total = int(lengths.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        return (
+            np.repeat(starts, lengths)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(_cumsum0(lengths)[:-1], lengths)
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        texts = col.fill_null("").to_pylist()
-        ts_strs = None
-        if self.ts_pattern is not None:
-            texts, ts_strs = self._strip_timestamps(texts)
-        joined, row_starts = self._join(texts)
+        offsets, data = _string_buffers(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        nrows = len(offsets) - 1
+        nbytes = len(data)
 
-        logtypes: list[list[str]] = [[] for _ in texts]
-        evs: list[list[int]] = [[] for _ in texts]
-        vts: list[list[int]] = [[] for _ in texts]
-        dvs: list[list[str]] = [[] for _ in texts]
-        last_end = [0] * len(texts)  # per row, relative
+        # joined buffer with \n sentinels between rows
+        jlen = nbytes + nrows
+        jdata = np.empty(jlen, dtype=np.uint8)
+        sent = offsets[1:] + np.arange(nrows)
+        mask = np.ones(jlen, dtype=bool)
+        mask[sent] = False
+        jdata[mask] = data
+        jdata[sent] = _NL
+        jstart = offsets[:-1] + np.arange(nrows)
 
-        # pass 1: maximal-munch lex, then map match→row in one searchsorted
-        matches = self._scan(joined)
-        if matches:
-            mstarts = np.fromiter((s for s, _, _ in matches), dtype=np.int64)
-            rows = np.searchsorted(row_starts, mstarts, side="right") - 1
+        # leading-timestamp strip (out-of-band, FileCompressor.cpp:196-228)
+        ts_len = np.zeros(nrows, dtype=np.int64)
+        if self.ts_pattern is not None and jlen:
+            jb = jdata.tobytes()
+            tspans = [m.span() for m in self.ts_pattern.finditer(jb)]
+            if tspans:
+                tarr = np.asarray(tspans, dtype=np.int64)
+                trows = np.searchsorted(jstart, tarr[:, 0], side="right") - 1
+                anchored = tarr[:, 0] == jstart[trows]
+                ts_len[trows[anchored]] = (tarr[:, 1] - tarr[:, 0])[anchored]
+            if ts_len.any():
+                tsrows = np.flatnonzero(ts_len)
+                jdata[self._scatter(jstart[tsrows], ts_len[tsrows])] = _NL
+
+        # lex → (start, end, rule-group lastindex) in joined coordinates
+        if self.delim_mode:
+            # blank ALL delimiter bytes to \n: tokens become lines, and the
+            # anchored ^(?:alts)$ pattern matches exactly full tokens
+            mbuf = jdata.copy()
+            mbuf[self._delim_tbl[jdata]] = _NL
+            jb = mbuf.tobytes() if jlen else b""
+            spans = [
+                (m.start(), m.end(), m.lastindex)
+                for m in self.pattern.finditer(jb)
+                if m.end() > m.start()
+            ]
         else:
-            rows = ()
+            jb = jdata.tobytes() if jlen else b""
+            spans = self._scan(jb)
 
-        # pass 2: assemble per-row logtype/vars (inherently per-match: each
-        # token appends to its row's buffers in order)
-        for (mstart, mend, rule_idx), row in zip(matches, rows):
-            row = int(row)
-            rel_b = mstart - row_starts[row]
-            rel_e = mend - row_starts[row]
-            if rel_e > len(texts[row]):  # spans the sentinel; cannot happen
-                continue
-            tok = joined[mstart:mend]
-            rule = self.rule_names[rule_idx]
-            out_lt = logtypes[row]
-            E._append_escaped(texts[row][last_end[row]:rel_b], out_lt)
-            if rule == "int" and (iv := E.encode_int(tok)) is not None:
-                out_lt.append(E.PLACEHOLDER_INT)
-                evs[row].append(iv)
-                vts[row].append(E.VT_INT)
-            elif rule == "float" and (fv := E.encode_float(tok)) is not None:
-                out_lt.append(E.PLACEHOLDER_FLOAT)
-                evs[row].append(fv)
-                vts[row].append(E.VT_FLOAT)
-            else:
-                out_lt.append(E.PLACEHOLDER_DICT)
-                evs[row].append(E.fnv1a64(tok.encode()))
-                vts[row].append(E.VT_DICT)
-                dvs[row].append(tok)
-            last_end[row] = rel_e
+        # clean buffer = rows minus ts prefixes (what the logtype is built on)
+        if ts_len.any():
+            keep = np.ones(nbytes, dtype=bool)
+            keep[self._scatter(offsets[:-1][tsrows], ts_len[tsrows])] = False
+            cdata = data[keep]
+            cs_keep = _cumsum0(keep, dtype=np.int64)
+            coffsets = cs_keep[offsets]
+        else:
+            cdata, coffsets, cs_keep = data, offsets, None
 
-        for row, t in enumerate(texts):
-            E._append_escaped(t[last_end[row]:], logtypes[row])
+        if spans:
+            arr = np.asarray(spans, dtype=np.int64)
+            mrow = np.searchsorted(jstart, arr[:, 0], side="right") - 1
+            ob = arr[:, 0] - mrow  # joined → original coords (r sentinels)
+            oe = arr[:, 1] - mrow
+            ridx = self._rule_of(arr[:, 2]) if self.delim_mode else arr[:, 2]
+            # drop any legacy-mode match that crossed a row sentinel
+            valid = oe <= offsets[mrow + 1]
+            if not valid.all():
+                ob, oe, ridx, mrow = ob[valid], oe[valid], ridx[valid], mrow[valid]
+            if cs_keep is not None:
+                ob, oe = cs_keep[ob], cs_keep[oe]
+            allow_int = self.is_int_rule[ridx]
+            allow_float = self.is_float_rule[ridx]
+        else:
+            ob = oe = np.empty(0, dtype=np.int64)
+            mrow = np.empty(0, dtype=np.int64)
+            allow_int = allow_float = np.empty(0, dtype=bool)
+
+        enc = assemble_encoded(cdata, coffsets, ob, oe, mrow,
+                               allow_int=allow_int, allow_float=allow_float)
 
         from clp_core_ray.stages.encode import logtype_ids
 
-        lt_arr = pa.array(["".join(l) for l in logtypes], type=pa.large_string())
         cols = dict(zip(batch.column_names, batch.columns))
         if not self.keep_text:
             cols.pop(self.text_col, None)
-        cols["logtype"] = lt_arr
-        cols["logtype_id"] = logtype_ids(lt_arr)
-        cols["encoded_vars"] = pa.array(evs, type=pa.list_(pa.int64()))
-        cols["var_types"] = pa.array(vts, type=pa.list_(pa.int8()))
-        cols["dict_vars"] = pa.array(dvs, type=pa.list_(pa.string()))
-        cols["n_vars"] = pa.array([len(v) for v in evs], type=pa.int32())
-        if ts_strs is not None:
-            cols["ts_text"] = pa.array(ts_strs, type=pa.string())
+        cols["logtype"] = enc["logtype"]
+        cols["logtype_id"] = logtype_ids(enc["logtype"])
+        cols["encoded_vars"] = enc["encoded_vars"]
+        cols["var_types"] = enc["var_types"]
+        cols["dict_vars"] = enc["dict_vars"]
+        cols["n_vars"] = enc["n_vars"]
+        if self.ts_pattern is not None:
+            ts_buf = (
+                data[self._scatter(offsets[:-1][tsrows], ts_len[tsrows])]
+                if ts_len.any()
+                else np.empty(0, np.uint8)
+            )
+            cols["ts_text"] = pa.Array.from_buffers(
+                pa.string(),
+                nrows,
+                [
+                    None,
+                    pa.py_buffer(_cumsum0(ts_len, dtype=np.int32).tobytes()),
+                    pa.py_buffer(ts_buf.tobytes()),
+                ],
+            )
         return pa.table(cols)

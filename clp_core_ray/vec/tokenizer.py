@@ -179,8 +179,37 @@ def encode_batch(texts: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     vb = tok_b[is_var_tok]
     ve = tok_e[is_var_tok]
     vrow = tok_row[is_var_tok]
+    return assemble_encoded(data, offsets, vb, ve, vrow, vdig=dig_cnt[is_var_tok])
+
+
+def assemble_encoded(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    vb: np.ndarray,
+    ve: np.ndarray,
+    vrow: np.ndarray,
+    vdig: np.ndarray | None = None,
+    allow_int: np.ndarray | None = None,
+    allow_float: np.ndarray | None = None,
+) -> dict[str, pa.Array]:
+    """Classify variable spans and build the encoded-schema arrays.
+
+    The shared back half of the encoder: callers supply the variable spans
+    ``[vb, ve)`` (ascending, non-overlapping, never crossing a row boundary
+    of ``offsets``) over the row-concatenated byte buffer ``data``, plus the
+    row index per span. :func:`encode_batch` feeds it the byte-class token
+    scan; the schema-rule lexer (functions/rules.py) feeds it regex-lexed
+    spans. ``allow_int`` / ``allow_float`` masks (per span) restrict which
+    spans may take the specially-encoded forms — a span failing its canonical
+    check (or not allowed) becomes a dictionary variable, exactly the
+    reference's demotion rule (EncodedVariableInterpreter.cpp:31-204).
+    """
+    nbytes = len(data)
+    nrows = len(offsets) - 1
     vlen = ve - vb
-    vdig = dig_cnt[is_var_tok]
+    if vdig is None:
+        cs_dig = _cumsum0(_DIGIT[data])
+        vdig = cs_dig[ve] - cs_dig[vb]
     nvars_total = len(vb)
 
     # ---- classification -------------------------------------------------------
@@ -210,6 +239,10 @@ def encode_batch(texts: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
         & (vdig + vdot + minus.astype(np.int64) == vlen)
         & (last_byte != ord("."))
     )
+    if allow_int is not None:
+        int_form &= allow_int
+    if allow_float is not None:
+        float_form &= allow_float
 
     # ---- numeric value parse via (n, maxlen) byte matrix ----------------------
     encoded = np.zeros(nvars_total, dtype=np.int64)

@@ -159,3 +159,43 @@ def test_maximal_munch_with_delimiters():
         pa.table({"text": pa.array(["go abzzz9 stop ab"])})
     )
     assert out.column("dict_vars")[0].as_py() == ["abzzz9", "ab"]
+
+
+def test_rules_with_inner_capturing_groups():
+    """A user rule containing its own (capturing) groups must not confuse
+    the group-number → rule-index mapping (delimiter AND legacy modes)."""
+    rules = [("pair", r"([a-z]+)=([0-9]+)"), ("int", r"[0-9]+"),
+             ("word", r"([a-z]+)")]
+    for delims in (r" \t", None):
+        rs = RuleSet(rules, delimiters=delims)
+        out = RuleEncodeStage(rs, keep_text=True)(
+            pa.table({"text": pa.array(["k=42 99 abc"])})
+        )
+        assert out.column("dict_vars")[0].as_py() == ["k=42", "abc"]
+        assert out.column("var_types")[0].as_py() == [
+            E.VT_DICT, E.VT_INT, E.VT_DICT
+        ]
+        body = E.decode_message(
+            out.column("logtype")[0].as_py(),
+            out.column("encoded_vars")[0].as_py(),
+            dict_vars=out.column("dict_vars")[0].as_py(),
+        )
+        assert body == "k=42 99 abc"
+
+
+def test_rules_non_ascii_passthrough():
+    """Multi-byte UTF-8 content survives the byte-level lexer round trip."""
+    rs = RuleSet.from_schema_text(
+        "delimiters: \\t\nint:\\-{0,1}[0-9]+\n"
+    )
+    msgs = ["héllo wörld 42", "ναι 7 οχι", "plain"]
+    out = RuleEncodeStage(rs, keep_text=True)(
+        pa.table({"text": pa.array(msgs)})
+    )
+    for i, msg in enumerate(msgs):
+        body = E.decode_message(
+            out.column("logtype")[i].as_py(),
+            out.column("encoded_vars")[i].as_py(),
+            dict_vars=out.column("dict_vars")[i].as_py(),
+        )
+        assert body == msg
