@@ -1677,3 +1677,54 @@ def docs_curation_pipeline(sf_dir: str):
         for r in ds.filter(lambda r: r["doc_id"] < 5).iter_rows()
     ]
     return curation_pipeline(ds, bench)
+
+
+@register(
+    "clp_rules_roundtrip",
+    "SELECT count(*) AS n_turns, count(*) AS n_ok FROM {T}",
+)
+def clp_rules_roundtrip(sf_dir: str):
+    """Schema-rule engine end to end: encode every transcript turn with the
+    REFERENCE schema file (components/core/config/schemas.txt — delimiters,
+    timestamp rules, maximal munch) through the vectorized rule lexer, decode
+    with the stock decoder, and count exact text matches. The oracle asserts
+    the invariant n_ok == n_turns."""
+    import pyarrow.compute as _pc
+
+    from clp_core_ray.functions.rules import RuleEncodeStage, RuleSet
+    from clp_core_ray.stages.encode import DecodeStage
+
+    rs = RuleSet.from_schema_text(
+        open("/root/reference/components/core/config/schemas.txt").read()
+    )
+    ds = read_transcripts(sf_dir)
+
+    enc = ds.map_batches(
+        RuleEncodeStage,
+        fn_constructor_kwargs={"ruleset": rs, "keep_text": True},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    dec = enc.map_batches(DecodeStage(out_col="text2"), batch_format="pyarrow")
+
+    def check(b: pa.Table) -> pa.Table:
+        orig = b.column("text").combine_chunks().fill_null("")
+        recon = _pc.binary_join_element_wise(
+            _pc.cast(b.column("ts_text").combine_chunks(), pa.large_string()),
+            _pc.cast(b.column("text2").combine_chunks(), pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        recon = _pc.cast(recon, orig.type)
+        ok = _pc.sum(_pc.cast(_pc.equal(orig, recon), pa.int64())).as_py() or 0
+        return pa.table(
+            {"n_turns": pa.array([b.num_rows], pa.int64()),
+             "n_ok": pa.array([ok], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = dec.map_batches(check, batch_format="pyarrow")
+    agg_t = parts.aggregate(Sum("n_turns", alias_name="n_turns"),
+                            Sum("n_ok", alias_name="n_ok"))
+    return pa.table({"n_turns": pa.array([agg_t["n_turns"]], pa.int64()),
+                     "n_ok": pa.array([agg_t["n_ok"]], pa.int64())})

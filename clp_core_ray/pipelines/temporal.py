@@ -39,17 +39,24 @@ N_BUCKETS = 64
 _SPLITMIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _hash_key(col: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
-    """Bucket ids for an int or string key column (vectorized)."""
+def _key_and_bucket(col, num_buckets: int) -> tuple[pa.Array, pa.Array]:
+    """(int64 join key, bucket id) for an int or string key column.
+
+    String keys join by their 64-bit FNV-1a hash — the same
+    hash-as-identity assumption the dedup operators make (collisions are
+    2^-64-scale); int keys join by value. Bucket = mixed hash % buckets."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         offsets, data = _string_buffers(col)
         h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        key = h.view(np.int64)
     else:
-        v = np.asarray(pc.cast(col, pa.int64())).astype(np.uint64)
-        v = (v ^ (v >> np.uint64(30))) * _SPLITMIX
-        h = v ^ (v >> np.uint64(31))
-    return (h % np.uint64(num_buckets)).astype(np.int32)
+        key = np.asarray(pc.cast(col, pa.int64()))
+        h = key.astype(np.uint64)
+        h = (h ^ (h >> np.uint64(30))) * _SPLITMIX
+        h = h ^ (h >> np.uint64(31))
+    bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+    return pa.array(key), pa.array(bucket)
 
 
 def _field_types(ds, cols: list[str]) -> list[pa.DataType]:
@@ -91,12 +98,12 @@ def _tag_union(left, right, l_spec, r_spec, num_buckets,
     def prep(on_col, key_col, keep, other_keep, other_schema, side):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            key = batch.column(key_col).combine_chunks()
+            key, bucket = _key_and_bucket(batch.column(key_col), num_buckets)
             cols = {
                 "_side": pa.array(np.full(n, side, dtype=np.int8)),
-                "_bucket": pa.array(_hash_key(key, num_buckets)),
+                "_bucket": bucket,
                 "_on": _on_int64(batch.column(on_col)),
-                "_key": pc.cast(key, pa.int64()),
+                "_key": key,
             }
             for c in keep:
                 cols[c] = batch.column(c)

@@ -187,3 +187,27 @@ def test_sliding_count_conservation():
     )
     # window starts are slide-aligned
     assert (out["ws"].astype(np.int64) % (900 * US) == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_string_keys():
+    rng = np.random.default_rng(19)
+    l = _mk_left(rng, 200, 7)
+    r = _mk_right(rng, 60, 7)
+    ls = l.assign(key=l.key.map(lambda k: f"conv-{k}"))
+    rs = r.assign(rkey=r.rkey.map(lambda k: f"conv-{k}"))
+    res = (
+        asof_join(
+            rd.from_pandas(ls).repartition(3),
+            rd.from_pandas(rs).repartition(2),
+            left_on="ts", left_by="key",
+            right_on="rts", right_by="rkey",
+            left_cols=["lid"], right_cols=["rid"],
+            tiebreak="rid", how="inner", num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = _brute_asof(l, r).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(res.astype(np.int64), exp)
