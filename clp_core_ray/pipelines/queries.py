@@ -1728,3 +1728,23 @@ def clp_rules_roundtrip(sf_dir: str):
                             Sum("n_ok", alias_name="n_ok"))
     return pa.table({"n_turns": pa.array([agg_t["n_turns"]], pa.int64()),
                      "n_ok": pa.array([agg_t["n_ok"]], pa.int64())})
+
+
+@register(
+    "events_topk_per_user",
+    "SELECT user_id, event_id FROM events"
+    " QUALIFY row_number() OVER (PARTITION BY user_id"
+    "  ORDER BY ts DESC, event_id DESC) <= 3",
+)
+def events_topk_per_user(sf_dir: str):
+    """Grouped top-k (per-key window limit): the 3 latest events per user.
+    Per-batch top-k prunes before the shuffle; one bucket groupby finishes."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    out = grouped_topk(ds, key_col="user_id", order_col="ts", k=3,
+                       tiebreak_col="event_id", descending=True)
+    return out.select_columns(["user_id", "event_id"])

@@ -326,3 +326,57 @@ def sliding_count(
         return pa.table({out_ts: ws, out_cnt: batch.column(out_cnt)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_topk(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    descending: bool = True,
+    num_buckets: int = N_BUCKETS,
+):
+    """Top-k rows per key by ``order_col`` (SQL ``QUALIFY row_number() OVER
+    (PARTITION BY key ORDER BY order_col [DESC], tiebreak [DESC]) <= k``).
+
+    Ray Data has no per-group limit; this is two stages, both bounded:
+    (1) per-BATCH top-k per key (vectorized lexsort + rank-within-run) —
+    shrinks each batch to ≤ k rows per key before the exchange, so the
+    shuffle carries at most k × (keys per batch) rows; (2) the same pass
+    inside each key-bucket group for the final answer. Deterministic via the
+    required tiebreak column."""
+
+    def topk_pass(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t
+        # int or string keys (strings group by their 64-bit hash identity)
+        key = np.asarray(_key_and_bucket(t.column(key_col), 1)[0])
+        order_v = np.asarray(_on_int64(t.column(order_col)))
+        tie = np.asarray(pc.cast(t.column(tiebreak_col).combine_chunks(), pa.int64()))
+        if descending:
+            order_v, tie = -order_v, -tie
+        perm = np.lexsort((tie, order_v, key))
+        ks = key[perm]
+        new = np.ones(n, dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        # rank within key run = position - position of run start
+        run_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        rank = np.arange(n) - run_start
+        return t.take(pa.array(perm[rank < k]))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return topk_pass(g.drop_columns(["_bucket"]))
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = topk_pass(b)
+        _, bucket = _key_and_bucket(b.column(key_col), num_buckets)
+        return b.append_column("_bucket", bucket)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -211,3 +211,36 @@ def test_asof_join_string_keys():
     )
     exp = _brute_asof(l, r).sort_values("lid").reset_index(drop=True)
     pd.testing.assert_frame_equal(res.astype(np.int64), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_topk_matches_bruteforce():
+    from clp_core_ray.pipelines.temporal import grouped_topk
+
+    rng = np.random.default_rng(23)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "key": [f"u{k}" for k in rng.integers(0, 20, n)],
+            "ts": pd.to_datetime(rng.integers(0, 50, n) * US, unit="us"),
+            "eid": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_topk(
+            rd.from_pandas(df).repartition(5),
+            key_col="key", order_col="ts", k=3,
+            tiebreak_col="eid", descending=True, num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["key", "eid"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["ts", "eid"], ascending=False)
+        .groupby("key")
+        .head(3)
+        .sort_values(["key", "eid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["key", "eid"]], exp[["key", "eid"]])
