@@ -1748,3 +1748,25 @@ def events_topk_per_user(sf_dir: str):
     out = grouped_topk(ds, key_col="user_id", order_col="ts", k=3,
                        tiebreak_col="event_id", descending=True)
     return out.select_columns(["user_id", "event_id"])
+
+
+@register(
+    "events_value_quantiles",
+    "SELECT event_type, 0.25 AS q, quantile_disc(value, 0.25) AS value"
+    " FROM events GROUP BY 1 UNION ALL"
+    " SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value"
+    " FROM events GROUP BY 1 UNION ALL"
+    " SELECT event_type, 0.9 AS q, quantile_disc(value, 0.9) AS value"
+    " FROM events GROUP BY 1",
+)
+def events_value_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles via a value-histogram exchange
+    (quantile_disc semantics: sorted value at ceil(n*q)-1)."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_quantile_disc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_quantile_disc(ds, key_col="event_type", val_col="value",
+                                 qs=(0.25, 0.5, 0.9))

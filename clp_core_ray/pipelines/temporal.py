@@ -380,3 +380,79 @@ def grouped_topk(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def grouped_quantile_disc(
+    ds,
+    *,
+    key_col: str,
+    val_col: str,
+    qs: tuple[float, ...] = (0.5,),
+    num_buckets: int = N_BUCKETS,
+):
+    """Exact discrete quantiles per key (DuckDB ``quantile_disc`` semantics:
+    the sorted value at index ``ceil(n·q) − 1``).
+
+    Distributed as a value-histogram exchange: each batch pre-aggregates to
+    (key, value, count) rows — the shuffle carries one row per distinct
+    (key, value) per batch, not the value stream — then each key-bucket group
+    sorts its histogram and reads the quantiles off the count cumsum. Exact
+    for any value distribution; the exchange compresses only when values
+    repeat (for continuous uniques it degrades to the sort-based exact cost,
+    which is what exactness requires).
+
+    Returns Dataset[(key_col, q, val_col)] with one row per key × q.
+    """
+    q_arr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b.column(key_col), val_col: b.column(val_col)})
+        out = t.group_by([key_col, val_col]).aggregate([(val_col, "count")])
+        return out.rename_columns([key_col, val_col, "_cnt"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = partial(b)
+        _, bucket = _key_and_bucket(b.column(key_col), num_buckets)
+        return b.append_column("_bucket", bucket)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key = np.asarray(_key_and_bucket(g.column(key_col), 1)[0])
+        val = np.asarray(g.column(val_col).combine_chunks().cast(pa.float64()))
+        cnt = np.asarray(g.column("_cnt"), dtype=np.int64)
+        order = np.lexsort((val, key))
+        ks, vs, cs = key[order], val[order], cnt[order]
+        n = len(ks)
+        new = np.ones(n, dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        seg = np.flatnonzero(new)
+        seg_end = np.append(seg[1:], n)
+        ccs = np.cumsum(cs)
+        base = np.where(seg > 0, ccs[seg - 1], 0)
+        totals = ccs[seg_end - 1] - base
+        out_keys, out_q, out_v = [], [], []
+        for s, e, b0, tot in zip(seg, seg_end, base, totals):
+            ranks = np.ceil(tot * q_arr).astype(np.int64).clip(1, tot)
+            pos = np.searchsorted(ccs[s:e] - b0, ranks, side="left")
+            out_keys.append(np.full(len(q_arr), s))
+            out_q.append(q_arr)
+            out_v.append(vs[s + pos])
+        if not out_keys:
+            return pa.table(
+                {key_col: g.column(key_col).slice(0, 0),
+                 "q": pa.array([], pa.float64()),
+                 val_col: pa.array([], pa.float64())}
+            )
+        first_idx = pa.array(order[np.concatenate(out_keys)])
+        return pa.table(
+            {
+                key_col: g.column(key_col).take(first_idx),
+                "q": pa.array(np.concatenate(out_q)),
+                val_col: pa.array(np.concatenate(out_v)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

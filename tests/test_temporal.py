@@ -244,3 +244,34 @@ def test_grouped_topk_matches_bruteforce():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out[["key", "eid"]], exp[["key", "eid"]])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantile_disc_bruteforce():
+    from clp_core_ray.pipelines.temporal import grouped_quantile_disc
+
+    rng = np.random.default_rng(31)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n).astype(np.int64),
+            "v": np.round(rng.normal(size=n), 2),  # repeated values likely
+        }
+    )
+    qs = (0.1, 0.5, 0.75)
+    out = (
+        grouped_quantile_disc(
+            rd.from_pandas(df).repartition(5),
+            key_col="k", val_col="v", qs=qs, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "q"])
+        .reset_index(drop=True)
+    )
+    for k, grp in df.groupby("k"):
+        vals = np.sort(grp.v.to_numpy())
+        for q in qs:
+            exp = vals[int(np.ceil(len(vals) * q)) - 1]
+            got = out[(out.k == k) & (out.q == q)].v.iloc[0]
+            assert got == exp, (k, q, got, exp)
+    assert len(out) == df.k.nunique() * len(qs)
