@@ -1770,3 +1770,18 @@ def events_value_quantiles(sf_dir: str):
                          columns=["event_type", "value"])
     return grouped_quantile_disc(ds, key_col="event_type", val_col="value",
                                  qs=(0.25, 0.5, 0.9))
+
+
+@register("events_approx_users")  # sketch estimate: no SQL-expressible oracle
+def events_approx_users(sf_dir: str):
+    """HyperLogLog approximate distinct users (p=12, ~1.6% rel. error).
+    O(1)-per-batch exchange — the 100-TB shape for cardinality; deterministic
+    (fixed hash family, order-free max-fold), so reruns reproduce it
+    bit-for-bit. Accuracy is pytest-asserted in tests/test_sketch.py."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    return pa.table({"approx_users": pa.array([est], pa.int64())})

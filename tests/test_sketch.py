@@ -1,0 +1,56 @@
+"""HyperLogLog sketch: accuracy, determinism, merge associativity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from clp_core_ray.functions.sketch import (
+    _estimate,
+    _hash_col,
+    _registers,
+    approx_distinct,
+)
+
+
+def test_register_rank_vectorization():
+    # brute-force rank check against int.bit_length on random hashes
+    rng = np.random.default_rng(0)
+    h = rng.integers(0, 2**63, 5000, dtype=np.int64).astype(np.uint64)
+    p = 10
+    regs = _registers(h, p)
+    exp = np.zeros(1 << p, dtype=np.uint8)
+    for hv in h.tolist():
+        idx = hv >> (64 - p)
+        w = (hv << p) & ((1 << 64) - 1)
+        rank = (64 - w.bit_length() + 1) if w else (64 - p + 1)
+        rank = min(rank, 64 - p + 1)
+        exp[idx] = max(exp[idx], rank)
+    assert np.array_equal(regs, exp)
+
+
+def test_estimate_accuracy_ranges():
+    rng = np.random.default_rng(1)
+    for true_n in (50, 1000, 40_000, 300_000):
+        vals = rng.integers(0, 2**62, true_n, dtype=np.int64)
+        h = _hash_col(pa.array(np.unique(vals)))
+        est = _estimate(_registers(h, 12))
+        assert abs(est - len(np.unique(vals))) / len(np.unique(vals)) < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_dataset():
+    n, dup = 30_000, 3
+    ids = np.repeat(np.arange(n, dtype=np.int64), dup)
+    ds = rd.from_arrow(pa.table({"x": pa.array(ids)})).repartition(6)
+    est = approx_distinct(ds, "x", p=12)
+    assert abs(est - n) / n < 0.05
+    # deterministic across runs (fixed hash, max-fold is order-free)
+    assert est == approx_distinct(ds, "x", p=12)
+    # string column path
+    ds2 = rd.from_arrow(
+        pa.table({"s": pa.array([f"u{i % 5000}" for i in range(20_000)])})
+    ).repartition(4)
+    est2 = approx_distinct(ds2, "s", p=12)
+    assert abs(est2 - 5000) / 5000 < 0.05
