@@ -658,3 +658,67 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic (cluster-then-prune) deduplication
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(ds, centroids: np.ndarray, *, threshold: float = 0.95,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   block_rows: int = 4096):
+    """SemDeDup (Abbas et al., arXiv:2303.09540): assign each embedding to its
+    nearest centroid, then prune near-duplicates *within* each cluster.
+
+    Survivor rule (deterministic, SQL-expressible): a row survives iff no
+    row in the same cluster with a smaller id has cosine similarity >=
+    ``threshold`` to it — i.e. each near-dup set keeps its minimum id.
+    Comparison is against ALL smaller-id cluster members (not just surviving
+    ones), which makes the result order-independent and exactly matches a
+    ``NOT EXISTS`` anti-join oracle.
+
+    Scale shape: the O(n²) pairwise work is confined to one cluster at a
+    time — SemDeDup's whole point — so total flops are sum(n_c²) ≈ n²/k.
+    Assignment is a broadcast matmul per batch (centroids are k×d, tiny);
+    the only shuffle is the groupby on cluster id. Within a cluster the gram
+    matrix is computed in ``block_rows``-row slabs so memory stays bounded
+    for fat clusters; pick k so the expected cluster fits a worker heap
+    (k ~ n/100k at 100-TB scale, per the paper's 50k-cluster config).
+
+    Returns a Dataset of (id_col, cluster) survivors.
+    """
+    from clp_core_ray.functions.clustering import _assign
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, emb_col)
+        lab = _assign(m, cent) if len(batch) else np.zeros(0, np.int64)
+        return batch.select([id_col, emb_col]).append_column(
+            "cluster", pa.array(lab, type=pa.int64()))
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col).combine_chunks(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        m = _normalize(_emb_matrix(group, emb_col))[order]
+        ids = ids[order]
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        # slab r0:r1 vs every row with a smaller index (cluster is id-sorted)
+        for r0 in range(0, n, block_rows):
+            r1 = min(r0 + block_rows, n)
+            sims = m[r0:r1] @ m[:r1].T                      # (r1-r0, r1)
+            local = np.arange(r0, r1)[:, None]
+            sims[np.arange(r1)[None, :] >= local] = -np.inf  # keep j < i only
+            dup[r0:r1] = (sims >= threshold).any(axis=1)
+        keep = ~dup
+        cl = group.column("cluster").combine_chunks()
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "cluster": pa.array(
+                np.asarray(cl, dtype=np.int64)[order][keep], type=pa.int64()),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")

@@ -1382,6 +1382,34 @@ def emb_dup_pairs_lsh(sf_dir: str):
 
 
 @register(
+    "emb_semantic_dedup",
+    "WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),"
+    " asg AS (SELECT vec_id, embedding, cluster FROM ("
+    "  SELECT e.vec_id, e.embedding, c.vec_id AS cluster,"
+    "   row_number() OVER (PARTITION BY e.vec_id"
+    "    ORDER BY list_distance(e.embedding, c.embedding), c.vec_id) AS rn"
+    "  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)"
+    " SELECT a.vec_id, a.cluster FROM asg a"
+    " WHERE NOT EXISTS (SELECT 1 FROM asg b"
+    "  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id"
+    "  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45)",
+)
+def emb_semantic_dedup(sf_dir: str):
+    """SemDeDup: nearest-centroid assignment (deterministic seed centroids =
+    embeddings of vec_id 0..7) then per-cluster cosine near-dup prune keeping
+    each dup set's minimum id. O(n²) work is confined within clusters."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.clustering import seed_centroids
+    from clp_core_ray.functions.dedup import semantic_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = seed_centroids(ds, k=8)
+    return semantic_dedup(ds, cent, threshold=0.45)
+
+
+@register(
     "lineitem_filtered_count",
     "SELECT count(*) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
     "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' "

@@ -501,3 +501,38 @@ def test_dup_clusters_ds_matches_driver(ray_session):
            for b in got_ds.iter_batches(batch_format="pyarrow")
            for r in pa.table(b).to_pylist()}
     assert got == want
+
+
+def test_semantic_dedup(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _normalize, semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    # plant near-dups: rows 40..59 are jittered copies of rows 0..19
+    dups = base[:20] + rng.normal(scale=1e-3, size=(20, 8))
+    m = np.vstack([base, dups])
+    ids = np.arange(len(m), dtype=np.int64)
+    t = pa.table({
+        "vec_id": ids,
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.astype(np.float32).reshape(-1)), 8),
+    })
+    cent = m[:4].astype(np.float64)
+    ds = rd.from_arrow(t)
+    out = semantic_dedup(ds, cent, threshold=0.999, block_rows=3).to_pandas()
+
+    # brute-force reference with the same survivor rule
+    mn = _normalize(m.astype(np.float64))
+    d = -2.0 * (mn @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    lab = np.argmin(d, axis=1)
+    sims = mn @ mn.T
+    expect = [i for i in range(len(m))
+              if not any(lab[j] == lab[i] and sims[i, j] >= 0.999
+                         for j in range(i))]
+    got = sorted(out["vec_id"].tolist())
+    assert got == expect
+    # every planted dup that landed in its source's cluster is pruned
+    pruned = set(ids) - set(got)
+    assert all(p >= 40 for p in pruned) and len(pruned) > 0
