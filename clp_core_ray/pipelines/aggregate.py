@@ -63,6 +63,29 @@ def sum_by(ds, keys: list[str] | str, value_col: str, alias: str | None = None):
     )
 
 
+def count_sum_by(ds, keys: list[str] | str, value_col: str,
+                 cnt_alias: str = "cnt", sum_alias: str = "sum_qty"):
+    """groupby(keys) → count(*) + sum(value_col) in ONE exchange of partials."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = (
+            batch.select(keys + [value_col])
+            .group_by(keys)
+            .aggregate([(value_col, "count"), (value_col, "sum")])
+        )
+        return out.rename_columns(keys + [cnt_alias, sum_alias])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum(cnt_alias, alias_name=cnt_alias),
+                   Sum(sum_alias, alias_name=sum_alias))
+    )
+
+
 def detect_hot_keys(ds, key: str, sample_frac: float = 0.02,
                     hot_share: float = 0.01) -> list:
     """Sampled heavy-hitter detection: keys owning > hot_share of sampled rows.

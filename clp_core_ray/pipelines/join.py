@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -110,3 +111,123 @@ def auto_join(left_ds, build, left_on: str, right_on: str,
         build = rd.from_arrow(build)
     build = build.select_columns([right_on] + take_cols)
     return hash_join(left_ds, build, left_on, right_on)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join
+# --------------------------------------------------------------------------
+
+#: Default filter size: 2^23 bits = 1 MiB — ~1% false positives at 10M build
+#: keys with 5 hashes; still a single broadcast object at any cluster size.
+BLOOM_LOG2_BITS = 23
+BLOOM_N_HASHES = 5
+
+
+def _bloom_positions(h: np.ndarray, log2_bits: int, n_hashes: int) -> np.ndarray:
+    """Double hashing (Kirsch & Mitzenmacher): pos_i = h1 + i·h2 mod m.
+    Returns (n, n_hashes) bit positions from one 64-bit hash per key."""
+    mask = np.uint64((1 << log2_bits) - 1)
+    h1 = h & mask
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd => full-period stride
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i * h2[:, None]) & mask).astype(np.int64)
+
+
+def build_bloom(ds, key: str, *, log2_bits: int = BLOOM_LOG2_BITS,
+                n_hashes: int = BLOOM_N_HASHES) -> np.ndarray:
+    """Fold a Dataset's key column into one bloom bit array (packed uint64).
+
+    Each batch reduces to a fixed 2^log2_bits-bit partial filter (one row per
+    batch, same exchange shape as the HLL sketch); the driver ORs the
+    partials. The exchange is O(batches × 2^log2_bits/8) bytes no matter how
+    many keys the build side has.
+    """
+    from clp_core_ray.functions.sketch import _hash_col
+
+    words = 1 << max(0, log2_bits - 6)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(words, dtype=np.uint64)
+        if len(batch):
+            posn = _bloom_positions(_hash_col(batch.column(key)),
+                                    log2_bits, n_hashes).reshape(-1)
+            np.bitwise_or.at(bits, posn >> 6,
+                             np.uint64(1) << (posn & 63).astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    acc = np.zeros(words, dtype=np.uint64)
+    for b in ds.select_columns([key]).map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for blob in b.column("bits").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+    return acc
+
+
+def bloom_semi_join(left_ds, right_ds, left_on: str, right_on: str | None = None,
+                    *, log2_bits: int = BLOOM_LOG2_BITS,
+                    n_hashes: int = BLOOM_N_HASHES, exact: bool = True,
+                    broadcast_cap: int = BROADCAST_BYTES_CAP):
+    """Semi-join: keep left rows whose key appears in ``right_ds``.
+
+    The 100-TB join pattern: the build side folds to a 2^log2_bits-bit bloom
+    filter (1 MiB at the default — broadcastable at any scale, unlike the raw
+    key set), every probe batch drops non-members BEFORE any shuffle, and
+    only the surviving sliver pays the exact distinct-key hash join. With a
+    1% false-positive rate and 0.1% join selectivity the exchange shrinks
+    ~99% versus shuffling the whole probe side.
+
+    ``exact=False`` skips the verification join and returns the bloom
+    superset (≤ fp-rate extra rows) — useful when a later stage re-verifies.
+    """
+    import ray
+    import ray.data as rd
+
+    right_on = right_on or left_on
+    bits = build_bloom(right_ds, right_on,
+                       log2_bits=log2_bits, n_hashes=n_hashes)
+    bits_ref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        from clp_core_ray.functions.sketch import _hash_col
+        arr = ray.get(bits_ref)
+        posn = _bloom_positions(_hash_col(batch.column(left_on)),
+                                log2_bits, n_hashes)
+        hit = (arr[posn >> 6] >> (posn & 63).astype(np.uint64)
+               & np.uint64(1)).astype(bool).all(axis=1)
+        return batch.filter(pa.array(hit))
+
+    survivors = left_ds.map_batches(probe, batch_format="pyarrow")
+    if not exact:
+        return survivors
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(right_on).aggregate([])
+
+    keys = right_ds.select_columns([right_on]).map_batches(
+        local_distinct, batch_format="pyarrow")
+    if estimated_bytes(right_ds.select_columns([right_on])) <= broadcast_cap:
+        # small key column: verify via broadcast membership — no shuffle
+        parts = [pa.table(b) for b in keys.iter_batches(batch_format="pyarrow")]
+        kt = (pa.concat_tables(parts) if parts
+              else pa.table({right_on: pa.array([], type=pa.int64())}))
+        keys_ref = ray.put(pc.unique(kt.column(right_on).combine_chunks()))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            if not len(batch):
+                return batch
+            member = pc.is_in(batch.column(left_on),
+                              value_set=ray.get(keys_ref))
+            return batch.filter(member)
+
+        return survivors.map_batches(verify, batch_format="pyarrow")
+    # big key column: distributed distinct, then hash-join only the sliver
+    key_ds = keys.groupby(right_on).count()
+    drop = [c for c in key_ds.columns() if c != right_on]
+    key_ds = key_ds.drop_columns(drop)
+    if right_on != left_on:
+        key_ds = key_ds.rename_columns({right_on: left_on})
+    return hash_join(survivors, key_ds, left_on, left_on)

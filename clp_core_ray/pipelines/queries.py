@@ -1382,6 +1382,37 @@ def emb_dup_pairs_lsh(sf_dir: str):
 
 
 @register(
+    "lineitem_semi_hivalue",
+    "SELECT l_returnflag, count(*) AS cnt,"
+    " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty"
+    " FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o"
+    "  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 150000)"
+    " GROUP BY l_returnflag",
+)
+def lineitem_semi_hivalue(sf_dir: str):
+    """Bloom-filter semi-join: high-value order keys fold to a 1 MiB bloom
+    filter broadcast to every probe batch (non-members dropped before any
+    shuffle), then exact verification — aggregate by returnflag."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import count_sum_by
+    from clp_core_ray.pipelines.join import bloom_semi_join
+
+    left = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    right = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 150000").select_columns(["o_orderkey"])
+    semi = bloom_semi_join(left, right, "l_orderkey", "o_orderkey")
+    agg = count_sum_by(semi, "l_returnflag", "l_quantity")
+    return agg.map_batches(
+        lambda b: b.set_column(b.schema.get_field_index("sum_qty"), "sum_qty",
+                               pc.cast(b.column("sum_qty"), pa.int64())),
+        batch_format="pyarrow",
+    )
+
+
+@register(
     "emb_semantic_dedup",
     "WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),"
     " asg AS (SELECT vec_id, embedding, cluster FROM ("

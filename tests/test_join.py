@@ -69,3 +69,51 @@ def test_auto_join_picks_by_size(ray_session):
 def test_estimated_bytes():
     t = pa.table({"a": np.arange(1000)})
     assert J.estimated_bytes(t) == t.nbytes
+
+
+def test_bloom_semi_join_paths(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import bloom_semi_join, build_bloom
+
+    rng = np.random.default_rng(3)
+    left_keys = rng.integers(0, 1000, size=5000)
+    right_keys = np.unique(rng.integers(0, 1000, size=200))
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(left_keys, type=pa.int64()),
+        "v": pa.array(np.arange(5000, dtype=np.int64)),
+    }))
+    # right side with duplicate keys: inner-join verify must not multiply rows
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(np.repeat(right_keys, 3), type=pa.int64())}))
+    expect = sorted(
+        int(v) for k, v in zip(left_keys, range(5000)) if k in set(right_keys))
+
+    # broadcast verify path
+    out = bloom_semi_join(left, right, "k").to_pandas()
+    assert sorted(out["v"].tolist()) == expect
+    # hash-join verify path (force it with a zero broadcast budget)
+    out2 = bloom_semi_join(left, right, "k", broadcast_cap=0).to_pandas()
+    assert sorted(out2["v"].tolist()) == expect
+    # bloom-only: superset of the exact result, subset of left
+    sup = bloom_semi_join(left, right, "k", exact=False).to_pandas()
+    assert set(expect) <= set(sup["v"].tolist())
+    assert len(sup) <= 5000
+
+    # string keys hash through the same FNV family
+    sl = rd.from_arrow(pa.table({"s": ["a", "b", "c", "d", "a"]}))
+    sr = rd.from_arrow(pa.table({"s": ["a", "d", "zz"]}))
+    so = bloom_semi_join(sl, sr, "s").to_pandas()
+    assert sorted(so["s"].tolist()) == ["a", "a", "d"]
+
+    # filter bits: every right key probes positive (no false negatives)
+    bits = build_bloom(right, "k")
+    from clp_core_ray.functions.sketch import _hash_col
+    from clp_core_ray.pipelines.join import _bloom_positions
+    posn = _bloom_positions(
+        _hash_col(pa.array(right_keys, type=pa.int64())), 23, 5)
+    hit = (bits[posn >> 6] >> (posn & 63).astype(np.uint64)
+           & np.uint64(1)).astype(bool).all(axis=1)
+    assert hit.all()
