@@ -94,3 +94,89 @@ def approx_distinct(ds, col: str, p: int = 12) -> int:
                 out=folded,
             )
     return int(round(_estimate(folded)))
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries / frequent-items summary
+# --------------------------------------------------------------------------
+
+
+def _mg_summary(values: np.ndarray, counts: np.ndarray,
+                capacity: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Misra-Gries reduction of an exact count vector to ≤ capacity entries.
+
+    Decrement every count by the (capacity+1)-largest and keep the positive
+    remainder — the counter-vector formulation of MG. Returns (values,
+    decremented counts, deduct) where ``deduct`` bounds the undercount of
+    EVERY key (kept or dropped) in this summary.
+    """
+    if len(values) <= capacity:
+        return values, counts, 0
+    order = np.argsort(counts, kind="stable")[::-1]
+    deduct = int(counts[order[capacity]])
+    keep = order[:capacity]
+    new = counts[keep] - deduct
+    pos = new > 0
+    return values[keep][pos], new[pos], deduct
+
+
+def heavy_hitters(ds, col: str, *, k: int = 10, capacity: int = 4096) -> pa.Table:
+    """Approximate top-k frequent values of ``col`` (Misra-Gries, mergeable).
+
+    Each batch reduces to ≤ ``capacity`` (value, count) rows plus one deduct
+    scalar — O(capacity) exchange per batch regardless of the batch's key
+    cardinality, where an exact groupby-count would shuffle every distinct
+    key (the A1/A4 cost this sketch avoids at 100-TB cardinalities). Partial
+    summaries merge by summing counts (Agarwal et al., "Mergeable
+    Summaries", PODS'12), keeping the ε = 1/(capacity+1) guarantee.
+
+    Returns a small Arrow table (value, cnt_min, cnt_max) of the top k by
+    guaranteed lower bound: cnt_min ≤ true ≤ cnt_max = cnt_min + Σ deducts.
+    Every value with true frequency > Σ deducts is guaranteed present.
+    When every batch has ≤ capacity distinct values the result is EXACT
+    (cnt_min == cnt_max == true count).
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([col]).group_by(col).aggregate([(col, "count")])
+        vals = g.column(col).combine_chunks()
+        cnts = np.asarray(g.column(f"{col}_count"), dtype=np.int64)
+        idx = np.arange(len(vals))
+        kept_i, kept_c, deduct = _mg_summary(idx, cnts, capacity)
+        out = vals.take(pa.array(kept_i))
+        dcol = np.zeros(len(kept_c), dtype=np.int64)
+        t = pa.table({col: out,
+                      "cnt": pa.array(kept_c, type=pa.int64()),
+                      "deduct": pa.array(dcol)})
+        if deduct:
+            # marker row carries this batch's deduct: downstream batches may
+            # coalesce several partials, so deduct is summed column-wide
+            marker = pa.table({col: pa.array([None], type=out.type),
+                               "cnt": pa.array([0], type=pa.int64()),
+                               "deduct": pa.array([deduct], type=pa.int64())})
+            t = pa.concat_tables([t, marker])
+        return t
+
+    merged: dict = {}
+    total_deduct = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        t = pa.table(b)
+        total_deduct += int(pc.sum(t.column("deduct")).as_py() or 0)
+        for v, c in zip(t.column(col).to_pylist(),
+                        t.column("cnt").to_pylist()):
+            if c:
+                merged[v] = merged.get(v, 0) + c
+    if len(merged) > capacity:
+        vals = np.array(list(merged.keys()), dtype=object)
+        cnts = np.array(list(merged.values()), dtype=np.int64)
+        ki, kc, d = _mg_summary(np.arange(len(vals)), cnts, capacity)
+        total_deduct += d
+        merged = {vals[i]: int(c) for i, c in zip(ki, kc)}
+    top = sorted(merged.items(),
+                 key=lambda kv: (-kv[1], kv[0] is None, kv[0]))[:k]
+    return pa.table({
+        col: pa.array([v for v, _ in top]),
+        "cnt_min": pa.array([c for _, c in top], type=pa.int64()),
+        "cnt_max": pa.array([c + total_deduct for _, c in top],
+                            type=pa.int64()),
+    })

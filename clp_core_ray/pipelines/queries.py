@@ -1844,3 +1844,22 @@ def events_approx_users(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id", p=12)
     return pa.table({"approx_users": pa.array([est], pa.int64())})
+
+
+@register(
+    "events_heavy_users",
+    "SELECT user_id, count(*) AS cnt_min, count(*) AS cnt_max FROM events"
+    " GROUP BY user_id ORDER BY cnt_min DESC, user_id LIMIT 10",
+)
+def events_heavy_users(sf_dir: str):
+    """Misra-Gries heavy hitters: top-10 users by event count. O(capacity)
+    exchange per batch regardless of key cardinality; mergeable summaries
+    with a guaranteed error bound (cnt_min ≤ true ≤ cnt_max). Exact (bounds
+    collapse) while per-batch cardinality ≤ capacity, as at test scales —
+    the bound itself is pytest-asserted on zipf data in tests/test_sketch.py."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", k=10, capacity=4096)

@@ -54,3 +54,38 @@ def test_approx_distinct_dataset():
     ).repartition(4)
     est2 = approx_distinct(ds2, "s", p=12)
     assert abs(est2 - 5000) / 5000 < 0.05
+
+
+def test_heavy_hitters_zipf(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.4, size=60000) % 5000
+    true = {}
+    for v in vals.tolist():
+        true[v] = true.get(v, 0) + 1
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals, type=pa.int64())})
+                       ).repartition(8)
+    out = heavy_hitters(ds, "u", k=10, capacity=64)
+    got = dict(zip(out.column("u").to_pylist(),
+                   zip(out.column("cnt_min").to_pylist(),
+                       out.column("cnt_max").to_pylist())))
+    err = out.column("cnt_max")[0].as_py() - out.column("cnt_min")[0].as_py()
+    # bounds bracket the truth for every reported value
+    for v, (lo, hi) in got.items():
+        assert lo <= true[v] <= hi, (v, lo, true[v], hi)
+    # every value heavier than the error bound is reported (top-10 slice)
+    heavy = sorted(true.items(), key=lambda kv: -kv[1])[:10]
+    for v, c in heavy:
+        if c > err:
+            assert v in got
+    # exact when capacity exceeds per-batch cardinality
+    small = rd.from_arrow(pa.table(
+        {"u": pa.array(([1] * 50) + ([2] * 30) + ([3] * 20), type=pa.int64())}))
+    ex = heavy_hitters(small, "u", k=3, capacity=100)
+    assert ex.column("cnt_min").to_pylist() == ex.column("cnt_max").to_pylist() \
+        == [50, 30, 20]
