@@ -1863,3 +1863,21 @@ def events_heavy_users(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return heavy_hitters(ds, "user_id", k=10, capacity=4096)
+
+
+@register("events_approx_quantiles")  # rank-bounded estimate: no exact oracle
+def events_approx_quantiles(sf_dir: str):
+    """Mergeable weighted-sample quantile sketch over the continuous value
+    column: fixed ≤2048-point exchange per batch regardless of value
+    cardinality (the 100-TB shape where the exact value-histogram exchange
+    would be O(n) on doubles). Deterministic equi-rank compression; rank
+    error ≤ ~2/sketch_size, pytest-asserted in tests/test_sketch.py."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    est = approx_quantiles(ds, "value", (0.5, 0.9, 0.99))
+    return pa.table({"p50": pa.array([est[0.5]]),
+                     "p90": pa.array([est[0.9]]),
+                     "p99": pa.array([est[0.99]])})

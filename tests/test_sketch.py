@@ -89,3 +89,32 @@ def test_heavy_hitters_zipf(ray_session):
     ex = heavy_hitters(small, "u", k=3, capacity=100)
     assert ex.column("cnt_min").to_pylist() == ex.column("cnt_max").to_pylist() \
         == [50, 30, 20]
+
+
+def test_approx_quantiles(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(5)
+    x = rng.lognormal(0.0, 1.5, size=200000)  # heavy-tailed continuous
+    ds = rd.from_arrow(pa.table({"x": pa.array(x)})).repartition(16)
+    qs = (0.01, 0.25, 0.5, 0.9, 0.99)
+    est = approx_quantiles(ds, "x", qs, sketch_size=2048)
+    xs = np.sort(x)
+    for q in qs:
+        # rank error bound: position of the estimate within the sorted
+        # sample must be within ~2/sketch_size of the target rank
+        pos = np.searchsorted(xs, est[q]) / len(xs)
+        assert abs(pos - q) < 3.0 / 2048 + 2e-3, (q, pos, est[q])
+
+    # deterministic: rerun gives bit-identical estimates
+    est2 = approx_quantiles(ds, "x", qs, sketch_size=2048)
+    assert est == est2
+
+    # nulls ignored; tiny input exact
+    t = pa.table({"x": pa.array([1.0, None, 3.0, 2.0])})
+    e = approx_quantiles(rd.from_arrow(t), "x", (0.5,))
+    assert e[0.5] == 2.0
