@@ -513,6 +513,22 @@ def clp_sessionize(sf_dir: str):
 
 
 @register(
+    "clp_conv_examples",
+    "SELECT conv_id, string_agg(coalesce(role, '') || ': ' ||"
+    " coalesce(text, ''), chr(10)"
+    " ORDER BY turn_idx) AS example, count(*) AS n_turns"
+    " FROM {T} GROUP BY conv_id",
+)
+def clp_conv_examples(sf_dir: str):
+    """Transcript → SFT-example assembly: per conversation, turns ordered by
+    turn_idx render as 'role: text' lines joined into one training example.
+    One 64-bucket shuffle; all string assembly is Arrow kernels."""
+    from clp_core_ray.pipelines.windows import conv_examples
+
+    return conv_examples(read_transcripts(sf_dir))
+
+
+@register(
     "clp_session_stats",
     "SELECT conv_id, session_id, count(*) AS n_turns, "
     "CAST(max(es) - min(es) AS BIGINT) AS span_seconds FROM ("

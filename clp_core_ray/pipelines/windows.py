@@ -119,3 +119,53 @@ def session_stats(ds, gap_seconds: int = SESSION_GAP_SECONDS):
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def conv_examples(ds, *, sep: str = "\n", role_sep: str = ": "):
+    """Assemble one training example per conversation: turns sorted by
+    turn_idx, each rendered ``role: text`` and joined with ``sep``.
+
+    The transcript-native "build SFT examples" op. One shuffle: conv_ids
+    hash into 64 buckets (hot conversations only fatten a bucket, they never
+    serialize a per-conv task); inside each bucket everything is Arrow
+    kernels — lexsort by (conv, turn), run-boundary offsets, and
+    ``pc.binary_join`` over a ListArray view, so no per-row Python even for
+    the string assembly. Output: (conv_id, example, n_turns).
+    """
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if not len(group):
+            return pa.table({"conv_id": pa.array([], type=pa.string()),
+                             "example": pa.array([], type=pa.string()),
+                             "n_turns": pa.array([], type=pa.int64())})
+        conv = group.column("conv_id").combine_chunks()
+        codes = pc.dictionary_encode(conv)
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        turn = np.asarray(group.column("turn_idx").combine_chunks(),
+                          dtype=np.int64)
+        order = np.lexsort((turn, idx))
+        sorted_idx = idx[order]
+        parts = pc.binary_join_element_wise(
+            pc.fill_null(
+                pc.cast(group.column("role").combine_chunks(), pa.string()),
+                ""),
+            pc.fill_null(
+                pc.cast(group.column("text").combine_chunks(), pa.string()),
+                ""),
+            role_sep,
+        ).take(pa.array(order))
+        bounds = np.flatnonzero(
+            np.r_[True, sorted_idx[1:] != sorted_idx[:-1]])
+        offsets = np.r_[bounds, len(sorted_idx)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), parts)
+        joined = pc.binary_join(lists, sep)
+        convs = conv.take(pa.array(order[bounds]))
+        n_turns = np.diff(offsets).astype(np.int64)
+        return pa.table({"conv_id": convs, "example": joined,
+                         "n_turns": pa.array(n_turns)})
+
+    return (
+        ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+        .map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

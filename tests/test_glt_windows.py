@@ -202,3 +202,26 @@ def test_sessionize_gap_split(ray_session):
         ["conv_id", "session_id"]
     )
     assert st.n_turns.tolist() == [2, 2, 2]
+
+
+def test_conv_examples(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import conv_examples
+
+    # turns arrive out of order and split across partitions
+    t = pa.table({
+        "conv_id": ["b", "a", "a", "b", "a", "c"],
+        "turn_idx": pa.array([1, 2, 0, 0, 1, 0], type=pa.int32()),
+        "role": ["assistant", "assistant", "user", "user", None, "user"],
+        "text": ["world", "done", "hi", "hello", None, "solo"],
+        "tool": [""] * 6,
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    df = conv_examples(ds).to_pandas().set_index("conv_id").sort_index()
+    assert df.loc["a", "example"] == "user: hi\n: \nassistant: done"
+    assert df.loc["b", "example"] == "user: hello\nassistant: world"
+    assert df.loc["c", "example"] == "user: solo"
+    assert df["n_turns"].tolist() == [3, 2, 1]
