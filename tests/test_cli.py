@@ -63,3 +63,36 @@ def test_cli_compress_search_extract(ray_session, tiny_sf_dir, tmp_path, capsys)
 
     res, _ = _run(capsys, ["stats", "--archive", str(tmp_path)])
     assert res["archives"] == 1
+
+
+def test_cli_dictdump(ray_session, tiny_sf_dir, tmp_path, capsys):
+    import os
+
+    arch_base = str(tmp_path / "arch")
+    _run(capsys, ["compress", "--input", tiny_sf_dir,
+                  "--out", arch_base])
+    archives = [d for d in os.listdir(arch_base)
+                if os.path.isdir(os.path.join(arch_base, d))]
+    arch = os.path.join(arch_base, archives[0]) if not os.path.exists(
+        os.path.join(arch_base, "logtype.dict.parquet")) else arch_base
+
+    out = str(tmp_path / "hr")
+    res, _ = _run(capsys, ["dictdump", "--archive", arch,
+                           "--output-dir", out])
+    assert res["logtypes"] > 0 and res["vars"] > 0
+
+    lt_lines = open(os.path.join(out, "logtype.dict.hr")).read().splitlines()
+    assert len(lt_lines) == res["logtypes"]
+    # placeholders are rendered, raw placeholder bytes never leak
+    body = "\n".join(lt_lines)
+    assert "\\i" in body or "\\d" in body or "\\f" in body
+    for raw in ("\x11", "\x12", "\x13"):
+        assert raw not in body
+    # ids are unique and tab-separated
+    ids = [ln.split("\t", 1)[0] for ln in lt_lines]
+    assert len(set(ids)) == len(ids)
+
+    v_lines = open(os.path.join(out, "var.dict.hr")).read().splitlines()
+    assert len(v_lines) == res["vars"]
+    seg = open(os.path.join(out, "logtype.segindex.hr")).read().splitlines()
+    assert len(seg) >= 1 and all("\t" in ln for ln in seg)
