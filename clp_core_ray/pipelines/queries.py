@@ -529,6 +529,23 @@ def clp_conv_examples(sf_dir: str):
 
 
 @register(
+    "clp_turn_pairs",
+    "SELECT conv_id, turn_idx, prompt, completion FROM ("
+    " SELECT conv_id, turn_idx, role, lag(role) OVER w AS prev_role,"
+    "  lag(text) OVER w AS prompt, text AS completion FROM {T}"
+    "  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))"
+    " WHERE role = 'assistant' AND prev_role = 'user'",
+)
+def clp_turn_pairs(sf_dir: str):
+    """SFT pair extraction: assistant turns paired with the immediately
+    preceding user turn of the same conversation (lexsort + shifted-array
+    compare inside 64 conv-hash buckets)."""
+    from clp_core_ray.pipelines.windows import turn_pairs
+
+    return turn_pairs(read_transcripts(sf_dir))
+
+
+@register(
     "clp_session_stats",
     "SELECT conv_id, session_id, count(*) AS n_turns, "
     "CAST(max(es) - min(es) AS BIGINT) AS span_seconds FROM ("

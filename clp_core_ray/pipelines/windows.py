@@ -169,3 +169,56 @@ def conv_examples(ds, *, sep: str = "\n", role_sep: str = ": "):
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def turn_pairs(ds, *, prompt_role: str = "user",
+               completion_role: str = "assistant"):
+    """Extract (prompt, completion) training pairs: every ``completion_role``
+    turn whose immediately preceding turn (by turn_idx, same conversation)
+    has ``prompt_role``.
+
+    Same shuffle shape as :func:`conv_examples` (64 conv-hash buckets);
+    inside a bucket the pairing is one lexsort + shifted-array compare —
+    no per-row Python. Output: (conv_id, turn_idx, prompt, completion).
+    """
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"conv_id": pa.array([], type=pa.string()),
+                          "turn_idx": pa.array([], type=pa.int32()),
+                          "prompt": pa.array([], type=pa.string()),
+                          "completion": pa.array([], type=pa.string())})
+        if not len(group):
+            return empty
+        conv = group.column("conv_id").combine_chunks()
+        codes = pc.dictionary_encode(conv)
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        turn = np.asarray(group.column("turn_idx").combine_chunks(),
+                          dtype=np.int64)
+        order = np.lexsort((turn, idx))
+        sidx = idx[order]
+        roles = group.column("role").combine_chunks().take(pa.array(order))
+        roles_np = np.asarray(pc.fill_null(roles, ""))
+        # row i pairs with row i-1 when same conv and roles match
+        ok = np.zeros(len(sidx), dtype=bool)
+        if len(sidx) > 1:
+            ok[1:] = ((sidx[1:] == sidx[:-1])
+                      & (roles_np[1:] == completion_role)
+                      & (roles_np[:-1] == prompt_role))
+        if not ok.any():
+            return empty
+        sel = np.flatnonzero(ok)
+        text = group.column("text").combine_chunks().take(pa.array(order))
+        return pa.table({
+            "conv_id": conv.take(pa.array(order[sel])),
+            "turn_idx": pc.cast(
+                group.column("turn_idx").combine_chunks()
+                .take(pa.array(order[sel])), pa.int32()),
+            "prompt": text.take(pa.array(sel - 1)),
+            "completion": text.take(pa.array(sel)),
+        })
+
+    return (
+        ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+        .map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -225,3 +225,24 @@ def test_conv_examples(ray_session):
     assert df.loc["b", "example"] == "user: hello\nassistant: world"
     assert df.loc["c", "example"] == "user: solo"
     assert df["n_turns"].tolist() == [3, 2, 1]
+
+
+def test_turn_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import turn_pairs
+
+    t = pa.table({
+        "conv_id": ["a", "a", "a", "a", "b", "b", "c"],
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1, 0], type=pa.int32()),
+        "role": ["user", "assistant", "assistant", "user",
+                 "assistant", "user", "user"],
+        "text": ["q1", "a1", "a2", "q2", "orphan", "late", "solo"],
+        "tool": [""] * 7,
+    })
+    df = turn_pairs(rd.from_arrow(t).repartition(3)).to_pandas()
+    got = sorted(zip(df["conv_id"], df["prompt"], df["completion"]))
+    # only adjacent user→assistant transitions: a(0→1); NOT a(1→2)
+    # (assistant→assistant), NOT b (assistant first), NOT across convs
+    assert got == [("a", "q1", "a1")]
