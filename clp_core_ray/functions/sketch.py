@@ -241,3 +241,48 @@ def approx_quantiles(ds, col: str, qs: tuple[float, ...] = (0.5,),
         i = int(np.searchsorted(cum, q * total, side="left"))
         out[q] = float(v[min(i, len(v) - 1)])
     return out
+
+
+def approx_distinct_by(ds, key: str, col: str, p: int = 12,
+                       alias: str = "approx_distinct"):
+    """Approximate distinct ``col`` per ``key`` group (grouped HyperLogLog).
+
+    Each batch emits ONE register row per key present in it — the exchange
+    is O(batches × keys-per-batch × 2^p) bytes and never carries values, so
+    a "distinct users per route" over 10^12 rows shuffles kilobytes per key
+    where the exact path ships every distinct (key, value) pair. Register
+    rows fold per key with an elementwise max inside each group (order-free,
+    deterministic). Returns a Dataset of (key, alias).
+    """
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        kcol = b.column(key).combine_chunks()
+        codes = pc.dictionary_encode(kcol)
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        h = _hash_col(b.column(col))
+        order = np.argsort(idx, kind="stable")
+        sidx, sh = idx[order], h[order]
+        bounds = np.flatnonzero(np.r_[True, sidx[1:] != sidx[:-1]])
+        ends = np.r_[bounds[1:], len(sidx)]
+        regs_out = [_registers(sh[b0:b1], p) for b0, b1 in zip(bounds, ends)]
+        return pa.table({
+            key: kcol.take(pa.array(order[bounds])),
+            "regs": pa.array(regs_out, type=pa.list_(pa.uint8())),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        folded = np.zeros(m, dtype=np.uint8)
+        regs = group.column("regs").combine_chunks()
+        flat = np.asarray(regs.flatten(), dtype=np.uint8).reshape(-1, m)
+        np.maximum.reduce(flat, axis=0, out=folded)
+        return pa.table({
+            key: group.column(key).combine_chunks().slice(0, 1),
+            alias: pa.array([int(round(_estimate(folded)))],
+                            type=pa.int64()),
+        })
+
+    return (ds.select_columns([key, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(fold, batch_format="pyarrow"))

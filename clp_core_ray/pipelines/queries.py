@@ -1923,6 +1923,21 @@ def events_heavy_users(sf_dir: str):
     return heavy_hitters(ds, "user_id", k=10, capacity=4096)
 
 
+@register("events_approx_users_by_type")  # sketch estimate: rows-only
+def events_approx_users_by_type(sf_dir: str):
+    """Grouped HyperLogLog: approximate distinct users per event_type. One
+    register row per (key, batch) — the exchange never carries user ids;
+    per-key elementwise-max fold. Accuracy pytest-bounded (<8% at p=12)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import approx_distinct_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return approx_distinct_by(ds, "event_type", "user_id",
+                              alias="approx_users")
+
+
 @register("events_approx_quantiles")  # rank-bounded estimate: no exact oracle
 def events_approx_quantiles(sf_dir: str):
     """Mergeable weighted-sample quantile sketch over the continuous value

@@ -118,3 +118,28 @@ def test_approx_quantiles(ray_session):
     t = pa.table({"x": pa.array([1.0, None, 3.0, 2.0])})
     e = approx_quantiles(rd.from_arrow(t), "x", (0.5,))
     assert e[0.5] == 2.0
+
+
+def test_approx_distinct_by(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import approx_distinct_by
+
+    rng = np.random.default_rng(23)
+    keys = np.array(["a", "b", "c"])[rng.choice(3, size=120000)]
+    truth = {"a": 5000, "b": 300, "c": 40}
+    vals = np.array([rng.integers(0, truth[k]) for k in keys.tolist()],
+                    dtype=np.int64)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    out = approx_distinct_by(
+        rd.from_arrow(t).repartition(8), "k", "v").to_pandas()
+    got = dict(zip(out["k"], out["approx_distinct"]))
+    assert set(got) == {"a", "b", "c"}
+    for k, n in truth.items():
+        assert abs(got[k] - n) / n < 0.08, (k, got[k], n)
+    # deterministic across reruns
+    out2 = approx_distinct_by(
+        rd.from_arrow(t).repartition(8), "k", "v").to_pandas()
+    assert dict(zip(out2["k"], out2["approx_distinct"])) == got
