@@ -138,3 +138,64 @@ def test_unstructured_ir_roundtrip_property(rows):
         tbl = ir.decode_ir_stream_to_text(blob)
         assert tbl.column("text").to_pylist() == msgs
         assert tbl.column("ts").to_pylist() == ts
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**60), max_value=2**60),
+                min_size=0, max_size=200),
+       st.lists(st.integers(min_value=-(2**60), max_value=2**60),
+                min_size=0, max_size=100))
+def test_bloom_no_false_negatives_property(members, probes):
+    """Every inserted key probes positive, for any key set (pure kernels)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clp_core_ray.functions.sketch import _hash_col
+    from clp_core_ray.pipelines.join import _bloom_positions
+
+    log2_bits, n_hashes = 12, 3
+    words = 1 << (log2_bits - 6)
+    bits = np.zeros(words, dtype=np.uint64)
+    if members:
+        posn = _bloom_positions(
+            _hash_col(pa.array(members, type=pa.int64())),
+            log2_bits, n_hashes).reshape(-1)
+        np.bitwise_or.at(bits, posn >> 6,
+                         np.uint64(1) << (posn & 63).astype(np.uint64))
+    for batch in (members, [m for m in probes if m in set(members)]):
+        if not batch:
+            continue
+        q = _bloom_positions(_hash_col(pa.array(batch, type=pa.int64())),
+                             log2_bits, n_hashes)
+        hit = (bits[q >> 6] >> (q & 63).astype(np.uint64)
+               & np.uint64(1)).astype(bool).all(axis=1)
+        assert hit.all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30),
+                min_size=1, max_size=300),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=7))
+def test_misra_gries_bounds_property(values, capacity, n_chunks):
+    """Merged MG summaries bracket every true count for ANY chunking."""
+    import numpy as np
+
+    from clp_core_ray.functions.sketch import _mg_summary
+
+    true = {}
+    for v in values:
+        true[v] = true.get(v, 0) + 1
+    chunks = np.array_split(np.array(values, dtype=np.int64), n_chunks)
+    merged, total_deduct = {}, 0
+    for ch in chunks:
+        if not len(ch):
+            continue
+        u, c = np.unique(ch, return_counts=True)
+        kv, kc, d = _mg_summary(u, c.astype(np.int64), capacity)
+        total_deduct += d
+        for v, c2 in zip(kv.tolist(), kc.tolist()):
+            merged[v] = merged.get(v, 0) + c2
+    for v, n in true.items():
+        lo = merged.get(v, 0)
+        assert lo <= n <= lo + total_deduct, (v, lo, n, total_deduct)
