@@ -203,3 +203,67 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     cols["top_word_cnt"] = pa.array(top_word)
     cols["top_bigram_cnt"] = pa.array(top_bigram)
     return pa.table(cols)
+
+
+def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   n_buckets: int = 64):
+    """Build an inverted index: (term, df, postings) with postings sorted.
+
+    Tokenization is lowercase + single-space split (oracle-reproducible).
+    Scale shape: the explode happens inside each batch and is immediately
+    deduped to unique (term, doc) pairs — the shuffle carries the index's
+    inherent size, not the token stream. Terms hash into ``n_buckets``
+    groups (a stopword with millions of postings only fattens its bucket,
+    never becomes a per-term task); inside a bucket the postings assembly is
+    one lexsort + run offsets + ListArray view, all Arrow kernels.
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(
+            pc.fill_null(batch.column(text_col).combine_chunks(), ""))
+        toks = pc.split_pattern(texts, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = toks.value_parent_indices()
+        flat = toks.flatten()
+        ids = batch.column(id_col).combine_chunks().take(parent)
+        t = pa.table({"term": flat, id_col: ids}).filter(
+            pc.not_equal(flat, ""))
+        t = t.group_by(["term", id_col]).aggregate([])  # local dedupe
+        offsets, data = _string_buffers(t.column("term").combine_chunks())
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        return t.append_column(
+            "_bucket",
+            pa.array((h & np.uint64(n_buckets - 1)).astype(np.int32)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if not len(group):
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+                "postings": pa.array([], type=pa.list_(pa.int64())),
+            })
+        # global dedupe inside the bucket (a doc's text never spans batches
+        # here, but keep the operator safe for pre-split inputs)
+        g = group.select(["term", id_col]).group_by(
+            ["term", id_col]).aggregate([])
+        term = g.column("term").combine_chunks()
+        codes = pc.dictionary_encode(term)
+        tidx = np.asarray(codes.indices, dtype=np.int64)
+        docs = np.asarray(pc.cast(g.column(id_col).combine_chunks(),
+                                  pa.int64()), dtype=np.int64)
+        order = np.lexsort((docs, tidx))
+        sidx = tidx[order]
+        bounds = np.flatnonzero(np.r_[True, sidx[1:] != sidx[:-1]])
+        offsets = np.r_[bounds, len(sidx)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(docs[order]))
+        return pa.table({
+            "term": term.take(pa.array(order[bounds])),
+            "df": pa.array(np.diff(offsets).astype(np.int64)),
+            "postings": lists,
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))

@@ -1415,6 +1415,35 @@ def emb_dup_pairs_lsh(sf_dir: str):
 
 
 @register(
+    "docs_inverted_index",
+    "SELECT term, doc_id FROM (SELECT DISTINCT doc_id,"
+    " unnest(string_split(lower(text), ' ')) AS term FROM documents)"
+    " WHERE term <> ''",
+)
+def docs_inverted_index(sf_dir: str):
+    """Inverted index build (term → sorted postings, shuffle carries only
+    unique (term, doc) pairs), then exploded back to the flat posting
+    relation so the oracle checks the index's full content."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import inverted_index
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    idx = inverted_index(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lists = batch.column("postings").combine_chunks()
+        parent = lists.value_parent_indices()
+        return pa.table({
+            "term": batch.column("term").combine_chunks().take(parent),
+            "doc_id": lists.flatten(),
+        })
+
+    return idx.map_batches(explode, batch_format="pyarrow")
+
+
+@register(
     "docs_mixture_sample",
     "WITH tgt(lang, w) AS (VALUES ('en', CAST(0.5 AS DOUBLE)),"
     "  ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.3 AS DOUBLE))),"

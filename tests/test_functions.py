@@ -536,3 +536,21 @@ def test_semantic_dedup(ray_session):
     # every planted dup that landed in its source's cluster is pruned
     pruned = set(ids) - set(got)
     assert all(p >= 40 for p in pruned) and len(pruned) > 0
+
+
+def test_inverted_index(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import inverted_index
+
+    t = pa.table({
+        "doc_id": pa.array([7, 3, 9], type=pa.int64()),
+        "text": ["The cat  sat", "cat dog", None],
+    })
+    idx = inverted_index(rd.from_arrow(t).repartition(2)).to_pandas()
+    got = {r["term"]: (r["df"], list(r["postings"]))
+           for _, r in idx.iterrows()}
+    # lowercased, empty tokens dropped, postings sorted, nulls skipped
+    assert got == {"the": (1, [7]), "cat": (2, [3, 7]),
+                   "sat": (1, [7]), "dog": (1, [3])}
