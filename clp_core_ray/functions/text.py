@@ -267,3 +267,64 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
             .map_batches(explode, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def tf_df_table(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 64):
+    """Term-frequency / document-frequency relation: one row per (doc, term)
+    with tf (occurrences in the doc) and df (docs containing the term) —
+    the integer-exact core of TF-IDF scoring (apply any idf weighting
+    downstream without re-tokenizing).
+
+    Same tokenizer as :func:`inverted_index` (lowercase, single-space
+    split). One explode per batch pre-aggregates tf locally, so the shuffle
+    carries unique (term, doc, tf) rows; df comes from a second small
+    exchange of per-batch (term, partial-df) rows joined back inside the
+    same term-hash buckets — no broadcast of the (unbounded) vocabulary.
+    """
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(
+            pc.fill_null(batch.column(text_col).combine_chunks(), ""))
+        toks = pc.split_pattern(texts, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = toks.value_parent_indices()
+        flat = toks.flatten()
+        ids = batch.column(id_col).combine_chunks().take(parent)
+        t = pa.table({"term": flat, id_col: ids}).filter(
+            pc.not_equal(flat, ""))
+        t = t.group_by(["term", id_col]).aggregate([("term", "count")])
+        t = t.rename_columns(["term", id_col, "tf"])
+        offsets, data = _string_buffers(t.column("term").combine_chunks())
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        return t.append_column(
+            "_bucket",
+            pa.array((h & np.uint64(n_buckets - 1)).astype(np.int32)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if not len(group):
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+            })
+        # re-sum tf across batches so pre-split docs stay correct, then
+        # df(term) = row count per term (terms never span buckets by
+        # construction of the hash routing)
+        g = group.group_by(["term", id_col]).aggregate([("tf", "sum")])
+        g = g.rename_columns(["term", id_col, "tf"])
+        dfs = g.group_by("term").aggregate([("term", "count")])
+        dfs = dfs.rename_columns(["term", "df"])
+        pos = pc.index_in(g.column("term"), dfs.column("term"))
+        return pa.table({
+            "term": g.column("term"),
+            id_col: pc.cast(g.column(id_col), pa.int64()),
+            "tf": pc.cast(g.column("tf"), pa.int64()),
+            "df": pc.cast(pc.take(dfs.column("df"), pos), pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(explode_tf, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))

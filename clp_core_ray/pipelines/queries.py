@@ -1444,6 +1444,27 @@ def docs_inverted_index(sf_dir: str):
 
 
 @register(
+    "docs_tf_df",
+    "WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ("
+    "  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term"
+    "  FROM documents) WHERE term <> '' GROUP BY doc_id, term)"
+    " SELECT t.term, t.doc_id, t.tf, d.df FROM tf t JOIN"
+    " (SELECT term, count(*) AS df FROM tf GROUP BY term) d USING (term)",
+)
+def docs_tf_df(sf_dir: str):
+    """TF/DF relation (the integer-exact core of TF-IDF): per-batch local tf
+    aggregation, term-hash bucket df join — the shuffle carries unique
+    (term, doc, tf) rows, never the token stream or a vocabulary broadcast."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import tf_df_table
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return tf_df_table(ds)
+
+
+@register(
     "docs_mixture_sample",
     "WITH tgt(lang, w) AS (VALUES ('en', CAST(0.5 AS DOUBLE)),"
     "  ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.3 AS DOUBLE))),"

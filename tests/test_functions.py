@@ -554,3 +554,20 @@ def test_inverted_index(ray_session):
     # lowercased, empty tokens dropped, postings sorted, nulls skipped
     assert got == {"the": (1, [7]), "cat": (2, [3, 7]),
                    "sat": (1, [7]), "dog": (1, [3])}
+
+
+def test_tf_df_table(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import tf_df_table
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["cat cat dog", "dog mouse"],
+    })
+    df = tf_df_table(rd.from_arrow(t).repartition(2)).to_pandas()
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["df"])
+           for _, r in df.iterrows()}
+    assert got == {("cat", 1): (2, 1), ("dog", 1): (1, 2),
+                   ("dog", 2): (1, 2), ("mouse", 2): (1, 1)}
