@@ -286,3 +286,70 @@ def approx_distinct_by(ds, key: str, col: str, p: int = 12,
             .map_batches(partial, batch_format="pyarrow")
             .groupby(key)
             .map_groups(fold, batch_format="pyarrow"))
+
+
+def approx_quantiles_by(ds, key: str, col: str,
+                        qs: tuple[float, ...] = (0.5,),
+                        *, sketch_size: int = 512):
+    """Approximate quantiles of ``col`` per ``key`` group (grouped sketch).
+
+    Per batch, each key present reduces to ≤ ``sketch_size`` (value, weight)
+    points; per-key fold = concatenate + re-compress inside the groupby.
+    The exchange is O(keys-per-batch × sketch_size) per batch regardless of
+    group sizes; rank error ~2/sketch_size per group. Deterministic.
+    Returns a Dataset of (key, q_<pct>...) one row per key.
+    """
+    aliases = [f"q_{int(round(q * 100))}" for q in qs]
+
+    def partial(b: pa.Table) -> pa.Table:
+        kcol = b.column(key).combine_chunks()
+        codes = pc.dictionary_encode(kcol)
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        vals = pc.cast(b.column(col).combine_chunks(),
+                       pa.float64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        sidx, sv = idx[order], vals[order]
+        bounds = np.flatnonzero(np.r_[True, sidx[1:] != sidx[:-1]])
+        ends = np.r_[bounds[1:], len(sidx)]
+        keys_out, v_out, w_out = [], [], []
+        for b0, b1 in zip(bounds, ends):
+            seg = sv[b0:b1]
+            seg = seg[~np.isnan(seg)]
+            if not len(seg):
+                continue
+            v, w = _compress_weighted(seg, np.ones(len(seg)), sketch_size)
+            keys_out.append(int(b0))
+            v_out.append(v)
+            w_out.append(w)
+        if not keys_out:
+            return pa.table({key: kcol.slice(0, 0),
+                             "v": pa.array([], type=pa.list_(pa.float64())),
+                             "w": pa.array([], type=pa.list_(pa.float64()))})
+        take = pa.array(order[np.array(keys_out)])
+        return pa.table({
+            key: kcol.take(take),
+            "v": pa.array([x.tolist() for x in v_out],
+                          type=pa.list_(pa.float64())),
+            "w": pa.array([x.tolist() for x in w_out],
+                          type=pa.list_(pa.float64())),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        vs = group.column("v").combine_chunks()
+        ws = group.column("w").combine_chunks()
+        v, w = _compress_weighted(
+            np.asarray(vs.flatten(), dtype=np.float64),
+            np.asarray(ws.flatten(), dtype=np.float64),
+            sketch_size * 4)
+        cum = np.cumsum(w)
+        total = cum[-1]
+        cols = {key: group.column(key).combine_chunks().slice(0, 1)}
+        for q, a in zip(qs, aliases):
+            i = int(np.searchsorted(cum, q * total, side="left"))
+            cols[a] = pa.array([float(v[min(i, len(v) - 1)])])
+        return pa.table(cols)
+
+    return (ds.select_columns([key, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(fold, batch_format="pyarrow"))

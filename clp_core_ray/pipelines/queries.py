@@ -768,10 +768,17 @@ def clps_split_roundtrip(sf_dir: str):
         clps_decompress_split,
     )
 
+    import pyarrow.parquet as pq
+
     out = tempfile.mkdtemp(prefix="clps_split_")
     try:
+        # split threshold scales with input so EVERY test scale rolls over
+        # into several sub-archives (sf0.001 has 1000 events; a fixed 4000
+        # would produce one archive and test nothing)
+        n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
         manifest = clps_compress_split(
-            (f"{sf_dir}/events.parquet", "props"), out, max_records=4000
+            (f"{sf_dir}/events.parquet", "props"), out,
+            max_records=min(4000, max(1, n // 3)),
         )
         assert len(manifest) >= 2, "fixture must split into several archives"
         ds = clps_decompress_split(out, ordered=False)
@@ -1986,6 +1993,21 @@ def events_approx_users_by_type(sf_dir: str):
                          columns=["event_type", "user_id"])
     return approx_distinct_by(ds, "event_type", "user_id",
                               alias="approx_users")
+
+
+@register("events_approx_quantiles_by_type")  # rank-bounded: rows-only
+def events_approx_quantiles_by_type(sf_dir: str):
+    """Grouped quantile sketch: p50/p90 of value per event_type. Exchange is
+    O(keys-per-batch × 512 points) per batch regardless of group sizes —
+    the continuous-value analog of the grouped HLL. Rank error
+    pytest-bounded in tests/test_sketch.py."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import approx_quantiles_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return approx_quantiles_by(ds, "event_type", "value", (0.5, 0.9))
 
 
 @register("events_approx_quantiles")  # rank-bounded estimate: no exact oracle

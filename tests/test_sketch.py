@@ -143,3 +143,31 @@ def test_approx_distinct_by(ray_session):
     out2 = approx_distinct_by(
         rd.from_arrow(t).repartition(8), "k", "v").to_pandas()
     assert dict(zip(out2["k"], out2["approx_distinct"])) == got
+
+
+def test_approx_quantiles_by(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import approx_quantiles_by
+
+    rng = np.random.default_rng(29)
+    keys = np.array(["a", "b"])[rng.choice(2, size=100000, p=[0.8, 0.2])]
+    x = np.where(keys == "a",
+                 rng.normal(100, 10, 100000),
+                 rng.lognormal(0, 1, 100000))
+    t = pa.table({"k": pa.array(keys), "x": pa.array(x)})
+    out = approx_quantiles_by(
+        rd.from_arrow(t).repartition(8), "k", "x", (0.5, 0.9)).to_pandas()
+    got = out.set_index("k")
+    for k in ("a", "b"):
+        xs = np.sort(x[keys == k])
+        for q, colname in ((0.5, "q_50"), (0.9, "q_90")):
+            pos = np.searchsorted(xs, got.loc[k, colname]) / len(xs)
+            assert abs(pos - q) < 3.0 / 512 + 5e-3, (k, q, pos)
+    # null values ignored
+    t2 = pa.table({"k": ["z", "z", "z"],
+                   "x": pa.array([1.0, None, 3.0])})
+    o2 = approx_quantiles_by(rd.from_arrow(t2), "k", "x", (0.5,)).to_pandas()
+    assert o2.loc[0, "q_50"] in (1.0, 3.0)

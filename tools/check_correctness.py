@@ -24,12 +24,23 @@ def to_df(res):
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()
+    # Dataset: concat pyarrow batches; an empty Dataset keeps its schema
+    # (Dataset.to_pandas() returns a column-less frame when no blocks exist)
+    tabs = [pa.table(b) for b in res.iter_batches(batch_format="pyarrow")]
+    if tabs:
+        return pa.concat_tables(tabs).to_pandas()
+    sch = res.schema()
+    return pa.table({n: pa.array([], type=t)
+                     for n, t in zip(sch.names, sch.types)}).to_pandas()
 
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    qs = entry.queries()
+    # rebind the transcript glob to THIS sf (entry.oracle_sql() pins sf0.01,
+    # which is what the driver runs; locally we sweep other scales too)
+    from clp_core_ray.pipelines.queries import oracle_map
+    oracles = oracle_map(sf)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
