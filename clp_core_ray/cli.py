@@ -61,6 +61,29 @@ def cmd_compress(args) -> dict:
     norm = os.path.abspath(src.rstrip("/"))
     is_cache = (os.path.dirname(norm) == CACHE_DIR
                 and os.path.basename(norm).startswith("transcripts_sf"))
+    if getattr(args, "fragments", False):
+        # checkpointed mode: one fragment per input shard, resume skips the
+        # ones whose lineage manifest already exists (north-rule resume path)
+        from clp_core_ray.pipelines.compress import run_fragments
+        from clp_core_ray.state import manifest as mf
+
+        if synth_sf is not None or is_cache:
+            done = run_fragments(synth_sf if synth_sf is not None else src,
+                                 args.out)
+        else:
+            files = ([norm] if os.path.isfile(norm) else sorted(
+                os.path.join(norm, f) for f in os.listdir(norm)
+                if f.endswith(".parquet")))
+            if not files:
+                raise SystemExit(f"--input {src!r}: no parquet shards found")
+            done = run_fragments(None, args.out, files=files)
+        total = len(mf.read_manifests(args.out))
+        return {
+            "cmd": "compress", "out": args.out, "mode": "fragments",
+            "fragments_run": len(done), "fragments_done": total,
+            "sec": round(time.time() - t0, 3),
+            "archive_bytes": dir_bytes(args.out),
+        }
     if synth_sf is not None:
         counts = compress(synth_sf, args.out, compact=not args.no_compact)
     elif is_cache:
@@ -168,6 +191,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", required=True, help="archive output dir")
     c.add_argument("--no-compact", action="store_true",
                    help="inline logtype/dict_vars per row")
+    c.add_argument("--fragments", action="store_true",
+                   help="checkpointed mode: fragment-per-shard with resume "
+                        "(rerun skips completed fragments)")
     c.set_defaults(fn=cmd_compress)
 
     x = sub.add_parser("decompress", help="archive → text parquet (clp x)")

@@ -504,7 +504,8 @@ def _to_table(ds) -> pa.Table:
     return pa.concat_tables(tables) if tables else pa.table({})
 
 
-def run_fragments(sf_dir_or_sf, out_dir: str) -> list[str]:
+def run_fragments(sf_dir_or_sf, out_dir: str,
+                  files: list[str] | None = None) -> list[str]:
     """Checkpointed execution: one fragment per input file, skip completed ones.
 
     Each fragment is an independent sub-pipeline (read one shard → encode →
@@ -512,12 +513,17 @@ def run_fragments(sf_dir_or_sf, out_dir: str) -> list[str]:
     rerun after a crash reprocesses only unfinished fragments (resume =
     anti-join of fragment ids against the manifest dir). Returns the fragment
     ids processed in this run.
+
+    ``files`` overrides input discovery (the CLI passes a real user
+    directory's parquet shards here; without it the synthetic transcript
+    cache for ``sf_dir_or_sf`` is used).
     """
     import ray.data as rd
 
     from clp_core_ray.sources.transcripts import transcript_files
 
-    files = transcript_files(sf_dir_or_sf)
+    if files is None:
+        files = transcript_files(sf_dir_or_sf)
     frag_ids = [os.path.splitext(os.path.basename(f))[0] for f in files]
     todo = mf.pending_fragments(frag_ids, out_dir)
     by_id = dict(zip(frag_ids, files))

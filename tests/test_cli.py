@@ -96,3 +96,24 @@ def test_cli_dictdump(ray_session, tiny_sf_dir, tmp_path, capsys):
     assert len(v_lines) == res["vars"]
     seg = open(os.path.join(out, "logtype.segindex.hr")).read().splitlines()
     assert len(seg) >= 1 and all("\t" in ln for ln in seg)
+
+
+def test_cli_compress_fragments_resume(ray_session, tiny_sf_dir, tmp_path,
+                                       capsys):
+    import os
+
+    out = str(tmp_path / "frag_arch")
+    res, _ = _run(capsys, ["compress", "--input", tiny_sf_dir,
+                           "--out", out, "--fragments"])
+    assert res["mode"] == "fragments"
+    assert res["fragments_run"] >= 1
+    assert res["fragments_done"] == res["fragments_run"]
+
+    # resume: a second run finds every fragment recorded and does nothing
+    res2, _ = _run(capsys, ["compress", "--input", tiny_sf_dir,
+                            "--out", out, "--fragments"])
+    assert res2["fragments_run"] == 0
+    assert res2["fragments_done"] == res["fragments_done"]
+    # sinks exist per fragment
+    frags = [d for d in os.listdir(out) if d.startswith("fragment=")]
+    assert len(frags) == res["fragments_done"]
