@@ -64,6 +64,10 @@ def cmd_compress(args) -> dict:
     if getattr(args, "fragments", False):
         # checkpointed mode: one fragment per input shard, resume skips the
         # ones whose lineage manifest already exists (north-rule resume path)
+        if args.no_compact:
+            raise SystemExit(
+                "--fragments writes the compact layout only; "
+                "--no-compact is not supported in checkpointed mode")
         from clp_core_ray.pipelines.compress import run_fragments
         from clp_core_ray.state import manifest as mf
 
@@ -178,6 +182,75 @@ def cmd_stats(args) -> dict:
     return {"cmd": "stats", "archives": len(rows), "detail": rows}
 
 
+def cmd_dictdump(args) -> dict:
+    """Dump archive dictionaries human-readable (make-dictionaries-readable
+    parity: make-dictionaries-readable.cpp:60-121 — logtype placeholders
+    render as \\i \\f \\d, escaped bytes appear literally, newlines as \\n;
+    plus the segment-index .hr files)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.encoding import (
+        PLACEHOLDER_DICT,
+        PLACEHOLDER_ESCAPE,
+        PLACEHOLDER_FLOAT,
+        PLACEHOLDER_INT,
+    )
+
+    renders = {PLACEHOLDER_INT: "\\i", PLACEHOLDER_FLOAT: "\\f",
+               PLACEHOLDER_DICT: "\\d"}
+
+    def human(v: str) -> str:
+        out, i = [], 0
+        while i < len(v):
+            c = v[i]
+            if c == PLACEHOLDER_ESCAPE and i + 1 < len(v):
+                out.append(v[i + 1])
+                i += 2
+                continue
+            out.append(renders.get(c, c))
+            i += 1
+        return "".join(out).replace("\n", "\\n")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    lt = pq.read_table(os.path.join(args.archive, "logtype.dict.parquet"))
+    lt = lt.sort_by("logtype_id")
+    with open(os.path.join(args.output_dir, "logtype.dict.hr"), "w") as f:
+        for lid, v in zip(lt.column("logtype_id").to_pylist(),
+                          lt.column("logtype").to_pylist()):
+            f.write(f"{lid}\t{human(v)}\n")
+
+    n_vars = 0
+    vfiles = sorted(glob.glob(os.path.join(args.archive, "var.dict",
+                                           "*.parquet")))
+    with open(os.path.join(args.output_dir, "var.dict.hr"), "w") as f, \
+         open(os.path.join(args.output_dir, "var.segindex.hr"), "w") as g:
+        for vf in vfiles:
+            vt = pq.read_table(vf).sort_by("var_id")
+            for vid, v, cls in zip(vt.column("var_id").to_pylist(),
+                                   vt.column("value").to_pylist(),
+                                   vt.column("classes").to_pylist()):
+                f.write(f"{vid}\t{v.replace(chr(10), chr(92) + 'n')}\n")
+                g.write(f"{vid}\t{','.join(sorted(cls or []))}\n")
+                n_vars += 1
+
+    seg = os.path.join(args.archive, "class_logtypes.json")
+    if os.path.exists(seg):
+        with open(seg) as f:
+            by_class = json.load(f)
+        with open(os.path.join(args.output_dir,
+                               "logtype.segindex.hr"), "w") as f:
+            for cls in sorted(by_class):
+                ids = ",".join(map(str, sorted(by_class[cls])))
+                f.write(f"{cls}\t{ids}\n")
+    return {"cmd": "dictdump", "logtypes": lt.num_rows, "vars": n_vars,
+            "output_dir": args.output_dir}
+
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="clp_core_ray",
@@ -247,71 +320,3 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
-
-
-def cmd_dictdump(args) -> dict:
-    """Dump archive dictionaries human-readable (make-dictionaries-readable
-    parity: make-dictionaries-readable.cpp:60-121 — logtype placeholders
-    render as \\i \\f \\d, escaped bytes appear literally, newlines as \\n;
-    plus the segment-index .hr files)."""
-    import glob
-    import json
-    import os
-
-    import pyarrow.parquet as pq
-
-    from clp_core_ray.encoding import (
-        PLACEHOLDER_DICT,
-        PLACEHOLDER_ESCAPE,
-        PLACEHOLDER_FLOAT,
-        PLACEHOLDER_INT,
-    )
-
-    renders = {PLACEHOLDER_INT: "\\i", PLACEHOLDER_FLOAT: "\\f",
-               PLACEHOLDER_DICT: "\\d"}
-
-    def human(v: str) -> str:
-        out, i = [], 0
-        while i < len(v):
-            c = v[i]
-            if c == PLACEHOLDER_ESCAPE and i + 1 < len(v):
-                out.append(v[i + 1])
-                i += 2
-                continue
-            out.append(renders.get(c, c))
-            i += 1
-        return "".join(out).replace("\n", "\\n")
-
-    os.makedirs(args.output_dir, exist_ok=True)
-    lt = pq.read_table(os.path.join(args.archive, "logtype.dict.parquet"))
-    lt = lt.sort_by("logtype_id")
-    with open(os.path.join(args.output_dir, "logtype.dict.hr"), "w") as f:
-        for lid, v in zip(lt.column("logtype_id").to_pylist(),
-                          lt.column("logtype").to_pylist()):
-            f.write(f"{lid}\t{human(v)}\n")
-
-    n_vars = 0
-    vfiles = sorted(glob.glob(os.path.join(args.archive, "var.dict",
-                                           "*.parquet")))
-    with open(os.path.join(args.output_dir, "var.dict.hr"), "w") as f, \
-         open(os.path.join(args.output_dir, "var.segindex.hr"), "w") as g:
-        for vf in vfiles:
-            vt = pq.read_table(vf).sort_by("var_id")
-            for vid, v, cls in zip(vt.column("var_id").to_pylist(),
-                                   vt.column("value").to_pylist(),
-                                   vt.column("classes").to_pylist()):
-                f.write(f"{vid}\t{v.replace(chr(10), chr(92) + 'n')}\n")
-                g.write(f"{vid}\t{','.join(sorted(cls or []))}\n")
-                n_vars += 1
-
-    seg = os.path.join(args.archive, "class_logtypes.json")
-    if os.path.exists(seg):
-        with open(seg) as f:
-            by_class = json.load(f)
-        with open(os.path.join(args.output_dir,
-                               "logtype.segindex.hr"), "w") as f:
-            for cls in sorted(by_class):
-                ids = ",".join(map(str, sorted(by_class[cls])))
-                f.write(f"{cls}\t{ids}\n")
-    return {"cmd": "dictdump", "logtypes": lt.num_rows, "vars": n_vars,
-            "output_dir": args.output_dir}

@@ -194,7 +194,9 @@ def stratified_sample(ds, key_col: str, rates: dict[str, int],
         rate = np.where(pos_np >= 0, vals[pos_np.clip(0, max(len(vals) - 1, 0))],
                         default_rate)
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        return batch.filter(pa.array((ids % mod) < rate))
+        # fmod keeps the dividend's sign, matching SQL % (numpy % would
+        # disagree with the oracle for negative ids)
+        return batch.filter(pa.array(np.fmod(ids, mod) < rate))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -306,6 +308,9 @@ def mixture_sample(ds, key_col: str, weights: dict[str, float],
     cnt = _to_small_table(count_by(ds.select_columns([key_col]), key_col))
     n = dict(zip(cnt.column(key_col).to_pylist(),
                  cnt.column("cnt").to_pylist()))
+    bad = [g for g, w in weights.items() if w <= 0]
+    if bad:
+        raise ValueError(f"mixture weights must be positive: {bad}")
     present = {g: w for g, w in weights.items() if n.get(g)}
     if not present:
         return ds.filter(lambda row: False)
@@ -322,6 +327,7 @@ def mixture_sample(ds, key_col: str, weights: dict[str, float],
         rate = np.where(pos_np >= 0,
                         vals[pos_np.clip(0, max(len(vals) - 1, 0))], 0)
         ids = np.asarray(batch.column(id_col), dtype=np.int64)
-        return batch.filter(pa.array((ids % mod) < rate))
+        # fmod keeps the dividend's sign, matching SQL % for negative ids
+        return batch.filter(pa.array(np.fmod(ids, mod) < rate))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -137,7 +137,9 @@ def heavy_hitters(ds, col: str, *, k: int = 10, capacity: int = 4096) -> pa.Tabl
     (cnt_min == cnt_max == true count).
     """
     def partial(b: pa.Table) -> pa.Table:
-        g = b.select([col]).group_by(col).aggregate([(col, "count")])
+        # count(*) semantics: a null group still counts its rows
+        g = b.select([col]).group_by(col).aggregate(
+            [(col, "count", pc.CountOptions(mode="all"))])
         vals = g.column(col).combine_chunks()
         cnts = np.asarray(g.column(f"{col}_count"), dtype=np.int64)
         idx = np.arange(len(vals))
@@ -156,6 +158,12 @@ def heavy_hitters(ds, col: str, *, k: int = 10, capacity: int = 4096) -> pa.Tabl
             t = pa.concat_tables([t, marker])
         return t
 
+    def _compress_merged(m: dict) -> tuple[dict, int]:
+        vals = np.array(list(m.keys()), dtype=object)
+        cnts = np.array(list(m.values()), dtype=np.int64)
+        ki, kc, d = _mg_summary(np.arange(len(vals)), cnts, capacity)
+        return {vals[i]: int(c) for i, c in zip(ki, kc)}, d
+
     merged: dict = {}
     total_deduct = 0
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
@@ -166,6 +174,11 @@ def heavy_hitters(ds, col: str, *, k: int = 10, capacity: int = 4096) -> pa.Tabl
                         t.column("cnt").to_pylist()):
             if c:
                 merged[v] = merged.get(v, 0) + c
+        if len(merged) > 4 * capacity:
+            # keep the driver state O(capacity): MG-compress mid-stream
+            # (deducts sum, preserving the bracketing guarantee)
+            merged, d = _compress_merged(merged)
+            total_deduct += d
     if len(merged) > capacity:
         vals = np.array(list(merged.keys()), dtype=object)
         cnts = np.array(list(merged.values()), dtype=np.int64)

@@ -205,6 +205,31 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.table(cols)
 
 
+def _explode_terms(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Tokenize (lowercase, single-space split — oracle-reproducible) and
+    explode to one (term, id) row per occurrence; empty tokens dropped.
+    Shared by inverted_index / tf_df_table so their tokenization can never
+    diverge."""
+    texts = pc.utf8_lower(
+        pc.fill_null(batch.column(text_col).combine_chunks(), ""))
+    toks = pc.split_pattern(texts, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parent = toks.value_parent_indices()
+    flat = toks.flatten()
+    ids = batch.column(id_col).combine_chunks().take(parent)
+    return pa.table({"term": flat, id_col: ids}).filter(
+        pc.not_equal(flat, ""))
+
+
+def _route_terms(t: pa.Table, n_buckets: int) -> pa.Table:
+    """Append the term-hash shuffle bucket (FNV-1a & (n_buckets-1))."""
+    offsets, data = _string_buffers(t.column("term").combine_chunks())
+    h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+    return t.append_column(
+        "_bucket", pa.array((h & np.uint64(n_buckets - 1)).astype(np.int32)))
+
+
 def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
                    n_buckets: int = 64):
     """Build an inverted index: (term, df, postings) with postings sorted.
@@ -218,22 +243,9 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
     one lexsort + run offsets + ListArray view, all Arrow kernels.
     """
     def explode(batch: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(
-            pc.fill_null(batch.column(text_col).combine_chunks(), ""))
-        toks = pc.split_pattern(texts, " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        parent = toks.value_parent_indices()
-        flat = toks.flatten()
-        ids = batch.column(id_col).combine_chunks().take(parent)
-        t = pa.table({"term": flat, id_col: ids}).filter(
-            pc.not_equal(flat, ""))
+        t = _explode_terms(batch, text_col, id_col)
         t = t.group_by(["term", id_col]).aggregate([])  # local dedupe
-        offsets, data = _string_buffers(t.column("term").combine_chunks())
-        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
-        return t.append_column(
-            "_bucket",
-            pa.array((h & np.uint64(n_buckets - 1)).astype(np.int32)))
+        return _route_terms(t, n_buckets)
 
     def per_bucket(group: pa.Table) -> pa.Table:
         if not len(group):
@@ -283,23 +295,10 @@ def tf_df_table(ds, *, text_col: str = "text", id_col: str = "doc_id",
     same term-hash buckets — no broadcast of the (unbounded) vocabulary.
     """
     def explode_tf(batch: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(
-            pc.fill_null(batch.column(text_col).combine_chunks(), ""))
-        toks = pc.split_pattern(texts, " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        parent = toks.value_parent_indices()
-        flat = toks.flatten()
-        ids = batch.column(id_col).combine_chunks().take(parent)
-        t = pa.table({"term": flat, id_col: ids}).filter(
-            pc.not_equal(flat, ""))
+        t = _explode_terms(batch, text_col, id_col)
         t = t.group_by(["term", id_col]).aggregate([("term", "count")])
         t = t.rename_columns(["term", id_col, "tf"])
-        offsets, data = _string_buffers(t.column("term").combine_chunks())
-        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
-        return t.append_column(
-            "_bucket",
-            pa.array((h & np.uint64(n_buckets - 1)).astype(np.int32)))
+        return _route_terms(t, n_buckets)
 
     def per_bucket(group: pa.Table) -> pa.Table:
         if not len(group):

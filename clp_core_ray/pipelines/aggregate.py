@@ -72,7 +72,11 @@ def count_sum_by(ds, keys: list[str] | str, value_col: str,
         out = (
             batch.select(keys + [value_col])
             .group_by(keys)
-            .aggregate([(value_col, "count"), (value_col, "sum")])
+            .aggregate([
+                # count(*) semantics: null values still count the row
+                (value_col, "count", pc.CountOptions(mode="all")),
+                (value_col, "sum"),
+            ])
         )
         return out.rename_columns(keys + [cnt_alias, sum_alias])
 

@@ -185,7 +185,11 @@ def bloom_semi_join(left_ds, right_ds, left_on: str, right_on: str | None = None
     import ray.data as rd
 
     right_on = right_on or left_on
-    bits = build_bloom(right_ds, right_on,
+    # materialize the build side's KEY COLUMN once: the bloom fold, the
+    # size gate and the exact-verify pass all read it (three plan
+    # executions otherwise — read+filter re-ran per consumer)
+    right_keys = right_ds.select_columns([right_on]).materialize()
+    bits = build_bloom(right_keys, right_on,
                        log2_bits=log2_bits, n_hashes=n_hashes)
     bits_ref = ray.put(bits)
 
@@ -207,9 +211,8 @@ def bloom_semi_join(left_ds, right_ds, left_on: str, right_on: str | None = None
     def local_distinct(batch: pa.Table) -> pa.Table:
         return batch.group_by(right_on).aggregate([])
 
-    keys = right_ds.select_columns([right_on]).map_batches(
-        local_distinct, batch_format="pyarrow")
-    if estimated_bytes(right_ds.select_columns([right_on])) <= broadcast_cap:
+    keys = right_keys.map_batches(local_distinct, batch_format="pyarrow")
+    if estimated_bytes(right_keys) <= broadcast_cap:
         # small key column: verify via broadcast membership — no shuffle
         parts = [pa.table(b) for b in keys.iter_batches(batch_format="pyarrow")]
         kt = (pa.concat_tables(parts) if parts
