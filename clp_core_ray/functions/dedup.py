@@ -295,6 +295,13 @@ def dup_clusters_ds(pairs_ds, max_rounds: int = 20):
 
     npart = max(4, int(ray.cluster_resources().get("CPU", 8)))
 
+    # One repartition+materialize up front: (a) the edge list is re-joined
+    # every round — without this the whole upstream pair pipeline (LSH etc.)
+    # re-executes per round; (b) repartition folds the zero-column empty
+    # blocks that groupby().map_groups() emits for empty sort partitions
+    # into schema-bearing blocks (Dataset.join rejects column-less blocks).
+    pairs_ds = pairs_ds.repartition(npart).materialize()
+
     def nodes_of(batch: pa.Table) -> pa.Table:
         ids = pa.concat_arrays([
             batch.column("doc_a").combine_chunks().cast(pa.int64()),
@@ -312,7 +319,10 @@ def dup_clusters_ds(pairs_ds, max_rounds: int = 20):
         out = ds.aggregate(Sum("cluster_id", alias_name="s"))
         return int(out["s"])
 
-    labels = labels.materialize()
+    # repartition before every materialize: hash-aggregate/union outputs
+    # include zero-column blocks for empty partitions, which Dataset.join
+    # rejects; repartition folds them into schema-bearing blocks
+    labels = labels.repartition(npart).materialize()
     prev = _sum(labels)
     for _ in range(max_rounds):
         # Each join is materialized before the next launches: a single
@@ -334,6 +344,7 @@ def dup_clusters_ds(pairs_ds, max_rounds: int = 20):
             labels.union(la, lb)
             .groupby("doc_id")
             .aggregate(Min("cluster_id", alias_name="cluster_id"))
+            .repartition(npart)
             .materialize()
         )
         # pointer jump: replace each label with its label's label (1:1 join
@@ -351,7 +362,7 @@ def dup_clusters_ds(pairs_ds, max_rounds: int = 20):
                     t.column("cluster_id"), t.column("p_cluster")),
             }),
             batch_format="pyarrow",
-        ).materialize()
+        ).repartition(npart).materialize()
         cur = _sum(labels)
         if cur == prev:
             break
@@ -722,3 +733,56 @@ def semantic_dedup(ds, centroids: np.ndarray, *, threshold: float = 0.95,
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")
+
+
+def fuzzy_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                threshold: float = 0.5, k_shingle: int = 3):
+    """End-to-end MinHash-LSH fuzzy dedup → ``(doc_id, cluster_id)`` for
+    EVERY document in the corpus.
+
+    Composition of the three scale-safe pieces: ``minhash_lsh_pairs``
+    (band-bucket LSH + signature verify), ``dup_clusters_ds`` (distributed
+    min-label connected components with pointer jumping), and a left join of
+    the full corpus onto the cluster map — documents that never surfaced in
+    a near-dup pair are their own cluster. Keep-one-per-cluster dedup is then
+    ``filter(doc_id == cluster_id)``; the full map is returned so callers can
+    also build redirect tables (the shape NeMo-Curator / SlimPajama-style
+    fuzzy-dedup pipelines need).
+
+    The cluster map's size is bounded by the number of documents appearing in
+    at least one pair, so the final join is size-gated: broadcast under the
+    auto-join cap, partitioned left-outer hash join above it.
+    """
+    import ray
+
+    from clp_core_ray.pipelines.join import (BROADCAST_BYTES_CAP,
+                                             broadcast_join, estimated_bytes,
+                                             hash_join)
+
+    pairs = minhash_lsh_pairs(docs_ds, id_col, text_col, threshold, k_shingle)
+    clusters = dup_clusters_ds(pairs)  # materialized (doc_id, cluster_id)
+
+    left = docs_ds.select_columns([id_col])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cid = pc.coalesce(t.column("cluster_id").cast(pa.int64()),
+                          t.column(id_col).cast(pa.int64()))
+        return pa.table({id_col: t.column(id_col).combine_chunks().cast(
+            pa.int64()), "cluster_id": cid.combine_chunks()})
+
+    if estimated_bytes(clusters) <= BROADCAST_BYTES_CAP:
+        # empty shuffle partitions surface as column-less blocks; drop them
+        blocks = [t for t in ray.get(clusters.to_arrow_refs())
+                  if t.num_columns == 2]
+        if not blocks:
+            blocks = [pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                "cluster_id": pa.array([], type=pa.int64())})]
+        tab = pa.concat_tables(blocks).rename_columns(["_cdoc", "cluster_id"])
+        joined = broadcast_join(left, tab, id_col, "_cdoc", ["cluster_id"])
+    else:
+        renamed = clusters.map_batches(
+            lambda t: t.rename_columns(["_cdoc", "cluster_id"]),
+            batch_format="pyarrow")
+        joined = hash_join(left, renamed, id_col, "_cdoc",
+                           join_type="left_outer")
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1034,9 +1034,10 @@ def docs_fingerprint(sf_dir: str):
     )
 
 
-@register(
-    "docs_minhash_pairs",
-    "WITH toks AS ("
+# exact word-3-shingle Jaccard≥0.5 pair relation — the shared ground truth
+# for the MinHash-LSH pair query and the end-to-end fuzzy-dedup query
+_JACCARD_PAIRS_CTES = (
+    "toks AS ("
     "  SELECT doc_id, u[1] AS w, CAST(u[2] AS BIGINT) AS i FROM ("
     "    SELECT doc_id, unnest(list_zip(arr, range(1, len(arr)+1))) AS u"
     "    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-zà-ÿ]+') AS arr"
@@ -1052,10 +1053,17 @@ def docs_fingerprint(sf_dir: str):
     "inter AS ("
     "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS m"
     "  FROM shv a JOIN shv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2"
-    ") SELECT doc_a, doc_b FROM inter "
-    "JOIN cnt ca ON ca.doc_id = inter.doc_a "
-    "JOIN cnt cb ON cb.doc_id = inter.doc_b "
-    "WHERE m >= 0.5 * (ca.n + cb.n - m)",
+    "), jpairs AS ("
+    "  SELECT doc_a, doc_b FROM inter "
+    "  JOIN cnt ca ON ca.doc_id = inter.doc_a "
+    "  JOIN cnt cb ON cb.doc_id = inter.doc_b "
+    "  WHERE m >= 0.5 * (ca.n + cb.n - m))"
+)
+
+
+@register(
+    "docs_minhash_pairs",
+    "WITH " + _JACCARD_PAIRS_CTES + " SELECT doc_a, doc_b FROM jpairs",
 )
 def docs_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs vs an exact word-3-shingle Jaccard oracle.
@@ -1071,6 +1079,34 @@ def docs_minhash_pairs(sf_dir: str):
     return pairs.map_batches(
         lambda b: b.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
+
+
+@register(
+    "docs_fuzzy_dedup",
+    "WITH RECURSIVE " + _JACCARD_PAIRS_CTES + ","
+    "e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs"
+    "      UNION ALL SELECT doc_b, doc_a FROM jpairs),"
+    "reach(s, d) AS ("
+    "  SELECT a, b FROM e"
+    "  UNION"
+    "  SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d"
+    "), comp AS ("
+    "  SELECT s AS doc_id, least(s, min(d)) AS cid FROM reach GROUP BY s"
+    ") SELECT d.doc_id, CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id "
+    "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id",
+)
+def docs_fuzzy_dedup(sf_dir: str):
+    """End-to-end fuzzy dedup: MinHash-LSH pairs → distributed connected
+    components (min-label propagation + pointer jumping) → cluster map over
+    the FULL corpus. Oracle: recursive transitive closure over the exact
+    Jaccard pair relation, min-id per component, singletons map to
+    themselves. keep-one dedup = rows where doc_id == cluster_id."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import fuzzy_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fuzzy_dedup(ds, threshold=0.5)
 
 
 @register(

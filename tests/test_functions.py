@@ -571,3 +571,19 @@ def test_tf_df_table(ray_session):
            for _, r in df.iterrows()}
     assert got == {("cat", 1): (2, 1), ("dog", 1): (1, 2),
                    ("dog", 2): (1, 2), ("mouse", 2): (1, 1)}
+
+
+def test_fuzzy_dedup_end_to_end(ray_session):
+    """pairs → components → full-corpus cluster map: docs 0/1/3 form one
+    component labeled by min id 0; everything else is its own cluster."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import fuzzy_dedup
+
+    out = fuzzy_dedup(rd.from_arrow(docs_table()), threshold=0.5).to_pandas()
+    m = dict(zip(out.doc_id, out.cluster_id))
+    assert len(m) == 6
+    assert m[0] == m[1] == m[3] == 0
+    assert m[2] == 2 and m[4] == 4 and m[5] == 5
+    kept = sorted(d for d, c in m.items() if d == c)
+    assert kept == [0, 2, 4, 5]

@@ -37,6 +37,9 @@ def to_df(res):
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     qs = entry.queries()
+    if len(sys.argv) > 2:  # optional name-substring filters
+        pats = sys.argv[2:]
+        qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
     # rebind the transcript glob to THIS sf (entry.oracle_sql() pins sf0.01,
     # which is what the driver runs; locally we sweep other scales too)
     from clp_core_ray.pipelines.queries import oracle_map
