@@ -1818,6 +1818,46 @@ def emb_kmeans(sf_dir: str):
 
 
 @register(
+    "emb_gram_int",
+    "WITH q AS ("
+    " SELECT vec_id, CAST(idx - 1 AS BIGINT) AS i,"
+    "  CAST(floor(CAST(e AS DOUBLE) * 1024) AS BIGINT) AS v"
+    " FROM (SELECT vec_id, unnest(embedding) AS e,"
+    "       generate_subscripts(embedding, 1) AS idx FROM embeddings)"
+    ") SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS sxy "
+    "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2",
+)
+def emb_gram_int(sf_dir: str):
+    """Distributed second-moment (Gram) matrix, integer-exact: embeddings
+    quantized q = floor(x·1024) (exact in double for float32), per-batch
+    d×d partial products, O(d²)-per-batch exchange, small (i,j) groupby.
+    The reproducible core of the covariance/PCA computation."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.linalg import gram_int
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return gram_int(ds)
+
+
+@register("emb_pca_project")  # float spectral decomposition: no SQL oracle
+def emb_pca_project(sf_dir: str):
+    """Distributed PCA: one streaming moment pass (O(d²) driver state) →
+    eigh on the driver → broadcast (k×d) projection matmul per batch.
+    Deterministic (sign-canonicalized components); validated by pytest
+    invariants (orthonormality, variance ordering, numpy-PCA agreement)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.linalg import pca_fit, pca_project
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    mean, comps = pca_fit(ds, k=8)
+    return pca_project(ds, mean, comps)
+
+
+@register(
     "docs_repetition",
     "WITH tok AS ("
     " SELECT doc_id, unnest(ws) AS word,"
