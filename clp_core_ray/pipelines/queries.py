@@ -1508,6 +1508,49 @@ def docs_tf_df(sf_dir: str):
 
 
 @register(
+    "docs_bigram_counts",
+    "WITH w AS ("
+    "  SELECT doc_id, u[1] AS word, CAST(u[2] AS BIGINT) AS i FROM ("
+    "    SELECT doc_id, unnest(list_zip(arr, range(1, len(arr)+1))) AS u"
+    "    FROM (SELECT doc_id, list_filter("
+    "      regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'), x -> x <> '')"
+    "      AS arr FROM documents)"
+    "  )"
+    ") SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    "  SELECT word AS w1,"
+    "    lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM w"
+    ") WHERE w2 IS NOT NULL GROUP BY 1, 2",
+)
+def docs_bigram_counts(sf_dir: str):
+    """Global bigram counts — the integer-exact training pass of the bigram
+    LM: per-batch local aggregation (Arrow group_by in the map), then a
+    small (w1, w2) groupby-sum; the shuffle carries one row per distinct
+    bigram per batch, never the token stream."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.lm import bigram_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bigram_counts(ds)
+
+
+@register("docs_perplexity")  # float log-probs: pytest-verified, no SQL hash
+def docs_perplexity(sf_dir: str):
+    """CCNet-style perplexity filter signal: add-alpha bigram LM trained on
+    the corpus itself (distributed counts → broadcast model tables), then
+    one vectorized index_in scoring pass per batch → per-doc mean
+    log P(w_i | w_{i-1})."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.lm import perplexity_score
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return perplexity_score(ds)
+
+
+@register(
     "docs_mixture_sample",
     "WITH tgt(lang, w) AS (VALUES ('en', CAST(0.5 AS DOUBLE)),"
     "  ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.3 AS DOUBLE))),"

@@ -301,3 +301,138 @@ def decode_images(ds, concurrency=(1, 4), **stage_kwargs):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box/area resample to (out_h, out_w, c) — numpy only, exact mean over
+    integer-factor boxes, index-mapped otherwise (nearest within box grid)."""
+    h, w, c = img.shape
+    if h % out_h == 0 and w % out_w == 0:
+        return img.reshape(out_h, h // out_h, out_w, w // out_w, c) \
+                  .mean(axis=(1, 3)).astype(img.dtype)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
+class ImageResizeStage:
+    """binary image column → resized raw pixel rows.
+
+    Actor-pool stage: the codec (or a real model-input preprocessor) is
+    bound once per actor in ``__init__``; ``__call__`` decodes, area-resizes
+    to a fixed (h, w) and emits the raw pixels as fixed_size_list<uint8> —
+    the layout a downstream embedder batch-matmuls over.
+    """
+
+    def __init__(self, data_col: str = "image", out_h: int = 16,
+                 out_w: int = 16, decode_fn=None, out_col: str = "pixels"):
+        self.data_col = data_col
+        self.out_h, self.out_w = out_h, out_w
+        self.decode_fn = decode_fn or real_image_decode
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.data_col).to_pylist()
+        dim = self.out_h * self.out_w * 3
+        out = np.empty((len(bufs), dim), dtype=np.uint8)
+        for i, buf in enumerate(bufs):  # codec loop: per-item by nature
+            img = self.decode_fn(buf)
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            if img.shape[2] == 4:
+                img = img[:, :, :3]
+            out[i] = resize_area(img, self.out_h, self.out_w).reshape(-1)
+        return batch.drop_columns([self.data_col]).append_column(
+            self.out_col,
+            pa.FixedSizeListArray.from_arrays(pa.array(out.reshape(-1)), dim),
+        )
+
+
+# ---------------------------------------------------------------------------
+# video: deterministic raw container + frame sampling
+# ---------------------------------------------------------------------------
+
+RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawv(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 → RAWV container bytes (test/fixture format —
+    real codecs need ffmpeg, which this sandbox doesn't ship)."""
+    n, h, w, c = frames.shape
+    if c != 3 or frames.dtype != np.uint8:
+        raise ValueError("RAWV holds (n, h, w, 3) uint8 frames")
+    import struct
+
+    return RAWV_MAGIC + struct.pack("<IIII", n, h, w, c) + frames.tobytes()
+
+
+def decode_rawv(buf: bytes) -> np.ndarray:
+    if buf[:4] != RAWV_MAGIC:
+        raise NotImplementedError(
+            "only the RAWV raw-frame container decodes without ffmpeg; "
+            "pass a custom decode_fn for real codecs"
+        )
+    import struct
+
+    n, h, w, c = struct.unpack("<IIII", buf[4:20])
+    return np.frombuffer(buf[20:20 + n * h * w * c],
+                         dtype=np.uint8).reshape(n, h, w, c)
+
+
+class VideoFrameSampleStage:
+    """binary video column → one row per SAMPLED frame (every k-th, capped).
+
+    The fan-out stage of a video pipeline: a row with an m-frame payload
+    becomes ceil(m/stride) frame rows (video_id, frame_idx, frame bytes as
+    PNG), each small enough for the downstream image stages — decode once
+    per actor-held codec, emit rows the streaming executor can rebalance.
+    """
+
+    def __init__(self, data_col: str = "video", id_col: str = "video_id",
+                 stride: int = 5, max_frames: int = 16, decode_fn=None):
+        self.data_col = data_col
+        self.id_col = id_col
+        self.stride = stride
+        self.max_frames = max_frames
+        self.decode_fn = decode_fn or decode_rawv
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, png_out = [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        for vid, buf in zip(ids, batch.column(self.data_col).to_pylist()):
+            frames = self.decode_fn(buf)
+            take = np.arange(0, len(frames), self.stride)[: self.max_frames]
+            for fi in take:
+                ids_out.append(vid)
+                idx_out.append(int(fi))
+                png_out.append(encode_png(frames[fi]))
+        return pa.table({
+            self.id_col: pa.array(ids_out, type=pa.int64()),
+            "frame_idx": pa.array(idx_out, type=pa.int64()),
+            "image": pa.array(png_out, type=pa.binary()),
+        })
+
+
+def sample_video_frames(ds, concurrency=(1, 4), **stage_kwargs):
+    """Video → sampled frame rows (actor pool, small batches: payloads are
+    the widest rows in the system)."""
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs=stage_kwargs,
+        batch_format="pyarrow",
+        batch_size=max(MEDIA_BATCH_SIZE // 8, 4),
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def resize_images(ds, concurrency=(1, 4), **stage_kwargs):
+    """Attach fixed-size raw pixels with the actor-pool layout."""
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs=stage_kwargs,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
