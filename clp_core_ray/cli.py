@@ -182,6 +182,103 @@ def cmd_stats(args) -> dict:
     return {"cmd": "stats", "archives": len(rows), "detail": rows}
 
 
+def _is_split_archive(path: str) -> bool:
+    import os
+
+    from clp_core_ray.pipelines.clps import ARCHIVES_META
+
+    return os.path.isfile(os.path.join(path, ARCHIVES_META))
+
+
+def cmd_json_compress(args) -> dict:
+    """clp-s c: NDJSON file(s) → per-schema columnar archive(s)."""
+    import glob
+    import time as _t
+
+    from clp_core_ray.pipelines.clps import clps_compress, clps_compress_split
+
+    paths = sorted(p for pat in args.input for p in glob.glob(pat))
+    if not paths:
+        raise SystemExit(f"json-compress: no input files match {args.input}")
+    t0 = _t.time()
+    if args.split_records:
+        manifest = clps_compress_split(
+            paths, args.out, timestamp_key=args.timestamp_key,
+            max_records=args.split_records)
+        return {"cmd": "json-compress", "out": args.out,
+                "archives": len(manifest),
+                "records": sum(m["n_records"] for m in manifest.values()),
+                "sec": round(_t.time() - t0, 3)}
+    from clp_core_ray.pipelines.clps import ndjson_from_files
+
+    # list input must go through ndjson_from_files: clps_compress treats a
+    # bare list as in-memory LINES, not paths
+    counts = clps_compress(ndjson_from_files(paths), args.out,
+                           timestamp_key=args.timestamp_key)
+    return {"cmd": "json-compress", "out": args.out,
+            "schemas": len(counts), "records": sum(counts.values()),
+            "sec": round(_t.time() - t0, 3)}
+
+
+def cmd_json_extract(args) -> dict:
+    """clp-s x: archive → NDJSON (ordered k-way-merge equivalent)."""
+    import time as _t
+
+    from clp_core_ray.pipelines.clps import (clps_decompress,
+                                             clps_decompress_split)
+
+    t0 = _t.time()
+    fn = clps_decompress_split if _is_split_archive(args.archive) \
+        else clps_decompress
+    ds = fn(args.archive, ordered=args.ordered)
+    if args.out.endswith(".jsonl") or args.out.endswith(".ndjson"):
+        rows = 0
+        with open(args.out, "w") as f:
+            for b in ds.iter_batches(batch_format="pyarrow"):
+                for line in b.column("json").to_pylist():
+                    f.write(line)
+                    f.write("\n")
+                    rows += 1
+    else:
+        ds.write_parquet(args.out, compression="zstd")
+        rows = ds.count()
+    return {"cmd": "json-extract", "out": args.out, "rows": rows,
+            "sec": round(_t.time() - t0, 3)}
+
+
+def cmd_json_search(args) -> dict:
+    """clp-s s: KQL query over archive(s), split-manifest + schema pruning."""
+    import time as _t
+
+    from clp_core_ray.functions.filters import clps_search
+    from clp_core_ray.pipelines.clps import clps_search_split
+
+    ts_range = None
+    if args.ts_min is not None or args.ts_max is not None:
+        ts_range = (args.ts_min if args.ts_min is not None else float("-inf"),
+                    args.ts_max if args.ts_max is not None else float("inf"))
+    t0 = _t.time()
+    if _is_split_archive(args.archive):
+        ds = clps_search_split(args.archive, args.query, ts_range=ts_range)
+    else:
+        ds = clps_search(args.archive, args.query, ts_range=ts_range)
+    if args.out:
+        ds.write_parquet(args.out, compression="zstd")
+        rows = ds.count()
+        return {"cmd": "json-search", "out": args.out, "rows": rows,
+                "sec": round(_t.time() - t0, 3)}
+    shown = 0
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for line in b.column("json").to_pylist():
+            if shown < args.limit:
+                print(line)
+                shown += 1
+            total += 1
+    return {"cmd": "json-search", "rows": total, "rows_shown": shown,
+            "sec": round(_t.time() - t0, 3)}
+
+
 def cmd_dictdump(args) -> dict:
     """Dump archive dictionaries human-readable (make-dictionaries-readable
     parity: make-dictionaries-readable.cpp:60-121 — logtype placeholders
@@ -295,6 +392,39 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("stats", help="list archives + manifests")
     st.add_argument("--archive", required=True, help="base dir of archives")
     st.set_defaults(fn=cmd_stats)
+
+    jc = sub.add_parser("json-compress",
+                        help="NDJSON → columnar archive (clp-s c)")
+    jc.add_argument("--input", required=True, nargs="+",
+                    help="NDJSON file path(s) or glob(s)")
+    jc.add_argument("--out", required=True, help="archive output dir")
+    jc.add_argument("--timestamp-key",
+                    help="record key holding the timestamp (range index)")
+    jc.add_argument("--split-records", type=int,
+                    help="roll a new sub-archive every N records "
+                         "(clp-s archive splitting)")
+    jc.set_defaults(fn=cmd_json_compress)
+
+    jx = sub.add_parser("json-extract",
+                        help="archive → NDJSON / parquet (clp-s x)")
+    jx.add_argument("--archive", required=True,
+                    help="archive dir (split base dirs auto-detected)")
+    jx.add_argument("--out", required=True,
+                    help=".jsonl/.ndjson file or parquet dir")
+    jx.add_argument("--ordered", action="store_true",
+                    help="k-way-merge order by log_event_idx")
+    jx.set_defaults(fn=cmd_json_extract)
+
+    js = sub.add_parser("json-search", help="KQL search (clp-s s)")
+    js.add_argument("--archive", required=True,
+                    help="archive dir (split base dirs auto-detected)")
+    js.add_argument("--query", required=True, help="KQL query string")
+    js.add_argument("--out", help="write hits to parquet instead of stdout")
+    js.add_argument("--limit", type=int, default=1000,
+                    help="max hits printed to stdout")
+    js.add_argument("--ts-min", type=float, help="epoch-ms range prune")
+    js.add_argument("--ts-max", type=float, help="epoch-ms range prune")
+    js.set_defaults(fn=cmd_json_search)
 
     dd = sub.add_parser(
         "dictdump", help="dump dictionaries human-readable "

@@ -117,3 +117,60 @@ def test_cli_compress_fragments_resume(ray_session, tiny_sf_dir, tmp_path,
     # sinks exist per fragment
     frags = [d for d in os.listdir(out) if d.startswith("fragment=")]
     assert len(frags) == res["fragments_done"]
+
+
+def test_cli_json_compress_search_extract(ray_session, tmp_path, capsys):
+    """clp-s c/x/s parity through the CLI: NDJSON file → archive → KQL
+    search → ordered extract equals the input (sorted)."""
+    lines = [
+        '{"level": "ERROR", "msg": "disk failure on node a7", "ts": 1000}',
+        '{"level": "INFO", "msg": "started worker 3", "ts": 2000}',
+        '{"level": "ERROR", "msg": "timeout talking to db", "ts": 3000}',
+        '{"level": "INFO", "msg": "checkpoint ok", "ts": 4000}',
+    ]
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    arch = str(tmp_path / "jarch")
+
+    res, _ = _run(capsys, ["json-compress", "--input", str(src),
+                           "--out", arch, "--timestamp-key", "ts"])
+    assert res["records"] == 4 and res["schemas"] >= 1
+
+    res, shown = _run(capsys, ["json-search", "--archive", arch,
+                               "--query", 'level: "ERROR"'])
+    assert res["rows"] == 2
+    assert all('"ERROR"' in ln for ln in shown[-res["rows_shown"]:])
+
+    out = tmp_path / "out.jsonl"
+    res, _ = _run(capsys, ["json-extract", "--archive", arch,
+                           "--out", str(out), "--ordered"])
+    assert res["rows"] == 4
+    got = [json.loads(x) for x in out.read_text().splitlines()]
+    want = [json.loads(x) for x in lines]
+    assert got == want
+
+
+def test_cli_json_split_roundtrip(ray_session, tmp_path, capsys):
+    """--split-records rolls sub-archives; search + extract auto-detect the
+    split layout and union across it."""
+    lines = [json.dumps({"k": "v%d" % i, "n": i, "ts": i * 100})
+             for i in range(20)]
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    arch = str(tmp_path / "sarch")
+
+    res, _ = _run(capsys, ["json-compress", "--input", str(src),
+                           "--out", arch, "--timestamp-key", "ts",
+                           "--split-records", "8"])
+    assert res["records"] == 20
+
+    res, _ = _run(capsys, ["json-search", "--archive", arch,
+                           "--query", "n >= 15"])
+    assert res["rows"] == 5
+
+    out = tmp_path / "sout.jsonl"
+    res, _ = _run(capsys, ["json-extract", "--archive", arch,
+                           "--out", str(out), "--ordered"])
+    assert res["rows"] == 20
+    got = [json.loads(x) for x in out.read_text().splitlines()]
+    assert got == [json.loads(x) for x in lines]

@@ -6,7 +6,7 @@ import sys
 
 import ray
 
-ray.init(address="local", num_cpus=16, include_dashboard=False, log_to_driver=False)
+ray.init(address="local", num_cpus=int(__import__("os").environ.get("CHECK_CPUS", "16")), include_dashboard=False, log_to_driver=False)
 
 import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
