@@ -271,7 +271,8 @@ def dup_clusters(pairs: pa.Table, max_rounds: int = 20) -> pa.Table:
     )
 
 
-def dup_clusters_ds(pairs_ds, max_rounds: int = 20):
+def dup_clusters_ds(pairs_ds, max_rounds: int = 20,
+                    driver_cap_bytes: int | None = None):
     """Distributed connected components over a pairs Dataset (doc_a, doc_b).
 
     The iterative-shuffle formulation for pair volumes beyond driver RAM:
@@ -301,6 +302,23 @@ def dup_clusters_ds(pairs_ds, max_rounds: int = 20):
     # blocks that groupby().map_groups() emits for empty sort partitions
     # into schema-bearing blocks (Dataset.join rejects column-less blocks).
     pairs_ds = pairs_ds.repartition(npart).materialize()
+
+    # size gate (the auto_join discipline): a pair set that fits driver-side
+    # shouldn't pay ~9 distributed joins of fixed latency per propagation
+    # round — run the vectorized numpy label propagation instead. The
+    # distributed path below is the same algorithm for edge lists beyond
+    # driver RAM.
+    from clp_core_ray.pipelines.join import BROADCAST_BYTES_CAP, estimated_bytes
+
+    cap = BROADCAST_BYTES_CAP if driver_cap_bytes is None else driver_cap_bytes
+    if estimated_bytes(pairs_ds) <= cap:
+        blocks = [t.select(["doc_a", "doc_b"])
+                  for t in ray.get(pairs_ds.to_arrow_refs())
+                  if t.num_columns]
+        tab = pa.concat_tables(blocks) if blocks else pa.table(
+            {"doc_a": pa.array([], type=pa.int64()),
+             "doc_b": pa.array([], type=pa.int64())})
+        return rd.from_arrow(dup_clusters(tab, max_rounds=max_rounds))
 
     def nodes_of(batch: pa.Table) -> pa.Table:
         ids = pa.concat_arrays([

@@ -496,7 +496,10 @@ def test_dup_clusters_ds_matches_driver(ray_session):
 
     want = {r["doc_id"]: r["cluster_id"]
             for r in dup_clusters(pairs, max_rounds=64).to_pylist()}
-    got_ds = dup_clusters_ds(rd.from_arrow(pairs).repartition(4), max_rounds=8)
+    # driver_cap_bytes=0 forces the distributed path (the size gate would
+    # otherwise route a pair set this small to the numpy driver version)
+    got_ds = dup_clusters_ds(rd.from_arrow(pairs).repartition(4), max_rounds=8,
+                             driver_cap_bytes=0)
     got = {r["doc_id"]: r["cluster_id"]
            for b in got_ds.iter_batches(batch_format="pyarrow")
            for r in pa.table(b).to_pylist()}
