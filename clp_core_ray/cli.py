@@ -182,6 +182,45 @@ def cmd_stats(args) -> dict:
     return {"cmd": "stats", "archives": len(rows), "detail": rows}
 
 
+def cmd_ir_extract(args) -> dict:
+    """clo IR-chunk extraction (K8): archive → .clp.ir chunk files."""
+    import time as _t
+
+    from clp_core_ray.pipelines.decompress import extract_ir_chunks
+
+    t0 = _t.time()
+    paths = extract_ir_chunks(args.archive, args.out,
+                              four_byte=not args.eight_byte)
+    return {"cmd": "ir-extract", "out": args.out, "chunks": len(paths),
+            "sec": round(_t.time() - t0, 3)}
+
+
+def cmd_ir_search(args) -> dict:
+    """Wildcard search over IR stream files (no archive required)."""
+    import time as _t
+
+    from clp_core_ray.ir import search_ir
+
+    t0 = _t.time()
+    ds = search_ir(args.input, args.query, ignore_case=args.ignore_case,
+                   ts_min=args.ts_min, ts_max=args.ts_max)
+    if args.out:
+        ds.write_parquet(args.out, compression="zstd")
+        rows = ds.count()
+        return {"cmd": "ir-search", "out": args.out, "rows": rows,
+                "sec": round(_t.time() - t0, 3)}
+    shown = 0
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for t in b.column("text").to_pylist():
+            if shown < args.limit:
+                print(t)
+                shown += 1
+            total += 1
+    return {"cmd": "ir-search", "rows": total, "rows_shown": shown,
+            "sec": round(_t.time() - t0, 3)}
+
+
 def _is_split_archive(path: str) -> bool:
     import os
 
@@ -392,6 +431,26 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("stats", help="list archives + manifests")
     st.add_argument("--archive", required=True, help="base dir of archives")
     st.set_defaults(fn=cmd_stats)
+
+    ie = sub.add_parser("ir-extract",
+                        help="archive → CLP IR chunk files (clo K8)")
+    ie.add_argument("--archive", required=True, help="one archive dir")
+    ie.add_argument("--out", required=True, help="chunk output dir")
+    ie.add_argument("--eight-byte", action="store_true",
+                    help="8-byte encoded events (default 4-byte)")
+    ie.set_defaults(fn=cmd_ir_extract)
+
+    isrch = sub.add_parser("ir-search",
+                           help="wildcard search over IR stream files")
+    isrch.add_argument("--input", required=True,
+                       help="dir of .clp.ir files (or one file's dir)")
+    isrch.add_argument("--query", required=True)
+    isrch.add_argument("--ignore-case", action="store_true")
+    isrch.add_argument("--out", help="write hits to parquet instead of stdout")
+    isrch.add_argument("--limit", type=int, default=1000)
+    isrch.add_argument("--ts-min", type=int, help="epoch-ms prune")
+    isrch.add_argument("--ts-max", type=int, help="epoch-ms prune")
+    isrch.set_defaults(fn=cmd_ir_search)
 
     jc = sub.add_parser("json-compress",
                         help="NDJSON → columnar archive (clp-s c)")

@@ -174,3 +174,25 @@ def test_cli_json_split_roundtrip(ray_session, tmp_path, capsys):
     assert res["rows"] == 20
     got = [json.loads(x) for x in out.read_text().splitlines()]
     assert got == [json.loads(x) for x in lines]
+
+
+def test_cli_ir_extract_search(ray_session, tiny_sf_dir, tmp_path, capsys):
+    """compress → ir-extract → ir-search chain: IR chunks reproduce the
+    archive's text and are searchable without the archive."""
+    arch = str(tmp_path / "irarch")
+    res, _ = _run(capsys, ["compress", "--input", tiny_sf_dir, "--out", arch])
+    n_rows = res["rows"]
+
+    chunks = str(tmp_path / "chunks")
+    res, _ = _run(capsys, ["ir-extract", "--archive", arch, "--out", chunks])
+    assert res["chunks"] >= 1
+
+    res, lines = _run(capsys, ["ir-search", "--input", chunks,
+                               "--query", "*ERROR*", "--limit", "3"])
+    assert res["rows"] > 0
+    assert all("ERROR" in ln for ln in lines[-res["rows_shown"]:])
+
+    # a match-all query returns every extracted event
+    res, _ = _run(capsys, ["ir-search", "--input", chunks, "--query", "*",
+                           "--limit", "0"])
+    assert res["rows"] == n_rows
