@@ -418,3 +418,204 @@ def knn_label_vote(ds, k: int = 5, id_col: str = "vec_id",
     nid = np.asarray(topk.column("neighbor_id"), dtype=np.int64)
     nlab = lab_vals[np.searchsorted(lab_ids, nid)]
     return _majority_vote(qid, nlab, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-scan ANN path.
+#
+# IVF (above) prunes WHICH rows are read; PQ shrinks WHAT is read per row:
+# each normalized vector is split into `m` subspaces and every subvector is
+# replaced by the id of its nearest per-subspace codebook entry, so a
+# d-dim float32 vector (4*d bytes) becomes m uint8 codes (m bytes — 32x
+# smaller at d=64, m=8). Queries scan only the code table using asymmetric
+# distance (ADC): one (m, n_codes) lookup table of exact dot-product
+# contributions per query, one gather+sum per row. At 100 TB the code table
+# is what streams through the object store; the raw embeddings are read
+# only to build the index. Approximate by construction (recall bounded in
+# tests); pair with the IVF partitioning above for probe-then-scan.
+# (No reference analogue — new LLM-pipeline operator; the at-rest layout
+# mirrors build_ivf_index's parquet index shape.)
+# ---------------------------------------------------------------------------
+
+
+def train_pq(sample: np.ndarray, m: int = 8, n_codes: int = 16,
+             n_iter: int = 10, seed: int = 11) -> np.ndarray:
+    """Per-subspace k-means codebooks, shape (m, n_codes, d//m).
+
+    Deterministic: seeded init, fixed iteration count. Trained on
+    normalized vectors (cosine scoring downstream). d must divide by m.
+    """
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        c = xs[rng.choice(len(xs), size=min(n_codes, len(xs)), replace=False)]
+        for _ in range(n_iter):
+            # argmin ||x-c||^2 == argmax (x.c - ||c||^2/2)
+            assign = (xs @ c.T - 0.5 * (c * c).sum(axis=1)).argmax(axis=1)
+            for j in range(len(c)):
+                sel = assign == j
+                if sel.any():
+                    c[j] = xs[sel].mean(axis=0)
+        if len(c) < n_codes:  # tiny sample: pad by repeating entries
+            c = np.concatenate([c, c[np.zeros(n_codes - len(c), np.int64)]])
+        books[s] = c
+    return books
+
+
+def encode_pq(x_normalized: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) normalized -> (n, m) uint8 nearest-codebook-entry ids."""
+    m, n_codes, dsub = books.shape
+    n = x_normalized.shape[0]
+    codes = np.empty((n, m), dtype=np.uint8)
+    for s in range(m):
+        xs = x_normalized[:, s * dsub:(s + 1) * dsub]
+        c = books[s]
+        codes[:, s] = (xs @ c.T - 0.5 * (c * c).sum(axis=1)).argmax(axis=1)
+    return codes
+
+
+def build_pq_codes(ds, index_dir: str, m: int = 8, n_codes: int = 16,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   sample_rows: int = 4096, seed: int = 11) -> np.ndarray:
+    """Write the PQ index at rest: codebooks.parquet + codes/ parquet of
+    (id, fixed_size_list<uint8>[m]) — m bytes per vector. Returns books."""
+    import pyarrow.parquet as pq
+    import ray
+
+    books = train_pq(_sample_matrix(ds, emb_col, sample_rows, seed),
+                     m=m, n_codes=n_codes, seed=seed)
+    ref = ray.put(books)
+
+    def to_codes(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        codes = encode_pq(_normalize(_emb_matrix(batch, emb_col)), b)
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "pq_code": pa.FixedSizeListArray.from_arrays(
+                 pa.array(codes.reshape(-1), type=pa.uint8()), codes.shape[1])}
+        )
+
+    ds.map_batches(to_codes, batch_format="pyarrow").write_parquet(
+        f"{index_dir}/codes", compression="zstd"
+    )
+    mm, nc, dsub = books.shape
+    pq.write_table(
+        pa.table({"subspace": pa.array(np.repeat(np.arange(mm), nc)),
+                  "code": pa.array(np.tile(np.arange(nc), mm)),
+                  "centroid": pa.FixedSizeListArray.from_arrays(
+                      pa.array(books.reshape(-1, dsub).reshape(-1)), dsub)}),
+        f"{index_dir}/codebooks.parquet",
+    )
+    return books
+
+
+def pq_index_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
+                  k: int = 10, exclude_self: bool = True,
+                  refine_ds=None, refine_factor: int = 4,
+                  id_col: str = "vec_id", emb_col: str = "embedding"):
+    """ADC top-k over the at-rest code table: per query an (m, n_codes) LUT
+    of exact subspace dot products, per row a gather+sum — no float
+    embeddings are read at query time.
+
+    With ``refine_ds`` (the original embeddings Dataset), ADC produces a
+    ``k * refine_factor`` shortlist per query and ONLY those rows' float
+    vectors are extracted (isin prefilter inside map_batches — a selective
+    semi-join, not a full scan materialization) for an exact cosine
+    re-rank. The standard IVF-PQ refine step: the shortlist is O(n_q*k),
+    so the exact read stays tiny at any corpus size."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    bt = pq.read_table(f"{index_dir}/codebooks.parquet")
+    mm = int(pa.compute.max(bt.column("subspace")).as_py()) + 1
+    nc = len(bt) // mm
+    dsub = len(bt.column("centroid")[0])
+    books = np.asarray(
+        bt.column("centroid").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(mm, nc, dsub)
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    # LUT[i, s, c] = q_i[sub s] . books[s, c]  -> (n_q, m, n_codes)
+    lut = np.einsum("qsd,scd->qsc", q.reshape(len(q), mm, dsub), books)
+    ref = ray.put((lut, np.asarray(query_ids, dtype=np.int64)))
+    k_adc = k * refine_factor if refine_ds is not None else k
+
+    def adc(batch: pa.Table) -> pa.Table:
+        lut_, qids = ray.get(ref)
+        codes = np.asarray(
+            batch.column("pq_code").combine_chunks().flatten(), dtype=np.int64
+        ).reshape(len(batch), -1)  # (n, m)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        # scores[i, r] = sum_s lut_[i, s, codes[r, s]]
+        scores = lut_[:, np.arange(codes.shape[1])[None, :], codes].sum(axis=2)
+        if exclude_self:
+            scores[qids[:, None] == ids[None, :]] = -np.inf
+        kk = min(k_adc, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        return pa.table(
+            {"query_id": pa.array(np.repeat(qids, kk)),
+             "neighbor_id": pa.array(ids[part].reshape(-1)),
+             "score": pa.array(np.take_along_axis(scores, part, axis=1).reshape(-1))}
+        )
+
+    cand = pa.concat_tables(
+        pa.table(b)
+        for b in rd.read_parquet(f"{index_dir}/codes")
+        .map_batches(adc, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    if len(cand) == 0:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int64()),
+             "neighbor_id": pa.array([], type=pa.int64()),
+             "rank": pa.array([], type=pa.int64())}
+        )
+    if refine_ds is None:
+        return _merge_topk(cand, k)
+
+    # exact refine: extract ONLY the shortlisted rows' float vectors
+    short = _merge_topk(cand, k_adc)
+    want = np.unique(np.asarray(short.column("neighbor_id"), dtype=np.int64))
+    want_ref = ray.put(want)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch.column(id_col),
+                                     pa.array(ray.get(want_ref))))
+
+    hits = pa.concat_tables(
+        pa.table(b)
+        for b in refine_ds.map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    e = _normalize(_emb_matrix(hits, emb_col))
+    ids = np.asarray(hits.column(id_col), dtype=np.int64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    scores = q @ e.T
+    if exclude_self:
+        scores[qids[:, None] == ids[None, :]] = -np.inf
+    # restrict each query to ITS shortlist (scores against others -> -inf)
+    sq = np.asarray(short.column("query_id"), dtype=np.int64)
+    sn = np.asarray(short.column("neighbor_id"), dtype=np.int64)
+    allowed = np.zeros(scores.shape, dtype=bool)
+    qpos = {int(v): i for i, v in enumerate(qids)}
+    npos = {int(v): i for i, v in enumerate(ids)}
+    allowed[[qpos[int(a)] for a in sq], [npos[int(b)] for b in sn]] = True
+    scores[~allowed] = -np.inf
+    kk = min(k, scores.shape[1])
+    part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    fin = pa.table(
+        {"query_id": pa.array(np.repeat(qids, kk)),
+         "neighbor_id": pa.array(ids[part].reshape(-1)),
+         "score": pa.array(np.take_along_axis(scores, part, axis=1).reshape(-1))}
+    )
+    # -inf rows (shortlist smaller than k) are dropped by _merge_topk ties?
+    fin = fin.filter(pa.compute.greater(fin.column("score"), -np.inf))
+    return _merge_topk(fin, k)

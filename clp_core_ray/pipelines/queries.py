@@ -1422,6 +1422,41 @@ def emb_ann_topk_ivf(sf_dir: str):
     return out.select(["query_id", "neighbor_id", "rank"])
 
 
+@register("emb_ann_topk_pq")  # approximate (ADC quantization): rows-only
+def emb_ann_topk_pq(sf_dir: str):
+    """ANN over the at-rest PQ code table: queries scan m-byte codes via an
+    ADC lookup table — no float embeddings read at query time (32x less I/O
+    at d=64). Recall<1 by construction; bounded vs brute force in pytest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.functions.dedup import _emb_matrix
+    from clp_core_ray.functions.similarity import build_pq_codes, pq_index_topk
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/pq_index_sf{sf_of_dir(sf_dir)}"
+    if not os.path.exists(f"{idx}/codebooks.parquet"):
+        import ray.data as rd
+
+        build_pq_codes(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]),
+            idx, m=8, n_codes=256,  # standard 8-bit codes
+        )
+    import ray.data as rd
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 5))
+    out = pq_index_topk(
+        idx, _emb_matrix(qt, "embedding"), qt.column("vec_id").to_pylist(),
+        k=10,
+        refine_ds=rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+    )
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
 @register(
     "emb_dup_pairs",
     "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a, embeddings b "

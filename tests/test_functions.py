@@ -650,3 +650,69 @@ def test_video_frame_sampling(ray_session):
 
     with pytest.raises(NotImplementedError):
         decode_rawv(b"MP4\x00junk")
+
+
+def test_pq_index_at_rest(ray_session, tmp_path):
+    """PQ codes at rest: ADC scan over m-byte codes recovers planted
+    cluster neighbors; codebooks are deterministic across builds."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import (
+        build_pq_codes,
+        pq_index_topk,
+        topk_cosine,
+        train_pq,
+    )
+
+    rng = np.random.default_rng(5)
+    n_clusters, per, d = 20, 10, 32
+    centers = rng.normal(size=(n_clusters, d))
+    mat = (np.repeat(centers, per, axis=0)
+           + 0.02 * rng.normal(size=(n_clusters * per, d))).astype(np.float32)
+    n = len(mat)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), d
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    idx = str(tmp_path / "pq")
+    books = build_pq_codes(rd.from_arrow(tbl), idx, m=8, n_codes=16)
+    assert books.shape == (8, 16, d // 8)
+
+    # at-rest payload is m uint8 codes per vector
+    import pyarrow.parquet as pq
+
+    import glob
+
+    codes = pq.read_table(sorted(glob.glob(f"{idx}/codes/*.parquet")))
+    assert codes.num_rows == n
+    assert pa.types.is_fixed_size_list(codes.schema.field("pq_code").type)
+    assert codes.schema.field("pq_code").type.value_type == pa.uint8()
+    assert codes.schema.field("pq_code").type.list_size == 8
+
+    q, qids = mat[:5], np.arange(5)
+    exact = topk_cosine(rd.from_arrow(tbl), q, qids, k=per - 1)
+    approx = pq_index_topk(idx, q, qids, k=per - 1)
+    ex = set(zip(exact.column("query_id").to_pylist(),
+                 exact.column("neighbor_id").to_pylist()))
+    ap = set(zip(approx.column("query_id").to_pylist(),
+                 approx.column("neighbor_id").to_pylist()))
+    assert len(ex & ap) / len(ex) >= 0.8, len(ex & ap) / len(ex)
+
+    # exact refine: ADC shortlist re-ranked against the float vectors —
+    # only shortlisted rows are extracted (isin semi-join, no full scan)
+    refined = pq_index_topk(idx, q, qids, k=per - 1,
+                            refine_ds=rd.from_arrow(tbl), refine_factor=4)
+    rf = set(zip(refined.column("query_id").to_pylist(),
+                 refined.column("neighbor_id").to_pylist()))
+    assert len(ex & rf) / len(ex) >= 0.95, len(ex & rf) / len(ex)
+
+    # deterministic training: same sample -> identical codebooks
+    from clp_core_ray.functions.dedup import _normalize
+
+    b2 = train_pq(_normalize(mat.astype(np.float64)), m=8, n_codes=16)
+    b1 = train_pq(_normalize(mat.astype(np.float64)), m=8, n_codes=16)
+    assert np.array_equal(b1, b2)
