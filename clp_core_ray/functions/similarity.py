@@ -579,8 +579,19 @@ def pq_index_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
         )
     if refine_ds is None:
         return _merge_topk(cand, k)
+    return _refine_topk(cand, refine_ds, q, query_ids, k, k_adc,
+                        exclude_self, id_col, emb_col)
 
-    # exact refine: extract ONLY the shortlisted rows' float vectors
+
+def _refine_topk(cand: pa.Table, refine_ds, q: np.ndarray, query_ids,
+                 k: int, k_adc: int, exclude_self: bool,
+                 id_col: str, emb_col: str) -> pa.Table:
+    """Exact re-rank of an ADC shortlist: extract ONLY the shortlisted rows'
+    float vectors (isin semi-join inside map_batches — the read stays
+    O(n_q * k_adc) at any corpus size), score against the normalized
+    queries, keep each query restricted to ITS shortlist."""
+    import ray
+
     short = _merge_topk(cand, k_adc)
     want = np.unique(np.asarray(short.column("neighbor_id"), dtype=np.int64))
     want_ref = ray.put(want)
@@ -616,6 +627,134 @@ def pq_index_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
          "neighbor_id": pa.array(ids[part].reshape(-1)),
          "score": pa.array(np.take_along_axis(scores, part, axis=1).reshape(-1))}
     )
-    # -inf rows (shortlist smaller than k) are dropped by _merge_topk ties?
+    # drop -inf fillers (shortlist smaller than k)
     fin = fin.filter(pa.compute.greater(fin.column("score"), -np.inf))
     return _merge_topk(fin, k)
+
+
+def build_ivfpq_index(ds, index_dir: str, n_centroids: int = 16, m: int = 8,
+                      n_codes: int = 256, id_col: str = "vec_id",
+                      emb_col: str = "embedding", sample_rows: int = 4096,
+                      seed: int = 11):
+    """IVF-PQ at rest — the production ANN layout: PQ codes hive-partitioned
+    by nearest IVF centroid (``cells/ivf_cell=N/`` of (id, m-byte code)).
+    A query prunes WHICH partitions are read (IVF) and WHAT is read per row
+    (PQ codes, not float vectors). Divergence from classic IVFPQ: codes
+    encode the raw normalized vector, not the residual x - centroid — the
+    refine pass (exact re-rank) recovers the accuracy residual encoding
+    buys, without a per-cell codebook dependency. Returns (cents, books)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    sample = _sample_matrix(ds, emb_col, sample_rows, seed)
+    cents = train_ivf_centroids(sample, n_centroids, seed=seed)
+    books = train_pq(sample, m=m, n_codes=n_codes, seed=seed)
+    ref = ray.put((cents, books))
+
+    def to_cell_codes(batch: pa.Table) -> pa.Table:
+        c, b = ray.get(ref)
+        e = _normalize(_emb_matrix(batch, emb_col))
+        codes = encode_pq(e, b)
+        cell = (e @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: batch.column(id_col),
+             "pq_code": pa.FixedSizeListArray.from_arrays(
+                 pa.array(codes.reshape(-1), type=pa.uint8()), codes.shape[1]),
+             "ivf_cell": pa.array(cell)}
+        )
+
+    ds.map_batches(to_cell_codes, batch_format="pyarrow").write_parquet(
+        f"{index_dir}/cells", partition_cols=["ivf_cell"], compression="zstd"
+    )
+    pq.write_table(
+        pa.table({"cell": pa.array(range(len(cents)), type=pa.int64()),
+                  "centroid": pa.FixedSizeListArray.from_arrays(
+                      pa.array(cents.reshape(-1)), cents.shape[1])}),
+        f"{index_dir}/centroids.parquet",
+    )
+    mm, nc, dsub = books.shape
+    pq.write_table(
+        pa.table({"subspace": pa.array(np.repeat(np.arange(mm), nc)),
+                  "code": pa.array(np.tile(np.arange(nc), mm)),
+                  "centroid": pa.FixedSizeListArray.from_arrays(
+                      pa.array(books.reshape(-1, dsub).reshape(-1)), dsub)}),
+        f"{index_dir}/codebooks.parquet",
+    )
+    return cents, books
+
+
+def ivfpq_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
+               k: int = 10, n_probe: int = 4, exclude_self: bool = True,
+               refine_ds=None, refine_factor: int = 4,
+               id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Probe-then-scan over the IVF-PQ index: only the probed cells' hive
+    dirs are handed to the reader (unprobed partitions never leave
+    storage), the scan touches m-byte codes via ADC, and the optional
+    refine extracts only the shortlist's float vectors."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    ct = pq.read_table(f"{index_dir}/centroids.parquet")
+    cents = np.asarray(
+        ct.column("centroid").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(ct), -1)
+    bt = pq.read_table(f"{index_dir}/codebooks.parquet")
+    mm = int(pa.compute.max(bt.column("subspace")).as_py()) + 1
+    nc = len(bt) // mm
+    dsub = len(bt.column("centroid")[0])
+    books = np.asarray(
+        bt.column("centroid").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(mm, nc, dsub)
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    n_probe = min(n_probe, len(cents))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    probe_set = [int(c) for c in np.unique(probes)]
+    paths = [os.path.join(p, f)
+             for c in probe_set
+             if os.path.isdir(p := f"{index_dir}/cells/ivf_cell={c}")
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    empty = pa.table(
+        {"query_id": pa.array([], type=pa.int64()),
+         "neighbor_id": pa.array([], type=pa.int64()),
+         "rank": pa.array([], type=pa.int64())}
+    )
+    if not paths:
+        return empty
+
+    lut = np.einsum("qsd,scd->qsc", q.reshape(len(q), mm, dsub), books)
+    ref = ray.put((lut, np.asarray(query_ids, dtype=np.int64)))
+    k_adc = k * refine_factor if refine_ds is not None else k
+
+    def adc(batch: pa.Table) -> pa.Table:
+        lut_, qids = ray.get(ref)
+        codes = np.asarray(
+            batch.column("pq_code").combine_chunks().flatten(), dtype=np.int64
+        ).reshape(len(batch), -1)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        scores = lut_[:, np.arange(codes.shape[1])[None, :], codes].sum(axis=2)
+        if exclude_self:
+            scores[qids[:, None] == ids[None, :]] = -np.inf
+        kk = min(k_adc, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        return pa.table(
+            {"query_id": pa.array(np.repeat(qids, kk)),
+             "neighbor_id": pa.array(ids[part].reshape(-1)),
+             "score": pa.array(np.take_along_axis(scores, part, axis=1).reshape(-1))}
+        )
+
+    cand = pa.concat_tables(
+        pa.table(b)
+        for b in rd.read_parquet(paths, columns=[id_col, "pq_code"])
+        .map_batches(adc, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    if len(cand) == 0:
+        return empty
+    if refine_ds is None:
+        return _merge_topk(cand, k)
+    return _refine_topk(cand, refine_ds, q, query_ids, k, k_adc,
+                        exclude_self, id_col, emb_col)

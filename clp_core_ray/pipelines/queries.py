@@ -1457,6 +1457,38 @@ def emb_ann_topk_pq(sf_dir: str):
     return out.select(["query_id", "neighbor_id", "rank"])
 
 
+@register("emb_ann_topk_ivfpq")  # approximate (probe + quantize): rows-only
+def emb_ann_topk_ivfpq(sf_dir: str):
+    """ANN over the combined IVF-PQ index: cell partitions prune WHICH rows
+    are read, m-byte PQ codes shrink WHAT is read per row, exact refine
+    re-ranks the O(n_q*k) shortlist — the production 100-TB ANN shape."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _emb_matrix
+    from clp_core_ray.functions.similarity import build_ivfpq_index, ivfpq_topk
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/ivfpq_index_sf{sf_of_dir(sf_dir)}"
+    if not os.path.exists(f"{idx}/codebooks.parquet"):
+        build_ivfpq_index(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]),
+            idx, n_centroids=16, m=8, n_codes=256,
+        )
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 5))
+    out = ivfpq_topk(
+        idx, _emb_matrix(qt, "embedding"), qt.column("vec_id").to_pylist(),
+        k=10, n_probe=8,
+        refine_ds=rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+    )
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
 @register(
     "emb_dup_pairs",
     "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a, embeddings b "

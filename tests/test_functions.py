@@ -716,3 +716,56 @@ def test_pq_index_at_rest(ray_session, tmp_path):
     b2 = train_pq(_normalize(mat.astype(np.float64)), m=8, n_codes=16)
     b1 = train_pq(_normalize(mat.astype(np.float64)), m=8, n_codes=16)
     assert np.array_equal(b1, b2)
+
+
+def test_ivfpq_index_at_rest(ray_session, tmp_path):
+    """IVF-PQ: partial probe reads only probed cell dirs; full probe with
+    refine matches brute force on planted clusters."""
+    import os
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, d = 16, 12, 32
+    centers = rng.normal(size=(n_clusters, d))
+    mat = (np.repeat(centers, per, axis=0)
+           + 0.02 * rng.normal(size=(n_clusters * per, d))).astype(np.float32)
+    n = len(mat)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), d
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    idx = str(tmp_path / "ivfpq")
+    cents, books = build_ivfpq_index(rd.from_arrow(tbl), idx,
+                                     n_centroids=8, m=8, n_codes=32)
+    assert cents.shape == (8, d) and books.shape == (8, 32, d // 8)
+    cells = sorted(os.listdir(f"{idx}/cells"))
+    assert all(c.startswith("ivf_cell=") for c in cells) and len(cells) >= 2
+
+    q, qids = mat[:5], np.arange(5)
+    exact = topk_cosine(rd.from_arrow(tbl), q, qids, k=per - 1)
+    ex = set(zip(exact.column("query_id").to_pylist(),
+                 exact.column("neighbor_id").to_pylist()))
+
+    # full probe + refine: near-exact
+    full = ivfpq_topk(idx, q, qids, k=per - 1, n_probe=8,
+                      refine_ds=rd.from_arrow(tbl))
+    fu = set(zip(full.column("query_id").to_pylist(),
+                 full.column("neighbor_id").to_pylist()))
+    assert len(ex & fu) / len(ex) >= 0.95, len(ex & fu) / len(ex)
+
+    # partial probe: decent recall, ADC-only (no refine)
+    part = ivfpq_topk(idx, q, qids, k=per - 1, n_probe=3)
+    pt = set(zip(part.column("query_id").to_pylist(),
+                 part.column("neighbor_id").to_pylist()))
+    assert len(ex & pt) / len(ex) >= 0.5, len(ex & pt) / len(ex)
