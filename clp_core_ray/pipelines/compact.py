@@ -1,0 +1,207 @@
+"""Archive compaction: merge N self-contained archives into one (new op).
+
+CLP archives are immutable, self-contained units — each carries its own
+dictionaries and segments (streaming_archive/writer/Archive.hpp:1-60,
+clp/compression.cpp:133-163 groups inputs into archives). Continuous
+ingestion therefore accumulates many small archives, and every search pays
+a per-archive dictionary load + compile. The reference has no merge tool;
+this module adds one, and the repo's content-hash dictionary ids
+(stages/encode.py) make it nearly metadata-only:
+
+- identical content hashes to the SAME id in every archive, so encoded
+  sink rows are valid under the union dictionary with NO id remap — data
+  files are hard-linked (object-store rename at scale), never re-encoded
+  and never shuffled;
+- only the dictionaries and the segment indexes (class lists,
+  class_logtypes.json) actually merge, via the same 16-way id-hash bucket
+  tasks the compress finalize path uses (state/dictionaries.py);
+- the lineage manifest records the merged time range and summed class
+  counts so multi-archive pruning keeps working over the result.
+
+Cost: O(dictionary bytes) compute + O(#files) metadata ops — independent
+of archive data volume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from clp_core_ray.state.dictionaries import (
+    N_FINALIZE_BUCKETS,
+    _dedup_unified,
+    _finalize_dicts_parallel,
+)
+
+__all__ = ["merge_archives"]
+
+
+def _archive_unified_rows(archive_dir: str) -> pa.Table:
+    """An archive's FINAL dictionaries re-expressed as unified delta rows
+    (kind, id, value, n_vars, logtype_class — one row per (entry, class)),
+    the input format of the compress finalize path, so merge reuses its
+    dedup + collision-check + bucket-write machinery verbatim."""
+    parts = []
+
+    # var dict: explode the per-entry classes segment index back to rows
+    vdir = os.path.join(archive_dir, "var.dict")
+    for f in sorted(os.listdir(vdir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(vdir, f)).combine_chunks()
+        cls = t.column("classes").combine_chunks()
+        if isinstance(cls, pa.ChunkedArray):
+            cls = cls.combine_chunks()
+        parent = pc.list_parent_indices(cls)
+        n = len(parent)
+        parts.append(pa.table({
+            "kind": pa.array(np.ones(n, dtype=np.int8)),
+            "id": t.column("var_id").take(parent).cast(pa.int64()),
+            "value": t.column("value").take(parent).cast(pa.large_string()),
+            "n_vars": pa.array(np.zeros(n, dtype=np.int32)),
+            "logtype_class": pc.list_flatten(cls).cast(pa.string()),
+        }))
+
+    # logtype dict + class_logtypes.json → one row per (logtype, class)
+    lt = pq.read_table(os.path.join(archive_dir, "logtype.dict.parquet"))
+    with open(os.path.join(archive_dir, "class_logtypes.json")) as fh:
+        by_class = json.load(fh)
+    lt_ids = lt.column("logtype_id").combine_chunks()
+    for cls_name, ids in sorted(by_class.items()):
+        ids_arr = pa.array(ids, type=pa.int64())
+        pos = pc.index_in(ids_arr, lt_ids)
+        if pc.any(pc.is_null(pos)).as_py():
+            raise ValueError(
+                f"{archive_dir}: class_logtypes.json references logtype ids "
+                f"missing from logtype.dict.parquet"
+            )
+        n = len(ids_arr)
+        parts.append(pa.table({
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "id": ids_arr,
+            "value": lt.column("logtype").take(pos).cast(pa.large_string()),
+            "n_vars": lt.column("n_vars").take(pos).cast(pa.int32()),
+            "logtype_class": pa.array([cls_name] * n, type=pa.string()),
+        }))
+
+    if not parts:
+        return pa.table({
+            "kind": pa.array([], pa.int8()), "id": pa.array([], pa.int64()),
+            "value": pa.array([], pa.large_string()),
+            "n_vars": pa.array([], pa.int32()),
+            "logtype_class": pa.array([], pa.string()),
+        })
+    return pa.concat_tables(parts)
+
+
+def _dict_buckets(archive_dir: str):
+    """One archive's unified dict rows, deduped and split into the N id-hash
+    finalize buckets (ids never span buckets, so per-bucket merge tasks are
+    globally correct) — the same contract as the compress path's prededup."""
+    t = _dedup_unified(_archive_unified_rows(archive_dir)).combine_chunks()
+    ids = np.asarray(t.column("id"), dtype=np.int64)
+    b = (ids & (N_FINALIZE_BUCKETS - 1)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    bounds = np.searchsorted(b[order], np.arange(N_FINALIZE_BUCKETS + 1))
+    return tuple(
+        t.take(order[bounds[i]:bounds[i + 1]])
+        for i in range(N_FINALIZE_BUCKETS)
+    )
+
+
+def _link_routed(archive_dir: str, out_routed: str, prefix: str) -> dict:
+    """Hard-link (fallback: copy) one archive's routed sink files into the
+    merged layout, preserving hive partition dirs. Filenames get a
+    per-source prefix so same-named parts from different archives coexist.
+    Metadata-only on one filesystem; the multi-node analogue is an
+    object-store rename."""
+    import shutil
+
+    routed = os.path.join(archive_dir, "routed")
+    n_files = n_bytes = 0
+    for root, _dirs, files in os.walk(routed):
+        rel = os.path.relpath(root, routed)
+        dest_dir = out_routed if rel == "." else os.path.join(out_routed, rel)
+        made = False
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            if not made:
+                os.makedirs(dest_dir, exist_ok=True)
+                made = True
+            src = os.path.join(root, f)
+            dst = os.path.join(dest_dir, f"{prefix}-{f}")
+            if not os.path.exists(dst):
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+            n_files += 1
+            n_bytes += os.path.getsize(src)
+    return {"files": n_files, "bytes": n_bytes}
+
+
+def merge_archives(archive_dirs: list[str], out_dir: str) -> dict:
+    """Merge self-contained archives into one at ``out_dir``.
+
+    Data files are linked as-is (content-hash ids need no remap); the
+    dictionaries + segment indexes union through the parallel 16-bucket
+    finalize (hash-collision check included); the manifest records the
+    merged time range and summed class counts. GLT layouts are NOT merged —
+    they are derived state, rebuilt on demand from the merged rows.
+    Returns the manifest info dict."""
+    import ray
+
+    from clp_core_ray.state import manifest as mf
+
+    archive_dirs = [os.path.normpath(d) for d in archive_dirs]
+    if len(archive_dirs) < 1:
+        raise ValueError("merge_archives needs at least one archive")
+    for d in archive_dirs:
+        if not os.path.isdir(os.path.join(d, "routed")):
+            raise ValueError(f"not an archive (no routed/ sink): {d}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    buckets_task = ray.remote(num_returns=N_FINALIZE_BUCKETS)(_dict_buckets)
+    link_task = ray.remote(_link_routed)
+
+    out_routed = os.path.join(out_dir, "routed")
+    dict_refs = [buckets_task.remote(d) for d in archive_dirs]
+    link_refs = [
+        link_task.remote(d, out_routed, f"a{i:03d}")
+        for i, d in enumerate(archive_dirs)
+    ]
+
+    _finalize_dicts_parallel(out_dir, prededup_refs=dict_refs)
+
+    # manifest: union of the sources' lineage
+    ts_min = ts_max = None
+    class_counts: dict[str, int] = {}
+    total_bytes = 0
+    for d in archive_dirs:
+        for m in mf.read_manifests(d):
+            if m.get("ts_min") is not None:
+                ts_min = m["ts_min"] if ts_min is None else min(ts_min, m["ts_min"])
+            if m.get("ts_max") is not None:
+                ts_max = m["ts_max"] if ts_max is None else max(ts_max, m["ts_max"])
+            for k, v in (m.get("class_counts") or {}).items():
+                class_counts[k] = class_counts.get(k, 0) + int(v)
+            total_bytes += int(m.get("archive_bytes") or 0)
+    linked = ray.get(link_refs)
+    info = {
+        "input": ";".join(archive_dirs),
+        "sink": out_routed,
+        "merged_from": len(archive_dirs),
+        "linked_files": int(sum(r["files"] for r in linked)),
+        "class_counts": class_counts,
+        "archive_bytes": total_bytes,
+        "ts_min": ts_min,
+        "ts_max": ts_max,
+    }
+    mf.record_fragment(out_dir, "merge", info)
+    return info

@@ -344,6 +344,30 @@ def clp_search_count_by_hour(sf_dir: str):
 
 
 @register(
+    "clp_merge_roundtrip",
+    "SELECT conv_id, turn_idx, text FROM {T}",
+)
+def clp_merge_roundtrip(sf_dir: str):
+    """Archive compaction must be lossless: two half-input archives merged
+    into one (hard-linked data files + union dictionaries — content-hash ids
+    need no remap) decompress to every original turn."""
+    from clp_core_ray.pipelines.compact import merge_archives
+    from clp_core_ray.pipelines.decompress import decompress
+    from clp_core_ray.sources.transcripts import sf_of_dir
+    from clp_core_ray.state.manifest import completed_fragments
+
+    base = _multi_archive_dir(sf_dir)
+    out = f"/tmp/clp_core_ray_data/merged_archive_sf{sf_of_dir(sf_dir)}"
+    if "merge" not in completed_fragments(out):
+        merge_archives(
+            [os.path.join(base, d) for d in sorted(os.listdir(base))
+             if d.startswith("archive-")],
+            out,
+        )
+    return decompress(out)
+
+
+@register(
     "clp_search_multi_archive",
     "SELECT conv_id, turn_idx, text FROM {T} WHERE text LIKE '%ERROR%timeout%'",
 )

@@ -406,3 +406,71 @@ def test_encode_actor_mode_delta_floor(ray_session, tmp_path, monkeypatch):
     actor_files = run(10**9, "deltas_actor")  # auto → actor pool
     task_files = run(None, "deltas_task")     # auto → stateless tasks
     assert actor_files * 2 <= task_files, (actor_files, task_files)
+
+
+def test_merge_archives_roundtrip_and_search(ray_session, tmp_path):
+    """Compaction: two half-input archives merge into one losslessly —
+    data files are linked (no re-encode), dictionaries/segment indexes
+    union, and decompress + search over the merged archive match the
+    originals exactly."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compact import merge_archives
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.decompress import decompress
+    from clp_core_ray.pipelines.search import search_archive, search_archives
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    base = str(tmp_path / "archives")
+    df = read_transcripts(0.001).to_pandas()
+    mid = df["ts"].quantile(0.5)
+    compress(0.001, f"{base}/a0", ds=rd.from_pandas(df[df["ts"] <= mid]),
+             input_label="half-lo")
+    compress(0.001, f"{base}/a1", ds=rd.from_pandas(df[df["ts"] > mid]),
+             input_label="half-hi")
+
+    out = str(tmp_path / "merged")
+    info = merge_archives([f"{base}/a0", f"{base}/a1"], out)
+    assert info["merged_from"] == 2 and info["linked_files"] > 0
+
+    # linked, not copied: same inode as a source file (metadata-only merge)
+    src_inodes = set()
+    for a in ("a0", "a1"):
+        for root, _d, files in os.walk(f"{base}/{a}/routed"):
+            src_inodes.update(os.stat(os.path.join(root, f)).st_ino
+                              for f in files if f.endswith(".parquet"))
+    merged_files = [os.path.join(root, f)
+                    for root, _d, files in os.walk(f"{out}/routed")
+                    for f in files if f.endswith(".parquet")]
+    assert merged_files and all(
+        os.stat(p).st_ino in src_inodes for p in merged_files)
+
+    # lossless roundtrip
+    dec = decompress(out).to_pandas().sort_values(["conv_id", "turn_idx"])
+    orig = df.sort_values(["conv_id", "turn_idx"])
+    assert len(dec) == len(orig)
+    assert dec["text"].tolist() == orig["text"].tolist()
+
+    # dictionary union: merged class index covers both halves' classes
+    merged_idx = json.load(open(os.path.join(out, "class_logtypes.json")))
+    for a in ("a0", "a1"):
+        idx = json.load(open(os.path.join(base, a, "class_logtypes.json")))
+        for cls, ids in idx.items():
+            assert set(ids) <= set(merged_idx[cls]), (a, cls)
+
+    # search over the merged archive == union over the source archives
+    m = search_archive(out, "ERROR*timeout").to_pandas()
+    u = search_archives(base, "ERROR*timeout").to_pandas()
+    key = ["conv_id", "turn_idx"]
+    assert m.sort_values(key).reset_index(drop=True).equals(
+        u.sort_values(key).reset_index(drop=True))
+
+    # merged manifest spans both time ranges
+    mm = json.load(open(os.path.join(out, "_manifests", "merge.json")))
+    m0 = json.load(open(os.path.join(base, "a0", "_manifests", "full.json")))
+    m1 = json.load(open(os.path.join(base, "a1", "_manifests", "full.json")))
+    assert mm["ts_min"] == min(m0["ts_min"], m1["ts_min"])
+    assert mm["ts_max"] == max(m0["ts_max"], m1["ts_max"])
