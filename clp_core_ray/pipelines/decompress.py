@@ -69,8 +69,13 @@ class ArchiveDecodeStage:
         return batch.append_column(self.out_col, decoded)
 
 
-def decompress(archive_dir: str, columns=("conv_id", "turn_idx"), ordered: bool = False):
-    """Dataset[(…columns, text)] reconstructed from the archive."""
+def decompress(archive_dir: str, columns=("conv_id", "turn_idx"), ordered: bool = False,
+               prefilter=None):
+    """Dataset[(…columns, text)] reconstructed from the archive.
+
+    ``prefilter`` (batch→batch over the raw encoded rows) runs BEFORE the
+    decode stage, so callers that only need a row subset (e.g. context
+    extraction around search matches) never pay decode for pruned rows."""
     import ray
     import ray.data as rd
 
@@ -82,6 +87,8 @@ def decompress(archive_dir: str, columns=("conv_id", "turn_idx"), ordered: bool 
         need.append("dict_vars")
         need.append("logtype")  # DecodeStage resolves templates from the row
     ds = rd.read_parquet(routed, columns=need)
+    if prefilter is not None:
+        ds = ds.map_batches(prefilter, batch_format="pyarrow")
 
     if "dict_vars" in need:
         from clp_core_ray.stages.encode import DecodeStage

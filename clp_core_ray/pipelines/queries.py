@@ -344,6 +344,23 @@ def clp_search_count_by_hour(sf_dir: str):
 
 
 @register(
+    "clp_search_context",
+    "SELECT t.conv_id, t.turn_idx, t.text, "
+    "(t.text LIKE '%ERROR%timeout%') AS is_match FROM {T} t "
+    "WHERE EXISTS (SELECT 1 FROM {T} m WHERE m.conv_id = t.conv_id "
+    "AND m.text LIKE '%ERROR%timeout%' "
+    "AND t.turn_idx BETWEEN m.turn_idx - 1 AND m.turn_idx + 1)",
+)
+def clp_search_context(sf_dir: str):
+    """Search with conversation context (grep -C 1 semantics over turns):
+    matches plus their neighbors, decode pruned to matched conversations."""
+    from clp_core_ray.pipelines.search import search_context
+
+    return search_context(_archive_dir(sf_dir), "ERROR*timeout",
+                          before=1, after=1)
+
+
+@register(
     "clp_merge_roundtrip",
     "SELECT conv_id, turn_idx, text FROM {T}",
 )

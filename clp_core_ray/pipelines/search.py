@@ -764,3 +764,79 @@ def search_count_by_time(target: str, query: str, granularity: str = "hour",
     return count_by(
         add_time_bucket(ds, ts_col=ts_col, granularity=granularity), "bucket"
     )
+
+
+def search_context(archive_dir: str, query: str, before: int = 1,
+                   after: int = 1, ignore_case: bool = False):
+    """Matches plus surrounding conversation turns (grep -B/-A semantics
+    applied to CLP search results; the reference's clg prints bare matches —
+    clg.cpp:400-460 — so the context radius is this repo's extension for
+    conversational logs).
+
+    Two-phase, both sides pruned:
+    1. the normal index-pruned search yields the (small) match set;
+    2. matched (conv_id, turn_idx±r) keys broadcast via ray.put, and the
+       archive is re-read with a conv_id prefilter BEFORE the decode stage —
+       unmatched conversations are dropped from the encoded rows, so decode
+       cost is O(matched conversations), not O(archive).
+
+    Returns Dataset[(conv_id, turn_idx, text, is_match)].
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.decompress import decompress
+
+    matches = search_archive(archive_dir, query, ignore_case=ignore_case)
+    mt = pa.concat_tables(
+        [pa.table({"conv_id": pa.array([], pa.string()),
+                   "turn_idx": pa.array([], pa.int64())})]
+        + [pa.table(b).select(["conv_id", "turn_idx"])
+           .cast(pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int64())]))
+           for b in matches.iter_batches(batch_format="pyarrow")]
+    )
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.large_string()),
+                      "is_match": pa.array([], pa.bool_())})
+    if len(mt) == 0:
+        return rd.from_arrow(empty)
+
+    conv = mt.column("conv_id").combine_chunks()
+    idx = np.asarray(mt.column("turn_idx"), dtype=np.int64)
+
+    def keys_of(conv_arr: pa.Array, idx_arr: np.ndarray) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pc.cast(conv_arr, pa.string()),
+            pa.array(idx_arr.astype("U"), type=pa.string()), ":",
+        )
+
+    # match keys (for the is_match flag) + the ±r expanded context keys
+    match_keys = pc.unique(keys_of(conv, idx))
+    offs = np.arange(-before, after + 1, dtype=np.int64)
+    exp_conv = pa.concat_arrays([conv] * len(offs))
+    exp_idx = np.concatenate([idx + o for o in offs])
+    ctx_keys = pc.unique(keys_of(exp_conv, exp_idx))
+    conv_set = pc.unique(conv)
+    side_ref = ray.put((conv_set, ctx_keys, match_keys))
+
+    def conv_prefilter(batch: pa.Table) -> pa.Table:
+        cs, _k, _m = ray.get(side_ref)
+        return batch.filter(pc.is_in(pc.cast(batch.column("conv_id"),
+                                             pa.string()), value_set=cs))
+
+    def ctx_filter(batch: pa.Table) -> pa.Table:
+        _cs, keys, mkeys = ray.get(side_ref)
+        k = keys_of(batch.column("conv_id").combine_chunks(),
+                    np.asarray(batch.column("turn_idx"), dtype=np.int64))
+        keep = pc.is_in(k, value_set=keys)
+        out = batch.filter(keep)
+        k_kept = k.filter(keep) if len(out) else k.slice(0, 0)
+        return out.append_column("is_match",
+                                 pc.is_in(k_kept, value_set=mkeys))
+
+    return (
+        decompress(archive_dir, prefilter=conv_prefilter)
+        .map_batches(ctx_filter, batch_format="pyarrow")
+    )

@@ -474,3 +474,43 @@ def test_merge_archives_roundtrip_and_search(ray_session, tmp_path):
     m1 = json.load(open(os.path.join(base, "a1", "_manifests", "full.json")))
     assert mm["ts_min"] == min(m0["ts_min"], m1["ts_min"])
     assert mm["ts_max"] == max(m0["ts_max"], m1["ts_max"])
+
+
+def test_search_context(ray_session, tmp_path):
+    """Context search: matches ± r turns within the conversation only,
+    is_match flags exact matches, conversations without matches never
+    reach the decode stage."""
+    import pandas as pd
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import search_context
+
+    df = pd.DataFrame({
+        "conv_id": ["c1"] * 5 + ["c2"] * 3 + ["c3"] * 2,
+        "turn_idx": [0, 1, 2, 3, 4, 0, 1, 2, 0, 1],
+        "role": ["user"] * 10,
+        "tool": [""] * 10,
+        "ts": pd.to_datetime(list(range(10)), unit="s"),
+        "text": [
+            "hello", "ERROR db timeout at 10ms", "ok", "bye", "tail",
+            "nothing", "here", "at all",
+            "ERROR net timeout now", "after",
+        ],
+    })
+    out = str(tmp_path / "arch")
+    compress(0.001, out, ds=rd.from_pandas(df), input_label="ctx-test")
+
+    got = search_context(out, "ERROR*timeout", before=1, after=2).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # c1: match at 1 → keep 0..3; c2: no match → nothing; c3: match at 0 → 0..1
+    assert list(zip(got["conv_id"], got["turn_idx"])) == [
+        ("c1", 0), ("c1", 1), ("c1", 2), ("c1", 3), ("c3", 0), ("c3", 1)]
+    assert got["is_match"].tolist() == [False, True, False, False, True, False]
+    assert "c2" not in set(got["conv_id"])
+
+    # no match → empty with stable schema (consume via iter_batches:
+    # Ray's to_pandas() drops columns on block-less Datasets)
+    none = search_context(out, "NOSUCHTOKEN*xyz")
+    assert "is_match" in none.schema().names
+    assert sum(len(b) for b in none.iter_batches(batch_format="pyarrow")) == 0
