@@ -930,3 +930,26 @@ def clps_field_index(out_dir: str) -> pa.Table:
          "type": pa.array([t for (_, t), _ in items], type=pa.string()),
          "n_records": pa.array([n for _, n in items], type=pa.int64())}
     )
+
+
+def clps_search_kv_ir(paths, query: str):
+    """KQL directly over KV-IR streams — no archive in between (the
+    in-flight filter a log viewer applies to IR chunks; the reference
+    searches only archives, clp_s/search/*, so IR-stream search is this
+    repo's extension). Per batch: parse the canonical JSON back to nested
+    Arrow, flatten to dotted leaves, and evaluate the DNF with the same
+    ``eval_dnf`` kernel the archive scan uses. Returns
+    Dataset[(log_event_idx, json)] of hits."""
+    from clp_core_ray.functions.filters import eval_dnf, parse_kql, to_dnf
+    from clp_core_ray.ir_kv import read_kv_ir
+
+    dnf = to_dnf(parse_kql(query))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        lines = batch.column("json").to_pylist()
+        flat = pa.table(_flatten(_parse_lines(lines)))
+        mask = eval_dnf(flat, dnf)
+        return batch.filter(mask)
+
+    return read_kv_ir(paths).map_batches(filt, batch_format="pyarrow") \
+        .select_columns(["log_event_idx", "json"])

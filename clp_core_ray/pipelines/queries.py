@@ -829,6 +829,30 @@ def clps_split_roundtrip(sf_dir: str):
 
 
 @register(
+    "clps_kv_ir_search",
+    "SELECT '{\"k\": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)"
+    " || '}' AS json FROM events "
+    "WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 80",
+)
+def clps_kv_ir_search(sf_dir: str):
+    """KQL filter applied directly to KV-IR streams (no archive): the
+    in-flight chunk filtering path, sharing eval_dnf with the archive scan."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray.ir_kv import write_kv_ir
+    from clp_core_ray.pipelines.clps import clps_search_kv_ir, ndjson_from_parquet_column
+
+    out = tempfile.mkdtemp(prefix="clps_kvir_q_")
+    try:
+        src = ndjson_from_parquet_column(f"{sf_dir}/events.parquet", "props")
+        paths = write_kv_ir(src, out)
+        return clps_search_kv_ir(paths, "k >= 80").select_columns(["json"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "clps_kv_ir_roundtrip",
     "SELECT '{\"k\": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)"
     " || '}' AS json FROM events",

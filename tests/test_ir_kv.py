@@ -124,3 +124,25 @@ def test_kv_ir_ingest_to_clps_archive(ray_session, tmp_path):
     assert sum(schemas.values()) == 300
     back = clps_decompress(out, ordered=True).to_pandas()["json"].tolist()
     assert back == lines
+
+
+def test_kv_ir_kql_search(ray_session, tmp_path):
+    """KQL evaluated directly over KV-IR chunks (no archive): the same
+    eval_dnf kernel the archive scan uses, applied in flight."""
+    import ray.data as rd
+
+    from clp_core_ray.ir_kv import write_kv_ir
+    from clp_core_ray.pipelines.clps import clps_search_kv_ir
+
+    lines = [json.dumps({"k": i, "tag": "hot" if i % 7 == 0 else "cold"},
+                        sort_keys=True) for i in range(400)]
+    ds = rd.from_arrow(pa.table({
+        "log_event_idx": pa.array(np.arange(400), type=pa.int64()),
+        "raw": pa.array(lines, type=pa.large_string()),
+    })).repartition(4)
+    paths = write_kv_ir(ds, str(tmp_path / "kvir"))
+
+    hits = clps_search_kv_ir(paths, 'tag: "hot" AND k >= 100').to_pandas()
+    expect = [i for i in range(400) if i % 7 == 0 and i >= 100]
+    assert sorted(hits["log_event_idx"].tolist()) == expect
+    assert all('"tag": "hot"' in j for j in hits["json"])
