@@ -804,3 +804,253 @@ def fuzzy_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         joined = hash_join(left, renamed, id_col, "_cdoc",
                            join_type="left_outer")
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# exact duplicated-substring spans (suffix-array semantics via rolling hash)
+# --------------------------------------------------------------------------
+#
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+# 2022) removes every substring of >= L tokens that appears more than once
+# in the corpus, found with a suffix array. At Ray scale the equivalent
+# EXACT semantics come from rolling-hash L-char windows:
+#
+#   stage 1  per-batch rolling hashes of every window, per-batch
+#            unique+count partials -> groupby(hash).sum -> hashes with
+#            global count >= min_count (the candidate set — tiny next to
+#            the window stream, it is only the *duplicated* content)
+#   stage 2  candidate membership redistributed either as a broadcast
+#            sorted array (ray.put once, searchsorted per batch) or, above
+#            the cap, as a fixed-size bloom fold — membership may
+#            over-approximate freely because
+#   stage 3  marked windows (and only those) ship their actual L-char text
+#            into a hash-bucketed exact groupby: windows whose *string*
+#            occurs >= min_count times survive.  Hash collisions and bloom
+#            false positives die here, so the result is exact, never
+#            approximate.
+#   stage 4  per-doc gaps-and-islands merge of surviving window starts into
+#            maximal [start, end) character spans (vectorized lexsort +
+#            cumsum inside doc-hash buckets).
+#
+# Exchange cost: stage 1 ships ~16 B per input char (8 B hash + count,
+# after per-batch dedup) — the same order as suffix-array construction's
+# 8 B/char and the price of exactness; stages 3/4 scale with the volume of
+# *duplicated* text only.
+
+_RH_B = np.uint64(0x100000001B3)  # FNV prime; odd => invertible mod 2^64
+_RH_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _rolling_window_hashes(texts: list, window: int):
+    """Vectorized rolling hashes of every ``window``-char slice.
+
+    Returns ``(h, n_win, pos)``: one uint64 hash per window across all docs
+    (doc-major, position-minor), windows per doc, and each window's char
+    offset within its doc. Operates on code points (UTF-32), so offsets
+    match Python ``str`` indexing and SQL ``substring`` semantics.
+
+    The hash of text[i:i+L] is sum_t c[i+t] * Binv^t, computed for ALL i in
+    one pass: with prefix sums S over c[j] * Binv^(local j), the window sum
+    is (S[i+L] - S[i]) * B^i — B odd makes Binv exact mod 2^64, and uint64
+    wraparound IS the modulus. A final splitmix mix spreads the polynomial
+    structure before bucketing.
+    """
+    lens = np.fromiter((len(t) if t is not None else 0 for t in texts),
+                       dtype=np.int64, count=len(texts))
+    total = int(lens.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64), np.zeros(len(texts), np.int64), z
+    joined = "".join(t or "" for t in texts)
+    buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    buf = buf.astype(np.uint64)
+    offs = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    maxlen = int(lens.max())
+    bpow = np.ones(maxlen + 1, dtype=np.uint64)
+    binvpow = np.ones(maxlen + 1, dtype=np.uint64)
+    if maxlen:
+        np.multiply.accumulate(np.full(maxlen, _RH_B), out=bpow[1:])
+        np.multiply.accumulate(np.full(maxlen, _RH_BINV), out=binvpow[1:])
+    local = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
+    s = np.zeros(total + 1, dtype=np.uint64)
+    np.cumsum(buf * binvpow[local], out=s[1:])
+
+    n_win = np.maximum(lens - window + 1, 0)
+    woffs = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(n_win, out=woffs[1:])
+    n_tot = int(woffs[-1])
+    pos = np.arange(n_tot, dtype=np.int64) - np.repeat(woffs[:-1], n_win)
+    gidx = pos + np.repeat(offs[:-1], n_win)
+    h = (s[gidx + window] - s[gidx]) * bpow[pos]
+    # splitmix64 finalizer
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
+    return h, n_win, pos
+
+
+def dup_spans_ds(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 window: int = 40, min_count: int = 2,
+                 n_buckets: int = 64, driver_cap_bytes: int | None = None):
+    """Exact duplicated-substring spans over a document Dataset.
+
+    Returns Dataset[(id_col, span_start, span_end)] — maximal merged
+    [start, end) character ranges covered by ``window``-char slices whose
+    exact text occurs at >= ``min_count`` sites corpus-wide (a site is a
+    (doc, position); repeats inside one doc count). Lee et al. 2022
+    substring-dedup semantics; see the stage walkthrough above.
+    """
+    import ray
+
+    from clp_core_ray.functions.sketch import _finalize
+    from clp_core_ray.pipelines.join import (BLOOM_LOG2_BITS, BLOOM_N_HASHES,
+                                             BROADCAST_BYTES_CAP,
+                                             _bloom_positions, build_bloom)
+
+    cap = BROADCAST_BYTES_CAP if driver_cap_bytes is None else driver_cap_bytes
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h, _, _ = _rolling_window_hashes(texts, window)
+        uniq, cnt = np.unique(h, return_counts=True)
+        # int64 bit-view: groupby keys and the bloom's _hash_col path both
+        # expect signed ints; hash-range bucket instead of a full key sort —
+        # the bucket fold is a vectorized np.unique, not a Ray sort of every
+        # window hash
+        return pa.table({
+            "_hbucket": pa.array((uniq & np.uint64(
+                n_buckets - 1)).astype(np.int32)),
+            "win_hash": pa.array(uniq.view(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    def bucket_dups(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "win_hash" not in group.column_names:
+            return pa.table({"win_hash": pa.array([], type=pa.int64())})
+        hs = np.asarray(group.column("win_hash"), dtype=np.int64)
+        cs = np.asarray(group.column("cnt"), dtype=np.int64)
+        uniq, inv = np.unique(hs, return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, cs)
+        return pa.table({"win_hash": pa.array(uniq[tot >= min_count])})
+
+    # the candidate set is the SMALL side (only duplicated content) —
+    # materialize once so the count gate and the collect/bloom fold don't
+    # re-execute the window scan
+    candidates = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("_hbucket").map_groups(bucket_dups, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # membership for the mark stage: broadcast sorted array under the cap
+    # (exact), bloom fold above it (over-approximate; stage 3 verifies)
+    n_cand = candidates.count()
+    use_bloom = n_cand * 8 > cap
+    if use_bloom:
+        bits_ref = ray.put(build_bloom(candidates, "win_hash",
+                                       log2_bits=BLOOM_LOG2_BITS))
+    else:
+        blocks = [t for t in ray.get(candidates.to_arrow_refs())
+                  if t.num_columns]
+        cand = (np.sort(np.concatenate(
+            [np.asarray(t.column("win_hash"), dtype=np.int64)
+             for t in blocks])) if blocks else np.zeros(0, dtype=np.int64))
+        bits_ref = ray.put(cand)
+
+    mask_buckets = np.uint64(n_buckets - 1)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        h, n_win, pos = _rolling_window_hashes(texts, window)
+        member = ray.get(bits_ref)
+        if not len(h):
+            hit = np.zeros(0, dtype=bool)
+        elif use_bloom:
+            # same key transform as build_bloom's _hash_col on the int64
+            # column: bit-view then splitmix
+            posn = _bloom_positions(_finalize(h), BLOOM_LOG2_BITS,
+                                    BLOOM_N_HASHES)
+            hit = (member[posn >> 6] >> (posn & 63).astype(np.uint64)
+                   & np.uint64(1)).astype(bool).all(axis=1)
+        else:
+            hq = h.view(np.int64)
+            idx = np.searchsorted(member, hq)
+            idx_c = np.minimum(idx, max(len(member) - 1, 0))
+            hit = (member[idx_c] == hq) if len(member) else np.zeros(
+                len(h), dtype=bool)
+        sel = np.flatnonzero(hit)
+        if not len(sel):
+            return pa.table({
+                "_bucket": pa.array([], type=pa.int32()),
+                "win": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64())})
+        doc_of = np.repeat(np.arange(len(texts)), n_win)
+        # extract the marked windows' text in one decode: gather the code
+        # points into an (n_sel, window) block, decode once, slice flat
+        joined = "".join(t or "" for t in texts)
+        buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        lens = np.fromiter((len(t) if t is not None else 0 for t in texts),
+                           dtype=np.int64, count=len(texts))
+        offs = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        g0 = offs[doc_of[sel]] + pos[sel]
+        block = buf[g0[:, None] + np.arange(window)]
+        flat = block.tobytes().decode("utf-32-le")
+        wins = [flat[i * window:(i + 1) * window] for i in range(len(sel))]
+        bucket = (h[sel] & mask_buckets).astype(np.int32)
+        return pa.table({"_bucket": pa.array(bucket),
+                         "win": pa.array(wins, type=pa.string()),
+                         id_col: pa.array(ids[doc_of[sel]]),
+                         "pos": pa.array(pos[sel])})
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64())})
+        counts = group.group_by("win").aggregate([("win", "count")])
+        kept = counts.filter(
+            pc.greater_equal(counts.column("win_count"),
+                             min_count)).column("win")
+        keep = pc.is_in(group.column("win"), value_set=kept.combine_chunks())
+        out = group.filter(keep)
+        return out.select([id_col, "pos"])
+
+    marked = (
+        ds.map_batches(mark, batch_format="pyarrow")
+        .groupby("_bucket").map_groups(verify_bucket, batch_format="pyarrow")
+    )
+
+    def merge_spans(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "pos" not in group.column_names:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "span_start": pa.array([], type=pa.int64()),
+                             "span_end": pa.array([], type=pa.int64())})
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        pos = np.asarray(group.column("pos"), dtype=np.int64)
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        # new island when the doc changes or the window starts past the
+        # previous window's end (gap > window chars)
+        brk = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            brk[1:] = (ids[1:] != ids[:-1]) | (pos[1:] - pos[:-1] > window)
+        gid = np.cumsum(brk) - 1
+        starts = pos[brk]
+        last = np.zeros(gid[-1] + 1, dtype=np.int64)
+        np.maximum.at(last, gid, pos)
+        return pa.table({id_col: pa.array(ids[brk]),
+                         "span_start": pa.array(starts),
+                         "span_end": pa.array(last + window)})
+
+    def doc_bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        b = (ids % np.int64(n_buckets)).astype(np.int32)
+        return batch.append_column("_dbucket", pa.array(b))
+
+    return (
+        marked.map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("_dbucket").map_groups(merge_spans, batch_format="pyarrow")
+    )

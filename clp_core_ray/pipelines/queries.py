@@ -1200,6 +1200,40 @@ def docs_ngram_dup_pairs(sf_dir: str):
     return ngram_jaccard_pairs(ds.repartition(4), threshold=0.4)
 
 
+_DUP_SPAN_L = 40
+
+@register(
+    "docs_dup_spans",
+    "WITH w AS ("
+    f"  SELECT doc_id, i AS pos, substring(text, i, {_DUP_SPAN_L}) AS win"
+    "   FROM documents, LATERAL (SELECT unnest(generate_series("
+    f"     1, length(text) - {_DUP_SPAN_L} + 1)) AS i) t"
+    "), dup AS ("
+    "  SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2"
+    "), marked AS ("
+    "  SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM dup)"
+    "), brk AS ("
+    "  SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER ("
+    f"    PARTITION BY doc_id ORDER BY pos) <= {_DUP_SPAN_L}"
+    "    THEN 0 ELSE 1 END AS b FROM marked"
+    "), grp AS ("
+    "  SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos)"
+    "    AS g FROM brk)"
+    f"SELECT doc_id, MIN(pos) - 1 AS span_start, MAX(pos) - 1 + {_DUP_SPAN_L}"
+    "  AS span_end FROM grp GROUP BY doc_id, g",
+)
+def docs_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans (Lee et al. 2022 suffix-array
+    semantics via rolling-hash windows): maximal merged char ranges covered
+    by 40-char slices whose exact text occurs >= 2 times corpus-wide."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import dup_spans_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_spans_ds(ds.repartition(8), window=_DUP_SPAN_L)
+
+
 @register(
     "docs_simhash",
     "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
