@@ -1054,3 +1054,77 @@ def dup_spans_ds(ds, *, id_col: str = "doc_id", text_col: str = "text",
         marked.map_batches(doc_bucket, batch_format="pyarrow")
         .groupby("_dbucket").map_groups(merge_spans, batch_format="pyarrow")
     )
+
+
+def scrub_dup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    window: int = 40, min_count: int = 2,
+                    n_buckets: int = 64, spans=None):
+    """The deduplicated corpus: every duplicated span cut from every doc.
+
+    Returns Dataset[(id_col, text_col)] with each doc's duplicated spans
+    removed. Divergence from Lee et al. 2022 (they keep one occurrence):
+    removing ALL occurrences is order-independent — no global first-site
+    tiebreak shuffle — and gives the stricter guarantee (no window of the
+    output corpus below ``min_count`` sites survives from a duplicated one).
+
+    Spans are the small side (duplicated content only): folded to per-doc
+    start/end lists and auto-joined (broadcast under the cap, hash join
+    above). Cutting loops only over docs that HAVE spans.
+    """
+    from clp_core_ray.pipelines.join import auto_join
+
+    if spans is None:
+        spans = dup_spans_ds(ds, id_col=id_col, text_col=text_col,
+                             window=window, min_count=min_count,
+                             n_buckets=n_buckets)
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "span_start" not in group.column_names:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "_starts": pa.array([], type=pa.list_(pa.int64())),
+                "_ends": pa.array([], type=pa.list_(pa.int64()))})
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        st = np.asarray(group.column("span_start"), dtype=np.int64)
+        en = np.asarray(group.column("span_end"), dtype=np.int64)
+        order = np.lexsort((st, ids))
+        ids, st, en = ids[order], st[order], en[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = ids[1:] != ids[:-1]
+        offs = np.append(np.flatnonzero(brk), len(ids)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(ids[brk]),
+            "_starts": pa.ListArray.from_arrays(offs, pa.array(st)),
+            "_ends": pa.ListArray.from_arrays(offs, pa.array(en))})
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        return batch.append_column(
+            "_sbucket", pa.array((ids % np.int64(n_buckets)).astype(np.int32)))
+
+    folded = (spans.map_batches(bucket, batch_format="pyarrow")
+              .groupby("_sbucket").map_groups(fold, batch_format="pyarrow"))
+
+    joined = auto_join(ds.select_columns([id_col, text_col]), folded,
+                       id_col, id_col, ["_starts", "_ends"])
+
+    def cut(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        starts = batch.column("_starts").to_pylist()
+        ends = batch.column("_ends").to_pylist()
+        out = []
+        for t, ss, ee in zip(texts, starts, ends):
+            t = t or ""
+            if not ss:
+                out.append(t)
+                continue
+            parts, prev = [], 0
+            for s, e in zip(ss, ee):
+                parts.append(t[prev:s])
+                prev = e
+            parts.append(t[prev:])
+            out.append("".join(parts))
+        return pa.table({id_col: batch.column(id_col),
+                         text_col: pa.array(out, type=pa.string())})
+
+    return joined.map_batches(cut, batch_format="pyarrow")

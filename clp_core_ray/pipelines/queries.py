@@ -1235,6 +1235,47 @@ def docs_dup_spans(sf_dir: str):
 
 
 @register(
+    "docs_scrub_dup_spans",
+    "WITH w AS ("
+    f"  SELECT doc_id, i AS pos, substring(text, i, {_DUP_SPAN_L}) AS win"
+    "   FROM documents, LATERAL (SELECT unnest(generate_series("
+    f"     1, length(text) - {_DUP_SPAN_L} + 1)) AS i) t"
+    "), dup AS ("
+    "  SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2"
+    "), marked AS ("
+    "  SELECT doc_id, pos FROM w WHERE win IN (SELECT win FROM dup)"
+    "), brk AS ("
+    "  SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER ("
+    f"    PARTITION BY doc_id ORDER BY pos) <= {_DUP_SPAN_L}"
+    "    THEN 0 ELSE 1 END AS b FROM marked"
+    "), grp AS ("
+    "  SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos)"
+    "    AS g FROM brk"
+    "), spans AS ("
+    f"  SELECT doc_id, MIN(pos) AS s1, MAX(pos) + {_DUP_SPAN_L} AS e1"
+    "   FROM grp GROUP BY doc_id, g"
+    "), chars AS ("
+    "  SELECT d.doc_id, i FROM documents d, LATERAL (SELECT unnest("
+    "    generate_series(1, length(d.text))) AS i) t"
+    "  WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = d.doc_id"
+    "    AND i >= s.s1 AND i < s.e1))"
+    "SELECT d.doc_id, coalesce(string_agg(substring(d.text, c.i, 1), ''"
+    "  ORDER BY c.i), '') AS text "
+    "FROM documents d LEFT JOIN chars c ON d.doc_id = c.doc_id "
+    "GROUP BY d.doc_id",
+)
+def docs_scrub_dup_spans(sf_dir: str):
+    """The deduplicated corpus: every >=2-site 40-char duplicated span cut
+    from every doc (strict remove-all policy; see scrub_dup_spans)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import scrub_dup_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return scrub_dup_spans(ds.repartition(8), window=_DUP_SPAN_L)
+
+
+@register(
     "docs_simhash",
     "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(count(*) AS BIGINT) AS n_stable, "
