@@ -468,6 +468,37 @@ def events_topk_latest(sf_dir: str):
 
 
 @register(
+    "events_trailing_hour",
+    "SELECT event_id, "
+    "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN "
+    "  INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS trailing_cnt, "
+    "SUM(CAST(floor(value) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts "
+    "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS trailing_sum "
+    "FROM events",
+)
+def events_trailing_hour(sf_dir: str):
+    """Trailing event-time RANGE-frame aggregate: per user, how many events
+    (and their floor(value) sum) landed in the preceding hour — the rate /
+    activity-feature window Ray Data has no native operator for."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import trailing_window_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def add_int_val(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ival", _pc.cast(_pc.floor(t.column("value")), pa.int64()))
+
+    return trailing_window_agg(
+        ds.map_batches(add_int_val, batch_format="pyarrow"),
+        key="user_id", ts_col="ts", row_id_col="event_id",
+        window_us=3_600_000_000, val_col="_ival")
+
+
+@register(
     "orders_by_nation",
     "SELECT n.n_name AS nation, count(*) AS cnt FROM orders o "
     "JOIN customer c ON o.o_custkey = c.c_custkey "

@@ -222,3 +222,65 @@ def turn_pairs(ds, *, prompt_role: str = "user",
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def trailing_window_agg(ds, *, key: str, ts_col: str, row_id_col: str,
+                        window_us: int, val_col: str | None = None,
+                        n_buckets: int = N_BUCKETS):
+    """Trailing event-time window aggregate — the SQL RANGE frame
+
+        COUNT(*) [, SUM(val)] OVER (PARTITION BY key ORDER BY ts
+                                    RANGE BETWEEN window PRECEDING
+                                    AND CURRENT ROW)
+
+    for an integer partition key. Returns Dataset[(row_id_col, trailing_cnt
+    [, trailing_sum])].
+
+    Shape: one shuffle into ``key``-hash buckets, then a fully vectorized
+    pass per bucket — lexsort by (key, ts), fold each partition onto a
+    disjoint segment of one composite int axis (partition ordinal × stride +
+    ts offset, stride > ts span + window so windows can never cross
+    partitions), and two searchsorted sweeps give every row's frame in
+    O(n log n) with no per-partition loop. side='right' on the current value
+    includes equal-ts PEERS (later physical rows with the same ts), exactly
+    the SQL RANGE ... CURRENT ROW peer rule. Hot keys only fatten one
+    bucket; the pass inside stays vectorized.
+    """
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(key), dtype=np.int64)
+        cols = [row_id_col, key, ts_col] + ([val_col] if val_col else [])
+        return batch.select(cols).append_column(
+            "_wbucket", pa.array((ids % np.int64(n_buckets)).astype(np.int32)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        out_cols = {row_id_col: pa.array([], type=pa.int64()),
+                    "trailing_cnt": pa.array([], type=pa.int64())}
+        if val_col:
+            out_cols["trailing_sum"] = pa.array([], type=pa.int64())
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table(out_cols)
+        ids = np.asarray(group.column(key), dtype=np.int64)
+        ts = np.asarray(group.column(ts_col)).view(np.int64)
+        rid = np.asarray(group.column(row_id_col), dtype=np.int64)
+        order = np.lexsort((ts, ids))
+        ids, ts, rid = ids[order], ts[order], rid[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = ids[1:] != ids[:-1]
+        part = np.cumsum(brk) - 1
+        t0 = ts.min()
+        stride = np.int64(int(ts.max()) - int(t0) + int(window_us) + 2)
+        adj = part * stride + (ts - t0)
+        right = np.searchsorted(adj, adj, side="right")
+        left = np.searchsorted(adj, adj - np.int64(window_us), side="left")
+        res = {row_id_col: pa.array(rid),
+               "trailing_cnt": pa.array(right - left)}
+        if val_col:
+            v = np.asarray(group.column(val_col), dtype=np.int64)[order]
+            csum = np.zeros(len(v) + 1, dtype=np.int64)
+            np.cumsum(v, out=csum[1:])
+            res["trailing_sum"] = pa.array(csum[right] - csum[left])
+        return pa.table(res)
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_wbucket").map_groups(per_bucket, batch_format="pyarrow"))

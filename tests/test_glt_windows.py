@@ -246,3 +246,38 @@ def test_turn_pairs(ray_session):
     # only adjacent user→assistant transitions: a(0→1); NOT a(1→2)
     # (assistant→assistant), NOT b (assistant first), NOT across convs
     assert got == [("a", "q1", "a1")]
+
+
+def test_trailing_window_agg_range_peers(ray_session):
+    """RANGE-frame semantics incl. equal-ts PEERS (later physical rows with
+    the same ts count), window boundary inclusive, partitions independent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import trailing_window_agg
+
+    W = 100  # window in us
+    #              rid  key  ts    val
+    rows = [(0, 1, 0, 1),
+            (1, 1, 50, 2),
+            (2, 1, 100, 4),   # ts-0 still inside (boundary inclusive)
+            (3, 1, 100, 8),   # PEER of rid 2: both frames include both
+            (4, 1, 300, 16),  # everything else aged out
+            (5, 2, 60, 32)]   # other partition unaffected
+    t = pa.table({
+        "rid": pa.array([r[0] for r in rows], type=pa.int64()),
+        "k": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], dtype="datetime64[us]")),
+        "v": pa.array([r[3] for r in rows], type=pa.int64())})
+    out = trailing_window_agg(rd.from_arrow(t).repartition(3), key="k",
+                              ts_col="ts", row_id_col="rid", window_us=W,
+                              val_col="v").to_pandas().set_index("rid")
+    assert out.loc[0, "trailing_cnt"] == 1 and out.loc[0, "trailing_sum"] == 1
+    assert out.loc[1, "trailing_cnt"] == 2 and out.loc[1, "trailing_sum"] == 3
+    # rids 2 and 3 are peers at ts=100: frame = {0,1,2,3} for BOTH
+    for rid in (2, 3):
+        assert out.loc[rid, "trailing_cnt"] == 4
+        assert out.loc[rid, "trailing_sum"] == 15
+    assert out.loc[4, "trailing_cnt"] == 1 and out.loc[4, "trailing_sum"] == 16
+    assert out.loc[5, "trailing_cnt"] == 1 and out.loc[5, "trailing_sum"] == 32
