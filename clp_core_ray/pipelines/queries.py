@@ -499,6 +499,23 @@ def events_trailing_hour(sf_dir: str):
 
 
 @register(
+    "docs_global_rank",
+    "SELECT doc_id, RANK() OVER (ORDER BY n_chars DESC) AS rnk FROM documents",
+)
+def docs_global_rank(sf_dir: str):
+    """Distributed global RANK() with no global sort: value-range buckets +
+    driver cumsum of per-bucket counts + vectorized in-bucket ranking."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import global_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return global_rank(ds.repartition(8), val_col="n_chars",
+                       row_id_col="doc_id", descending=True)
+
+
+@register(
     "orders_by_nation",
     "SELECT n.n_name AS nation, count(*) AS cnt FROM orders o "
     "JOIN customer c ON o.o_custkey = c.c_custkey "

@@ -281,3 +281,31 @@ def test_trailing_window_agg_range_peers(ray_session):
         assert out.loc[rid, "trailing_sum"] == 15
     assert out.loc[4, "trailing_cnt"] == 1 and out.loc[4, "trailing_sum"] == 16
     assert out.loc[5, "trailing_cnt"] == 1 and out.loc[5, "trailing_sum"] == 32
+
+
+def test_global_rank_ties_and_desc(ray_session):
+    """SQL RANK() semantics: ties share the min rank, gaps after ties;
+    DESC ranks the largest value 1. Ties must not straddle range buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import global_rank
+
+    vals = np.array([5, 3, 3, 9, 1, 9, 9, 7], dtype=np.int64)
+    t = pa.table({"rid": pa.array(np.arange(len(vals))), "v": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(4)
+
+    out = global_rank(ds, val_col="v", row_id_col="rid",
+                      n_buckets=4).to_pandas().set_index("rid")["rnk"]
+    # ASC: 1->1, 3->2,2, 5->4, 7->5, 9->6,6,6
+    assert out.loc[4] == 1
+    assert out.loc[1] == 2 and out.loc[2] == 2
+    assert out.loc[0] == 4 and out.loc[7] == 5
+    assert all(out.loc[i] == 6 for i in (3, 5, 6))
+
+    outd = global_rank(ds, val_col="v", row_id_col="rid", n_buckets=4,
+                       descending=True).to_pandas().set_index("rid")["rnk"]
+    assert all(outd.loc[i] == 1 for i in (3, 5, 6))
+    assert outd.loc[7] == 4 and outd.loc[0] == 5
+    assert outd.loc[1] == 6 and outd.loc[2] == 6 and outd.loc[4] == 8
