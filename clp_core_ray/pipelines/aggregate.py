@@ -185,23 +185,43 @@ def stats_by(ds, keys: list[str] | str, ts_col: str = "ts", size_col: str | None
     return ds.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(*aggs)
 
 
-def global_rank(ds, *, val_col: str, row_id_col: str,
-                n_buckets: int = 1024, descending: bool = False):
-    """Distributed ``RANK() OVER (ORDER BY val_col [DESC])`` for an int64
-    value column (ties share the min rank, SQL RANK semantics).
 
-    No global sort: value-RANGE buckets split the key space, per-bucket row
-    counts cumsum on the driver (#buckets rows, not #rows), and one bucket-
-    partitioned vectorized pass ranks inside each bucket and adds its
-    offset — the pack_sequences two-pass prefix-sum shape applied to
-    ordering. Skewed value distributions fatten individual buckets (the
-    pass inside stays vectorized); rank = 1 + #values strictly lower.
-    Returns Dataset[(row_id_col, "rnk")].
+def global_window(ds, *, val_col: str, row_id_col: str,
+                  funcs: tuple[str, ...] = ("rank",), ntile: int | None = None,
+                  n_buckets: int = 1024, descending: bool = False):
+    """Distributed analytic window functions over ``ORDER BY val_col [DESC]``
+    for an int64 value column, with NO global sort.
+
+    ``funcs`` ⊆ {"rank", "dense_rank", "row_number", "ntile"} → output
+    columns ``rnk`` / ``drnk`` / ``rn`` / ``tile`` alongside ``row_id_col``.
+    SQL semantics exactly: RANK ties share the min rank (gaps after), DENSE_RANK
+    has no gaps, ROW_NUMBER and NTILE break value ties by ascending
+    ``row_id_col``, NTILE puts the larger groups first.
+
+    Shape: value-RANGE buckets split the key space (equal values can never
+    straddle a range boundary, so tie groups stay whole), per-bucket row and
+    distinct-value counts are pre-aggregated per batch and cumsum'd on the
+    driver (#buckets rows, not #rows), then ONE bucket-partitioned vectorized
+    pass computes every requested function inside its bucket and adds the
+    bucket's offsets. Skewed value distributions fatten individual buckets but
+    the in-bucket pass stays a lexsort + searchsorted. The exchange for the
+    offsets pass is per-batch-distinct (bucket, value, cnt) partials — O(batch
+    cardinality), never raw rows.
     """
     import numpy as np
     import ray
+    from ray.data.aggregate import Count as ACount
     from ray.data.aggregate import Max as AMax
     from ray.data.aggregate import Min as AMin
+    from ray.data.aggregate import Sum as ASum
+
+    funcs = tuple(funcs)
+    bad = set(funcs) - {"rank", "dense_rank", "row_number", "ntile"}
+    if bad:
+        raise ValueError(f"unknown window funcs: {sorted(bad)}")
+    if "ntile" in funcs and not ntile:
+        raise ValueError("funcs includes 'ntile' but ntile=N not given")
+    need_distinct = "dense_rank" in funcs
 
     def tag_src(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column(val_col), dtype=np.int64)
@@ -224,25 +244,81 @@ def global_rank(ds, *, val_col: str, row_id_col: str,
             "_rbucket", pa.array(((v - lo) // width).astype(np.int32)))
 
     tagged = vals.map_batches(tag, batch_format="pyarrow").materialize()
-    per_bucket = tagged.groupby("_rbucket").count().to_pandas()
-    per_bucket = per_bucket.sort_values("_rbucket")
-    offsets, run = {}, 0
-    for b, c in zip(per_bucket["_rbucket"], per_bucket["count()"]):
-        offsets[int(b)] = run
-        run += int(c)
+
+    # Per-bucket (rows, distinct values) without shuffling rows: per-batch
+    # (bucket, value, cnt) partials -> exact (bucket, value) fold -> tiny
+    # per-bucket aggregate the driver can hold (#buckets rows).
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["_rbucket", "_v"])
+             .group_by(["_rbucket", "_v"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"_rbucket": g.column("_rbucket"),
+                         "_v": g.column("_v"),
+                         "cnt": g.column("count_all")})
+
+    pairs = (tagged.map_batches(partial_pairs, batch_format="pyarrow")
+             .groupby(["_rbucket", "_v"])
+             .aggregate(ASum("cnt", alias_name="cnt")))
+    per_bucket = (pairs.groupby("_rbucket")
+                  .aggregate(ASum("cnt", alias_name="rows"),
+                             ACount("_v", alias_name="distinct"))
+                  .to_pandas().sort_values("_rbucket"))
+    offsets, row_run, dist_run = {}, 0, 0
+    for b, r, d in zip(per_bucket["_rbucket"], per_bucket["rows"],
+                       per_bucket["distinct"]):
+        offsets[int(b)] = (row_run, dist_run)
+        row_run += int(r)
+        dist_run += int(d)
+    n_total = row_run
     off_ref = ray.put(offsets)
 
-    def rank_bucket(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0 or "_v" not in group.column_names:
-            return pa.table({row_id_col: pa.array([], type=pa.int64()),
-                             "rnk": pa.array([], type=pa.int64())})
-        off = ray.get(off_ref)[int(group.column("_rbucket")[0].as_py())]
-        v = np.asarray(group.column("_v"), dtype=np.int64)
-        sv = np.sort(v)
-        within = np.searchsorted(sv, v, side="left")
-        return pa.table({
-            row_id_col: group.column(row_id_col),
-            "rnk": pa.array(within + off + 1)})
+    out_cols = [(f, {"rank": "rnk", "dense_rank": "drnk",
+                     "row_number": "rn", "ntile": "tile"}[f]) for f in funcs]
 
-    return tagged.groupby("_rbucket").map_groups(rank_bucket,
+    def window_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "_v" not in group.column_names:
+            schema = {row_id_col: pa.array([], type=pa.int64())}
+            for _, name in out_cols:
+                schema[name] = pa.array([], type=pa.int64())
+            return pa.table(schema)
+        row_off, dist_off = ray.get(off_ref)[
+            int(group.column("_rbucket")[0].as_py())]
+        v = np.asarray(group.column("_v"), dtype=np.int64)
+        ids = np.asarray(group.column(row_id_col), dtype=np.int64)
+        result = {row_id_col: group.column(row_id_col)}
+        if "rank" in funcs:
+            sv = np.sort(v)
+            result["rnk"] = pa.array(
+                np.searchsorted(sv, v, side="left") + row_off + 1)
+        if need_distinct:
+            uv = np.unique(v)
+            result["drnk"] = pa.array(
+                np.searchsorted(uv, v) + dist_off + 1)
+        if "row_number" in funcs or "ntile" in funcs:
+            order = np.lexsort((ids, v))
+            rn = np.empty(len(v), dtype=np.int64)
+            rn[order] = np.arange(1, len(v) + 1) + row_off
+            if "row_number" in funcs:
+                result["rn"] = pa.array(rn)
+            if "ntile" in funcs:
+                q, r = divmod(n_total, ntile)
+                big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+                tile = np.where(
+                    rn <= big,
+                    (rn - 1) // (q + 1) + 1,
+                    r + (rn - 1 - big) // max(q, 1) + 1)
+                result["tile"] = pa.array(tile.astype(np.int64))
+        return pa.table({row_id_col: result[row_id_col],
+                         **{name: result[name] for _, name in out_cols}})
+
+    return tagged.groupby("_rbucket").map_groups(window_bucket,
                                                  batch_format="pyarrow")
+
+
+def global_rank(ds, *, val_col: str, row_id_col: str,
+                n_buckets: int = 1024, descending: bool = False):
+    """Distributed ``RANK() OVER (ORDER BY val_col [DESC])`` — see
+    :func:`global_window`. Returns Dataset[(row_id_col, "rnk")]."""
+    return global_window(ds, val_col=val_col, row_id_col=row_id_col,
+                         funcs=("rank",), n_buckets=n_buckets,
+                         descending=descending)

@@ -516,6 +516,28 @@ def docs_global_rank(sf_dir: str):
 
 
 @register(
+    "docs_window_funcs",
+    "SELECT doc_id, RANK() OVER (ORDER BY n_chars) AS rnk, "
+    "DENSE_RANK() OVER (ORDER BY n_chars) AS drnk, "
+    "ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn, "
+    "NTILE(7) OVER (ORDER BY n_chars, doc_id) AS tile FROM documents",
+)
+def docs_window_funcs(sf_dir: str):
+    """Full analytic-window suite (RANK/DENSE_RANK/ROW_NUMBER/NTILE) in ONE
+    bucketed pass — no global sort; ties broken by doc_id exactly as the
+    SQL ORDER BY does."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import global_window
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return global_window(
+        ds.repartition(8), val_col="n_chars", row_id_col="doc_id",
+        funcs=("rank", "dense_rank", "row_number", "ntile"), ntile=7)
+
+
+@register(
     "orders_by_nation",
     "SELECT n.n_name AS nation, count(*) AS cnt FROM orders o "
     "JOIN customer c ON o.o_custkey = c.c_custkey "

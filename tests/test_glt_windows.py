@@ -309,3 +309,34 @@ def test_global_rank_ties_and_desc(ray_session):
     assert all(outd.loc[i] == 1 for i in (3, 5, 6))
     assert outd.loc[7] == 4 and outd.loc[0] == 5
     assert outd.loc[1] == 6 and outd.loc[2] == 6 and outd.loc[4] == 8
+
+
+def test_global_window_suite(ray_session):
+    """RANK/DENSE_RANK/ROW_NUMBER/NTILE in one pass match SQL semantics,
+    including N < ntile and heavy duplication."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import global_window
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 4, size=41).astype(np.int64)
+    ids = np.arange(41, dtype=np.int64)
+    rng.shuffle(ids)
+    t = pa.table({"id": pa.array(ids), "v": pa.array(vals)})
+    out = global_window(
+        rd.from_arrow(t).repartition(5), val_col="v", row_id_col="id",
+        funcs=("rank", "dense_rank", "row_number", "ntile"), ntile=50,
+        n_buckets=3).to_pandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    o = con.execute(
+        "SELECT id, RANK() OVER (ORDER BY v) rnk,"
+        " DENSE_RANK() OVER (ORDER BY v) drnk,"
+        " ROW_NUMBER() OVER (ORDER BY v, id) rn,"
+        " NTILE(50) OVER (ORDER BY v, id) tile FROM t ORDER BY id").df()
+    for c in ("rnk", "drnk", "rn", "tile"):
+        assert (out[c].astype("int64").values
+                == o[c].astype("int64").values).all(), c
