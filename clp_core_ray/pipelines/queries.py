@@ -499,6 +499,37 @@ def events_trailing_hour(sf_dir: str):
 
 
 @register(
+    "events_user_running",
+    "SELECT event_id, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+    "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+    "  (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us, "
+    "SUM(CAST(floor(value) AS BIGINT)) OVER (PARTITION BY user_id "
+    "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_sum "
+    "FROM events",
+)
+def events_user_running(sf_dir: str):
+    """Per-user sequential window features in one bucketed pass: event ordinal
+    (ROW_NUMBER), microseconds since the user's previous event (LAG gap, -1 at
+    the first), and running floor(value) sum (ROWS UNBOUNDED PRECEDING)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import partition_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def add_int_val(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_ival", _pc.cast(_pc.floor(t.column("value")), pa.int64()))
+
+    return partition_window(
+        ds.map_batches(add_int_val, batch_format="pyarrow"),
+        key="user_id", ts_col="ts", row_id_col="event_id", val_col="_ival")
+
+
+@register(
     "docs_global_rank",
     "SELECT doc_id, RANK() OVER (ORDER BY n_chars DESC) AS rnk FROM documents",
 )

@@ -284,3 +284,65 @@ def trailing_window_agg(ds, *, key: str, ts_col: str, row_id_col: str,
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_wbucket").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def partition_window(ds, *, key: str, ts_col: str, row_id_col: str,
+                     val_col: str | None = None,
+                     n_buckets: int = N_BUCKETS):
+    """Per-partition sequential window functions — the SQL ROWS frame
+
+        ROW_NUMBER()            OVER w                          -> rn
+        epoch_us(ts) - LAG(...) OVER w  (-1 at partition start)  -> gap_us
+        SUM(val)                OVER w ROWS UNBOUNDED PRECEDING -> run_sum
+
+    with w = (PARTITION BY key ORDER BY ts, row_id), for an integer
+    partition key and int64 val. Returns Dataset[(row_id_col, rn, gap_us
+    [, run_sum])].
+
+    Shape: one shuffle into key-hash buckets, then a fully vectorized pass
+    per bucket — lexsort by (key, ts, row_id), partition-start detection via
+    one neighbor compare, and every output is an arange/shift/cumsum off the
+    partition-start index vector; no per-partition loop. Hot keys only
+    fatten one bucket.
+    """
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(key), dtype=np.int64)
+        cols = [row_id_col, key, ts_col] + ([val_col] if val_col else [])
+        return batch.select(cols).append_column(
+            "_wbucket", pa.array((ids % np.int64(n_buckets)).astype(np.int32)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = {row_id_col: pa.array([], type=pa.int64()),
+                 "rn": pa.array([], type=pa.int64()),
+                 "gap_us": pa.array([], type=pa.int64())}
+        if val_col:
+            empty["run_sum"] = pa.array([], type=pa.int64())
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table(empty)
+        ids = np.asarray(group.column(key), dtype=np.int64)
+        ts = np.asarray(group.column(ts_col)).view(np.int64)
+        rid = np.asarray(group.column(row_id_col), dtype=np.int64)
+        order = np.lexsort((rid, ts, ids))
+        ids, ts, rid = ids[order], ts[order], rid[order]
+        n = len(ids)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(brk)
+        part = np.cumsum(brk) - 1
+        start_of = starts[part]
+        rn = np.arange(n, dtype=np.int64) - start_of + 1
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[brk] = -1
+        res = {row_id_col: pa.array(rid), "rn": pa.array(rn),
+               "gap_us": pa.array(gap)}
+        if val_col:
+            v = np.asarray(group.column(val_col), dtype=np.int64)[order]
+            cs = np.cumsum(v)
+            res["run_sum"] = pa.array(cs - cs[start_of] + v[start_of])
+        return pa.table(res)
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_wbucket").map_groups(per_bucket, batch_format="pyarrow"))

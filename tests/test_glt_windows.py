@@ -340,3 +340,34 @@ def test_global_window_suite(ray_session):
     for c in ("rnk", "drnk", "rn", "tile"):
         assert (out[c].astype("int64").values
                 == o[c].astype("int64").values).all(), c
+
+
+def test_partition_window_boundaries(ray_session):
+    """rn restarts per partition, gap_us is -1 at each partition start,
+    run_sum resets, ties ordered by row id."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import partition_window
+
+    #          rid key  ts  val
+    rows = [(10, 1, 100, 5),
+            (11, 1, 100, 7),    # ts tie with rid 10 -> ordered after by rid
+            (12, 1, 250, 1),
+            (20, 2, 100, 3),    # new partition: rn restarts, gap -1
+            (21, 2, 90, 2)]     # earlier ts sorts first within partition 2
+    t = pa.table({
+        "rid": pa.array([r[0] for r in rows], type=pa.int64()),
+        "k": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], dtype="datetime64[us]")),
+        "v": pa.array([r[3] for r in rows], type=pa.int64())})
+    out = partition_window(rd.from_arrow(t).repartition(3), key="k",
+                           ts_col="ts", row_id_col="rid", val_col="v"
+                           ).to_pandas().set_index("rid")
+    assert list(out.loc[[10, 11, 12], "rn"]) == [1, 2, 3]
+    assert list(out.loc[[10, 11, 12], "gap_us"]) == [-1, 0, 150]
+    assert list(out.loc[[10, 11, 12], "run_sum"]) == [5, 12, 13]
+    assert list(out.loc[[21, 20], "rn"]) == [1, 2]
+    assert list(out.loc[[21, 20], "gap_us"]) == [-1, 10]
+    assert list(out.loc[[21, 20], "run_sum"]) == [2, 5]
