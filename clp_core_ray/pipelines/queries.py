@@ -472,8 +472,8 @@ def events_topk_latest(sf_dir: str):
     "SELECT event_id, "
     "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN "
     "  INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS trailing_cnt, "
-    "SUM(CAST(floor(value) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts "
-    "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS trailing_sum "
+    "CAST(SUM(CAST(floor(value) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts "
+    "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_sum "
     "FROM events",
 )
 def events_trailing_hour(sf_dir: str):
@@ -504,8 +504,8 @@ def events_trailing_hour(sf_dir: str):
     "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
     "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER "
     "  (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us, "
-    "SUM(CAST(floor(value) AS BIGINT)) OVER (PARTITION BY user_id "
-    "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_sum "
+    "CAST(SUM(CAST(floor(value) AS BIGINT)) OVER (PARTITION BY user_id "
+    "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum "
     "FROM events",
 )
 def events_user_running(sf_dir: str):
