@@ -144,11 +144,21 @@ def _to_small_table(ds) -> "pa.Table":
 
 
 def add_time_bucket(ds, ts_col: str = "ts", granularity: str = "hour",
-                    out_col: str = "bucket"):
-    """Append a truncated-timestamp bucket column (A2: bucket = ts/size*size)."""
+                    out_col: str = "bucket", bucket_ms: int | None = None):
+    """Append a truncated-timestamp bucket column (A2: bucket = ts/size*size).
+
+    ``granularity`` takes a calendar unit; ``bucket_ms`` instead takes the
+    reference CLI's arbitrary millisecond bucket (clo --count-by-time
+    BUCKET_MS, OutputHandler.hpp:255-286) and emits int64 epoch-ms buckets.
+    """
 
     def fn(batch: pa.Table) -> pa.Table:
-        b = pc.floor_temporal(batch.column(ts_col), unit=granularity)
+        if bucket_ms:
+            us = pc.cast(batch.column(ts_col), pa.int64())
+            b = pc.multiply(
+                pc.divide(pc.divide(us, 1000), bucket_ms), bucket_ms)
+        else:
+            b = pc.floor_temporal(batch.column(ts_col), unit=granularity)
         return batch.append_column(out_col, b)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -344,6 +344,22 @@ def clp_search_count_by_hour(sf_dir: str):
 
 
 @register(
+    "clp_search_count_by_5min",
+    "SELECT (epoch_us(ts) // 1000) // 300000 * 300000 AS bucket, "
+    "count(*) AS cnt FROM {T} "
+    "WHERE text LIKE '%ERROR%timeout%' GROUP BY 1",
+)
+def clp_search_count_by_5min(sf_dir: str):
+    """clo --count-by-time with an arbitrary millisecond bucket (300000 ms):
+    bucket = ts/size*size in epoch ms, exactly the reference CLI's contract
+    (calendar date_trunc can't express a 5-minute bucket)."""
+    from clp_core_ray.pipelines.search import search_count_by_time
+
+    return search_count_by_time(_archive_dir(sf_dir), "ERROR*timeout",
+                                bucket_ms=300_000)
+
+
+@register(
     "clp_search_context",
     "SELECT t.conv_id, t.turn_idx, t.text, "
     "(t.text LIKE '%ERROR%timeout%') AS is_match FROM {T} t "

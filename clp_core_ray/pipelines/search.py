@@ -754,15 +754,17 @@ def search_count(target: str, query: str, ignore_case: bool = False,
 
 def search_count_by_time(target: str, query: str, granularity: str = "hour",
                          ignore_case: bool = False, ts_col: str = "ts",
-                         **prune):
+                         bucket_ms: int | None = None, **prune):
     """clo count-by-time: matches bucketed by truncated event timestamp
     (OutputHandler.hpp:255-286 bucket = ts/size*size; the reducer merge is
-    the groupby shuffle over per-batch partials)."""
+    the groupby shuffle over per-batch partials). ``bucket_ms`` mirrors the
+    CLI's arbitrary millisecond bucket; ``granularity`` the calendar units."""
     from clp_core_ray.pipelines.aggregate import add_time_bucket, count_by
 
     ds = _search_target(target, query, ignore_case, columns=[ts_col], **prune)
     return count_by(
-        add_time_bucket(ds, ts_col=ts_col, granularity=granularity), "bucket"
+        add_time_bucket(ds, ts_col=ts_col, granularity=granularity,
+                        bucket_ms=bucket_ms), "bucket"
     )
 
 
