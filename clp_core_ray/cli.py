@@ -147,9 +147,13 @@ def cmd_search(args) -> dict:
         return {"cmd": "search", "count": tbl.column("cnt")[0].as_py(),
                 "sec": round(time.time() - t0, 3)}
     if args.count_by_time:
+        # reference clo takes the bucket in ms; calendar units also accepted
+        kw = ({"bucket_ms": int(args.count_by_time)}
+              if args.count_by_time.isdigit()
+              else {"granularity": args.count_by_time})
         res = search_count_by_time(args.archive, args.query,
-                                   granularity=args.count_by_time,
-                                   ignore_case=args.ignore_case, **prune)
+                                   ignore_case=args.ignore_case,
+                                   **kw, **prune)
         pdf = res.to_pandas() if hasattr(res, "to_pandas") else res
         cnt_col = "cnt" if "cnt" in pdf.columns else "count"
         return {"cmd": "search", "buckets": len(pdf),
@@ -418,8 +422,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--query", required=True)
     s.add_argument("--ignore-case", action="store_true")
     s.add_argument("--count", action="store_true", help="clg --count")
-    s.add_argument("--count-by-time", metavar="GRANULARITY",
-                   help="clo count-by-time: hour/minute/day")
+    s.add_argument("--count-by-time", metavar="BUCKET",
+                   help="clo count-by-time: bucket size in ms (digits, "
+                        "reference contract) or hour/minute/day")
     s.add_argument("--out", help="write matches to parquet instead of stdout")
     s.add_argument("--limit", type=int, default=1000,
                    help="max matches printed to stdout")

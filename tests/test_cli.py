@@ -48,6 +48,13 @@ def test_cli_compress_search_extract(ray_session, tiny_sf_dir, tmp_path, capsys)
                            "--count-by-time", "hour"])
     assert res["total"] == n_err and res["buckets"] >= 1
 
+    # reference clo contract: bucket size in ms
+    res_ms, _ = _run(capsys, ["search", "--archive", arch,
+                              "--query", "*ERROR*",
+                              "--count-by-time", "3600000"])
+    assert res_ms["total"] == n_err
+    assert res_ms["buckets"] >= res["buckets"]
+
     out_pq = str(tmp_path / "x")
     res, _ = _run(capsys, ["decompress", "--archive", arch,
                            "--out", out_pq, "--ordered"])
