@@ -371,3 +371,75 @@ def test_partition_window_boundaries(ray_session):
     assert list(out.loc[[21, 20], "rn"]) == [1, 2]
     assert list(out.loc[[21, 20], "gap_us"]) == [-1, 10]
     assert list(out.loc[[21, 20], "run_sum"]) == [2, 5]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+       st.integers(2, 9))
+def test_global_window_property(ray_session, vals, k):
+    """Any int multiset, any NTILE k: all four functions equal DuckDB."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import global_window
+
+    n = len(vals)
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(np.asarray(vals, dtype=np.int64))})
+    out = global_window(
+        rd.from_arrow(t).repartition(3), val_col="v", row_id_col="id",
+        funcs=("rank", "dense_rank", "row_number", "ntile"), ntile=k,
+        n_buckets=4).to_pandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    o = con.execute(
+        f"SELECT id, RANK() OVER (ORDER BY v) rnk,"
+        f" DENSE_RANK() OVER (ORDER BY v) drnk,"
+        f" ROW_NUMBER() OVER (ORDER BY v, id) rn,"
+        f" NTILE({k}) OVER (ORDER BY v, id) tile FROM t ORDER BY id").df()
+    for c in ("rnk", "drnk", "rn", "tile"):
+        assert (out[c].astype("int64").values
+                == o[c].astype("int64").values).all(), c
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 200),
+                          st.integers(-20, 20)),
+                min_size=1, max_size=60))
+def test_partition_window_property(ray_session, rows):
+    """Any (key, ts, val) multiset: rn / gap_us / run_sum equal DuckDB."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import partition_window
+
+    n = len(rows)
+    t = pa.table({
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array(np.asarray([r[0] for r in rows], dtype=np.int64)),
+        "ts": pa.array(np.asarray([r[1] for r in rows],
+                                  dtype="datetime64[us]")),
+        "v": pa.array(np.asarray([r[2] for r in rows], dtype=np.int64))})
+    out = partition_window(
+        rd.from_arrow(t).repartition(3), key="k", ts_col="ts",
+        row_id_col="rid", val_col="v",
+        n_buckets=4).to_pandas().sort_values("rid").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    o = con.execute(
+        "SELECT rid, ROW_NUMBER() OVER w rn,"
+        " COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1) gap_us,"
+        " CAST(SUM(v) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) run_sum"
+        " FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, rid)"
+        " ORDER BY rid").df()
+    for c in ("rn", "gap_us", "run_sum"):
+        assert (out[c].astype("int64").values
+                == o[c].astype("int64").values).all(), c
