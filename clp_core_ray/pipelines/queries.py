@@ -162,6 +162,26 @@ def clp_search_error_timeout(sf_dir: str):
 
 
 @register(
+    "clp_search_multi_query",
+    "SELECT CAST(0 AS BIGINT) AS query_idx, conv_id, turn_idx, text FROM {T} "
+    "WHERE text LIKE '%ERROR%timeout%' "
+    "UNION ALL SELECT CAST(1 AS BIGINT), conv_id, turn_idx, text FROM {T} "
+    "WHERE text LIKE '%.bin errno=42%' "
+    "UNION ALL SELECT CAST(2 AS BIGINT), conv_id, turn_idx, text FROM {T} "
+    "WHERE text LIKE '%calling svc-77 %'",
+)
+def clp_search_multi_query(sf_dir: str):
+    """Batched multi-query search: three wildcard queries compiled together,
+    ONE scan and ONE decode of the candidate union — the fleet-scale shape
+    the reference's one-query-per-clg-run loop re-pays N times."""
+    from clp_core_ray.pipelines.search import search_archive_multi
+
+    return search_archive_multi(
+        _archive_dir(sf_dir),
+        ["ERROR*timeout", "*.bin errno=42*", "*calling svc-77 *"])
+
+
+@register(
     "clp_search_var_int",
     "SELECT conv_id, turn_idx, text FROM {T} WHERE text LIKE '%.bin errno=42%'",
 )

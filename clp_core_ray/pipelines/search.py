@@ -380,6 +380,70 @@ def subquery_logtype_prune(archive_dir: str, cq, var_ids, var_classes):
     return out
 
 
+def _prune_keep_classes(archive_dir: str, cq, var_ids, var_classes):
+    """Partition pruning: class→logtype index (J4) refined per subquery by
+    the per-variable segment index — a partition can host a subquery match
+    only if it contains the subquery's logtypes AND, for every dict-var
+    condition, at least one of that condition's dict entries
+    (clg.cpp:249-298 segment intersection).
+
+    Returns the sorted list of keep classes, or None when pruning is
+    unavailable (match_all query, or no index on disk)."""
+    import json
+    import os
+
+    idx_path = os.path.join(archive_dir, "class_logtypes.json")
+    if cq.match_all or not os.path.exists(idx_path):
+        return None
+    with open(idx_path) as f:
+        by_class = json.load(f)
+
+    def classes_of_cond(cond: np.ndarray) -> set | None:
+        """Union of partition classes over the cond's dict ids; None =
+        unknown (no index / unindexed entry) → can't prune on it."""
+        if var_classes is None:
+            return None
+        pos = pc.index_in(pa.array(cond, type=pa.int64()), pa.array(var_ids))
+        allowed: set = set()
+        for p in pos.to_pylist():
+            if p is None:
+                return None
+            cls_list = var_classes[p].as_py()
+            if not cls_list or "" in cls_list:
+                return None
+            allowed.update(cls_list)
+        return allowed
+
+    keep_set: set = set()
+    for sq in cq.subqueries:
+        sq_lt = set(sq.logtype_ids.tolist())
+        sq_classes = {c for c, ids in by_class.items()
+                      if sq_lt.intersection(ids)}
+        for cond in sq.dict_conds:
+            if not sq_classes:
+                break
+            allowed = classes_of_cond(cond)
+            if allowed is not None:
+                sq_classes &= allowed
+        keep_set |= sq_classes
+    return sorted(keep_set)
+
+
+def _class_paths(routed: str, keep):
+    """Sink paths for the keep classes; the whole routed dir when keep is
+    None (pruning unavailable)."""
+    import os
+
+    if keep is None:
+        return routed
+    return [
+        os.path.join(routed, f"logtype_class={c}", f)
+        for c in keep
+        for f in sorted(os.listdir(os.path.join(routed, f"logtype_class={c}")))
+        if f.endswith(".parquet")
+    ]
+
+
 def search_archive(archive_dir: str, query: str, columns=None,
                    ignore_case: bool = False):
     """Search a compressed archive → Dataset[(conv_id, turn_idx, text)].
@@ -450,49 +514,10 @@ def search_archive(archive_dir: str, query: str, columns=None,
     # if it contains the subquery's logtypes AND, for every dictionary-var
     # condition, at least one of that condition's dict entries
     # (clg.cpp:249-298 segment intersection)
-    paths = routed
-    idx_path = os.path.join(archive_dir, "class_logtypes.json")
-    if not cq.match_all and os.path.exists(idx_path):
-        with open(idx_path) as f:
-            by_class = json.load(f)
-
-        def classes_of_cond(cond: np.ndarray) -> set | None:
-            """Union of partition classes over the cond's dict ids; None =
-            unknown (no index / unindexed entry) → can't prune on it."""
-            if var_classes is None:
-                return None
-            pos = pc.index_in(pa.array(cond, type=pa.int64()), pa.array(var_ids))
-            allowed: set = set()
-            for p in pos.to_pylist():
-                if p is None:
-                    return None
-                cls_list = var_classes[p].as_py()
-                if not cls_list or "" in cls_list:
-                    return None
-                allowed.update(cls_list)
-            return allowed
-
-        keep_set: set = set()
-        for sq in cq.subqueries:
-            sq_lt = set(sq.logtype_ids.tolist())
-            sq_classes = {c for c, ids in by_class.items()
-                          if sq_lt.intersection(ids)}
-            for cond in sq.dict_conds:
-                if not sq_classes:
-                    break
-                allowed = classes_of_cond(cond)
-                if allowed is not None:
-                    sq_classes &= allowed
-            keep_set |= sq_classes
-        keep = sorted(keep_set)
-        if not keep:
-            return _empty()
-        paths = [
-            os.path.join(routed, f"logtype_class={c}", f)
-            for c in sorted(keep)
-            for f in sorted(os.listdir(os.path.join(routed, f"logtype_class={c}")))
-            if f.endswith(".parquet")
-        ]
+    keep = _prune_keep_classes(archive_dir, cq, var_ids, var_classes)
+    if keep is not None and not keep:
+        return _empty()
+    paths = _class_paths(routed, keep)
 
     inline = "dict_vars" in sink_schema.names
     cols = ["conv_id", "turn_idx", "logtype_id", "encoded_vars", "var_types"]
@@ -577,6 +602,150 @@ def search_archive(archive_dir: str, query: str, columns=None,
     # bundles the small per-class sink files into real batches so per-call
     # fixed costs (dict lookup setup, regex launch) amortize.
     return ds.map_batches(Scan(), batch_format="pyarrow", batch_size=32 * 1024)
+
+
+def search_archive_multi(archive_dir: str, queries: list[str],
+                         ignore_case: bool = False):
+    """Batched multi-query search: N wildcard queries, ONE archive scan.
+
+    The reference executes one query per clg invocation (clg.cpp main loop);
+    at fleet scale the dominant cost of a query batch is re-reading and
+    re-decoding the same sink files N times. Here every query compiles
+    against the dictionaries on the driver (cheap — dictionaries are small),
+    the scan reads the UNION of the queries' pruned partitions once, each
+    batch computes every query's candidate mask, and decode — the expensive
+    kernel — runs once over the union of candidates; per-query wildcard
+    verify then fans the decoded text back out. Returns
+    Dataset[(query_idx int64, conv_id, turn_idx, text)]; query_idx is the
+    position in ``queries``.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.grep import rows_matching_subquery_vars
+    from clp_core_ray.vec.decoder import decode_batch
+
+    if os.path.basename(os.path.normpath(archive_dir)) == "routed":
+        archive_dir = os.path.dirname(os.path.normpath(archive_dir))
+    routed = os.path.join(archive_dir, "routed")
+    import pyarrow.parquet as pq
+
+    def _empty():
+        return rd.from_arrow(pa.table({
+            "query_idx": pa.array([], type=pa.int64()),
+            "conv_id": pa.array([], type=pa.string()),
+            "turn_idx": pa.array([], type=pa.int32()),
+            "text": pa.array([], type=pa.large_string())}))
+
+    first = _first_parquet_file_or_none(routed)
+    if first is None:
+        return _empty()
+
+    compiled = []  # (query_idx, cq, regex)
+    keeps = []     # per live query: sorted class list or None (no prune)
+    for qi, q in enumerate(queries):
+        cq, _ldict, var_ids, _var_values, var_classes = compile_for_archive(
+            archive_dir, q, ignore_case)
+        if not cq.match_all and not cq.subqueries:
+            continue  # dictionary miss: this query can't match anything
+        rx = wildcard_to_regex(cq.processed)
+        if ignore_case:
+            rx = "(?i)" + rx
+        keep = _prune_keep_classes(archive_dir, cq, var_ids, var_classes)
+        if keep is not None and not keep:
+            continue  # index-pruned to nothing
+        compiled.append((qi, cq, rx))
+        keeps.append(keep)
+    if not compiled:
+        return _empty()
+
+    # union of pruned partitions; one unprunable query forces the full scan
+    keep_union = (None if any(k is None for k in keeps)
+                  else sorted(set().union(*keeps)))
+    paths = _class_paths(routed, keep_union)
+
+    sink_schema = pq.ParquetFile(first).schema_arrow
+    inline = "dict_vars" in sink_schema.names
+    cols = ["conv_id", "turn_idx", "logtype_id", "encoded_vars", "var_types"]
+    if inline:
+        cols += ["logtype", "dict_vars"]
+    ds = rd.read_parquet(paths, columns=cols)
+
+    if inline:
+        dicts_ref = None
+    else:
+        from clp_core_ray.pipelines.decompress import load_dicts
+
+        dicts_ref = ray.put(load_dicts(archive_dir))
+
+    class MultiScan:
+        """All queries' candidate masks per batch; one decode of the union."""
+
+        def __init__(self):
+            if dicts_ref is not None:
+                ldict, vdict = ray.get(dicts_ref)
+                self.lt_ids = ldict.column("logtype_id").combine_chunks()
+                self.lt_values = ldict.column("logtype").combine_chunks()
+                self.var_ids = np.asarray(vdict.column("var_id"),
+                                          dtype=np.int64)
+                self.var_values = vdict.column("value").combine_chunks()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            lt = batch.column("logtype_id")
+            masks = []
+            for _qi, cq, _rx in compiled:
+                if cq.match_all:
+                    masks.append(np.ones(n, dtype=bool))
+                    continue
+                keep = np.zeros(n, dtype=bool)
+                for sq in cq.subqueries:
+                    m = np.asarray(
+                        pc.is_in(lt, value_set=pa.array(sq.logtype_ids)),
+                        dtype=bool)
+                    if sq.var_conds and m.any():
+                        m &= rows_matching_subquery_vars(
+                            batch.column("encoded_vars"), sq.var_conds)
+                    keep |= m
+                    if keep.all():
+                        break
+                masks.append(keep)
+            union = np.logical_or.reduce(masks) if masks else np.zeros(
+                n, dtype=bool)
+            if not union.any():
+                return pa.table({
+                    "query_idx": pa.array([], type=pa.int64()),
+                    "conv_id": pa.array([], type=pa.string()),
+                    "turn_idx": pa.array([], type=pa.int32()),
+                    "text": pa.array([], type=pa.large_string())})
+            ub = batch.filter(pa.array(union))
+            if dicts_ref is None:
+                text = decode_batch(
+                    ub.column("logtype"), ub.column("encoded_vars"),
+                    ub.column("var_types"), dict_vars=ub.column("dict_vars"))
+            else:
+                pos = pc.index_in(ub.column("logtype_id"), self.lt_ids)
+                text = decode_batch(
+                    pc.take(self.lt_values, pos), ub.column("encoded_vars"),
+                    ub.column("var_types"), dict_ids=self.var_ids,
+                    dict_values=self.var_values)
+            conv = ub.column("conv_id").combine_chunks()
+            tidx = ub.column("turn_idx").combine_chunks()
+            parts = []
+            for (qi, _cq, rx), mask in zip(compiled, masks):
+                sub = pa.array(mask[union])
+                verified = pc.and_(sub, pc.match_substring_regex(text, rx))
+                parts.append(pa.table({
+                    "query_idx": pa.array(
+                        np.full(len(ub), qi, dtype=np.int64)),
+                    "conv_id": conv, "turn_idx": tidx,
+                    "text": text}).filter(verified))
+            return pa.concat_tables(parts)
+
+    return ds.map_batches(MultiScan(), batch_format="pyarrow",
+                          batch_size=32 * 1024)
 
 
 def _first_parquet_file(routed: str):

@@ -514,3 +514,32 @@ def test_search_context(ray_session, tmp_path):
     none = search_context(out, "NOSUCHTOKEN*xyz")
     assert "is_match" in none.schema().names
     assert sum(len(b) for b in none.iter_batches(batch_format="pyarrow")) == 0
+
+
+def test_multi_query_search_equals_singles(ray_session, tiny_transcripts,
+                                           tmp_path):
+    """search_archive_multi(queries) row-for-row equals running each query
+    through search_archive, including a dictionary-miss query (contributes
+    nothing) and a match-all wildcard (defeats pruning for the union scan)."""
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import search_archive, search_archive_multi
+
+    out = str(tmp_path / "arch_multi")
+    compress(SF, out)
+    queries = ["ERROR*timeout", "zz_no_such_token_zz", "*latency*", "42"]
+    multi = (search_archive_multi(out, queries).to_pandas()
+             .sort_values(["query_idx", "conv_id", "turn_idx"])
+             .reset_index(drop=True))
+    for qi, q in enumerate(queries):
+        single = search_archive(out, q).to_pandas()
+        part = multi[multi["query_idx"] == qi].reset_index(drop=True)
+        assert len(part) == len(single), (q, len(part), len(single))
+        if len(single):  # empty frames can lose their schema in to_pandas
+            single = (single.sort_values(["conv_id", "turn_idx"])
+                      .reset_index(drop=True))
+            assert (part["text"].values == single["text"].values).all(), q
+    assert (multi[multi["query_idx"] == 1]).empty  # dictionary miss
+
+    # all-miss batch prunes to a schema-stable empty Dataset without a scan
+    empty = search_archive_multi(out, ["zz_no_such_token_zz"]).to_pandas()
+    assert len(empty) == 0
