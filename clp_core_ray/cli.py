@@ -141,6 +141,40 @@ def cmd_search(args) -> dict:
     if args.ts_max is not None:
         prune["ts_max"] = args.ts_max
     t0 = time.time()
+    if len(args.query) > 1:  # batched multi-query: one scan, one decode
+        import os
+
+        from clp_core_ray.pipelines.search import search_archive_multi
+
+        if not (os.path.isdir(os.path.join(args.archive, "routed"))
+                or os.path.basename(
+                    os.path.normpath(args.archive)) == "routed"):
+            raise SystemExit("--query given more than once requires a "
+                             "single-archive target")
+        if args.count or args.count_by_time or prune:
+            raise SystemExit("--count/--count-by-time/prune flags apply to "
+                             "single-query searches")
+        ds = search_archive_multi(args.archive, args.query,
+                                  ignore_case=args.ignore_case)
+        if args.out:
+            ds.write_parquet(args.out, compression="zstd")
+            return {"cmd": "search", "out": args.out, "rows": ds.count(),
+                    "queries": len(args.query),
+                    "sec": round(time.time() - t0, 3)}
+        shown = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            for qi, t in zip(b.column("query_idx").to_pylist(),
+                             b.column("text").to_pylist()):
+                print(f"[{qi}] {t}")
+                shown += 1
+                if shown >= args.limit:
+                    break
+            if shown >= args.limit:
+                break
+        return {"cmd": "search", "rows_shown": shown,
+                "queries": len(args.query),
+                "sec": round(time.time() - t0, 3)}
+    args.query = args.query[0]
     if args.count:
         tbl = search_count(args.archive, args.query,
                            ignore_case=args.ignore_case, **prune)
@@ -419,7 +453,9 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("search", help="wildcard search (clg / clo)")
     s.add_argument("--archive", required=True,
                    help="one archive dir or a base dir of archives")
-    s.add_argument("--query", required=True)
+    s.add_argument("--query", required=True, action="append",
+                   help="wildcard query; repeat for a batched multi-query "
+                        "search (one scan, one decode)")
     s.add_argument("--ignore-case", action="store_true")
     s.add_argument("--count", action="store_true", help="clg --count")
     s.add_argument("--count-by-time", metavar="BUCKET",

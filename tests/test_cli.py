@@ -203,3 +203,13 @@ def test_cli_ir_extract_search(ray_session, tiny_sf_dir, tmp_path, capsys):
     res, _ = _run(capsys, ["ir-search", "--input", chunks, "--query", "*",
                            "--limit", "0"])
     assert res["rows"] == n_rows
+
+
+def test_cli_multi_query_search(ray_session, tiny_sf_dir, tmp_path, capsys):
+    arch = str(tmp_path / "arch_mq")
+    _run(capsys, ["compress", "--input", tiny_sf_dir, "--out", arch])
+    res, lines = _run(capsys, ["search", "--archive", arch,
+                               "--query", "*ERROR*", "--query", "*latency*",
+                               "--limit", "8"])
+    assert res["queries"] == 2 and res["rows_shown"] == 8
+    assert all(ln.startswith(("[0] ", "[1] ")) for ln in lines[-8:])
