@@ -136,6 +136,13 @@ def run_once() -> None:
         n_hits = search_archive(os.path.join(out, "routed"), "ERROR*timeout").count()
         queries["search_error_timeout"] = round(time.time() - t0, 3)
 
+        from clp_core_ray.pipelines.search import search_archive_multi
+
+        t0 = time.time()
+        search_archive_multi(out, ["ERROR*timeout", "*.bin errno=42*",
+                                   "*calling svc-77 *"]).count()
+        queries["search_multi_3q"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
