@@ -144,18 +144,23 @@ def cmd_search(args) -> dict:
     if len(args.query) > 1:  # batched multi-query: one scan, one decode
         import os
 
-        from clp_core_ray.pipelines.search import search_archive_multi
+        from clp_core_ray.pipelines.search import (
+            search_archive_multi, search_archives_multi,
+        )
 
-        if not (os.path.isdir(os.path.join(args.archive, "routed"))
+        if args.count or args.count_by_time:
+            raise SystemExit("--count/--count-by-time apply to single-query "
+                             "searches")
+        if (os.path.isdir(os.path.join(args.archive, "routed"))
                 or os.path.basename(
                     os.path.normpath(args.archive)) == "routed"):
-            raise SystemExit("--query given more than once requires a "
-                             "single-archive target")
-        if args.count or args.count_by_time or prune:
-            raise SystemExit("--count/--count-by-time/prune flags apply to "
-                             "single-query searches")
-        ds = search_archive_multi(args.archive, args.query,
-                                  ignore_case=args.ignore_case)
+            if prune:
+                raise SystemExit("prune flags apply to multi-archive targets")
+            ds = search_archive_multi(args.archive, args.query,
+                                      ignore_case=args.ignore_case)
+        else:
+            ds = search_archives_multi(args.archive, args.query,
+                                       ignore_case=args.ignore_case, **prune)
         if args.out:
             ds.write_parquet(args.out, compression="zstd")
             return {"cmd": "search", "out": args.out, "rows": ds.count(),

@@ -182,6 +182,25 @@ def clp_search_multi_query(sf_dir: str):
 
 
 @register(
+    "clp_search_multi_count",
+    "SELECT CAST(0 AS BIGINT) AS query_idx, count(*) AS cnt FROM {T} "
+    "WHERE text LIKE '%ERROR%timeout%' "
+    "UNION ALL SELECT CAST(1 AS BIGINT), count(*) FROM {T} "
+    "WHERE text LIKE '%zz_no_such_token_zz%' "
+    "UNION ALL SELECT CAST(2 AS BIGINT), count(*) FROM {T} "
+    "WHERE text LIKE '%calling svc-77 %'",
+)
+def clp_search_multi_count(sf_dir: str):
+    """clg --count for a query batch in one scan; a dictionary-miss query
+    (never reaches the scan) still reports its 0 row."""
+    from clp_core_ray.pipelines.search import search_count_multi
+
+    return search_count_multi(
+        _archive_dir(sf_dir),
+        ["ERROR*timeout", "zz_no_such_token_zz", "*calling svc-77 *"])
+
+
+@register(
     "clp_search_var_int",
     "SELECT conv_id, turn_idx, text FROM {T} WHERE text LIKE '%.bin errno=42%'",
 )

@@ -852,6 +852,31 @@ def search_archives(base_dir: str, query: str, ignore_case: bool = False,
     return out.union(*parts[1:]) if len(parts) > 1 else out
 
 
+def search_archives_multi(base_dir: str, queries: list[str],
+                          ignore_case: bool = False,
+                          path_glob: str | None = None,
+                          ts_min: int | None = None,
+                          ts_max: int | None = None):
+    """Batched multi-query search across every selected archive: each archive
+    compiles the whole query batch against its OWN dictionaries and runs one
+    scan (see :func:`search_archive_multi`); the per-archive Datasets union
+    lazily. Manifest time/path pruning applies before any archive is read."""
+    dirs = select_archives(base_dir, path_glob, ts_min, ts_max)
+    if not dirs:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"query_idx": pa.array([], type=pa.int64()),
+                      "conv_id": pa.array([], type=pa.string()),
+                      "turn_idx": pa.array([], type=pa.int32()),
+                      "text": pa.array([], type=pa.large_string())})
+        )
+    parts = [search_archive_multi(d, queries, ignore_case=ignore_case)
+             for d in dirs]
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out
+
+
 def _archive_passes(archive_dir: str, path_glob: str | None = None,
                     ts_min: int | None = None, ts_max: int | None = None) -> bool:
     """Manifest-based path/time pruning for ONE archive (same conservative
@@ -919,6 +944,27 @@ def search_count(target: str, query: str, ignore_case: bool = False,
                .iter_batches(batch_format="pyarrow"):
         tot += sum(pa.table(b).column("cnt").to_pylist())
     return pa.table({"cnt": pa.array([tot], type=pa.int64())})
+
+
+def search_count_multi(archive_dir: str, queries: list[str],
+                       ignore_case: bool = False) -> pa.Table:
+    """Per-query match counts for a query batch in ONE scan (clg --count ×N
+    without re-reading the archive N times). Queries with no matches —
+    including dictionary misses that never reach the scan — report 0.
+    Returns pa.Table[(query_idx, cnt)], one row per input query."""
+    ds = search_archive_multi(archive_dir, queries, ignore_case=ignore_case)
+    got = {}
+    for b in (ds.groupby("query_idx").count()
+              .iter_batches(batch_format="pyarrow")):
+        if "query_idx" not in b.column_names:
+            continue
+        for qi, c in zip(b.column("query_idx").to_pylist(),
+                         b.column("count()").to_pylist()):
+            got[int(qi)] = int(c)
+    return pa.table({
+        "query_idx": pa.array(range(len(queries)), type=pa.int64()),
+        "cnt": pa.array([got.get(i, 0) for i in range(len(queries))],
+                        type=pa.int64())})
 
 
 def search_count_by_time(target: str, query: str, granularity: str = "hour",

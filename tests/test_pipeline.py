@@ -543,3 +543,26 @@ def test_multi_query_search_equals_singles(ray_session, tiny_transcripts,
     # all-miss batch prunes to a schema-stable empty Dataset without a scan
     empty = search_archive_multi(out, ["zz_no_such_token_zz"]).to_pandas()
     assert len(empty) == 0
+
+
+def test_multi_query_multi_archive(ray_session, tmp_path):
+    """search_archives_multi unions per-archive multi-query scans; totals
+    equal the single-archive multi result run per archive."""
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import (
+        search_archive_multi, search_archives_multi,
+    )
+
+    base = tmp_path / "multi_base"
+    for name in ("a1", "a2"):
+        compress(SF, str(base / name))
+    queries = ["ERROR*timeout", "*latency*"]
+    got = (search_archives_multi(str(base), queries).to_pandas()
+           .groupby("query_idx").size().to_dict())
+    want = {0: 0, 1: 0}
+    for name in ("a1", "a2"):
+        per = (search_archive_multi(str(base / name), queries).to_pandas()
+               .groupby("query_idx").size().to_dict())
+        for k, v in per.items():
+            want[k] += v
+    assert got == want and all(v > 0 for v in want.values())
