@@ -614,6 +614,99 @@ def clps_search(out_dir: str, query: str,
     return rd.from_items(work).map_batches(scan, batch_format="pyarrow")
 
 
+def clps_search_multi(out_dir: str, queries: list[str],
+                      ts_range: tuple[float, float] | None = None):
+    """Batched KQL search over a clp_s archive: N queries, each schema table
+    read and ClpString-decoded ONCE; per-query DNF masks evaluate over the
+    shared decoded view and JSON re-serialization — the other dominant
+    kernel — runs once over the union of hit rows. Schema-set and timestamp
+    pruning stay per query (a query whose required paths no schema can
+    satisfy never reaches any scan). Returns
+    Dataset[(query_idx, log_event_idx, json)].
+    """
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.pipelines.clps import (
+        _decoded_view,
+        _schema_files,
+        _serialize_schema_table,
+    )
+
+    dnfs = [to_dnf(parse_kql(q)) for q in queries]
+    work: list[dict] = []
+    for path in _schema_files(out_dir):
+        pf = pq.ParquetFile(path)
+        meta = {
+            k.decode(): v.decode()
+            for k, v in (pf.schema_arrow.metadata or {}).items()
+        }
+        ts_preds: list[Pred] = []
+        if ts_range is not None and "ts_min" in meta:
+            lo, hi = ts_range
+            if float(meta["ts_max"]) < lo or float(meta["ts_min"]) > hi:
+                continue
+            ts_key = meta.get("ts_key")
+            if ts_key:
+                pred_path = ("\x00ts_ms" if meta.get("ts_string") == "1"
+                             else ts_key)
+                ts_preds = [Pred("gte", pred_path, lo),
+                            Pred("lte", pred_path, hi)]
+        leaf_paths = {k.split(":")[0]
+                      for k in json.loads(meta.get("schema_key", "[]"))}
+        plans = []
+        for qi, dnf in enumerate(dnfs):
+            viable = [c + ts_preds for c in dnf
+                      if conj_required_paths(c) <= leaf_paths]
+            if viable:
+                plans.append([qi, _dnf_to_json(viable)])
+        if plans:
+            work.append({"path": path, "plans": json.dumps(plans)})
+
+    def _empty_tbl() -> pa.Table:
+        return pa.table({
+            "query_idx": pa.array([], type=pa.int64()),
+            "log_event_idx": pa.array([], type=pa.int64()),
+            "json": pa.array([], type=pa.large_string())})
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        tbls = []
+        for path, plans_js in zip(batch.column("path").to_pylist(),
+                                  batch.column("plans").to_pylist()):
+            t = _pq.read_table(path)
+            meta = {k.decode(): v.decode()
+                    for k, v in (t.schema.metadata or {}).items()}
+            view = _decoded_view(t, meta)
+            masks = []
+            for qi, viable_js in json.loads(plans_js):
+                m = pc.fill_null(eval_dnf(view, _dnf_from_json(viable_js)),
+                                 False)
+                masks.append((qi, np.asarray(m, dtype=bool)))
+            union = np.logical_or.reduce([m for _, m in masks])
+            if not union.any():
+                continue
+            u_idx = np.flatnonzero(union)
+            hits_u = view.take(pa.array(u_idx))
+            js_u = _serialize_schema_table(hits_u)
+            lei_u = hits_u.column("log_event_idx").combine_chunks()
+            for qi, m in masks:
+                sub = pa.array(m[u_idx])
+                base = pa.table({
+                    "query_idx": pa.array(
+                        np.full(len(u_idx), qi, dtype=np.int64)),
+                    "log_event_idx": lei_u,
+                    "json": js_u})
+                tbls.append(base.filter(sub))
+        return pa.concat_tables(tbls) if tbls else _empty_tbl()
+
+    if not work:
+        return rd.from_arrow(_empty_tbl())
+    return rd.from_items(work).map_batches(scan, batch_format="pyarrow")
+
+
 def _dnf_to_json(dnf: list[list[Pred]]) -> list:
     return [[{"op": p.op, "path": p.path, "value": p.value} for p in c] for c in dnf]
 

@@ -815,6 +815,47 @@ def clps_kql_filter(sf_dir: str):
 
 
 @register(
+    "clps_multi_kql",
+    "SELECT CAST(0 AS BIGINT) AS query_idx, count(*) AS cnt FROM events "
+    "WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50 "
+    "UNION ALL SELECT CAST(1 AS BIGINT), count(*) FROM events "
+    "WHERE CAST(json_extract(props, '$.k') AS BIGINT) < 10 "
+    "UNION ALL SELECT CAST(2 AS BIGINT), count(*) FROM events "
+    "WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 1000",
+)
+def clps_multi_kql(sf_dir: str):
+    """Batched KQL over a clp_s archive: three queries, every schema table
+    read + decoded once, JSON re-serialization once over the hit union;
+    per-query counts (impossible predicate still reports its 0 row)."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray.functions.filters import clps_search_multi
+    from clp_core_ray.pipelines.clps import clps_compress, ndjson_from_parquet_column
+
+    qs = ["k > 50", "k < 10", "k > 1000"]
+    out = tempfile.mkdtemp(prefix="clps_mkql_")
+    try:
+        src = ndjson_from_parquet_column(f"{sf_dir}/events.parquet", "props")
+        clps_compress(src, out)
+        ds = clps_search_multi(out, qs)
+        got = {}
+        for b in (ds.groupby("query_idx").count()
+                  .iter_batches(batch_format="pyarrow")):
+            if "query_idx" not in b.column_names:
+                continue
+            for qi, c in zip(b.column("query_idx").to_pylist(),
+                             b.column("count()").to_pylist()):
+                got[int(qi)] = int(c)
+        return pa.table({
+            "query_idx": pa.array(range(len(qs)), type=pa.int64()),
+            "cnt": pa.array([got.get(i, 0) for i in range(len(qs))],
+                            type=pa.int64())})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "clps_roundtrip",
     "SELECT '{\"k\": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)"
     " || '}' AS json FROM events",

@@ -321,3 +321,29 @@ def test_field_index_nested(ray_session, tmp_path):
     assert rows[("b.d", "float")] == 2
     assert ("tags", "list<int>") in rows    # arrays indexed with list type
     assert any(p == "objs" for p, _ in rows)
+
+
+def test_clps_search_multi_equals_singles(ray_session, tmp_path):
+    """clps_search_multi(queries) equals per-query clps_search across mixed
+    schemas: a query whose required path exists in only one schema, an
+    impossible predicate (0 rows), and a match-all numeric range."""
+    from clp_core_ray.functions.filters import clps_search, clps_search_multi
+    from clp_core_ray.pipelines.clps import clps_compress
+
+    lines = ([json.dumps({"k": i, "region": "eu"}, sort_keys=True)
+              for i in range(30)]
+             + [json.dumps({"k": i, "extra": "x%d" % i}, sort_keys=True)
+                for i in range(30, 50)])
+    out = str(tmp_path / "arch_mq")
+    clps_compress(lines, out)
+    queries = ["k > 40", 'region: "eu"', "k > 999", "k >= 0"]
+    multi = (clps_search_multi(out, queries).to_pandas()
+             .sort_values(["query_idx", "log_event_idx"]))
+    for qi, q in enumerate(queries):
+        single = clps_search(out, q).to_pandas()
+        part = multi[multi["query_idx"] == qi]
+        assert len(part) == len(single), (q, len(part), len(single))
+        if len(single):
+            single = single.sort_values("log_event_idx")
+            assert part["json"].tolist() == single["json"].tolist(), q
+    assert (multi["query_idx"] == 2).sum() == 0  # impossible predicate
