@@ -624,6 +624,28 @@ def docs_window_funcs(sf_dir: str):
 
 
 @register(
+    "docs_rank_by_source",
+    "SELECT doc_id, "
+    "RANK() OVER (PARTITION BY source ORDER BY n_chars DESC) AS rnk, "
+    "DENSE_RANK() OVER (PARTITION BY source ORDER BY n_chars DESC) AS drnk, "
+    "ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) "
+    "AS rn FROM documents",
+)
+def docs_rank_by_source(sf_dir: str):
+    """Per-source value ranking (RANK/DENSE_RANK/ROW_NUMBER) in one
+    key-bucketed lexsort pass — the 'best documents per source' curation
+    shape."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import grouped_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    return grouped_rank(ds.repartition(6), key="source", val_col="n_chars",
+                        row_id_col="doc_id", descending=True)
+
+
+@register(
     "orders_by_nation",
     "SELECT n.n_name AS nation, count(*) AS cnt FROM orders o "
     "JOIN customer c ON o.o_custkey = c.c_custkey "

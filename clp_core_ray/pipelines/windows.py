@@ -346,3 +346,72 @@ def partition_window(ds, *, key: str, ts_col: str, row_id_col: str,
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_wbucket").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def grouped_rank(ds, *, key: str, val_col: str, row_id_col: str,
+                 descending: bool = False, n_buckets: int = N_BUCKETS):
+    """Per-group value ranking — the SQL window triple
+
+        RANK()       OVER (PARTITION BY key ORDER BY val [DESC])        -> rnk
+        DENSE_RANK() OVER (PARTITION BY key ORDER BY val [DESC])        -> drnk
+        ROW_NUMBER() OVER (PARTITION BY key ORDER BY val [DESC], id)    -> rn
+
+    for a string or integer partition key and int64 value — the
+    "keep/score the best rows per source" shape of corpus curation.
+    Returns Dataset[(row_id_col, rnk, drnk, rn)].
+
+    Shape: one shuffle into key-hash buckets, then a vectorized pass per
+    bucket — dictionary-encode the key (grouping only; cross-partition order
+    is irrelevant), lexsort (key_code, val, id), detect partition starts and
+    value-run starts with neighbor compares, and all three ranks fall out of
+    arange / maximum.accumulate / cumsum — no per-partition loop.
+    """
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if pa.types.is_integer(col.type):
+            h = np.asarray(col, dtype=np.int64) % np.int64(n_buckets)
+            b = h.astype(np.int32)
+        else:
+            offsets, data = _string_buffers(col)
+            h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+            b = (h % np.uint64(n_buckets)).astype(np.int32)
+        return (batch.select([row_id_col, key, val_col])
+                .append_column("_wbucket", pa.array(b)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = {row_id_col: pa.array([], type=pa.int64()),
+                 "rnk": pa.array([], type=pa.int64()),
+                 "drnk": pa.array([], type=pa.int64()),
+                 "rn": pa.array([], type=pa.int64())}
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table(empty)
+        kcol = group.column(key).combine_chunks()
+        if pa.types.is_integer(kcol.type):
+            kcode = np.asarray(kcol, dtype=np.int64)
+        else:
+            kcode = np.asarray(pc.dictionary_encode(kcol).indices,
+                               dtype=np.int64)
+        v = np.asarray(group.column(val_col), dtype=np.int64)
+        if descending:
+            v = -v
+        rid = np.asarray(group.column(row_id_col), dtype=np.int64)
+        order = np.lexsort((rid, v, kcode))
+        kcode, v, rid = kcode[order], v[order], rid[order]
+        n = len(rid)
+        idx = np.arange(n, dtype=np.int64)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = kcode[1:] != kcode[:-1]
+        newval = brk.copy()
+        newval[1:] |= v[1:] != v[:-1]
+        start_of = np.maximum.accumulate(np.where(brk, idx, 0))
+        run_start = np.maximum.accumulate(np.where(newval, idx, 0))
+        rn = idx - start_of + 1
+        rnk = run_start - start_of + 1
+        c = np.cumsum(newval)
+        drnk = c - np.maximum.accumulate(np.where(brk, c - 1, 0))
+        return pa.table({row_id_col: pa.array(rid), "rnk": pa.array(rnk),
+                         "drnk": pa.array(drnk), "rn": pa.array(rn)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_wbucket").map_groups(per_bucket, batch_format="pyarrow"))

@@ -443,3 +443,39 @@ def test_partition_window_property(ray_session, rows):
     for c in ("rn", "gap_us", "run_sum"):
         assert (out[c].astype("int64").values
                 == o[c].astype("int64").values).all(), c
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                          st.integers(-9, 9)),
+                min_size=1, max_size=50),
+       st.booleans())
+def test_grouped_rank_property(ray_session, rows, desc):
+    """String-keyed per-group RANK/DENSE_RANK/ROW_NUMBER equal DuckDB for
+    arbitrary multisets, both directions."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import grouped_rank
+
+    n = len(rows)
+    t = pa.table({
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array([r[0] for r in rows]),
+        "v": pa.array(np.asarray([r[1] for r in rows], dtype=np.int64))})
+    out = grouped_rank(rd.from_arrow(t).repartition(3), key="k", val_col="v",
+                       row_id_col="rid", descending=desc,
+                       n_buckets=4).to_pandas().sort_values("rid")
+    d = "DESC" if desc else ""
+    con = duckdb.connect()
+    con.register("t", t)
+    o = con.execute(
+        f"SELECT rid, RANK() OVER (PARTITION BY k ORDER BY v {d}) rnk,"
+        f" DENSE_RANK() OVER (PARTITION BY k ORDER BY v {d}) drnk,"
+        f" ROW_NUMBER() OVER (PARTITION BY k ORDER BY v {d}, rid) rn"
+        f" FROM t ORDER BY rid").df()
+    for c in ("rnk", "drnk", "rn"):
+        assert (out[c].astype("int64").values
+                == o[c].astype("int64").values).all(), (c, desc)
