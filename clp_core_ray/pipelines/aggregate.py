@@ -253,7 +253,9 @@ def global_window(ds, *, val_col: str, row_id_col: str,
         return batch.append_column(
             "_rbucket", pa.array(((v - lo) // width).astype(np.int32)))
 
-    tagged = vals.map_batches(tag, batch_format="pyarrow").materialize()
+    # not materialized: both consumers re-derive the cheap tag map off the
+    # materialized vals instead of holding a second full copy in plasma
+    tagged = vals.map_batches(tag, batch_format="pyarrow")
 
     # Per-bucket (rows, distinct values) without shuffling rows: per-batch
     # (bucket, value, cnt) partials -> exact (bucket, value) fold -> tiny
