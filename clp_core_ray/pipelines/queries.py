@@ -624,6 +624,63 @@ def docs_window_funcs(sf_dir: str):
 
 
 @register(
+    "events_funnel_hour",
+    "SELECT DISTINCT a.user_id FROM events a JOIN events b "
+    "ON a.user_id = b.user_id AND b.ts > a.ts "
+    "AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000 "
+    "WHERE a.event_type = 'click' AND b.event_type = 'purchase'",
+)
+def events_funnel_hour(sf_dir: str):
+    """Conversion funnel (click → purchase within an hour): the O(n²)-per-key
+    SQL self-join becomes two searchsorted sweeps on a composite
+    partition axis after one key-bucket shuffle."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import funnel_users
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_users(ds, key="user_id", ts_col="ts",
+                        type_col="event_type", from_type="click",
+                        to_type="purchase", window_us=3_600_000_000)
+
+
+@register(
+    "docs_corpus_stats",
+    "SELECT source, lang, count(*) AS docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars, "
+    "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+    "FROM documents GROUP BY 1, 2",
+)
+def docs_corpus_stats(sf_dir: str):
+    """Corpus report card: per (source, lang) doc counts and char totals in
+    one partial-aggregated groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum"),
+             ("n_chars", "min"), ("n_chars", "max")])
+        return pa.table({
+            "source": g.column("source"), "lang": g.column("lang"),
+            "docs": g.column("count_all"),
+            "chars": g.column("n_chars_sum"),
+            "min_chars": g.column("n_chars_min"),
+            "max_chars": g.column("n_chars_max")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "lang"])
+            .aggregate(Sum("docs", alias_name="docs"),
+                       Sum("chars", alias_name="chars"),
+                       Min("min_chars", alias_name="min_chars"),
+                       Max("max_chars", alias_name="max_chars")))
+
+
+@register(
     "docs_rank_by_source",
     "SELECT doc_id, "
     "RANK() OVER (PARTITION BY source ORDER BY n_chars DESC) AS rnk, "

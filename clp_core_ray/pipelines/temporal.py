@@ -456,3 +456,57 @@ def grouped_quantile_disc(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def funnel_users(ds, *, key: str, ts_col: str, type_col: str,
+                 from_type: str, to_type: str, window_us: int,
+                 n_buckets: int = 64):
+    """Conversion funnel: the distinct ``key`` values with a ``from_type``
+    event followed by a ``to_type`` event STRICTLY later and within
+    ``window_us`` (inclusive upper bound) — the sequential-pattern join SQL
+    spells as a self-join (a.ts < b.ts AND b.ts - a.ts <= w) but that is
+    O(n²) per key; here it is two searchsorted sweeps.
+
+    Shape: rows not of the two types are dropped per batch BEFORE the
+    shuffle, one key-hash bucket exchange, then per bucket: lexsort by
+    (key, ts), fold partitions onto a composite axis (stride > span +
+    window so windows cannot cross keys), and for every from-event one
+    searchsorted pair against the to-events' axis answers "any completion
+    in range". Returns Dataset[(key,)] of converting keys, deduplicated.
+    """
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(batch.column(type_col), from_type),
+                   pc.equal(batch.column(type_col), to_type))
+        b = batch.filter(m).select([key, ts_col, type_col])
+        ids = np.asarray(b.column(key), dtype=np.int64)
+        return b.append_column(
+            "_fbucket",
+            pa.array((ids % np.int64(n_buckets)).astype(np.int32)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table({key: pa.array([], type=pa.int64())})
+        ids = np.asarray(group.column(key), dtype=np.int64)
+        ts = np.asarray(group.column(ts_col)).view(np.int64)
+        is_from = np.asarray(pc.equal(group.column(type_col), from_type),
+                             dtype=bool)
+        order = np.lexsort((ts, ids))
+        ids, ts, is_from = ids[order], ts[order], is_from[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = ids[1:] != ids[:-1]
+        part = np.cumsum(brk) - 1
+        t0 = ts.min()
+        stride = np.int64(int(ts.max()) - int(t0) + int(window_us) + 2)
+        adj = part * stride + (ts - t0)
+        b_adj = adj[~is_from]
+        a_adj = adj[is_from]
+        lo = np.searchsorted(b_adj, a_adj, side="right")
+        hi = np.searchsorted(b_adj, a_adj + np.int64(window_us),
+                             side="right")
+        converted = np.unique(ids[is_from][hi > lo])
+        return pa.table({key: pa.array(converted)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_fbucket").map_groups(per_bucket,
+                                            batch_format="pyarrow"))

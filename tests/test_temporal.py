@@ -275,3 +275,32 @@ def test_grouped_quantile_disc_bruteforce():
             got = out[(out.k == k) & (out.q == q)].v.iloc[0]
             assert got == exp, (k, q, got, exp)
     assert len(out) == df.k.nunique() * len(qs)
+
+
+def test_funnel_strict_and_window_bounds(ray_session):
+    """b.ts > a.ts is STRICT, window upper bound inclusive, keys isolated."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import funnel_users
+
+    W = 100
+    rows = [  # (user, ts, type)
+        (1, 0, "A"), (1, 100, "B"),    # exactly window later -> converts
+        (2, 0, "A"), (2, 0, "B"),      # same ts -> NOT strict-later
+        (3, 0, "A"), (3, 101, "B"),    # just outside window
+        (4, 0, "B"), (4, 50, "A"),     # wrong order
+        (5, 0, "A"), (6, 50, "B"),     # different users
+        (7, 0, "A"), (7, 30, "C"),     # other event types ignored
+        (7, 60, "B"),                  # ... but this B converts user 7
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype="datetime64[us]")),
+        "et": pa.array([r[2] for r in rows])})
+    got = sorted(funnel_users(
+        rd.from_arrow(t).repartition(3), key="u", ts_col="ts", type_col="et",
+        from_type="A", to_type="B", window_us=W,
+        n_buckets=4).to_pandas()["u"].tolist())
+    assert got == [1, 7]
