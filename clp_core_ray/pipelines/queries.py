@@ -646,6 +646,36 @@ def events_funnel_hour(sf_dir: str):
 
 
 @register(
+    "events_funnel_3step",
+    "WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events "
+    "  WHERE event_type = 'view' GROUP BY 1), "
+    "s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e "
+    "  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t0 "
+    "  AND epoch_us(e.ts) - epoch_us(s0.t0) <= 259200000000 "
+    "  WHERE e.event_type = 'click' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id FROM events e "
+    "  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+    "  AND epoch_us(e.ts) - epoch_us(s1.t1) <= 259200000000 "
+    "  WHERE e.event_type = 'purchase') "
+    "SELECT DISTINCT user_id FROM s2",
+)
+def events_funnel_3step(sf_dir: str):
+    """Three-step greedy funnel (view → click → purchase, each within an
+    72 h of the previous chosen event): per step ONE searchsorted of the
+    per-user deadlines into that step's composite axis — no joins."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import funnel_steps
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ds, key="user_id", ts_col="ts",
+                        type_col="event_type",
+                        steps=["view", "click", "purchase"],
+                        window_us=259_200_000_000)
+
+
+@register(
     "docs_corpus_stats",
     "SELECT source, lang, count(*) AS docs, "
     "CAST(SUM(n_chars) AS BIGINT) AS chars, "

@@ -510,3 +510,79 @@ def funnel_users(ds, *, key: str, ts_col: str, type_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_fbucket").map_groups(per_bucket,
                                             batch_format="pyarrow"))
+
+
+def funnel_steps(ds, *, key: str, ts_col: str, type_col: str,
+                 steps: list[str], window_us: int, n_buckets: int = 64):
+    """Multi-step funnel with GREEDY earliest-first semantics (the standard
+    product-analytics definition, and what a chain of ``min(ts)`` CTEs
+    spells in SQL): anchor on each key's EARLIEST step-0 event, then each
+    subsequent step must occur strictly after the previous step's chosen
+    event and within ``window_us`` of it; the earliest qualifying event is
+    chosen. Note this differs from :func:`funnel_users`'s any-pair EXISTS
+    semantics — a later anchor that would convert is not considered.
+
+    Returns Dataset[(key,)] of keys completing every step.
+
+    Shape: off-funnel event types drop per batch before the one key-hash
+    bucket shuffle; per bucket everything is arrays indexed by partition
+    ordinal — earliest step-0 via unique(part, return_index) on the sorted
+    axis, each later step ONE searchsorted of the current deadlines into
+    that step's composite-axis positions (stride > span + window, so a miss
+    lands in the next partition's range and self-invalidates).
+    """
+    step_set = list(dict.fromkeys(steps))
+    if len(step_set) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(type_col),
+                     value_set=pa.array(steps))
+        b = batch.filter(m).select([key, ts_col, type_col])
+        ids = np.asarray(b.column(key), dtype=np.int64)
+        return b.append_column(
+            "_fbucket",
+            pa.array((ids % np.int64(n_buckets)).astype(np.int32)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table({key: pa.array([], type=pa.int64())})
+        ids = np.asarray(group.column(key), dtype=np.int64)
+        ts = np.asarray(group.column(ts_col)).view(np.int64)
+        et = group.column(type_col)
+        order = np.lexsort((ts, ids))
+        ids, ts = ids[order], ts[order]
+        step_masks = [np.asarray(pc.equal(et, s), dtype=bool)[order]
+                      for s in steps]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = ids[1:] != ids[:-1]
+        part = np.cumsum(brk) - 1
+        n_part = int(part[-1]) + 1
+        starts = np.flatnonzero(brk)
+        t0 = ts.min()
+        stride = np.int64(int(ts.max()) - int(t0) + int(window_us) + 2)
+        adj = part * stride + (ts - t0)
+
+        INF = np.iinfo(np.int64).max
+        cur = np.full(n_part, INF, dtype=np.int64)
+        p0, first_idx = np.unique(part[step_masks[0]], return_index=True)
+        cur[p0] = adj[step_masks[0]][first_idx]
+        for mask in step_masks[1:]:
+            sk_adj = adj[mask]
+            nxt = np.full(n_part, INF, dtype=np.int64)
+            live = np.flatnonzero(cur != INF)
+            if len(live) == 0 or len(sk_adj) == 0:
+                cur = nxt
+                break
+            lo = np.searchsorted(sk_adj, cur[live], side="right")
+            ok = lo < len(sk_adj)
+            cand = np.where(ok, sk_adj[np.minimum(lo, len(sk_adj) - 1)], INF)
+            ok &= cand <= cur[live] + np.int64(window_us)
+            nxt[live[ok]] = cand[ok]
+            cur = nxt
+        done = np.flatnonzero(cur != INF)
+        return pa.table({key: pa.array(ids[starts][done])})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_fbucket").map_groups(per_bucket,
+                                            batch_format="pyarrow"))

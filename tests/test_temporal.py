@@ -304,3 +304,33 @@ def test_funnel_strict_and_window_bounds(ray_session):
         from_type="A", to_type="B", window_us=W,
         n_buckets=4).to_pandas()["u"].tolist())
     assert got == [1, 7]
+
+
+def test_funnel_steps_greedy_semantics(ray_session):
+    """Greedy earliest-first: the anchor is each key's EARLIEST step-0 event;
+    a later anchor that would convert is not considered (differs from
+    funnel_users' any-pair EXISTS). Chain must advance strictly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import funnel_steps
+
+    W = 100
+    rows = [  # (user, ts, type)
+        (1, 0, "A"), (1, 50, "B"), (1, 120, "C"),   # 0->50->120 converts
+        (2, 0, "A"), (2, 200, "A"), (2, 250, "B"),  # earliest A misses B;
+        (2, 290, "C"),                              # later A would convert
+        (3, 0, "A"), (3, 50, "B"), (3, 50, "C"),    # C not strictly after B
+        (4, 0, "B"), (4, 50, "A"), (4, 60, "B"),    # B-before-A ignored,
+        (4, 100, "C"),                              # 50->60->100 converts
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype="datetime64[us]")),
+        "et": pa.array([r[2] for r in rows])})
+    got = sorted(funnel_steps(
+        rd.from_arrow(t).repartition(3), key="u", ts_col="ts", type_col="et",
+        steps=["A", "B", "C"], window_us=W,
+        n_buckets=4).to_pandas()["u"].tolist())
+    assert got == [1, 4]
