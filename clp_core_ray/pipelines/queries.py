@@ -676,6 +676,80 @@ def events_funnel_3step(sf_dir: str):
 
 
 @register(
+    "events_retention",
+    "WITH first AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort "
+    "  FROM events GROUP BY 1), "
+    "act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk "
+    "  FROM events) "
+    "SELECT cohort, CAST((epoch_us(wk) - epoch_us(cohort)) / 604800000000 "
+    "AS BIGINT) AS week_offset, count(*) AS users "
+    "FROM act JOIN first USING (user_id) GROUP BY 1, 2",
+)
+def events_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-active week, counted in each
+    later week they return — first-event via partial-min groupby, distinct
+    (user, week) via partial-dedup groupby, broadcast/hash auto_join, final
+    count; every stage pre-aggregates before its shuffle."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from clp_core_ray.pipelines.join import auto_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def add_week(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "wk": _pc.floor_temporal(b.column("ts"), unit="week")})
+
+    weekly = ds.map_batches(add_week, batch_format="pyarrow")
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        g = b.group_by("user_id").aggregate([("wk", "min")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "cohort": g.column("wk_min")})
+
+    first = (weekly.map_batches(partial_min, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("cohort", alias_name="cohort")))
+
+    def partial_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id", "wk"]).aggregate([])
+
+    act = (weekly.map_batches(partial_distinct, batch_format="pyarrow")
+           .groupby(["user_id", "wk"]).count())
+
+    joined = auto_join(act, first, left_on="user_id", right_on="user_id",
+                       take_cols=["cohort"])
+
+    def to_offset(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # the groupby shuffle can round-trip week timestamps at coarser
+        # precision (timestamp[s]); normalize to µs before the arithmetic
+        wk = _pc.cast(_pc.cast(b.column("wk"), pa.timestamp("us")),
+                      pa.int64())
+        co = _pc.cast(_pc.cast(b.column("cohort"), pa.timestamp("us")),
+                      pa.int64())
+        off = _pc.divide(_pc.subtract(wk, co), 604_800_000_000)
+        return pa.table({"cohort": b.column("cohort"),
+                         "week_offset": off,
+                         "users": pa.array(np.ones(len(b), dtype=np.int64))})
+
+    def partial_sum(b: pa.Table) -> pa.Table:
+        g = b.group_by(["cohort", "week_offset"]).aggregate([("users", "sum")])
+        return pa.table({"cohort": g.column("cohort"),
+                         "week_offset": g.column("week_offset"),
+                         "users": g.column("users_sum")})
+
+    return (joined.map_batches(to_offset, batch_format="pyarrow")
+            .map_batches(partial_sum, batch_format="pyarrow")
+            .groupby(["cohort", "week_offset"])
+            .aggregate(Sum("users", alias_name="users")))
+
+
+@register(
     "docs_corpus_stats",
     "SELECT source, lang, count(*) AS docs, "
     "CAST(SUM(n_chars) AS BIGINT) AS chars, "
