@@ -242,9 +242,19 @@ def global_window(ds, *, val_col: str, row_id_col: str,
                 pa.int64()),
             "_v": pa.array(v)})
 
+    out_cols = [(f, {"rank": "rnk", "dense_rank": "drnk",
+                     "row_number": "rn", "ntile": "tile"}[f]) for f in funcs]
+
     vals = ds.map_batches(tag_src, batch_format="pyarrow").materialize()
     mm = vals.aggregate(AMin("_v", alias_name="lo"),
                         AMax("_v", alias_name="hi"))
+    if not mm or mm.get("lo") is None:  # empty input: schema-stable empty
+        import ray.data as rd
+
+        cols = {row_id_col: pa.array([], type=pa.int64())}
+        for _, name in out_cols:
+            cols[name] = pa.array([], type=pa.int64())
+        return rd.from_arrow(pa.table(cols))
     lo, hi = int(mm["lo"]), int(mm["hi"])
     width = max(1, (hi - lo) // n_buckets + 1)
 
@@ -283,9 +293,6 @@ def global_window(ds, *, val_col: str, row_id_col: str,
         dist_run += int(d)
     n_total = row_run
     off_ref = ray.put(offsets)
-
-    out_cols = [(f, {"rank": "rnk", "dense_rank": "drnk",
-                     "row_number": "rn", "ntile": "tile"}[f]) for f in funcs]
 
     def window_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "_v" not in group.column_names:

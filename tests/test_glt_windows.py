@@ -479,3 +479,36 @@ def test_grouped_rank_property(ray_session, rows, desc):
     for c in ("rnk", "drnk", "rn"):
         assert (out[c].astype("int64").values
                 == o[c].astype("int64").values).all(), (c, desc)
+
+
+def test_new_window_ops_empty_input(ray_session):
+    """Empty Datasets yield schema-stable empty results, no crashes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import global_window
+    from clp_core_ray.pipelines.temporal import funnel_steps, funnel_users
+    from clp_core_ray.pipelines.windows import grouped_rank, partition_window
+
+    ets = pa.table({
+        "rid": pa.array([], type=pa.int64()),
+        "k": pa.array([], type=pa.int64()),
+        "ks": pa.array([], type=pa.string()),
+        "ts": pa.array(np.array([], dtype="datetime64[us]")),
+        "v": pa.array([], type=pa.int64()),
+        "et": pa.array([], type=pa.string())})
+    ds = rd.from_arrow(ets)
+    gw = global_window(ds, val_col="v", row_id_col="rid",
+                       funcs=("rank", "row_number"))
+    assert gw.count() == 0
+    assert gw.schema().names == ["rid", "rnk", "rn"]
+    assert partition_window(ds, key="k", ts_col="ts", row_id_col="rid",
+                            val_col="v").to_pandas().empty
+    assert grouped_rank(ds, key="ks", val_col="v",
+                        row_id_col="rid").to_pandas().empty
+    assert funnel_users(ds, key="k", ts_col="ts", type_col="et",
+                        from_type="A", to_type="B",
+                        window_us=10).to_pandas().empty
+    assert funnel_steps(ds, key="k", ts_col="ts", type_col="et",
+                        steps=["A", "B"], window_us=10).to_pandas().empty
