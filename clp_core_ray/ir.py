@@ -638,3 +638,55 @@ def read_ir(paths) -> "object":
     return rd.from_items([{"path": p} for p in paths]).map_batches(
         read_file, batch_format="pyarrow"
     )
+
+
+def compress_from_ir(paths, out_dir: str, four_byte_hint: bool | None = None,
+                     **compress_kwargs):
+    """Build a CLP archive directly from ``.clp.ir`` stream files — ``clp c``
+    over IR inputs (FileCompressor.cpp:271-329 consumes IR streams through the
+    same Archive writer as raw text; clp/compression.cpp file loop).
+
+    Each IR file is one logical input file: ``conv_id`` = the file's stem and
+    ``turn_idx`` = the event's index within the stream, so per-file event
+    order survives the archive round trip (CLP's message-index-within-file
+    ordering contract). One read task per file; deserialization is the
+    per-file sequential part (the IR wire format is delta-encoded and cannot
+    be split), while encode/route/sink parallelism comes from the normal
+    compress pipeline downstream.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+
+    if isinstance(paths, str):
+        paths = [os.path.join(paths, f) for f in sorted(os.listdir(paths))
+                 if f.endswith(".clp.ir")]
+    if not paths:
+        raise ValueError("compress_from_ir: no .clp.ir inputs")
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        tbls = []
+        for p in batch.column("path").to_pylist():
+            with open(p, "rb") as f:
+                t = decode_ir_stream_to_text(f.read())
+            stem = os.path.basename(p)
+            stem = stem[: -len(".clp.ir")] if stem.endswith(".clp.ir") else stem
+            n = len(t)
+            tbls.append(pa.table({
+                "conv_id": pa.array([stem] * n, type=pa.large_string()),
+                "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+                "role": pa.array(["system"] * n, type=pa.large_string()),
+                "text": t.column("text"),
+                "tool": pa.array([""] * n, type=pa.large_string()),
+                "ts": pc.cast(t.column("ts"), pa.timestamp("ms")),
+            }))
+        return pa.concat_tables(tbls)
+
+    ds = rd.from_items([{"path": p} for p in paths]).map_batches(
+        read_file, batch_format="pyarrow"
+    )
+    label = compress_kwargs.pop("input_label", f"ir:{len(paths)} streams")
+    return compress(None, out_dir, ds=ds, input_label=label, **compress_kwargs)

@@ -1282,6 +1282,44 @@ def clp_ir_roundtrip(sf_dir: str):
         return back.map_batches(rename, batch_format="pyarrow").to_pandas()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "clp_ir_ingest",
+    "SELECT text, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM {T}",
+)
+def clp_ir_ingest(sf_dir: str):
+    """clp c over IR-stream inputs (FileCompressor.cpp:271-329): transcripts
+    → .clp.ir files (source prep) → compress_from_ir builds a full archive
+    through the normal encode/route/sink pipeline → decompress must reproduce
+    every (text, ts) of the original events. Covers the IR→archive ingest
+    path end-to-end, not just the wire round trip."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray import ir
+    from clp_core_ray.pipelines.decompress import decompress
+
+    irdir = tempfile.mkdtemp(prefix="clp_ir_in_")
+    arch = tempfile.mkdtemp(prefix="clp_ir_arch_")
+    try:
+        ds = read_transcripts(sf_dir, columns=["ts", "text"])
+        paths = ir.write_ir(ds, irdir, four_byte=True)
+        ir.compress_from_ir(paths, arch)
+        back = decompress(arch, columns=("ts",))
+
+        def rename(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ts_ms = pc.cast(pc.cast(b.column("ts"), pa.timestamp("ms")), pa.int64())
+            return pa.table({"text": b.column("text"), "ts_ms": ts_ms})
+
+        return back.map_batches(rename, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(irdir, ignore_errors=True)
+        shutil.rmtree(arch, ignore_errors=True)
+
+
 _TEMPLATE_CASE_SQL = (
     "CASE"
     " WHEN text LIKE 'INFO request_id=%' THEN 't0'"

@@ -183,3 +183,40 @@ def test_search_ir_streams(ray_session, tmp_path):
     assert none.count() == 0
     # dictionary-miss query prunes without decoding
     assert ir.search_ir(paths, "*zz-never-there*").count() == 0
+
+
+def test_compress_from_ir(ray_session, tmp_path):
+    """clp c over IR inputs: two IR stream files → archive; conv_id = file
+    stem, turn_idx = in-stream index, and decompression reproduces every
+    (text, ts) in per-file order (FileCompressor.cpp:271-329 role)."""
+    from clp_core_ray import ir
+    from clp_core_ray.pipelines.decompress import decompress
+
+    msgs_a = [f"INFO request_id=aa{i:02d} served in {i}.5 ms" for i in range(40)]
+    msgs_b = [f"ERROR upstream timeout after {i} retries" for i in range(25)]
+    base = 1_701_000_000_000
+    f_a = tmp_path / "streamA.clp.ir"
+    f_b = tmp_path / "streamB.clp.ir"
+    f_a.write_bytes(ir.serialize_ir_stream(
+        [base + 1000 * i for i in range(len(msgs_a))], msgs_a, four_byte=True))
+    f_b.write_bytes(ir.serialize_ir_stream(
+        [base + 7 * i for i in range(len(msgs_b))], msgs_b, four_byte=False))
+
+    arch = tmp_path / "arch"
+    ir.compress_from_ir([str(f_a), str(f_b)], str(arch))
+    back = decompress(str(arch), columns=("conv_id", "turn_idx", "ts")).to_pandas()
+    back = back.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    assert sorted(back["conv_id"].unique()) == ["streamA", "streamB"]
+    got_a = back[back.conv_id == "streamA"]
+    got_b = back[back.conv_id == "streamB"]
+    assert got_a["text"].tolist() == msgs_a  # in-stream order preserved
+    assert got_b["text"].tolist() == msgs_b
+    assert got_a["turn_idx"].tolist() == list(range(len(msgs_a)))
+    assert got_b["ts"].astype("datetime64[ms]").astype("int64").tolist() == [
+        base + 7 * i for i in range(len(msgs_b))]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ir.compress_from_ir([], str(tmp_path / "none"))
