@@ -538,8 +538,24 @@ def conj_required_paths(conj: list[Pred]) -> set[str]:
 # ---- clp_s archive search ---------------------------------------------------
 
 
+def _storage_columns(file_cols: set, meta: dict, leaf_paths) -> list[str]:
+    """Leaf paths → the physical parquet columns that materialize them
+    (ClpString leaves fan out to their 5 encoded columns)."""
+    enc = set(json.loads(meta.get("clp_encoded", "[]")))
+    cols: list[str] = []
+    for p in leaf_paths:
+        safe = p.replace("/", "_")
+        if safe in enc:
+            cols += [f"{safe}\x00{s}"
+                     for s in ("logtype", "vars", "vartypes", "dictvars", "isnull")]
+        elif safe in file_cols:
+            cols.append(safe)
+    return cols
+
+
 def clps_search(out_dir: str, query: str,
-                ts_range: tuple[float, float] | None = None):
+                ts_range: tuple[float, float] | None = None,
+                projection: list[str] | None = None):
     """Search a clp_s archive → Dataset[(log_event_idx, json)] of hits.
 
     Driver work is footer-metadata-only: schema tables whose leaf sets cannot
@@ -547,7 +563,14 @@ def clps_search(out_dir: str, query: str,
     timestamp range index prunes before any data pages are read
     (EvaluateTimestampIndex). Surviving tables are scanned by map tasks —
     ClpString leaves decoded, pyarrow.compute filter, hits serialized back to
-    JSON lines (Output.filter → result sink)."""
+    JSON lines (Output.filter → result sink).
+
+    ``projection`` (clp-s search --projection, the Projection AST pass at
+    clp-s.cpp:239 / search/Projection.cpp): output JSON carries only the
+    named column paths; paths absent from a record's schema are omitted.
+    Beyond output shaping it prunes I/O — each schema table is read with
+    ONLY the predicate + projected columns (ClpString leaves expand to their
+    encoded quintuple), so unprojected columns never leave storage."""
     import ray.data as rd
     import pyarrow.parquet as pq
 
@@ -557,6 +580,8 @@ def clps_search(out_dir: str, query: str,
         _serialize_schema_table,
     )
 
+    if projection is not None and not projection:
+        raise ValueError("projection must name at least one column path")
     dnf = to_dnf(parse_kql(query))
     work: list[dict] = []
     for path in _schema_files(out_dir):
@@ -583,15 +608,37 @@ def clps_search(out_dir: str, query: str,
         viable = [c + ts_preds for c in dnf if conj_required_paths(c) <= leaf_paths]
         if not viable:
             continue
-        work.append({"path": path, "viable": json.dumps(_dnf_to_json(viable))})
+        read_cols = None
+        if projection is not None:
+            pred_paths, wildcard = set(), False
+            for conj in viable:
+                for p in conj:
+                    if _path_is_wildcard(p.path):
+                        wildcard = True
+                    else:
+                        pred_paths.add(p.path)
+            if not wildcard:  # a wildcard predicate may touch any column
+                file_cols = set(pf.schema_arrow.names)
+                read_cols = sorted(
+                    {"log_event_idx"}
+                    | set(_storage_columns(file_cols, meta,
+                                           pred_paths | set(projection)))
+                )
+        work.append({"path": path, "viable": json.dumps(_dnf_to_json(viable)),
+                     "cols": json.dumps(read_cols)})
+
+    proj_safe = ([p.replace("/", "_") for p in projection]
+                 if projection is not None else None)
 
     def scan(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as _pq
 
         tbls = []
-        for path, viable_js in zip(batch.column("path").to_pylist(),
-                                   batch.column("viable").to_pylist()):
-            t = _pq.read_table(path)
+        for path, viable_js, cols_js in zip(batch.column("path").to_pylist(),
+                                            batch.column("viable").to_pylist(),
+                                            batch.column("cols").to_pylist()):
+            read_cols = json.loads(cols_js)
+            t = _pq.read_table(path, columns=read_cols)
             meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
             view = _decoded_view(t, meta)
             viable = _dnf_from_json(json.loads(viable_js))
@@ -599,6 +646,10 @@ def clps_search(out_dir: str, query: str,
             hits = view.filter(pc.fill_null(mask, False))
             if len(hits) == 0:
                 continue
+            if proj_safe is not None:
+                keep = ["log_event_idx"] + [
+                    s for s in proj_safe if s in hits.column_names]
+                hits = hits.select(keep)
             tbls.append(pa.table({
                 "log_event_idx": hits.column("log_event_idx").combine_chunks(),
                 "json": _serialize_schema_table(hits),

@@ -481,6 +481,8 @@ def _decoded_view(t: pa.Table, meta: dict) -> pa.Table:
     """Schema table → logical view: ClpString leaves decoded back to text."""
     cols = {"log_event_idx": t.column("log_event_idx")}
     for safe in json.loads(meta.get("clp_encoded", "[]")):
+        if f"{safe}\x00logtype" not in t.column_names:
+            continue  # column-pruned read (projection): leaf not materialized
         text = decode_batch(
             t.column(f"{safe}\x00logtype"), t.column(f"{safe}\x00vars"),
             t.column(f"{safe}\x00vartypes"), dict_vars=t.column(f"{safe}\x00dictvars"),

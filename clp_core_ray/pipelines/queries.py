@@ -1039,6 +1039,55 @@ def clps_multi_kql(sf_dir: str):
 
 
 @register(
+    "clps_projection",
+    "SELECT event_id AS log_event_idx, "
+    "'{\"et\": \"' || event_type || '\", \"uid\": ' || CAST(user_id AS VARCHAR)"
+    " || '}' AS json FROM events WHERE user_id * 7 > 49",
+)
+def clps_projection(sf_dir: str):
+    """clp-s search --projection (Projection AST pass, clp-s.cpp:239): hits
+    serialize ONLY the projected column paths, and each schema table is read
+    with only predicate+projected columns — the record's ClpString 'note'
+    leaf (5 encoded columns) never leaves storage, its decode never runs."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.filters import clps_search
+    from clp_core_ray.pipelines.clps import clps_compress
+
+    out = tempfile.mkdtemp(prefix="clps_proj_")
+    try:
+        def build(b: pa.Table) -> pa.Table:
+            et = b.column("event_type").cast(pa.large_string())
+            uid = pc.cast(b.column("user_id"), pa.large_string())
+            k = pc.cast(pc.multiply(pc.cast(b.column("user_id"), pa.int64()), 7),
+                        pa.large_string())
+            raw = pc.binary_join_element_wise(
+                pa.scalar('{"et": "', type=pa.large_string()), et,
+                pa.scalar('", "uid": ', type=pa.large_string()), uid,
+                pa.scalar(', "note": "free text with spaces ',
+                          type=pa.large_string()), uid,
+                pa.scalar('", "k": ', type=pa.large_string()), k,
+                pa.scalar("}", type=pa.large_string()),
+                pa.scalar("", type=pa.large_string()))
+            return pa.table({
+                "log_event_idx": b.column("event_id").cast(pa.int64()),
+                "raw": raw,
+            })
+
+        src = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type"],
+        ).map_batches(build, batch_format="pyarrow")
+        clps_compress(src, out)
+        return clps_search(out, "k > 49", projection=["et", "uid"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
     "clps_roundtrip",
     "SELECT '{\"k\": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)"
     " || '}' AS json FROM events",

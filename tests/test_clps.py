@@ -347,3 +347,48 @@ def test_clps_search_multi_equals_singles(ray_session, tmp_path):
             single = single.sort_values("log_event_idx")
             assert part["json"].tolist() == single["json"].tolist(), q
     assert (multi["query_idx"] == 2).sum() == 0  # impossible predicate
+
+
+def test_clps_projection(ray_session, tmp_path):
+    """--projection (Projection.cpp role): output carries only projected
+    paths; reads prune to predicate+projected columns; missing paths omit;
+    mixed schemas keep per-schema behavior."""
+    from clp_core_ray.functions.filters import _storage_columns, clps_search
+    from clp_core_ray.pipelines.clps import clps_compress
+
+    lines = ([json.dumps({"k": i, "name": "user with spaces %d" % i,
+                          "city": "c%d" % i}, sort_keys=True)
+              for i in range(30)]
+             + [json.dumps({"k": i, "city": "solo%d" % i}, sort_keys=True)
+                for i in range(30, 40)])
+    out = str(tmp_path / "arch_proj")
+    clps_compress(lines, out)
+
+    full = clps_search(out, "k >= 25").to_pandas().sort_values("log_event_idx")
+    proj = (clps_search(out, "k >= 25", projection=["city", "k"])
+            .to_pandas().sort_values("log_event_idx"))
+    assert len(proj) == len(full) == 15
+    want = [json.dumps({kk: vv for kk, vv in json.loads(s).items()
+                        if kk in ("city", "k")}, sort_keys=True)
+            for s in full["json"]]
+    assert proj["json"].tolist() == want
+
+    # ClpString leaf projection: only the first schema has 'name'
+    pn = (clps_search(out, "k >= 25", projection=["name"])
+          .to_pandas().sort_values("log_event_idx"))
+    got = [json.loads(s) for s in pn["json"]]
+    assert [g for g in got if g] == [
+        {"name": "user with spaces %d" % i} for i in range(25, 30)]
+    assert sum(1 for g in got if not g) == 10  # schema without 'name' → {}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        clps_search(out, "k >= 25", projection=[])
+
+    # column pruning: a ClpString leaf expands to its encoded quintuple and
+    # unrequested leaves are absent from the physical read set
+    meta = {"clp_encoded": json.dumps(["name"])}
+    cols = _storage_columns({"k", "city"}, meta, ["name", "k"])
+    assert "name\x00logtype" in cols and "name\x00isnull" in cols
+    assert "city" not in cols and "k" in cols
