@@ -340,10 +340,13 @@ def cmd_json_search(args) -> dict:
         ts_range = (args.ts_min if args.ts_min is not None else float("-inf"),
                     args.ts_max if args.ts_max is not None else float("inf"))
     t0 = _t.time()
+    proj = args.projection or None
     if _is_split_archive(args.archive):
-        ds = clps_search_split(args.archive, args.query, ts_range=ts_range)
+        ds = clps_search_split(args.archive, args.query, ts_range=ts_range,
+                               projection=proj)
     else:
-        ds = clps_search(args.archive, args.query, ts_range=ts_range)
+        ds = clps_search(args.archive, args.query, ts_range=ts_range,
+                         projection=proj)
     if args.out:
         ds.write_parquet(args.out, compression="zstd")
         rows = ds.count()
@@ -529,6 +532,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="max hits printed to stdout")
     js.add_argument("--ts-min", type=float, help="epoch-ms range prune")
     js.add_argument("--ts-max", type=float, help="epoch-ms range prune")
+    js.add_argument("--projection", action="append",
+                    help="output only this column path (repeatable; "
+                         "clp-s search --projection)")
     js.set_defaults(fn=cmd_json_search)
 
     dd = sub.add_parser(

@@ -857,7 +857,8 @@ def select_split_archives(base_dir: str,
 
 
 def clps_search_split(base_dir: str, query: str,
-                      ts_range: tuple[float, float] | None = None):
+                      ts_range: tuple[float, float] | None = None,
+                      projection: list[str] | None = None):
     """KQL search across a split archive set → one union Dataset.
 
     Archive-level pruning happens on the manifest (no footer reads for
@@ -872,7 +873,8 @@ def clps_search_split(base_dir: str, query: str,
         return rd.from_arrow(pa.table(
             {"log_event_idx": pa.array([], type=pa.int64()),
              "json": pa.array([], type=pa.large_string())}))
-    parts = [clps_search(d, query, ts_range=ts_range) for d in dirs]
+    parts = [clps_search(d, query, ts_range=ts_range, projection=projection)
+             for d in dirs]
     out = parts[0]
     return out.union(*parts[1:]) if len(parts) > 1 else out
 
