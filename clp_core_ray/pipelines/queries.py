@@ -13,6 +13,7 @@ read_parquet(), generated before the SQL string is returned.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1874,6 +1875,55 @@ def docs_decontaminate(sf_dir: str):
 
 
 @register(
+    "docs_snapshot_diff",
+    "WITH old AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || '-v1' "
+    "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 1), "
+    "new AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 2) "
+    "SELECT o.doc_id, 'removed' AS status FROM old o "
+    "WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.doc_id = o.doc_id) "
+    "UNION ALL SELECT n.doc_id, 'added' FROM new n "
+    "WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.doc_id = n.doc_id) "
+    "UNION ALL SELECT n.doc_id, 'changed' FROM new n "
+    "JOIN old o USING (doc_id) WHERE o.text <> n.text",
+)
+def docs_snapshot_diff(sf_dir: str):
+    """Incremental corpus delta: two snapshots → added/removed/changed ids
+    in one shuffle of (id, content_hash, side) rows — both anti-joins and
+    the inner hash-compare resolve in a single vectorized pass per id
+    bucket. Old snapshot: drops ids ≡1 (mod 7), mutates text of ids ≡0
+    (mod 5); new snapshot drops ids ≡2 (mod 11)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import snapshot_diff
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def make_old(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id").combine_chunks())
+        t = b.filter(pa.array(ids % 7 != 1))
+        mut = pa.array(np.asarray(t.column("doc_id").combine_chunks()) % 5 == 0)
+        text = pc.if_else(
+            mut,
+            pc.binary_join_element_wise(
+                t.column("text").cast(pa.large_string()),
+                pa.scalar("-v1", type=pa.large_string()),
+                pa.scalar("", type=pa.large_string())),
+            t.column("text").cast(pa.large_string()))
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    def make_new(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id").combine_chunks())
+        t = b.filter(pa.array(ids % 11 != 2))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": t.column("text").cast(pa.large_string())})
+
+    old_ds = base.map_batches(make_old, batch_format="pyarrow")
+    new_ds = base.map_batches(make_new, batch_format="pyarrow")
+    return snapshot_diff(old_ds, new_ds)
+
+
+@register(
     "docs_pack_sequences",
     "SELECT doc_id, n_tokens, "
     "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
@@ -2714,6 +2764,38 @@ def events_topk_per_user(sf_dir: str):
                          columns=["user_id", "event_id", "ts"])
     out = grouped_topk(ds, key_col="user_id", order_col="ts", k=3,
                        tiebreak_col="event_id", descending=True)
+    return out.select_columns(["user_id", "event_id"])
+
+
+@register(
+    "events_sample_per_user",
+    "SELECT user_id, event_id FROM events"
+    " QUALIFY row_number() OVER (PARTITION BY user_id"
+    "  ORDER BY (event_id * 2654435761) % 4294967296, event_id) <= 2",
+)
+def events_sample_per_user(sf_dir: str):
+    """Deterministic uniform k-per-key sampling: rank rows by a
+    multiplicative hash of the row id (a seeded, resume-stable shuffle order
+    — Knuth's 2654435761 mod 2^32) and keep the k smallest per key. Gives
+    reservoir-sampling semantics with zero coordination: any re-run or
+    retried task picks the identical sample, and the per-batch top-k prune
+    bounds the exchange at k rows per (key, batch)."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id"])
+
+    def add_h(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b.column("event_id").combine_chunks(),
+                         dtype=np.int64)
+        h = (eid * 2654435761) % 4294967296
+        return b.append_column("h", pa.array(h, type=pa.int64()))
+
+    out = grouped_topk(ds.map_batches(add_h, batch_format="pyarrow"),
+                       key_col="user_id", order_col="h", k=2,
+                       tiebreak_col="event_id", descending=False)
     return out.select_columns(["user_id", "event_id"])
 
 

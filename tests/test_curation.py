@@ -119,3 +119,45 @@ def test_mixture_sample(ray_session):
     df2 = mixture_sample(ds, "lang", {"en": 0.5, "de": 0.25, "fr": 0.25}
                          ).to_pandas()
     assert sorted(df2["doc_id"]) == sorted(df["doc_id"])
+
+
+def test_snapshot_diff(ray_session):
+    """added/removed/changed delta; unchanged ids emit nothing; any byte
+    change (even whitespace) counts as changed."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import snapshot_diff
+
+    old = rd.from_items([
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "bravo"},
+        {"doc_id": 3, "text": "charlie"},
+        {"doc_id": 4, "text": "delta"},
+    ])
+    new = rd.from_items([
+        {"doc_id": 2, "text": "bravo"},        # unchanged
+        {"doc_id": 3, "text": "charlie "},     # whitespace-only → changed
+        {"doc_id": 4, "text": "DELTA"},        # changed
+        {"doc_id": 5, "text": "echo"},         # added
+    ])
+    got = snapshot_diff(old, new).to_pandas().sort_values("doc_id")
+    assert list(zip(got["doc_id"], got["status"])) == [
+        (1, "removed"), (3, "changed"), (4, "changed"), (5, "added")]
+
+    # identical snapshots → empty delta with stable schema
+    same = snapshot_diff(old, old)
+    assert same.count() == 0
+    assert set(same.schema().names) == {"doc_id", "status"}
+
+
+def test_sample_per_user_deterministic(ray_session):
+    """Hash-ordered per-key sampling returns the identical set on re-run."""
+    from __ray_entry__ import queries
+
+    q = queries()["events_sample_per_user"]
+    a = q("/root/testdata/sf0.001").to_pandas()
+    b = q("/root/testdata/sf0.001").to_pandas()
+    key = ["user_id", "event_id"]
+    assert sorted(map(tuple, a[key].values.tolist())) == \
+        sorted(map(tuple, b[key].values.tolist()))
+    assert (a.groupby("user_id").size() <= 2).all()
