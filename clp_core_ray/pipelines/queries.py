@@ -2821,6 +2821,30 @@ def events_value_quantiles(sf_dir: str):
                                  qs=(0.25, 0.5, 0.9))
 
 
+@register(
+    "events_value_quantiles_cont",
+    "SELECT event_type, 0.25 AS q, quantile_cont(value, 0.25) AS value"
+    " FROM events GROUP BY 1 UNION ALL"
+    " SELECT event_type, 0.5 AS q, quantile_cont(value, 0.5) AS value"
+    " FROM events GROUP BY 1 UNION ALL"
+    " SELECT event_type, 0.9 AS q, quantile_cont(value, 0.9) AS value"
+    " FROM events GROUP BY 1",
+)
+def events_value_quantiles_cont(sf_dir: str):
+    """Exact interpolated per-group quantiles (percentile_cont semantics:
+    linear interpolation at (n-1)*q) via the same value-histogram exchange
+    as the discrete variant — both bracketing order statistics read off one
+    count cumsum."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_quantile_cont
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_quantile_cont(ds, key_col="event_type", val_col="value",
+                                 qs=(0.25, 0.5, 0.9))
+
+
 @register("events_approx_users")  # sketch estimate: no SQL-expressible oracle
 def events_approx_users(sf_dir: str):
     """HyperLogLog approximate distinct users (p=12, ~1.6% rel. error).

@@ -458,6 +458,86 @@ def grouped_quantile_disc(
     )
 
 
+def grouped_quantile_cont(
+    ds,
+    *,
+    key_col: str,
+    val_col: str,
+    qs: tuple[float, ...] = (0.5,),
+    num_buckets: int = N_BUCKETS,
+):
+    """Exact interpolated quantiles per key (SQL ``percentile_cont`` /
+    DuckDB ``quantile_cont``: position h = (n−1)·q on the sorted values,
+    linear interpolation between ranks ⌊h⌋+1 and ⌊h⌋+2).
+
+    Same value-histogram exchange as :func:`grouped_quantile_disc` — one
+    (key, value, count) row per distinct pair per batch — with both
+    bracketing order statistics read off the count cumsum per key segment.
+
+    Returns Dataset[(key_col, q, val_col:float64)], one row per key × q.
+    """
+    q_arr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b.column(key_col), val_col: b.column(val_col)})
+        out = t.group_by([key_col, val_col]).aggregate([(val_col, "count")])
+        return out.rename_columns([key_col, val_col, "_cnt"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = partial(b)
+        _, bucket = _key_and_bucket(b.column(key_col), num_buckets)
+        return b.append_column("_bucket", bucket)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key = np.asarray(_key_and_bucket(g.column(key_col), 1)[0])
+        val = np.asarray(g.column(val_col).combine_chunks().cast(pa.float64()))
+        cnt = np.asarray(g.column("_cnt"), dtype=np.int64)
+        order = np.lexsort((val, key))
+        ks, vs, cs = key[order], val[order], cnt[order]
+        n = len(ks)
+        new = np.ones(n, dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        seg = np.flatnonzero(new)
+        seg_end = np.append(seg[1:], n)
+        ccs = np.cumsum(cs)
+        base = np.where(seg > 0, ccs[seg - 1], 0)
+        totals = ccs[seg_end - 1] - base
+        out_keys, out_q, out_v = [], [], []
+        for s, e, b0, tot in zip(seg, seg_end, base, totals):
+            h = (tot - 1) * q_arr
+            r_lo = np.floor(h).astype(np.int64) + 1
+            r_hi = np.minimum(r_lo + 1, tot)
+            frac = h - np.floor(h)
+            local = ccs[s:e] - b0
+            v_lo = vs[s + np.searchsorted(local, r_lo, side="left")]
+            v_hi = vs[s + np.searchsorted(local, r_hi, side="left")]
+            out_keys.append(np.full(len(q_arr), s))
+            out_q.append(q_arr)
+            # lo*(1-f) + hi*f, NOT lo + f*(hi-lo): matches the reference
+            # engines' (DuckDB/Postgres) bit-for-bit interpolation
+            out_v.append(v_lo * (1.0 - frac) + v_hi * frac)
+        if not out_keys:
+            return pa.table(
+                {key_col: g.column(key_col).slice(0, 0),
+                 "q": pa.array([], pa.float64()),
+                 val_col: pa.array([], pa.float64())}
+            )
+        first_idx = pa.array(order[np.concatenate(out_keys)])
+        return pa.table(
+            {
+                key_col: g.column(key_col).take(first_idx),
+                "q": pa.array(np.concatenate(out_q)),
+                val_col: pa.array(np.concatenate(out_v)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def funnel_users(ds, *, key: str, ts_col: str, type_col: str,
                  from_type: str, to_type: str, window_us: int,
                  n_buckets: int = 64):

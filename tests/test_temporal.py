@@ -277,6 +277,47 @@ def test_grouped_quantile_disc_bruteforce():
     assert len(out) == df.k.nunique() * len(qs)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantile_cont_bruteforce():
+    """Interpolated quantiles equal numpy's linear percentile per key."""
+    from clp_core_ray.pipelines.temporal import grouped_quantile_cont
+
+    rng = np.random.default_rng(32)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n).astype(np.int64),
+            "v": np.round(rng.normal(size=n), 2),
+        }
+    )
+    qs = (0.1, 0.5, 0.9)
+    out = (
+        grouped_quantile_cont(
+            rd.from_pandas(df).repartition(5),
+            key_col="k", val_col="v", qs=qs, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "q"])
+        .reset_index(drop=True)
+    )
+    for k, grp in df.groupby("k"):
+        vals = np.sort(grp.v.to_numpy())
+        for q in qs:
+            h = (len(vals) - 1) * q
+            import math
+            lo, hi = vals[math.floor(h)], vals[min(math.floor(h) + 1, len(vals) - 1)]
+            f = h - math.floor(h)
+            exp = lo * (1.0 - f) + hi * f
+            got = out[(out.k == k) & (out.q == q)].v.iloc[0]
+            assert got == exp, (k, q, got, exp)
+    # single-value key: every quantile is that value
+    one = grouped_quantile_cont(
+        rd.from_pandas(pd.DataFrame({"k": [9], "v": [3.5]})),
+        key_col="k", val_col="v", qs=(0.1, 0.9), num_buckets=2,
+    ).to_pandas()
+    assert set(one.v) == {3.5}
+
+
 def test_funnel_strict_and_window_bounds(ray_session):
     """b.ts > a.ts is STRICT, window upper bound inclusive, keys isolated."""
     import numpy as np
