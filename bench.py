@@ -143,6 +143,23 @@ def run_once() -> None:
                                    "*calling svc-77 *"]).count()
         queries["search_multi_3q"] = round(time.time() - t0, 3)
 
+        # LLM-data-pipeline headliners over the documents table at the same
+        # sf: composed curation (quality filter → exact dedup → decontaminate
+        # → stratified sample, one shuffle) and end-to-end fuzzy dedup
+        # (MinHash-LSH pairs → connected components → full-corpus cluster map)
+        import __ray_entry__ as _entry
+
+        _qs = _entry.queries()
+        t0 = time.time()
+        _qs["docs_curation_pipeline"](sf_dir).count()
+        queries["curation_pipeline"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _qs["docs_fuzzy_dedup"](sf_dir).count()
+        queries["fuzzy_dedup"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _qs["clp_sessionize"](sf_dir).count()
+        queries["sessionize"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
