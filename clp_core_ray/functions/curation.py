@@ -351,7 +351,8 @@ def content_hash64(texts: pa.Array) -> pa.Array:
 
 
 def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
-                  content_col: str = "text", num_buckets: int = 64):
+                  content_col: str = "text", num_buckets: int = 64,
+                  precomputed_hash: bool = False):
     """Delta between two corpus snapshots → Dataset[(id, status)] with status
     in {'added','removed','changed'}; unchanged ids produce no row.
 
@@ -361,18 +362,27 @@ def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
     size — then ONE id-bucket groupby resolves both anti-joins and the
     inner hash-compare per id in a single vectorized lexsort pass (ids are
     unique per side, so every id-run has ≤ 2 rows; no row loop, no second
-    shuffle)."""
+    shuffle).
+
+    Ids may be int or string (strings bucket by 64-bit hash but resolve by
+    exact value via dictionary codes — collisions cannot corrupt statuses).
+    ``precomputed_hash=True`` treats ``content_col`` as an int64 content
+    hash already computed upstream (e.g. conversation-level rollups)."""
+    from clp_core_ray.pipelines.temporal import _key_and_bucket
 
     def project(side: int):
         def fn(b: pa.Table) -> pa.Table:
             ids = b.column(id_col).combine_chunks()
-            h = content_hash64(b.column(content_col))
-            key = np.asarray(pc.cast(ids, pa.int64()))
+            if precomputed_hash:
+                h = b.column(content_col).combine_chunks().cast(pa.int64())
+            else:
+                h = content_hash64(b.column(content_col))
+            _, bucket = _key_and_bucket(ids, num_buckets)
             return pa.table({
                 id_col: ids,
                 "_h": h,
                 "_side": pa.array(np.full(len(b), side, dtype=np.int8)),
-                "_bucket": pa.array((key % num_buckets).astype(np.int32)),
+                "_bucket": bucket,
             })
         return fn
 
@@ -385,7 +395,12 @@ def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
                                 ("status", pa.large_string())])
         if n == 0:
             return out_schema.empty_table()
-        ids = np.asarray(pc.cast(t.column(id_col).combine_chunks(), pa.int64()))
+        id_arr = t.column(id_col).combine_chunks()
+        if pa.types.is_string(id_arr.type) or pa.types.is_large_string(id_arr.type):
+            # exact identity via dictionary codes (hash only places buckets)
+            ids = np.asarray(id_arr.dictionary_encode().indices, dtype=np.int64)
+        else:
+            ids = np.asarray(pc.cast(id_arr, pa.int64()))
         side = np.asarray(t.column("_side").combine_chunks())
         h = np.asarray(t.column("_h").combine_chunks())
         perm = np.lexsort((side, ids))
@@ -397,7 +412,6 @@ def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
         lens = np.diff(np.append(starts, n))
         # singleton runs: present on one side only
         solo = starts[lens == 1]
-        status = {}
         added = solo[side_s[solo] == 1]
         removed = solo[side_s[solo] == 0]
         # paired runs (old then new after the lexsort): changed iff hash differs
