@@ -364,6 +364,44 @@ def cmd_json_search(args) -> dict:
             "sec": round(_t.time() - t0, 3)}
 
 
+def cmd_incr_compress(args) -> dict:
+    """Incremental compress: delta-only generation against --base."""
+    from clp_core_ray.pipelines.incremental import compress_incremental
+
+    t0 = time.time()
+    res = compress_incremental(args.input, args.base)
+    return {"cmd": "incr-compress", "base": args.base,
+            "sec": round(time.time() - t0, 3), **res}
+
+
+def cmd_incr_extract(args) -> dict:
+    from clp_core_ray.pipelines.incremental import decompress_incremental
+
+    t0 = time.time()
+    ds = decompress_incremental(args.base)
+    ds.write_parquet(args.out, compression="zstd")
+    rows = ds.count()
+    return {"cmd": "incr-extract", "out": args.out, "rows": rows,
+            "sec": round(time.time() - t0, 3)}
+
+
+def cmd_incr_search(args) -> dict:
+    from clp_core_ray.pipelines.incremental import search_incremental
+
+    t0 = time.time()
+    ds = search_incremental(args.base, args.query,
+                            ignore_case=args.ignore_case)
+    rows = ds.count()
+    shown = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for line in b.column("text").to_pylist():
+            if shown < args.limit:
+                print(line)
+                shown += 1
+    return {"cmd": "incr-search", "rows": rows,
+            "sec": round(time.time() - t0, 3)}
+
+
 def cmd_dictdump(args) -> dict:
     """Dump archive dictionaries human-readable (make-dictionaries-readable
     parity: make-dictionaries-readable.cpp:60-121 — logtype placeholders
@@ -536,6 +574,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="output only this column path (repeatable; "
                          "clp-s search --projection)")
     js.set_defaults(fn=cmd_json_search)
+
+    ic = sub.add_parser("incr-compress",
+                        help="delta-only generation vs a layered base")
+    ic.add_argument("--input", required=True, help="sf dir / transcript dir")
+    ic.add_argument("--base", required=True, help="generation-layered base dir")
+    ic.set_defaults(fn=cmd_incr_compress)
+
+    ix = sub.add_parser("incr-extract",
+                        help="reconstruct the current snapshot from a base")
+    ix.add_argument("--base", required=True)
+    ix.add_argument("--out", required=True)
+    ix.set_defaults(fn=cmd_incr_extract)
+
+    isr = sub.add_parser("incr-search",
+                         help="ownership-masked search across generations")
+    isr.add_argument("--base", required=True)
+    isr.add_argument("--query", required=True)
+    isr.add_argument("--ignore-case", action="store_true")
+    isr.add_argument("--limit", type=int, default=1000)
+    isr.set_defaults(fn=cmd_incr_search)
 
     dd = sub.add_parser(
         "dictdump", help="dump dictionaries human-readable "

@@ -298,3 +298,49 @@ def incremental_stats(base_dir: str) -> dict:
     per_gen = {int(g): int((own == g).sum()) for g in np.unique(own)}
     return {"generations": len(gens), "live_convs": len(own),
             "live_convs_by_gen": per_gen}
+
+
+def search_incremental(base_dir: str, query: str, ignore_case: bool = False):
+    """Wildcard search across all generations with ownership masking.
+
+    Each generation's archive is searched independently (the normal
+    dictionary-pruned two-phase scan); hits from conversations the
+    generation no longer owns — superseded by a later generation or removed
+    from the snapshot — are filtered out with a broadcast owner set, so
+    results are exactly what searching the current snapshot would return.
+    """
+    import ray
+
+    from clp_core_ray.pipelines.search import search_archive
+
+    gens = _gen_dirs(base_dir)
+    if not gens:
+        raise ValueError(f"no generations under {base_dir}")
+    owner = pq.read_table(_owner_path(base_dir), columns=["conv_id", "owner"])
+    own = np.asarray(owner.column("owner"), dtype=np.int64)
+    parts = []
+    for g, gen_dir in enumerate(gens):
+        if os.path.exists(os.path.join(gen_dir, "EMPTY")):
+            continue
+        mine = owner.column("conv_id").filter(pa.array(own == g))
+        if len(mine) == 0:
+            continue
+        keep_ref = ray.put(mine.combine_chunks().cast(pa.large_string()))
+
+        def owned_only(b: pa.Table, _ref=keep_ref) -> pa.Table:
+            keep = ray.get(_ref)
+            return b.filter(pc.is_valid(pc.index_in(
+                b.column("conv_id").combine_chunks().cast(pa.large_string()),
+                keep)))
+
+        parts.append(
+            search_archive(gen_dir, query, ignore_case=ignore_case)
+            .map_batches(owned_only, batch_format="pyarrow"))
+    if not parts:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {"conv_id": pa.array([], type=pa.string()),
+             "turn_idx": pa.array([], type=pa.int32()),
+             "text": pa.array([], type=pa.large_string())}))
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]

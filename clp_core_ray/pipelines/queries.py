@@ -1334,71 +1334,97 @@ def clp_ir_roundtrip(sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _drifted_transcripts(sf_dir: str):
+    """A deterministic PRE-drift snapshot of the transcripts: ≈1/7 of
+    conversations missing (they become 'added'), 1/7 with mutated text
+    ('changed' — the mutation keeps the original prefix so prefix wildcard
+    queries still match the STALE text, exercising ownership masking),
+    plus fake conversations ('removed')."""
+    from clp_core_ray.functions.text import fingerprints
+
+    def mk(b: pa.Table) -> pa.Table:
+        h = np.asarray(fingerprints(b.column("conv_id"))).view(np.uint64)
+        t = b.filter(pa.array((h % 7) != 0))
+        h2 = np.asarray(fingerprints(t.column("conv_id"))).view(np.uint64)
+        mut = pa.array((h2 % 7) == 1)
+        text = pc.if_else(
+            mut,
+            pc.binary_join_element_wise(
+                t.column("text").cast(pa.large_string()),
+                pa.scalar(" [draft]", type=pa.large_string()),
+                pa.scalar("", type=pa.large_string())),
+            t.column("text").cast(pa.large_string()))
+        return t.set_column(t.column_names.index("text"), "text", text)
+
+    def fake(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "conv_id": pa.array([f"zz-fake-{i // 4}" for i in range(n)],
+                                type=b.column("conv_id").type),
+            "turn_idx": pa.array(np.arange(n) % 4, type=pa.int32()),
+            "role": b.column("role"),
+            "text": pa.array([f"fake turn {i % 4}" for i in range(n)],
+                             type=pa.large_string()),
+            "tool": b.column("tool"),
+            "ts": b.column("ts"),
+        })
+
+    real = read_transcripts(sf_dir).map_batches(mk, batch_format="pyarrow")
+    fakes = (read_transcripts(sf_dir).limit(12)
+             .map_batches(fake, batch_format="pyarrow"))
+    return real.union(fakes)
+
+
+def _build_incremental(sf_dir: str, base: str) -> None:
+    """gen-0 = drifted snapshot, gen-1 = true snapshot (delta only)."""
+    from clp_core_ray.pipelines.incremental import compress_incremental
+
+    compress_incremental(lambda: _drifted_transcripts(sf_dir), base)
+    compress_incremental(lambda: read_transcripts(sf_dir), base)
+
+
 @register(
     "clp_incremental_roundtrip",
     "SELECT conv_id, turn_idx, text FROM {T}",
 )
 def clp_incremental_roundtrip(sf_dir: str):
     """Incremental compression round trip: gen-0 compresses a DRIFTED
-    snapshot (≈1/7 of conversations missing → later 'added', 1/7 with
-    mutated text → later 'changed', plus fake conversations → later
-    'removed'); gen-1 runs against the true snapshot and compresses ONLY
-    the delta. Reconstruction across both generations must equal the true
+    snapshot; gen-1 runs against the true snapshot and compresses ONLY the
+    delta. Reconstruction across both generations must equal the true
     snapshot exactly — superseded/removed conversations are masked by
     ownership, never rewritten."""
     import shutil
     import tempfile
 
-    import ray.data as rd
-
-    from clp_core_ray.functions.text import fingerprints
-    from clp_core_ray.pipelines.incremental import (
-        compress_incremental,
-        decompress_incremental,
-    )
+    from clp_core_ray.pipelines.incremental import decompress_incremental
 
     base = tempfile.mkdtemp(prefix="clp_incr_")
-
-    def full_ds():
-        return read_transcripts(sf_dir)
-
-    def old_ds():
-        def mk(b: pa.Table) -> pa.Table:
-            h = np.asarray(fingerprints(b.column("conv_id"))).view(np.uint64)
-            t = b.filter(pa.array((h % 7) != 0))
-            h2 = np.asarray(fingerprints(t.column("conv_id"))).view(np.uint64)
-            mut = pa.array((h2 % 7) == 1)
-            text = pc.if_else(
-                mut,
-                pc.binary_join_element_wise(
-                    t.column("text").cast(pa.large_string()),
-                    pa.scalar(" [draft]", type=pa.large_string()),
-                    pa.scalar("", type=pa.large_string())),
-                t.column("text").cast(pa.large_string()))
-            return t.set_column(t.column_names.index("text"), "text", text)
-
-        def fake(b: pa.Table) -> pa.Table:
-            n = len(b)
-            return pa.table({
-                "conv_id": pa.array([f"zz-fake-{i // 4}" for i in range(n)],
-                                    type=b.column("conv_id").type),
-                "turn_idx": pa.array(np.arange(n) % 4, type=pa.int32()),
-                "role": b.column("role"),
-                "text": pa.array([f"fake turn {i % 4}" for i in range(n)],
-                                 type=pa.large_string()),
-                "tool": b.column("tool"),
-                "ts": b.column("ts"),
-            })
-
-        real = read_transcripts(sf_dir).map_batches(mk, batch_format="pyarrow")
-        fakes = (read_transcripts(sf_dir).limit(12)
-                 .map_batches(fake, batch_format="pyarrow"))
-        return real.union(fakes)
-
     try:
-        compress_incremental(old_ds, base)
-        compress_incremental(full_ds, base)
+        _build_incremental(sf_dir, base)
         return decompress_incremental(base).to_pandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "clp_incremental_search",
+    "SELECT conv_id, turn_idx, text FROM {T} "
+    "WHERE text LIKE 'ERROR upstream timeout%'",
+)
+def clp_incremental_search(sf_dir: str):
+    """Search across generation-layered archives: the stale generation's
+    superseded texts ALSO match the prefix query (the drift mutation keeps
+    the prefix), so only ownership masking makes the result equal a search
+    of the current snapshot — which is exactly the oracle."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray.pipelines.incremental import search_incremental
+
+    base = tempfile.mkdtemp(prefix="clp_incrs_")
+    try:
+        _build_incremental(sf_dir, base)
+        return search_incremental(base, "ERROR upstream timeout*").to_pandas()
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
