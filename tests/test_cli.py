@@ -213,3 +213,25 @@ def test_cli_multi_query_search(ray_session, tiny_sf_dir, tmp_path, capsys):
                                "--limit", "8"])
     assert res["queries"] == 2 and res["rows_shown"] == 8
     assert all(ln.startswith(("[0] ", "[1] ")) for ln in lines[-8:])
+
+
+def test_cli_incremental(ray_session, tiny_sf_dir, tmp_path, capsys):
+    base = str(tmp_path / "layers")
+    res, _ = _run(capsys, ["incr-compress", "--input", tiny_sf_dir,
+                           "--base", base])
+    assert res["generation"] == 0 and res["compressed_rows"] > 0
+    # same snapshot again → no-op generation
+    res, _ = _run(capsys, ["incr-compress", "--input", tiny_sf_dir,
+                           "--base", base])
+    assert (res["generation"], res["added"], res["changed"],
+            res["removed"], res["compressed_rows"]) == (1, 0, 0, 0, 0)
+
+    out = str(tmp_path / "x")
+    res, _ = _run(capsys, ["incr-extract", "--base", base, "--out", out])
+    n_total = res["rows"]
+    assert n_total > 0
+
+    res, lines = _run(capsys, ["incr-search", "--base", base,
+                               "--query", "*ERROR*", "--limit", "2"])
+    assert res["rows"] > 0
+    assert all("ERROR" in ln for ln in lines[-2:])
