@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from clp_core_ray.functions.dedup import _emb_matrix, _normalize
 
@@ -233,6 +234,70 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
     return cents
 
 
+def ivf_index_append(index_dir: str, ds, id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> int:
+    """Append new vectors to an existing at-rest IVF index WITHOUT rebuild.
+
+    New rows are assigned to the FROZEN centroids and written as additional
+    parquet parts inside the cells' hive directories — purely additive, so
+    it composes with object-store immutability and concurrent probes (the
+    same new-archives-not-rewrites discipline as `pipelines/incremental`).
+    Centroids drift from optimal as the distribution shifts; recall, not
+    correctness, degrades — rebuild is a compaction decision. Returns the
+    number of appended rows."""
+    import pyarrow.parquet as pq
+    import ray
+
+    ct = pq.read_table(f"{index_dir}/centroids.parquet")
+    cents = np.asarray(
+        ct.column("centroid").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(ct), -1)
+    ref = ray.put(cents)
+
+    def assign_cell(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        e = _normalize(_emb_matrix(batch, emb_col))
+        cell = (e @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(cell))
+
+    assigned = ds.map_batches(assign_cell, batch_format="pyarrow")
+    n = assigned.count()
+    assigned.write_parquet(f"{index_dir}/cells", partition_cols=["ivf_cell"],
+                           compression="zstd")
+    return n
+
+
+def ivf_index_delete(index_dir: str, ids) -> None:
+    """Tombstone vector ids: appended (never rewritten) under
+    ``tombstones/``; probes drop tombstoned rows before scoring. Dead rows
+    still occupy cell files until a rebuild — the usual LSM trade."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(index_dir, "tombstones")
+    os.makedirs(d, exist_ok=True)
+    arr = pa.array(np.asarray(list(ids), dtype=np.int64))
+    pq.write_table(pa.table({"vec_id": arr}),
+                   os.path.join(d, f"dead-{uuid.uuid4().hex}.parquet"))
+
+
+def _load_tombstones(index_dir: str) -> "pa.Array | None":
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(d):
+        return None
+    tabs = [pq.read_table(os.path.join(d, f))
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs).column("vec_id").combine_chunks()
+
+
 def ivf_index_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
                    k: int = 10, n_probe: int = 4, id_col: str = "vec_id",
                    emb_col: str = "embedding", exclude_self: bool = True):
@@ -272,9 +337,20 @@ def ivf_index_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
              "rank": pa.array([], type=pa.int64())}
         )
     cells_ds = rd.read_parquet(paths, columns=[id_col, emb_col])
+    dead = _load_tombstones(index_dir)
+    dead_ref = ray.put(dead) if dead is not None else None
     ref = ray.put((q, np.asarray(query_ids, dtype=np.int64)))
 
     def score(batch: pa.Table) -> pa.Table:
+        if dead_ref is not None:
+            batch = batch.filter(pc.is_null(pc.index_in(
+                batch.column(id_col).combine_chunks().cast(pa.int64()),
+                ray.get(dead_ref))))
+        if batch.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.float64())})
         qm, qids = ray.get(ref)
         e = _normalize(_emb_matrix(batch, emb_col))
         ids = np.asarray(batch.column(id_col), dtype=np.int64)

@@ -850,3 +850,57 @@ def test_scrub_dup_spans(ray_session):
     # zero run is scrubbed too; the unique prefix/suffix chars survive
     assert out[0].startswith("xx")
     assert out[1].startswith("zzzz")
+
+
+def test_ivf_index_incremental(ray_session, tmp_path):
+    """Append + tombstone-delete maintain the at-rest index without rebuild:
+    a full probe equals brute force over the UPDATED corpus exactly."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_delete,
+        ivf_index_topk,
+        topk_cosine,
+    )
+
+    def tbl_of(mat, ids):
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), mat.shape[1]
+            ).cast(pa.list_(pa.float32())),
+        })
+
+    rng = np.random.default_rng(7)
+    n, d = 300, 16
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(tbl_of(base, range(n))), idx, n_centroids=6)
+
+    # delete 40 ids, append 60 new vectors
+    dead = list(range(0, 80, 2))
+    ivf_index_delete(idx, dead)
+    extra = rng.normal(size=(60, d)).astype(np.float32)
+    n_added = ivf_index_append(
+        idx, rd.from_arrow(tbl_of(extra, range(1000, 1060))))
+    assert n_added == 60
+
+    live_mask = np.ones(n, dtype=bool)
+    live_mask[dead] = False
+    cur_mat = np.vstack([base[live_mask], extra])
+    cur_ids = np.concatenate([np.arange(n)[live_mask], np.arange(1000, 1060)])
+    cur = rd.from_arrow(tbl_of(cur_mat, cur_ids))
+
+    q, qids = base[100:104], np.arange(100, 104)
+    exact = topk_cosine(cur, q, qids, k=8)
+    full = ivf_index_topk(idx, q, qids, k=8, n_probe=6)
+    assert full.equals(exact)
+    # no tombstoned id ever surfaces
+    assert not set(full.column("neighbor_id").to_pylist()) & set(dead)
+
+    # second delete file composes (append-only tombstones)
+    ivf_index_delete(idx, [1000, 1001])
+    again = ivf_index_topk(idx, q, qids, k=8, n_probe=6)
+    assert not set(again.column("neighbor_id").to_pylist()) & {1000, 1001}
