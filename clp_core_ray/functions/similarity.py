@@ -834,3 +834,64 @@ def ivfpq_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
         return _merge_topk(cand, k)
     return _refine_topk(cand, refine_ds, q, query_ids, k, k_adc,
                         exclude_self, id_col, emb_col)
+
+
+def vector_hash64(emb_col) -> pa.Array:
+    """64-bit FNV-1a over each vector's raw little-endian float32 bytes —
+    the embedding counterpart of curation.content_hash64 (drift detection)."""
+    from clp_core_ray.vec.tokenizer import _fnv1a64_tokens
+
+    m = _emb_matrix(pa.table({"e": emb_col}), "e").astype("<f4")
+    data = np.ascontiguousarray(m).view(np.uint8).reshape(len(m), -1)
+    flat = data.reshape(-1)
+    row_bytes = data.shape[1]
+    starts = np.arange(len(m), dtype=np.int64) * row_bytes
+    lens = np.full(len(m), row_bytes, dtype=np.int64)
+    return pa.array(_fnv1a64_tokens(flat, starts, lens).view(np.int64))
+
+
+def ivf_index_update(index_dir: str, old_ds, new_ds,
+                     id_col: str = "vec_id", emb_col: str = "embedding") -> dict:
+    """Maintain an at-rest IVF index against embedding-corpus drift: diff the
+    two snapshots by per-vector content hash (snapshot_diff's single
+    hash-exchange shuffle), tombstone removed+changed ids, append
+    added+changed vectors against the frozen centroids. Only the DELTA id
+    set is collected to the driver (the drift premise). Returns the delta
+    counts."""
+    import ray
+
+    from clp_core_ray.functions.curation import snapshot_diff
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column(id_col),
+            "_vh": vector_hash64(b.column(emb_col).combine_chunks()),
+        })
+
+    delta = snapshot_diff(
+        old_ds.map_batches(add_hash, batch_format="pyarrow"),
+        new_ds.map_batches(add_hash, batch_format="pyarrow"),
+        id_col=id_col, content_col="_vh", precomputed_hash=True,
+    )
+    by: dict[str, list[int]] = {"added": [], "removed": [], "changed": []}
+    for b in delta.iter_batches(batch_format="pyarrow"):
+        for i, st in zip(b.column(id_col).to_pylist(),
+                         b.column("status").to_pylist()):
+            by[st].append(i)
+    if by["removed"] or by["changed"]:
+        ivf_index_delete(index_dir, by["removed"] + by["changed"])
+    n_appended = 0
+    if by["added"] or by["changed"]:
+        keep = ray.put(pa.array(np.asarray(by["added"] + by["changed"],
+                                           dtype=np.int64)))
+
+        def only_new(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_valid(pc.index_in(
+                b.column(id_col).combine_chunks().cast(pa.int64()),
+                ray.get(keep))))
+
+        n_appended = ivf_index_append(
+            index_dir, new_ds.map_batches(only_new, batch_format="pyarrow"),
+            id_col=id_col, emb_col=emb_col)
+    return {"added": len(by["added"]), "changed": len(by["changed"]),
+            "removed": len(by["removed"]), "appended_rows": n_appended}

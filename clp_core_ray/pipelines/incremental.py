@@ -255,7 +255,12 @@ def decompress_incremental(base_dir: str, columns=("conv_id", "turn_idx")):
     Each generation decompresses with a prefilter keeping only conversations
     it still owns (per state/conv_owner.parquet); superseded and removed
     conversations never reach the decode stage. Owner sets ship once per
-    generation via ray.put. Returns the union Dataset."""
+    generation via ray.put. Returns the union Dataset.
+
+    Scale note: the owner table (one row per live conversation) is read on
+    the driver to split it by generation — fine to ~10^8 convs (a few GB);
+    beyond that, split it with a Dataset filter per generation instead (the
+    archives and the decode path never materialize either way)."""
     import ray
 
     from clp_core_ray.pipelines.decompress import decompress

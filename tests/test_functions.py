@@ -904,3 +904,49 @@ def test_ivf_index_incremental(ray_session, tmp_path):
     ivf_index_delete(idx, [1000, 1001])
     again = ivf_index_topk(idx, q, qids, k=8, n_probe=6)
     assert not set(again.column("neighbor_id").to_pylist()) & {1000, 1001}
+
+
+def test_ivf_index_update_from_drift(ray_session, tmp_path):
+    """Snapshot-drift maintenance: diff two embedding corpora by vector
+    hash, tombstone+append, full probe equals brute force on the new one."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_index_update,
+        topk_cosine,
+    )
+
+    def tbl_of(mat, ids):
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), mat.shape[1]
+            ).cast(pa.list_(pa.float32())),
+        })
+
+    rng = np.random.default_rng(9)
+    n, d = 250, 16
+    old_m = rng.normal(size=(n, d)).astype(np.float32)
+    old_ids = np.arange(n)
+    # new corpus: ids 0..9 removed, 20..29 re-embedded, 500..519 added
+    new_m = old_m.copy()
+    new_m[20:30] = rng.normal(size=(10, d)).astype(np.float32)
+    keep = np.arange(10, n)
+    add_m = rng.normal(size=(20, d)).astype(np.float32)
+    cur_m = np.vstack([new_m[keep], add_m])
+    cur_ids = np.concatenate([old_ids[keep], np.arange(500, 520)])
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(tbl_of(old_m, old_ids)), idx, n_centroids=5)
+    res = ivf_index_update(
+        idx, rd.from_arrow(tbl_of(old_m, old_ids)),
+        rd.from_arrow(tbl_of(cur_m, cur_ids)))
+    assert res == {"added": 20, "changed": 10, "removed": 10,
+                   "appended_rows": 30}
+
+    q, qids = cur_m[:4], cur_ids[:4]
+    exact = topk_cosine(rd.from_arrow(tbl_of(cur_m, cur_ids)), q, qids, k=6)
+    full = ivf_index_topk(idx, q, qids, k=6, n_probe=5)
+    assert full.equals(exact)
