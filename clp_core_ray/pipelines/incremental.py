@@ -349,3 +349,20 @@ def search_incremental(base_dir: str, query: str, ignore_case: bool = False):
              "turn_idx": pa.array([], type=pa.int32()),
              "text": pa.array([], type=pa.large_string())}))
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
+def rebase_incremental(base_dir: str, new_base_dir: str) -> dict:
+    """Compact a generation-layered base into a fresh single-generation one
+    (tombstone GC): the reconstructed current snapshot — live rows only —
+    recompresses as the new gen-0000, dropping every superseded/removed
+    row still occupying old cell files. The old base stays untouched until
+    the caller swaps directories (the same immutable-then-swap discipline
+    as _write_owner); resume-safety comes free because the new base is
+    built in full before anything references it."""
+    from clp_core_ray.pipelines.compress import compress
+
+    def live_rows():
+        return decompress_incremental(
+            base_dir, columns=("conv_id", "turn_idx", "role", "tool", "ts"))
+
+    return compress_incremental(live_rows, new_base_dir)

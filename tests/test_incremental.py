@@ -85,3 +85,38 @@ def test_conv_hashes_order_invariant(ray_session):
     c = conv_hashes(rd.from_items(mut)).to_pandas()
     c = dict(zip(c.conv_id, c.conv_hash))
     assert c["c1"] != a["c1"] and c["c2"] == a["c2"]
+
+
+def test_rebase_incremental(ray_session, tmp_path):
+    """Compaction: fold generations into a fresh base; reconstruction is
+    unchanged, tombstoned rows are gone, and a follow-up incremental run
+    against the rebased base detects zero drift (hash continuity)."""
+    from clp_core_ray.pipelines.incremental import (
+        compress_incremental,
+        decompress_incremental,
+        incremental_stats,
+        rebase_incremental,
+    )
+
+    base = str(tmp_path / "layers")
+    snap0 = {"conv-a": ["one", "two"], "conv-b": ["three", "four"],
+             "conv-c": ["five"]}
+    snap1 = {"conv-a": ["one", "two"], "conv-b": ["three", "FOUR!"],
+             "conv-d": ["six", "seven"]}
+    compress_incremental(_snap(_rows(snap0)), base)
+    compress_incremental(_snap(_rows(snap1)), base)
+
+    base2 = str(tmp_path / "rebased")
+    res = rebase_incremental(base, base2)
+    assert res["generation"] == 0 and res["compressed_rows"] == 6
+
+    a = decompress_incremental(base).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = decompress_incremental(base2).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a["text"].tolist() == b["text"].tolist()
+    assert incremental_stats(base2)["generations"] == 1
+
+    # hash continuity: the same snapshot against the rebased base is a no-op
+    r = compress_incremental(_snap(_rows(snap1)), base2)
+    assert (r["added"], r["changed"], r["removed"]) == (0, 0, 0)
