@@ -88,17 +88,20 @@ def cmd_compress(args) -> dict:
             "sec": round(time.time() - t0, 3),
             "archive_bytes": dir_bytes(args.out),
         }
+    tags = getattr(args, "tag", None) or None
     if synth_sf is not None:
-        counts = compress(synth_sf, args.out, compact=not args.no_compact)
+        counts = compress(synth_sf, args.out, compact=not args.no_compact,
+                          tags=tags)
     elif is_cache:
-        counts = compress(src, args.out, compact=not args.no_compact)
+        counts = compress(src, args.out, compact=not args.no_compact,
+                          tags=tags)
     else:
         # arbitrary transcript parquet path: read it directly (the reference's
         # archive-per-input-group model, clp/compression.cpp:133-163)
         import ray.data as rd
 
         counts = compress(None, args.out, compact=not args.no_compact,
-                          ds=rd.read_parquet(src), input_label=src)
+                          ds=rd.read_parquet(src), input_label=src, tags=tags)
     wall = time.time() - t0
     total = sum(counts.column("cnt").to_pylist())
     out = {
@@ -140,6 +143,8 @@ def cmd_search(args) -> dict:
         prune["ts_min"] = args.ts_min
     if args.ts_max is not None:
         prune["ts_max"] = args.ts_max
+    if getattr(args, "tag", None):
+        prune["tags"] = args.tag
     t0 = time.time()
     if len(args.query) > 1:  # batched multi-query: one scan, one decode
         import os
@@ -484,6 +489,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", required=True, help="archive output dir")
     c.add_argument("--no-compact", action="store_true",
                    help="inline logtype/dict_vars per row")
+    c.add_argument("--tag", action="append",
+                   help="archive tag recorded in the manifest (repeatable; "
+                        "search --tag selects on it)")
     c.add_argument("--fragments", action="store_true",
                    help="checkpointed mode: fragment-per-shard with resume "
                         "(rerun skips completed fragments)")
@@ -513,6 +521,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--path-glob", help="archive input-path prune")
     s.add_argument("--ts-min", type=int, help="archive ts-range prune (us)")
     s.add_argument("--ts-max", type=int, help="archive ts-range prune (us)")
+    s.add_argument("--tag", action="append",
+                   help="only archives carrying ANY of these tags (repeatable)")
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("stats", help="list archives + manifests")

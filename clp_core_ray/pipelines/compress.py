@@ -206,6 +206,7 @@ def compress(
     compact: bool = True,
     ds=None,
     input_label: str | None = None,
+    tags: list | None = None,
 ):
     """Run the flagship pipeline; returns the per-class count table (small).
 
@@ -215,7 +216,9 @@ def compress(
     the logtype/dict_vars inline per row (self-contained rows, bigger sinks).
     ``ds`` overrides the input with an arbitrary transcript Dataset (the
     archive-per-input-group model, clp/compression.cpp:133-163 file grouping);
-    ``input_label`` is then recorded as the manifest's input.
+    ``input_label`` is then recorded as the manifest's input. ``tags``
+    are free-form archive labels persisted in the manifest; multi-archive
+    search selects on them (the package metadata-DB tag column's role).
     """
     import time
 
@@ -298,6 +301,7 @@ def compress(
                 )
             ),
             "archive_bytes": dir_bytes(out_dir),
+            **({"tags": list(tags)} if tags else {}),
             **({"ts_min": ts_range[0], "ts_max": ts_range[1]} if ts_range else {}),
             # per-partition metrics alongside lineage (north-rule: manifests
             # carry both; write/finalize walls + derived throughput)

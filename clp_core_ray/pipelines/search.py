@@ -778,11 +778,14 @@ def _first_parquet_file_or_none(routed: str):
 
 
 def list_archives(base_dir: str) -> list[dict]:
-    """[{dir, ts_min, ts_max, input}] for every archive under ``base_dir``.
+    """[{dir, ts_min, ts_max, input, tags}] for every archive under
+    ``base_dir``.
 
     An archive is any direct subdirectory with a ``routed/`` sink; its time
-    range and input label come from the lineage manifest (the per-archive
-    begin/end timestamp CLP's metadata DB rows carry)."""
+    range, input label and tags come from the lineage manifest (the
+    per-archive begin/end timestamp + tags CLP's metadata DB rows carry —
+    tags are the package-level archive attribute the query scheduler
+    filters on)."""
     import os
 
     from clp_core_ray.state import manifest as mf
@@ -792,8 +795,10 @@ def list_archives(base_dir: str) -> list[dict]:
         d = os.path.join(base_dir, name)
         if not os.path.isdir(os.path.join(d, "routed")):
             continue
-        info = {"dir": d, "ts_min": None, "ts_max": None, "input": None}
+        info = {"dir": d, "ts_min": None, "ts_max": None, "input": None,
+                "tags": set()}
         for m in mf.read_manifests(d):
+            info["tags"].update(m.get("tags") or [])
             if m.get("ts_min") is not None:
                 info["ts_min"] = (m["ts_min"] if info["ts_min"] is None
                                   else min(info["ts_min"], m["ts_min"]))
@@ -807,16 +812,21 @@ def list_archives(base_dir: str) -> list[dict]:
 
 def select_archives(base_dir: str, path_glob: str | None = None,
                     ts_min: int | None = None,
-                    ts_max: int | None = None) -> list[str]:
-    """Archive dirs matching the path/time predicates, newest-first.
+                    ts_max: int | None = None,
+                    tags: list | None = None) -> list[str]:
+    """Archive dirs matching the path/time/tag predicates, newest-first.
 
     Conservative: an archive with no recorded time range cannot be pruned by
     time (unknown → keep), mirroring clg's metadata selection semantics.
-    ``ts_min``/``ts_max`` are epoch microseconds (the manifest unit)."""
+    ``ts_min``/``ts_max`` are epoch microseconds (the manifest unit).
+    ``tags``: keep archives carrying ANY of the given tags (the package
+    scheduler's tag-filtered archive selection)."""
     import fnmatch
 
     keep = []
     for a in list_archives(base_dir):
+        if tags and not (set(tags) & a["tags"]):
+            continue
         if path_glob and a["input"] and not fnmatch.fnmatch(a["input"], path_glob):
             continue
         if ts_min is not None and a["ts_max"] is not None and a["ts_max"] < ts_min:
@@ -831,13 +841,14 @@ def select_archives(base_dir: str, path_glob: str | None = None,
 
 def search_archives(base_dir: str, query: str, ignore_case: bool = False,
                     columns=None, path_glob: str | None = None,
-                    ts_min: int | None = None, ts_max: int | None = None):
+                    ts_min: int | None = None, ts_max: int | None = None,
+                    tags: list | None = None):
     """Search every selected archive under ``base_dir`` → one match Dataset.
 
     Each archive compiles against its OWN dictionaries (per-archive subquery
     compilation, as clg does per archive) and contributes a lazy Dataset;
     the union streams — no per-archive materialization."""
-    dirs = select_archives(base_dir, path_glob, ts_min, ts_max)
+    dirs = select_archives(base_dir, path_glob, ts_min, ts_max, tags=tags)
     if not dirs:
         import ray.data as rd
 
@@ -856,12 +867,14 @@ def search_archives_multi(base_dir: str, queries: list[str],
                           ignore_case: bool = False,
                           path_glob: str | None = None,
                           ts_min: int | None = None,
-                          ts_max: int | None = None):
+                          ts_max: int | None = None,
+                          tags: list | None = None):
     """Batched multi-query search across every selected archive: each archive
     compiles the whole query batch against its OWN dictionaries and runs one
     scan (see :func:`search_archive_multi`); the per-archive Datasets union
-    lazily. Manifest time/path pruning applies before any archive is read."""
-    dirs = select_archives(base_dir, path_glob, ts_min, ts_max)
+    lazily. Manifest time/path/tag pruning applies before any archive is
+    read."""
+    dirs = select_archives(base_dir, path_glob, ts_min, ts_max, tags=tags)
     if not dirs:
         import ray.data as rd
 
@@ -878,21 +891,27 @@ def search_archives_multi(base_dir: str, queries: list[str],
 
 
 def _archive_passes(archive_dir: str, path_glob: str | None = None,
-                    ts_min: int | None = None, ts_max: int | None = None) -> bool:
-    """Manifest-based path/time pruning for ONE archive (same conservative
-    semantics as :func:`select_archives`: unknown range → keep)."""
+                    ts_min: int | None = None, ts_max: int | None = None,
+                    tags: list | None = None) -> bool:
+    """Manifest-based path/time/tag pruning for ONE archive (same
+    conservative semantics as :func:`select_archives`: unknown range →
+    keep; tag filtering requires an actual tag match)."""
     import fnmatch
 
     from clp_core_ray.state import manifest as mf
 
     lo = hi = None
     inp = None
+    have_tags: set = set()
     for m in mf.read_manifests(archive_dir):
         if m.get("ts_min") is not None:
             lo = m["ts_min"] if lo is None else min(lo, m["ts_min"])
         if m.get("ts_max") is not None:
             hi = m["ts_max"] if hi is None else max(hi, m["ts_max"])
         inp = inp or m.get("input")
+        have_tags.update(m.get("tags") or [])
+    if tags and not (set(tags) & have_tags):
+        return False
     if path_glob and inp and not fnmatch.fnmatch(inp, path_glob):
         return False
     if ts_min is not None and hi is not None and hi < ts_min:

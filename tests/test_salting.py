@@ -45,3 +45,41 @@ def test_hot_key_detection_and_salted_count(ray_session):
     # the hot conversations really are hot
     top = p.sort_values("cnt", ascending=False).iloc[0]
     assert top["cnt"] > p["cnt"].median() * 10
+
+
+def test_archive_tags(ray_session, tmp_path, capsys):
+    """Tag-filtered archive selection (the package metadata-DB tag column):
+    compress two archives with different tags; searches with --tag read only
+    the matching archive."""
+    import json as _json
+
+    from clp_core_ray.cli import main as cli_main
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import search_archives, select_archives
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    base = tmp_path / "tagged"
+    compress(0.0005, str(base / "a1"), tags=["prod", "eu"])
+    compress(0.0005, str(base / "a2"), tags=["staging"])
+
+    assert len(select_archives(str(base))) == 2
+    assert select_archives(str(base), tags=["prod"]) == [str(base / "a1")]
+    assert select_archives(str(base), tags=["staging", "eu"]) and \
+        len(select_archives(str(base), tags=["staging", "eu"])) == 2
+    assert select_archives(str(base), tags=["nope"]) == []
+
+    n_one = search_archives(str(base), "ERROR*timeout",
+                            tags=["staging"]).count()
+    n_all = search_archives(str(base), "ERROR*timeout").count()
+    assert n_all == 2 * n_one > 0
+
+    # CLI: --tag on search prunes; single-archive target honors it too
+    rc = cli_main(["search", "--archive", str(base), "--query",
+                   "ERROR*timeout*", "--tag", "prod", "--count"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["count"] == n_one
+    rc = cli_main(["search", "--archive", str(base / "a1"), "--query",
+                   "ERROR*timeout*", "--tag", "staging", "--count"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["count"] == 0  # a1 is not tagged staging
