@@ -90,6 +90,26 @@ def count_sum_by(ds, keys: list[str] | str, value_col: str,
     )
 
 
+def value_histogram(ds, col: str, width: float):
+    """Equi-width histogram: Dataset[(bin, cnt)] with
+    bin = floor(col / width) * width (the SQL binning idiom, bit-compatible
+    with DuckDB's floor arithmetic on doubles). Per-batch partial counts —
+    the exchange carries one row per non-empty bin per batch, never values."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col).combine_chunks().cast(pa.float64()))
+        bins = np.floor(v / width) * width
+        t = pa.table({"bin": pa.array(bins)})
+        out = t.group_by(["bin"]).aggregate([("bin", "count")])
+        return out.rename_columns(["bin", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("cnt", alias_name="cnt")))
+
+
 def detect_hot_keys(ds, key: str, sample_frac: float = 0.02,
                     hot_share: float = 0.01) -> list:
     """Sampled heavy-hitter detection: keys owning > hot_share of sampled rows.

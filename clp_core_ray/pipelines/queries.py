@@ -2917,6 +2917,22 @@ def events_value_quantiles(sf_dir: str):
 
 
 @register(
+    "events_value_histogram",
+    "SELECT floor(value / 5) * 5 AS bin, count(*) AS cnt "
+    "FROM events GROUP BY 1",
+)
+def events_value_histogram(sf_dir: str):
+    """Equi-width histogram via per-batch partial bin counts — the exchange
+    carries one row per non-empty bin per batch."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import value_histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return value_histogram(ds, "value", 5.0)
+
+
+@register(
     "events_value_quantiles_cont",
     "SELECT event_type, 0.25 AS q, quantile_cont(value, 0.25) AS value"
     " FROM events GROUP BY 1 UNION ALL"
