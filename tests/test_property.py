@@ -199,3 +199,36 @@ def test_misra_gries_bounds_property(values, capacity, n_chunks):
     for v, n in true.items():
         lo = merged.get(v, 0)
         assert lo <= n <= lo + total_deduct, (v, lo, n, total_deduct)
+
+
+@given(
+    st.dictionaries(st.integers(0, 40), st.text(max_size=6), max_size=25),
+    st.dictionaries(st.integers(0, 40), st.text(max_size=6), max_size=25),
+)
+@settings(max_examples=20, deadline=None)
+def test_snapshot_diff_property(old, new):
+    """snapshot_diff equals the brute-force dict diff on arbitrary corpora."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import snapshot_diff
+
+    def ds_of(d):
+        rows = [{"doc_id": k, "text": v} for k, v in sorted(d.items())]
+        if not rows:
+            rows = [{"doc_id": -999, "text": "sentinel"}]  # non-empty Dataset
+            d[-999] = "sentinel"
+        return rd.from_items(rows)
+
+    old, new = dict(old), dict(new)
+    got_ds = snapshot_diff(ds_of(old), ds_of(new), num_buckets=3)
+    got = {(r["doc_id"], r["status"])
+           for r in got_ds.to_pandas().to_dict("records")}
+    want = set()
+    for k in old.keys() - new.keys():
+        want.add((k, "removed"))
+    for k in new.keys() - old.keys():
+        want.add((k, "added"))
+    for k in old.keys() & new.keys():
+        if old[k] != new[k]:
+            want.add((k, "changed"))
+    assert got == want
