@@ -124,7 +124,21 @@ def cmd_decompress(args) -> dict:
     from clp_core_ray.pipelines.decompress import decompress
 
     t0 = time.time()
-    ds = decompress(args.archive, ordered=args.ordered)
+    prefilter = None
+    if getattr(args, "conv_id", None):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray
+
+        keep_ref = ray.put(pa.array(args.conv_id, type=pa.large_string()))
+
+        def prefilter(b):
+            return b.filter(pc.is_valid(pc.index_in(
+                b.column("conv_id").combine_chunks().cast(pa.large_string()),
+                ray.get(keep_ref))))
+
+    ds = decompress(args.archive, ordered=args.ordered, prefilter=prefilter)
     ds.write_parquet(args.out, compression="zstd")
     rows = ds.count()
     return {"cmd": "decompress", "out": args.out, "rows": rows,
@@ -185,6 +199,33 @@ def cmd_search(args) -> dict:
                 "queries": len(args.query),
                 "sec": round(time.time() - t0, 3)}
     args.query = args.query[0]
+    if getattr(args, "context", None):
+        import os as _os
+
+        from clp_core_ray.pipelines.search import search_context
+
+        tgt = args.archive
+        if not (_os.path.isdir(_os.path.join(tgt, "routed"))
+                or _os.path.basename(_os.path.normpath(tgt)) == "routed"):
+            raise SystemExit("--context applies to a single archive target")
+        if prune:
+            raise SystemExit("--context does not combine with prune flags")
+        ds = search_context(tgt, args.query, before=args.context,
+                            after=args.context, ignore_case=args.ignore_case)
+        shown = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            names = b.column_names
+            for i in range(b.num_rows):
+                mark = "*" if ("is_match" in names
+                               and b.column("is_match")[i].as_py()) else " "
+                print(f"{mark} {b.column('text')[i].as_py()}")
+                shown += 1
+                if shown >= args.limit:
+                    break
+            if shown >= args.limit:
+                break
+        return {"cmd": "search", "rows_shown": shown, "context": args.context,
+                "sec": round(time.time() - t0, 3)}
     if args.count:
         tbl = search_count(args.archive, args.query,
                            ignore_case=args.ignore_case, **prune)
@@ -502,6 +543,11 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--out", required=True)
     x.add_argument("--ordered", action="store_true",
                    help="stable (conv_id, turn_idx) order")
+    x.add_argument("--conv-id", action="append",
+                   help="extract only these conversations (repeatable; "
+                        "clp x single-file extraction role — the prefilter "
+                        "runs before decode, so unrequested convs never "
+                        "decode)")
     x.set_defaults(fn=cmd_decompress)
 
     s = sub.add_parser("search", help="wildcard search (clg / clo)")
@@ -523,6 +569,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--ts-max", type=int, help="archive ts-range prune (us)")
     s.add_argument("--tag", action="append",
                    help="only archives carrying ANY of these tags (repeatable)")
+    s.add_argument("--context", type=int,
+                   help="print N conversation turns around each match "
+                        "(grep -C over CLP results)")
     s.set_defaults(fn=cmd_search)
 
     st = sub.add_parser("stats", help="list archives + manifests")
