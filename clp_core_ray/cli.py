@@ -410,6 +410,29 @@ def cmd_json_search(args) -> dict:
             "sec": round(_t.time() - t0, 3)}
 
 
+def cmd_log_compress(args) -> dict:
+    """clp c over raw text log files (tar/gz/zip expand recursively)."""
+    from clp_core_ray.pipelines.compress import compress_text_logs, dir_bytes
+
+    t0 = time.time()
+    counts = compress_text_logs(args.input, args.out,
+                                tags=(args.tag or None))
+    total = sum(counts.column("cnt").to_pylist())
+    return {"cmd": "log-compress", "out": args.out, "rows": total,
+            "sec": round(time.time() - t0, 3),
+            "archive_bytes": dir_bytes(args.out)}
+
+
+def cmd_log_extract(args) -> dict:
+    """clp x: reconstruct original log files byte-identically."""
+    from clp_core_ray.pipelines.decompress import extract_text_logs
+
+    t0 = time.time()
+    paths = extract_text_logs(args.archive, args.out)
+    return {"cmd": "log-extract", "out": args.out, "files": len(paths),
+            "sec": round(time.time() - t0, 3)}
+
+
 def cmd_incr_compress(args) -> dict:
     """Incremental compress: delta-only generation against --base."""
     from clp_core_ray.pipelines.incremental import compress_incremental
@@ -633,6 +656,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="output only this column path (repeatable; "
                          "clp-s search --projection)")
     js.set_defaults(fn=cmd_json_search)
+
+    lc = sub.add_parser("log-compress",
+                        help="compress raw text log files (clp c)")
+    lc.add_argument("--input", required=True,
+                    help="log file / dir of logs (.gz/.tar.*/.zip ok)")
+    lc.add_argument("--out", required=True)
+    lc.add_argument("--tag", action="append",
+                    help="archive tag (repeatable)")
+    lc.set_defaults(fn=cmd_log_compress)
+
+    lx = sub.add_parser("log-extract",
+                        help="reconstruct original log files (clp x)")
+    lx.add_argument("--archive", required=True)
+    lx.add_argument("--out", required=True)
+    lx.set_defaults(fn=cmd_log_extract)
 
     ic = sub.add_parser("incr-compress",
                         help="delta-only generation vs a layered base")

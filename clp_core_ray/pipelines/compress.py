@@ -592,3 +592,39 @@ def roundtrip_check(sf_dir_or_sf) -> pa.Table:
             "n_ok": pa.array([pa.compute.sum(tbl.column("n_ok")).as_py()]),
         }
     )
+
+
+def compress_text_logs(paths, out_dir: str, **compress_kwargs):
+    """Compress raw text log files into an archive — the reference's primary
+    `clp c` input shape (FileCompressor.cpp:111-194: message assembly by
+    timestamp-pattern sniffing, then the same encode path as everything
+    else). One read task per file (tar/gz/zip expand recursively, S2);
+    messages map onto the transcript row model as conv_id = file path,
+    turn_idx = message index, with the timestamp-pattern columns
+    (pattern_id, ts_begin) riding through the archive so extraction can
+    re-insert timestamps byte-identically (TimestampPattern.cpp:751 role)."""
+    import pyarrow.compute as _pc
+
+    from clp_core_ray.sources.textlog import read_log_messages
+
+    def to_transcript(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b.column("path").cast(pa.large_string()),
+            "turn_idx": b.column("msg_idx").cast(pa.int32()),
+            "role": pa.array(["log"] * n, type=pa.large_string()),
+            "text": b.column("content"),
+            "tool": pa.array([""] * n, type=pa.large_string()),
+            "ts": _pc.cast(b.column("ts_ms"), pa.timestamp("ms")),
+            "pattern_id": b.column("pattern_id"),
+            "ts_begin": b.column("ts_begin"),
+            "eof_nl": b.column("eof_nl"),
+        })
+
+    ds = read_log_messages(paths).map_batches(
+        to_transcript, batch_format="pyarrow")
+    label = compress_kwargs.pop(
+        "input_label",
+        paths if isinstance(paths, str) else f"{len(list(paths))} log files")
+    return compress(None, out_dir, ds=ds, input_label=str(label),
+                    **compress_kwargs)

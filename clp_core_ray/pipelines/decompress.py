@@ -135,3 +135,69 @@ def _first_parquet(routed: str) -> str:
             if f.endswith(".parquet"):
                 return os.path.join(root, f)
     raise FileNotFoundError(f"no parquet files under {routed}")
+
+
+def extract_text_logs(archive_dir: str, out_dir: str) -> list[str]:
+    """Reconstruct original log FILES from an archive written by
+    ``compress_text_logs`` — `clp x` (FileDecompressor.cpp:9-76): decode
+    each message, re-insert its timestamp with the original pattern, join
+    in message order, one output file per input file. File assembly runs
+    distributed (one map_groups task per file-hash bucket writes its files
+    to shared storage); returns the written paths."""
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from clp_core_ray.sources.textlog import reconstruct_file_text
+
+    os.makedirs(out_dir, exist_ok=True)
+    dec = decompress(
+        archive_dir,
+        columns=("conv_id", "turn_idx", "ts", "pattern_id", "ts_begin",
+                 "eof_nl"),
+    )
+
+    def bucket(b):
+        from clp_core_ray.pipelines.temporal import _key_and_bucket
+
+        _, bk = _key_and_bucket(b.column("conv_id"), 64)
+        return b.append_column("_bucket", bk)
+
+    def write_files(g) -> "object":
+        import pyarrow as pa
+
+        paths_out = []
+        ids = g.column("conv_id").combine_chunks()
+        codes = np.asarray(ids.dictionary_encode().indices, dtype=np.int64)
+        order = np.lexsort((np.asarray(g.column("turn_idx")), codes))
+        cs = codes[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        ends = np.append(starts[1:], len(cs))
+        ts_ms = pc.cast(pc.cast(g.column("ts"), pa.timestamp("ms"), safe=False),
+                        pa.int64())
+        for s, e in zip(starts, ends):
+            idx = pa.array(order[s:e], type=pa.int64())
+            src_path = ids[order[s]].as_py()
+            sub = pa.table({
+                "path": pa.array([src_path] * (e - s)),
+                "msg_idx": g.column("turn_idx").take(idx).cast(pa.int64()),
+                "ts_ms": ts_ms.take(idx),
+                "pattern_id": g.column("pattern_id").take(idx),
+                "ts_begin": g.column("ts_begin").take(idx),
+                "content": g.column("text").take(idx),
+            })
+            name = src_path.replace("/", "_").lstrip("_")
+            dst = os.path.join(out_dir, name)
+            txt = reconstruct_file_text(sub)
+            if g.column("eof_nl")[order[s]].as_py():
+                txt += "\n"
+            with open(dst, "w") as f:
+                f.write(txt)
+            paths_out.append(dst)
+        return pa.table({"path": pa.array(paths_out, type=pa.large_string())})
+
+    acct = (dec.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(write_files, batch_format="pyarrow"))
+    return sorted(p for b in acct.iter_batches(batch_format="pyarrow")
+                  for p in b.column("path").to_pylist())

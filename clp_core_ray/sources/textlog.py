@@ -16,10 +16,13 @@ from clp_core_ray.timestamps import parse_and_strip
 from clp_core_ray.vec.tokenizer import _cumsum0, _string_buffers
 
 
-def assemble_messages(lines: pa.Array, path: str = "") -> pa.Table:
+def assemble_messages(lines: pa.Array, path: str = "",
+                      eof_nl: bool = True) -> pa.Table:
     """Lines of ONE file (in order) → message table.
 
-    Columns: path, msg_idx, ts_ms (nullable), pattern_id, ts_begin, content.
+    Columns: path, msg_idx, ts_ms (nullable), pattern_id, ts_begin, content,
+    eof_nl (constant per file: did the original end with a newline — needed
+    for byte-identical FILE reconstruction, not message round-trips).
     Multi-line messages join their continuation lines with '\\n'.
     """
     parsed = parse_and_strip(lines)
@@ -32,7 +35,8 @@ def assemble_messages(lines: pa.Array, path: str = "") -> pa.Table:
              "ts_ms": pa.array([], type=pa.int64()),
              "pattern_id": pa.array([], type=pa.int32()),
              "ts_begin": pa.array([], type=pa.int32()),
-             "content": pa.array([], type=pa.large_string())}
+             "content": pa.array([], type=pa.large_string()),
+             "eof_nl": pa.array([], type=pa.bool_())}
         )
     is_start = pid >= 0
     is_start[0] = True
@@ -70,6 +74,7 @@ def assemble_messages(lines: pa.Array, path: str = "") -> pa.Table:
                 pa.large_string(), n_msgs,
                 [None, pa.py_buffer(msg_off.tobytes()), pa.py_buffer(out.tobytes())],
             ),
+            "eof_nl": pa.array([bool(eof_nl)] * n_msgs, type=pa.bool_()),
         }
     )
 
@@ -138,11 +143,13 @@ def read_log_messages(paths: list[str] | str):
             expand_log_payload(p, raw, payloads)
             for name, data in payloads:
                 text = data.decode("utf-8", errors="replace")
+                eof_nl = text.endswith("\n")
                 lines = text.split("\n")
                 if lines and lines[-1] == "":
                     lines.pop()
                 tables.append(
-                    assemble_messages(pa.array(lines, type=pa.large_string()), name)
+                    assemble_messages(pa.array(lines, type=pa.large_string()),
+                                      name, eof_nl=eof_nl)
                 )
         return pa.concat_tables(tables) if tables else assemble_messages(
             pa.array([], type=pa.large_string())

@@ -235,3 +235,42 @@ def test_cli_incremental(ray_session, tiny_sf_dir, tmp_path, capsys):
                                "--query", "*ERROR*", "--limit", "2"])
     assert res["rows"] > 0
     assert all("ERROR" in ln for ln in lines[-2:])
+
+
+def test_cli_log_compress_extract_roundtrip(ray_session, tmp_path, capsys):
+    """Raw text logs → archive → byte-identical file reconstruction through
+    the CLI (clp c / clp x on log files, the reference's primary shape)."""
+    body = (
+        "2016-05-08 07:34:05.251 INFO job j7 started user=bob mem=1.5 GB\n"
+        "2016-05-08 07:34:06.000 DEBUG step 1 of 12 took 0.125 s\n"
+        "continuation without timestamp\n"
+        "2016-05-08 07:35:00.100 ERROR failed to open /var/log/a.17.log errno=2\n"
+    )
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    want = {}
+    for i in range(2):
+        p = logs / f"svc{i}.log"
+        b = body.replace("j7", f"j{i}")
+        p.write_text(b)
+        want[str(p)] = b
+    # a file WITHOUT a trailing newline must reconstruct without one
+    p = logs / "svc9.log"
+    p.write_text(body.rstrip("\n"))
+    want[str(p)] = body.rstrip("\n")
+
+    arch = str(tmp_path / "arch")
+    out = str(tmp_path / "orig")
+    res, _ = _run(capsys, ["log-compress", "--input", str(logs),
+                           "--out", arch, "--tag", "textlogs"])
+    # 3 messages x 3 files (the timestamp-less line merges into the DEBUG
+    # message — MessageParser.cpp:84-165 continuation semantics)
+    assert res["rows"] == 9
+    res, _ = _run(capsys, ["log-extract", "--archive", arch, "--out", out])
+    assert res["files"] == 3
+    import os
+
+    for src_path, b in want.items():
+        name = src_path.replace("/", "_").lstrip("_")
+        got = open(os.path.join(out, name)).read()
+        assert got == b, name
