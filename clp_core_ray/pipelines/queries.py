@@ -1384,6 +1384,68 @@ def _build_incremental(sf_dir: str, base: str) -> None:
 
 
 @register(
+    "clp_textlog_roundtrip",
+    "SELECT CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, text FROM {T}",
+)
+def clp_textlog_roundtrip(sf_dir: str):
+    """The reference's primary shape end to end: transcripts rendered as raw
+    timestamped .log files → message assembly + compress (clp c) → archive →
+    byte-identical FILE extraction (clp x) → re-assembled messages must carry
+    every original (ts, text). Exercises timestamp sniff/strip/re-insert,
+    file reconstruction, and the archive round trip in one chain."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from clp_core_ray.pipelines.compress import compress_text_logs
+    from clp_core_ray.pipelines.decompress import extract_text_logs
+    from clp_core_ray.sources.textlog import read_log_messages
+    from clp_core_ray.timestamps import format_batch
+
+    logdir = tempfile.mkdtemp(prefix="clp_tl_src_")
+    arch = tempfile.mkdtemp(prefix="clp_tl_arch_")
+    outdir = tempfile.mkdtemp(prefix="clp_tl_out_")
+    try:
+        def write_shard(b: pa.Table) -> pa.Table:
+            ts_ms = np.asarray(pc.cast(
+                pc.cast(b.column("ts"), pa.timestamp("ms"), safe=False),
+                pa.int64()))
+            rendered = format_batch(ts_ms, np.full(len(b), 2, dtype=np.int64))
+            lines = pc.binary_join_element_wise(
+                rendered.cast(pa.large_string()),
+                b.column("text").cast(pa.large_string()),
+                pa.scalar(" ", type=pa.large_string()))
+            path = os.path.join(logdir, f"shard-{uuid.uuid4().hex}.log")
+            with open(path, "w") as f:
+                f.write("\n".join(lines.to_pylist()) + "\n")
+            return pa.table({"path": pa.array([path]),
+                             "n": pa.array([len(b)], type=pa.int64())})
+
+        ds = read_transcripts(sf_dir, columns=["ts", "text"])
+        ds.map_batches(write_shard, batch_format="pyarrow").count()
+
+        compress_text_logs(logdir, arch)
+        extract_text_logs(arch, outdir)
+        back = read_log_messages(outdir)
+
+        def project(b: pa.Table) -> pa.Table:
+            # message content keeps the ts→text separator space (strip
+            # semantics preserve it for byte-exact re-insertion); drop
+            # exactly that one space to compare against the bare text
+            txt = pc.replace_substring_regex(
+                b.column("content").combine_chunks().cast(pa.large_string()),
+                r"^ ", "", max_replacements=1)
+            return pa.table({"ts_ms": b.column("ts_ms"), "text": txt})
+
+        return back.map_batches(project, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
+        shutil.rmtree(arch, ignore_errors=True)
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
+@register(
     "clp_incremental_roundtrip",
     "SELECT conv_id, turn_idx, text FROM {T}",
 )
