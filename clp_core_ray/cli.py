@@ -356,6 +356,18 @@ def cmd_json_extract(args) -> dict:
                                              clps_decompress_split)
 
     t0 = _t.time()
+    if getattr(args, "ordered_chunk_size", None):
+        if _is_split_archive(args.archive):
+            raise SystemExit("--ordered-chunk-size works on a single "
+                             "archive (extract sub-archives separately)")
+        from clp_core_ray.pipelines.clps import clps_extract_ordered_chunks
+
+        manifest = clps_extract_ordered_chunks(
+            args.archive, args.out, args.ordered_chunk_size)
+        return {"cmd": "json-extract", "out": args.out,
+                "chunks": len(manifest),
+                "bytes": sum(m["nbytes"] for m in manifest),
+                "sec": round(_t.time() - t0, 3)}
     fn = clps_decompress_split if _is_split_archive(args.archive) \
         else clps_decompress
     ds = fn(args.archive, ordered=args.ordered)
@@ -641,6 +653,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help=".jsonl/.ndjson file or parquet dir")
     jx.add_argument("--ordered", action="store_true",
                     help="k-way-merge order by log_event_idx")
+    jx.add_argument("--ordered-chunk-size", type=int,
+                    help="split ordered output into >=N-byte .jsonl chunks "
+                         "(clp-s --target-ordered-chunk-size; implies "
+                         "--ordered, --out is the chunk directory)")
     jx.set_defaults(fn=cmd_json_extract)
 
     js = sub.add_parser("json-search", help="KQL search (clp-s s)")

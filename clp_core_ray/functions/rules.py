@@ -39,6 +39,7 @@ bytes inside tokens are plain non-delimiter bytes (reference behavior).
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -193,9 +194,21 @@ class RuleEncodeStage:
     """
 
     def __init__(self, ruleset: RuleSet | None = None, text_col: str = "text",
-                 keep_text: bool = False):
+                 keep_text: bool = False, use_dfa: bool | None = None):
         self.ruleset = ruleset or RuleSet()
         self.delim_mode = self.ruleset.delimiters is not None
+        self.dfa = None
+        if use_dfa is None:
+            use_dfa = os.environ.get("CLP_RULES_DFA", "1") != "0"
+        if self.delim_mode and use_dfa:
+            # table-driven DFA lexer (log-surgeon's engine shape); regex
+            # scanner stays as the fallback for unsupported syntax and as
+            # the semantics oracle in tests
+            from clp_core_ray.functions.dfa import DfaUnsupported, compile_rules
+            try:
+                self.dfa = compile_rules([rx for _, rx in self.ruleset.rules])
+            except DfaUnsupported:
+                self.dfa = None
         if self.delim_mode:
             # Matching runs over a buffer whose delimiter bytes are blanked
             # to \n, so tokens ARE lines: a plain ^(?:alts)$ MULTILINE
@@ -327,8 +340,28 @@ class RuleEncodeStage:
                 tsrows = np.flatnonzero(ts_len)
                 jdata[self._scatter(jstart[tsrows], ts_len[tsrows])] = _NL
 
-        # lex → (start, end, rule-group lastindex) in joined coordinates
-        if self.delim_mode:
+        # lex → parallel (start, end, rule_idx) arrays in joined coordinates
+        sarr = earr = rarr = np.empty(0, dtype=np.int64)
+        if self.delim_mode and self.dfa is not None:
+            # DFA engine: tokens are maximal non-delimiter runs; a rule
+            # matches iff the DFA accepts the whole token (same language as
+            # the anchored ^(?:alts)$ pattern below). One table-gather step
+            # per byte position, vectorized across all tokens.
+            if jlen:
+                nond = ~self._delim_tbl[jdata]
+                d8 = np.diff(nond.view(np.int8))
+                tstart = np.flatnonzero(d8 == 1) + 1
+                tend = np.flatnonzero(d8 == -1) + 1
+                if nond[0]:
+                    tstart = np.concatenate(([0], tstart))
+                if tend.size < tstart.size:  # buffer ends mid-token
+                    tend = np.concatenate((tend, [jlen]))
+                rr = self.dfa.match_tokens(jdata, tstart, tend - tstart)
+                sel = rr >= 0
+                sarr = tstart[sel]
+                earr = tend[sel]
+                rarr = rr[sel].astype(np.int64)
+        elif self.delim_mode:
             # blank ALL delimiter bytes to \n: tokens become lines, and the
             # anchored ^(?:alts)$ pattern matches exactly full tokens
             mbuf = jdata.copy()
@@ -339,9 +372,16 @@ class RuleEncodeStage:
                 for m in self.pattern.finditer(jb)
                 if m.end() > m.start()
             ]
+            if spans:
+                arr = np.asarray(spans, dtype=np.int64)
+                sarr, earr = arr[:, 0], arr[:, 1]
+                rarr = self._rule_of(arr[:, 2])
         else:
             jb = jdata.tobytes() if jlen else b""
             spans = self._scan(jb)
+            if spans:
+                arr = np.asarray(spans, dtype=np.int64)
+                sarr, earr, rarr = arr[:, 0], arr[:, 1], arr[:, 2]
 
         # clean buffer = rows minus ts prefixes (what the logtype is built on)
         if ts_len.any():
@@ -353,12 +393,11 @@ class RuleEncodeStage:
         else:
             cdata, coffsets, cs_keep = data, offsets, None
 
-        if spans:
-            arr = np.asarray(spans, dtype=np.int64)
-            mrow = np.searchsorted(jstart, arr[:, 0], side="right") - 1
-            ob = arr[:, 0] - mrow  # joined → original coords (r sentinels)
-            oe = arr[:, 1] - mrow
-            ridx = self._rule_of(arr[:, 2]) if self.delim_mode else arr[:, 2]
+        if sarr.size:
+            mrow = np.searchsorted(jstart, sarr, side="right") - 1
+            ob = sarr - mrow  # joined → original coords (r sentinels)
+            oe = earr - mrow
+            ridx = rarr
             # drop any legacy-mode match that crossed a row sentinel
             valid = oe <= offsets[mrow + 1]
             if not valid.all():

@@ -647,6 +647,152 @@ def clps_decompress(out_dir: str, ordered: bool = True):
     return ds
 
 
+def clps_extract_ordered_chunks(out_dir: str, dest_dir: str,
+                                target_chunk_bytes: int,
+                                stream_id: str | None = None) -> list[dict]:
+    """``clp-s x --ordered --target-ordered-chunk-size`` parity
+    (JsonConstructor::construct_in_order, JsonConstructor.cpp:63-171).
+
+    Greedy record-level chunking over the ordered stream: a chunk closes at
+    the FIRST record that brings its byte count (json line + ``\\n``) to
+    >= target; files are named ``<stream_id>_<first_idx>_<last_idx+1>.jsonl``
+    (end exclusive, FileWriter rename at JsonConstructor.cpp:99-107) and the
+    returned manifest rows mirror the results-cache metadata document
+    (path / stream_id / begin_msg_ix / end_msg_ix / is_last_chunk,
+    JsonConstructor.cpp:109-133); the manifest is also written to
+    ``chunks.json`` in ``dest_dir``.
+
+    Distributed shape — the serialized stream never lands on the driver:
+
+    1. decode+serialize once (``clps_decompress``), sort, and STAGE each
+       block as a parquet part carrying (log_event_idx, json, nbytes);
+       the stage task returns one summary row (idx range, total bytes).
+    2. the driver walks the greedy boundaries over batch byte totals and
+       opens the ``nbytes`` column of ONLY the ~one staged part containing
+       each boundary (O(#chunks) small column-pruned reads).
+    3. boundaries broadcast; each record maps to its chunk by searchsorted
+       and one ``map_groups`` task per chunk writes its file.
+    """
+    import shutil
+
+    import ray.data as rd
+
+    os.makedirs(dest_dir, exist_ok=True)
+    stream = stream_id or os.path.basename(os.path.normpath(out_dir))
+    stage_dir = os.path.join(dest_dir, "_ordered_stage")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    os.makedirs(stage_dir)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"first_idx": pa.array([], type=pa.int64()),
+                             "last_idx": pa.array([], type=pa.int64()),
+                             "total_bytes": pa.array([], type=pa.int64()),
+                             "path": pa.array([], type=pa.string())})
+        # +1 per record: the written newline counts toward the chunk size
+        nbytes = pc.add(pc.binary_length(batch.column("json")), 1)
+        first = pc.min(batch.column("log_event_idx")).as_py()
+        last = pc.max(batch.column("log_event_idx")).as_py()
+        t = batch.append_column("nbytes", pc.cast(nbytes, pa.int64()))
+        path = os.path.join(stage_dir, f"part_{first:020d}.parquet")
+        pq.write_table(t, path, compression="zstd")
+        return pa.table({"first_idx": pa.array([first], type=pa.int64()),
+                         "last_idx": pa.array([last], type=pa.int64()),
+                         "total_bytes": pa.array(
+                             [int(pc.sum(nbytes).as_py())], type=pa.int64()),
+                         "path": pa.array([path], type=pa.string())})
+
+    summaries = (
+        clps_decompress(out_dir, ordered=True)
+        .map_batches(stage, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    manifest: list[dict] = []
+    if len(summaries) == 0 or target_chunk_bytes is None:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        return manifest
+    summaries = summaries.sort_values("first_idx").reset_index(drop=True)
+
+    # ---- driver greedy walk: record-exact boundaries, lazy length reads
+    boundaries: list[int] = []  # inclusive last log_event_idx per closed chunk
+    carry = 0  # bytes already in the open chunk
+    for _, s in summaries.iterrows():
+        if carry + int(s.total_bytes) < target_chunk_bytes:
+            carry += int(s.total_bytes)
+            continue
+        part = pq.read_table(s.path, columns=["log_event_idx", "nbytes"])
+        idx = part.column("log_event_idx").to_numpy()
+        cum = carry + np.cumsum(part.column("nbytes").to_numpy())
+        base = 0
+        while True:
+            pos = int(np.searchsorted(cum[base:], target_chunk_bytes)) + base
+            if pos >= cum.size:
+                carry = int(cum[-1]) if cum.size > base else 0
+                if base:
+                    carry = int(cum[-1] - cum[base - 1])
+                break
+            boundaries.append(int(idx[pos]))
+            cum = cum - cum[pos]
+            base = pos + 1
+            if base >= cum.size:
+                carry = 0
+                break
+    n_chunks = len(boundaries) + (1 if carry > 0 else 0)
+    if n_chunks == 0:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        return manifest
+    bounds = np.asarray(boundaries, dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cid = np.searchsorted(bounds,
+                              batch.column("log_event_idx").to_numpy(),
+                              side="left")
+        return batch.append_column("chunk_id",
+                                   pa.array(cid, type=pa.int64()))
+
+    def write_chunk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("log_event_idx"))
+        g = group.take(order)
+        first = g.column("log_event_idx")[0].as_py()
+        last = g.column("log_event_idx")[g.num_rows - 1].as_py()
+        name = f"{stream}_{first}_{last + 1}.jsonl"
+        lines = pc.binary_join_element_wise(
+            pc.cast(g.column("json").combine_chunks(), pa.large_string()),
+            pa.scalar("", type=pa.large_string()),
+            pa.scalar("\n", type=pa.large_string()))
+        offs = np.frombuffer(lines.buffers()[1], dtype=np.int64)
+        lo = int(offs[lines.offset])
+        hi = int(offs[lines.offset + len(lines)])
+        with open(os.path.join(dest_dir, name), "wb") as f:
+            f.write(memoryview(lines.buffers()[2])[lo:hi])
+        cid = int(g.column("chunk_id")[0].as_py())
+        return pa.table({
+            "path": pa.array([name]),
+            "stream_id": pa.array([stream]),
+            "begin_msg_ix": pa.array([first], type=pa.int64()),
+            "end_msg_ix": pa.array([last + 1], type=pa.int64()),
+            "is_last_chunk": pa.array([cid == n_chunks - 1]),
+            "nbytes": pa.array(
+                [int(pc.sum(pc.add(pc.binary_length(g.column("json")), 1))
+                     .as_py())], type=pa.int64()),
+        })
+
+    rows = (
+        rd.read_parquet(stage_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("chunk_id")
+        .map_groups(write_chunk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    manifest = rows.sort_values("begin_msg_ix").to_dict("records")
+    for m in manifest:
+        m["is_last_chunk"] = bool(m["is_last_chunk"])
+    with open(os.path.join(dest_dir, "chunks.json"), "w") as f:
+        json.dump(manifest, f, default=str)
+    return manifest
+
+
 def clps_compress_from_kv_ir(paths, out_dir: str,
                              timestamp_key: str | None = None) -> dict:
     """Ingest structured key-value IR streams into a clp_s archive

@@ -156,6 +156,16 @@ def test_cli_json_compress_search_extract(ray_session, tmp_path, capsys):
     want = [json.loads(x) for x in lines]
     assert got == want
 
+    # chunked ordered extraction (--target-ordered-chunk-size parity)
+    chunks = tmp_path / "chunks"
+    res, _ = _run(capsys, ["json-extract", "--archive", arch,
+                           "--out", str(chunks), "--ordered-chunk-size", "60"])
+    assert res["chunks"] >= 2
+    cat = b"".join(
+        (chunks / m["path"]).read_bytes()
+        for m in json.loads((chunks / "chunks.json").read_text()))
+    assert [json.loads(x) for x in cat.decode().splitlines()] == want
+
 
 def test_cli_json_split_roundtrip(ray_session, tmp_path, capsys):
     """--split-records rolls sub-archives; search + extract auto-detect the

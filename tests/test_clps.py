@@ -392,3 +392,71 @@ def test_clps_projection(ray_session, tmp_path):
     cols = _storage_columns({"k", "city"}, meta, ["name", "k"])
     assert "name\x00logtype" in cols and "name\x00isnull" in cols
     assert "city" not in cols and "k" in cols
+
+
+def test_clps_ordered_chunked_extract(ray_session, tmp_path):
+    """construct_in_order + target-ordered-chunk-size parity
+    (JsonConstructor.cpp:63-171): greedy record-level boundaries, end-
+    exclusive chunk naming, manifest rows, concatenation equality."""
+    import os
+
+    from clp_core_ray.pipelines.clps import (
+        clps_compress,
+        clps_decompress,
+        clps_extract_ordered_chunks,
+    )
+
+    lines = synth_ndjson(220, seed=4)
+    out = str(tmp_path / "arch")
+    clps_compress(lines, out)
+
+    full = clps_decompress(out, ordered=True).to_pandas()
+    stream = "".join(r + "\n" for r in full["json"])
+    target = max(1, len(stream) // 7)
+
+    dest = str(tmp_path / "chunks")
+    manifest = clps_extract_ordered_chunks(out, dest, target, stream_id="arch")
+
+    # brute-force reference greedy (the C++ loop verbatim)
+    exp_bounds, size = [], 0
+    idxs = full["log_event_idx"].tolist()
+    for i, rec in enumerate(full["json"]):
+        size += len(rec.encode()) + 1
+        if size >= target:
+            exp_bounds.append((idxs[i], size))
+            size = 0
+    n_exp = len(exp_bounds) + (1 if size > 0 else 0)
+    assert len(manifest) == n_exp
+
+    # chunk sizing: every closed chunk >= target; begins/ends chain
+    for m, (b, sz) in zip(manifest, exp_bounds):
+        assert m["end_msg_ix"] == b + 1
+        assert m["nbytes"] == sz >= target
+    assert manifest[0]["begin_msg_ix"] == idxs[0]
+    for prev, nxt in zip(manifest, manifest[1:]):
+        assert not prev["is_last_chunk"]
+    assert manifest[-1]["is_last_chunk"]
+
+    # naming + byte-level concatenation equality
+    cat = ""
+    for m in manifest:
+        assert m["path"] == f"arch_{m['begin_msg_ix']}_{m['end_msg_ix']}.jsonl"
+        with open(os.path.join(dest, m["path"])) as f:
+            cat += f.read()
+    assert cat == stream
+    assert json.load(open(os.path.join(dest, "chunks.json")))  # manifest file
+    assert not os.path.exists(os.path.join(dest, "_ordered_stage"))
+
+
+def test_clps_ordered_chunks_single_chunk(ray_session, tmp_path):
+    from clp_core_ray.pipelines.clps import (
+        clps_compress,
+        clps_extract_ordered_chunks,
+    )
+
+    lines = synth_ndjson(24, seed=2)
+    out = str(tmp_path / "arch1")
+    clps_compress(lines, out)
+    dest = str(tmp_path / "one")
+    manifest = clps_extract_ordered_chunks(out, dest, 10**9)
+    assert len(manifest) == 1 and manifest[0]["is_last_chunk"]

@@ -232,3 +232,67 @@ def test_snapshot_diff_property(old, new):
         if old[k] != new[k]:
             want.add((k, "changed"))
     assert got == want
+
+
+# ---- DFA lexer vs Python re (acceptance language equality) ----
+
+_rx_atom = st.one_of(
+    st.sampled_from([r"\d", r"\w", r"[a-f]", r"[^0-9]", r"[0-37-9]", ".",
+                     "a", "b", "Z", "0", r"\.", "=", "-", r"\x41"]),
+)
+
+
+@st.composite
+def _rx_pattern(draw, depth=2):
+    if depth == 0:
+        return draw(_rx_atom)
+    kind = draw(st.integers(0, 4))
+    if kind == 0:
+        return draw(_rx_atom)
+    if kind == 1:  # seq
+        parts = draw(st.lists(_rx_pattern(depth=depth - 1), min_size=1,
+                              max_size=3))
+        return "".join(parts)
+    if kind == 2:  # alt
+        parts = draw(st.lists(_rx_pattern(depth=depth - 1), min_size=2,
+                              max_size=3))
+        return "(?:" + "|".join(parts) + ")"
+    if kind == 3:  # rep
+        inner = draw(_rx_pattern(depth=depth - 1))
+        q = draw(st.sampled_from(["*", "+", "?", "{2}", "{1,3}", "{0,2}"]))
+        return "(?:" + inner + ")" + q
+    return "(" + draw(_rx_pattern(depth=depth - 1)) + ")"
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_rx_pattern(), min_size=1, max_size=4),
+       st.lists(st.text(alphabet="ab0189=.-Zxf", min_size=1, max_size=8),
+                min_size=1, max_size=30))
+def test_dfa_equals_re_acceptance(patterns, tokens):
+    """compile_rules acceptance == anchored re fullmatch, incl. priority."""
+    import re
+
+    from clp_core_ray.functions.dfa import DfaUnsupported, compile_rules
+
+    try:
+        dfa = compile_rules(patterns)
+    except DfaUnsupported:
+        return
+    pats = [re.compile(p) for p in patterns]
+    buf = ("\n".join(tokens) + "\n").encode()
+    data = np.frombuffer(buf, dtype=np.uint8)
+    starts, lens, pos = [], [], 0
+    for t in tokens:
+        b = len(t.encode())
+        starts.append(pos)
+        lens.append(b)
+        pos += b + 1
+    got = dfa.match_tokens(data, np.asarray(starts, dtype=np.int64),
+                           np.asarray(lens, dtype=np.int64))
+    for tok, g in zip(tokens, got):
+        exp = -1
+        for i, p in enumerate(pats):
+            if p.fullmatch(tok):
+                exp = i
+                break
+        assert g == exp, (tok, patterns, g, exp)
