@@ -279,7 +279,8 @@ def cmd_ir_extract(args) -> dict:
 
     t0 = _t.time()
     paths = extract_ir_chunks(args.archive, args.out,
-                              four_byte=not args.eight_byte)
+                              four_byte=not args.eight_byte,
+                              target_bytes=getattr(args, "target_size", None))
     return {"cmd": "ir-extract", "out": args.out, "chunks": len(paths),
             "sec": round(_t.time() - t0, 3)}
 
@@ -619,6 +620,9 @@ def build_parser() -> argparse.ArgumentParser:
     ie.add_argument("--out", required=True, help="chunk output dir")
     ie.add_argument("--eight-byte", action="store_true",
                     help="8-byte encoded events (default 4-byte)")
+    ie.add_argument("--target-size", type=int,
+                    help="~bytes per IR chunk (clo --ir-target-size, "
+                         "reference default 128 MiB)")
     ie.set_defaults(fn=cmd_ir_extract)
 
     isrch = sub.add_parser("ir-search",

@@ -327,3 +327,92 @@ def tf_df_table(ds, *, text_col: str = "text", id_col: str = "doc_id",
             .map_batches(explode_tf, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def bm25_scores(ds, query_terms, *, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                ndigits: int = 6):
+    """Okapi BM25 relevance of every document against a small query-term
+    set — the classic retrieval scorer over the corpus (composes with
+    :func:`inverted_index` / :func:`tf_df_table`; same tokenizer, so scores
+    agree with an external SQL reproduction token for token).
+
+    Scale shape: a stats pass whose exchange is ONE row per batch plus one
+    row per (query term, batch) — per-batch df partials are exact because a
+    document is a single row — followed by a stateless scoring pass with
+    the (tiny) broadcast constants; no shuffle anywhere, the corpus streams
+    through twice. Per-document term contributions are summed in ascending
+    term order and rounded to ``ndigits`` so the float result is
+    reproducible (and SQL-matchable with ``sum(... ORDER BY term)``).
+    Returns Dataset[(id_col, bm25:double)] over documents matching >= 1
+    query term.
+    """
+    import math
+
+    q = sorted({t.lower() for t in query_terms})
+    q_arr = pa.array(q, type=pa.large_string())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        t = _explode_terms(batch, text_col, id_col)
+        qt = t.filter(pc.is_in(pc.cast(t.column("term"), pa.large_string()),
+                               value_set=q_arr))
+        dfp = (qt.group_by(["term", id_col]).aggregate([])
+                 .group_by("term").aggregate([("term", "count")]))
+        terms = [""] + dfp.column("term").to_pylist()
+        a = [batch.num_rows] + dfp.column("term_count").to_pylist()
+        toks = [len(t)] + [0] * (len(terms) - 1)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "a": pa.array(a, type=pa.int64()),
+                         "toks": pa.array(toks, type=pa.int64())})
+
+    st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    if len(st) == 0:  # empty input: no blocks ever reached stats()
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "bm25": pa.array([], pa.float64())}))
+    corpus = st[st.term == ""]
+    n_docs = int(corpus["a"].sum())
+    total_toks = int(corpus["toks"].sum())
+    if n_docs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "bm25": pa.array([], pa.float64())}))
+    avgdl = total_toks / n_docs
+    df_map = st[st.term != ""].groupby("term")["a"].sum().to_dict()
+    idf = {t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+           for t, d in df_map.items()}
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "bm25": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        t = _explode_terms(batch, text_col, id_col)
+        dl_t = t.group_by(id_col).aggregate([(id_col, "count")])
+        qt = (t.filter(pc.is_in(pc.cast(t.column("term"), pa.large_string()),
+                                value_set=q_arr))
+               .group_by(["term", id_col]).aggregate([("term", "count")]))
+        if qt.num_rows == 0:
+            return empty
+        # per-row contribution, then sum per doc in (doc, term) order
+        order = pc.sort_indices(qt, sort_keys=[(id_col, "ascending"),
+                                               ("term", "ascending")])
+        qt = qt.take(order)
+        ids = qt.column(id_col).to_numpy()
+        tf = qt.column("term_count").to_numpy().astype(np.float64)
+        idf_v = np.asarray([idf[x] for x in qt.column("term").to_pylist()])
+        pos = pc.index_in(qt.column(id_col), dl_t.column(id_col))
+        dl = pc.take(dl_t.column(f"{id_col}_count"), pos).to_numpy() \
+            .astype(np.float64)
+        contrib = idf_v * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        score_v = np.add.reduceat(contrib, starts)
+        return pa.table({
+            id_col: pa.array(ids[starts], type=pa.int64()),
+            "bm25": pa.array(np.round(score_v, ndigits)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

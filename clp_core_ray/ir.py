@@ -583,15 +583,24 @@ def search_ir(paths, query: str, ignore_case: bool = False,
 
 
 def write_ir(ds, out_dir: str, four_byte: bool = True, ts_col: str = "ts",
-             text_col: str = "text") -> list[str]:
-    """Dataset → one IR stream file per block under out_dir (K8 analogue).
+             text_col: str = "text",
+             target_bytes: int | None = None) -> list[str]:
+    """Dataset → IR stream files under out_dir (K8 analogue).
 
+    One file per block by default; ``target_bytes`` (clo's
+    ``--ir-target-size``, default 128 MiB at
+    clo/CommandLineArguments.hpp:187) additionally splits each block into
+    ~target-sized streams at event granularity (split points from the
+    serialized-size estimate: text bytes + per-event framing — each chunk is
+    a self-contained stream with its own preamble/EOF, so size parity is
+    approximate exactly like the reference's roll-after-crossing check).
     Returns the written paths (accounting is collected via the small
     per-block result table). ``ts_col`` may be a timestamp or int64-ms
     column."""
     import os
     import uuid
 
+    import numpy as np
     import pyarrow.compute as pc
 
     os.makedirs(out_dir, exist_ok=True)
@@ -603,12 +612,30 @@ def write_ir(ds, out_dir: str, four_byte: bool = True, ts_col: str = "ts",
             ts = pc.cast(pc.cast(ts, pa.timestamp("ms"), safe=False), pa.int64())
         ts_list = ts.to_pylist()
         msgs = batch.column(text_col).to_pylist()
-        blob = serialize_ir_stream(ts_list, msgs, four_byte=four_byte)
-        path = os.path.join(out_dir, f"events-{uuid.uuid4().hex}.clp.ir")
-        with open(path, "wb") as f:
-            f.write(blob)
-        return pa.table({"path": pa.array([path]),
-                         "n_events": pa.array([len(batch)], type=pa.int64())})
+        cuts = [0, len(msgs)]
+        if target_bytes and len(msgs):
+            est = (pc.binary_length(pc.fill_null(
+                pc.cast(batch.column(text_col), pa.large_string()), ""))
+                .combine_chunks().to_numpy(zero_copy_only=False)
+                .astype(np.int64) + 12)
+            cum = np.cumsum(est)
+            n_chunks = max(1, int(np.ceil(cum[-1] / target_bytes)))
+            if n_chunks > 1:
+                marks = np.arange(1, n_chunks) * (cum[-1] / n_chunks)
+                inner = np.unique(np.searchsorted(cum, marks, side="left") + 1)
+                cuts = [0, *[int(i) for i in inner if 0 < i < len(msgs)],
+                        len(msgs)]
+        out_paths, out_events = [], []
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            blob = serialize_ir_stream(ts_list[lo:hi], msgs[lo:hi],
+                                       four_byte=four_byte)
+            path = os.path.join(out_dir, f"events-{uuid.uuid4().hex}.clp.ir")
+            with open(path, "wb") as f:
+                f.write(blob)
+            out_paths.append(path)
+            out_events.append(hi - lo)
+        return pa.table({"path": pa.array(out_paths),
+                         "n_events": pa.array(out_events, type=pa.int64())})
 
     acct = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
     return sorted(acct["path"].tolist())

@@ -113,7 +113,8 @@ def decompress(archive_dir: str, columns=("conv_id", "turn_idx"), ordered: bool 
 
 
 def extract_ir_chunks(archive_dir: str, out_dir: str,
-                      four_byte: bool = True) -> list[str]:
+                      four_byte: bool = True,
+                      target_bytes: int | None = None) -> list[str]:
     """Archive → CLP IR stream chunk files (K8: the reference's clo IR
     extraction job, clo/OutputHandler.hpp IR-chunk role — the log viewer
     consumes archives as IR chunks, not text).
@@ -126,7 +127,8 @@ def extract_ir_chunks(archive_dir: str, out_dir: str,
     from clp_core_ray.ir import write_ir
 
     ds = decompress(archive_dir, columns=("ts",))
-    return write_ir(ds, out_dir, four_byte=four_byte, ts_col="ts")
+    return write_ir(ds, out_dir, four_byte=four_byte, ts_col="ts",
+                    target_bytes=target_bytes)
 
 
 def _first_parquet(routed: str) -> str:

@@ -2389,6 +2389,40 @@ def docs_tf_df(sf_dir: str):
 
 
 @register(
+    "docs_bm25",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS"
+    " term FROM documents), toks2 AS (SELECT * FROM toks WHERE term <> ''),"
+    " dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),"
+    " c AS (SELECT (SELECT count(*) FROM documents) AS n,"
+    "  (SELECT count(*) FROM toks2) * 1.0 /"
+    "  (SELECT count(*) FROM documents) AS avgdl),"
+    " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2"
+    "  WHERE term IN ('merge', 'window', 'vector') GROUP BY doc_id, term),"
+    " df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
+    " SELECT tf.doc_id, round(sum("
+    "  ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+    "  * tf.tf * (1.2 + 1.0)"
+    "  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))"
+    "  ORDER BY tf.term), 6) AS bm25"
+    " FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c"
+    " GROUP BY tf.doc_id",
+)
+def docs_bm25(sf_dir: str):
+    """Okapi BM25 relevance over the corpus for a 3-term query: a stats
+    pass exchanging one row per batch plus one per (query term, batch),
+    then a shuffle-free scoring pass with broadcast constants; per-doc
+    contributions summed in term order so the float hash-matches the
+    ordered-aggregate SQL."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import bm25_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bm25_scores(ds, ["merge", "window", "vector"])
+
+
+@register(
     "docs_bigram_counts",
     "WITH w AS ("
     "  SELECT doc_id, u[1] AS word, CAST(u[2] AS BIGINT) AS i FROM ("

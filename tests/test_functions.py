@@ -950,3 +950,42 @@ def test_ivf_index_update_from_drift(ray_session, tmp_path):
     exact = topk_cosine(rd.from_arrow(tbl_of(cur_m, cur_ids)), q, qids, k=6)
     full = ivf_index_topk(idx, q, qids, k=6, n_probe=5)
     assert full.equals(exact)
+
+
+def test_bm25_scores(ray_session):
+    """BM25 equals a brute-force in-memory computation; empty/no-match edges."""
+    import math
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import bm25_scores
+
+    docs = {1: "apple banana apple", 2: "banana cherry", 3: "durian",
+            4: "", 5: "apple apple apple apple"}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(ds, ["apple", "cherry"]).to_pandas()
+           .to_dict("records")}
+
+    toks = {k: [t for t in v.lower().split(" ") if t] for k, v in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {q: sum(q in t for t in toks.values()) for q in ["apple", "cherry"]}
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in sorted(["apple", "cherry"]):
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s:
+            want[d] = round(s, 6)
+    assert got == want
+    assert 3 not in got and 4 not in got
+
+    empty = rd.from_items([{"doc_id": 0, "text": "x"}]).filter(
+        lambda r: False)
+    assert bm25_scores(empty, ["apple"]).count() == 0

@@ -159,6 +159,29 @@ def test_write_read_ir_ray(ray_session, tmp_path):
     assert sorted(back["ts"].tolist()) == want_ms
 
 
+def test_write_ir_target_size(ray_session, tmp_path):
+    """clo --ir-target-size parity: blocks split into ~target-sized streams,
+    every event survives, each file decodes standalone."""
+    import os
+
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    SF = 0.0005
+    ds = read_transcripts(SF, columns=["ts", "text"])
+    out = str(tmp_path / "irs_t")
+    paths = ir.write_ir(ds, out, four_byte=True, target_bytes=16 * 1024)
+    # without a target the same input yields one file per block
+    base = ir.write_ir(read_transcripts(SF, columns=["ts", "text"]),
+                       str(tmp_path / "irs_b"), four_byte=True)
+    assert len(paths) > len(base)
+    sizes = [os.path.getsize(p) for p in paths]
+    assert max(sizes) < 2 * 16 * 1024  # no runaway chunk
+    back = ir.read_ir(paths).to_pandas()
+    orig = read_transcripts(SF, columns=["ts", "text"]).to_pandas()
+    assert len(back) == len(orig)
+    assert sorted(back["text"]) == sorted(orig["text"])
+
+
 def test_search_ir_streams(ray_session, tmp_path):
     """Wildcard search over IR files matches a brute-force text filter and
     prunes by per-file logtype candidates + ts range."""
