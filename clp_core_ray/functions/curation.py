@@ -431,3 +431,44 @@ def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
 
     return (tagged.groupby("_bucket")
             .map_groups(resolve, batch_format="pyarrow"))
+
+
+def hash_split(ds, key_col: str, fractions: dict[str, float],
+               mod: int = 4294967296):
+    """Deterministic, group-stable train/val/test split: every row whose
+    ``key_col`` hashes into the same residue band lands in the same split,
+    so multi-row groups (all turns of a conversation, all chunks of a
+    document) never straddle the boundary — the leakage-safe way to split
+    training corpora. Stateless per batch (one multiplicative hash + one
+    searchsorted), zero coordination, identical assignment on any re-run,
+    retry, or repartitioning.
+
+    ``fractions`` maps split name → fraction; they must sum to ~1. Returns
+    the input with a ``split`` column appended. Keys hash with Knuth's
+    multiplicative scheme (h = key * 2654435761 mod 2^32 — same as the
+    sampling ops, SQL-reproducible); band edges are ``floor(cumfrac *
+    mod)``, so fractions are exact in expectation for dense ids.
+    """
+    names = list(fractions)
+    fracs = np.array([fractions[n] for n in names], dtype=np.float64)
+    if not np.isclose(fracs.sum(), 1.0, atol=1e-6):
+        raise ValueError(f"fractions sum to {fracs.sum()}, want 1.0")
+    edges = np.floor(np.cumsum(fracs)[:-1] * mod).astype(np.int64)
+    names_arr = pa.array(names, type=pa.string())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("split",
+                                       pa.array([], type=pa.string()))
+        keys = batch.column(key_col).combine_chunks()
+        if pa.types.is_integer(keys.type):
+            h = (np.asarray(keys, dtype=np.int64) * 2654435761) % mod
+        else:
+            hv = np.asarray(content_hash64(pc.cast(keys, pa.large_string())),
+                            dtype=np.int64)
+            h = (hv % mod + mod) % mod
+        band = np.searchsorted(edges, h, side="right")
+        return batch.append_column(
+            "split", pc.take(names_arr, pa.array(band, type=pa.int64())))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -2389,6 +2389,27 @@ def docs_tf_df(sf_dir: str):
 
 
 @register(
+    "docs_train_split",
+    "SELECT doc_id, CASE"
+    " WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'"
+    " WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'"
+    " ELSE 'test' END AS split FROM documents",
+)
+def docs_train_split(sf_dir: str):
+    """Deterministic group-stable 80/10/10 train/val/test split: the key
+    hashes into residue bands (Knuth multiplicative, SQL-reproducible), so
+    assignment is identical on any re-run/retry and all rows of a group
+    land in one split."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import hash_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(ds, "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@register(
     "docs_bm25",
     "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS"
     " term FROM documents), toks2 AS (SELECT * FROM toks WHERE term <> ''),"

@@ -989,3 +989,31 @@ def test_bm25_scores(ray_session):
     empty = rd.from_items([{"doc_id": 0, "text": "x"}]).filter(
         lambda r: False)
     assert bm25_scores(empty, ["apple"]).count() == 0
+
+
+def test_hash_split_group_stable(ray_session):
+    """hash_split: string keys keep every row of a group in one split;
+    fractions roughly honored; deterministic across re-runs."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import hash_split
+
+    rows = [{"conv_id": f"c{g}", "turn_idx": t}
+            for g in range(300) for t in range(3)]
+    ds = rd.from_items(rows)
+    out = hash_split(ds, "conv_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    per_group = out.groupby("conv_id")["split"].nunique()
+    assert (per_group == 1).all()
+    frac = out.drop_duplicates("conv_id")["split"].value_counts(
+        normalize=True)
+    assert 0.65 < frac.get("train", 0) < 0.95
+    out2 = hash_split(rd.from_items(rows), "conv_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    assert out.sort_values(["conv_id", "turn_idx"])["split"].tolist() == \
+        out2.sort_values(["conv_id", "turn_idx"])["split"].tolist()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(ds, "conv_id", {"a": 0.5, "b": 0.2})
