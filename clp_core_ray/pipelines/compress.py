@@ -33,6 +33,7 @@ from clp_core_ray.stages.route import RouteStage
 from clp_core_ray.state import manifest as mf
 
 ENCODE_BATCH_SIZE = 16 * 1024  # rows; ~2-4 MB of text per batch → warm scratch
+FUSED_ROWS_PER_BLOCK = 64 * 1024  # fused-sink block floor → ≥~7k rows/class file
 
 
 class _DeltaWatcher:
@@ -128,24 +129,119 @@ class FullEncodeStage:
         return out
 
 
+class FusedSinkStage:
+    """Encode + sink write fused into one task/actor — CLP's per-worker
+    segment writer (Archive.cpp:298-316 feeding Segment.cpp in the same
+    process), re-expressed for Ray Data.
+
+    The unfused pipeline ships every encoded block through the object store
+    twice (encode task → plasma → write task). Fused, each task encodes its
+    block in ENCODE_BATCH_SIZE slices, writes the per-class parquet files
+    itself (atomic .inprogress → .parquet rename), and emits only tiny
+    (class, cnt, ts_min, ts_max) stats rows — the encoded data never
+    re-enters shared memory, which matters most exactly when the host's
+    memory path is the contended resource (the documented hi-concurrency
+    decay mode of this sandbox; on a real cluster it saves a full
+    object-store copy + one serialize/deserialize per block)."""
+
+    def __init__(self, routed_dir: str, keep_text: bool = False,
+                 dict_delta_dir: str | None = None, compact: bool = False,
+                 dict_cap_entries: int | None = None, dict_cols=(),
+                 row_group_rows: int = 64 * 1024):
+        self.stage = FullEncodeStage(
+            keep_text=keep_text, dict_delta_dir=dict_delta_dir,
+            compact=compact, dict_cap_entries=dict_cap_entries,
+        )
+        self.routed_dir = routed_dir
+        self.dict_cols = list(dict_cols)
+        self.row_group_rows = row_group_rows
+
+    def __call__(self, block: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        # split each encode slice by class while it is still cache-resident
+        # (one big concat + per-class filters over the full block would make
+        # two extra DRAM passes over the encoded data — the write side is
+        # memory-bound, not CPU-bound, at high concurrency)
+        bufs: dict[str, list[pa.Table]] = {}
+        for off in range(0, len(block), ENCODE_BATCH_SIZE):
+            piece = block.slice(off, ENCODE_BATCH_SIZE)
+            if not len(piece):
+                continue
+            enc = self.stage(piece)
+            cls_col = enc.column("logtype_class")
+            for cls in pc.unique(cls_col).to_pylist():
+                sub = enc.filter(pc.equal(cls_col, cls))
+                bufs.setdefault(cls, []).append(
+                    sub.drop_columns(["logtype_class"])
+                )
+        if not bufs:
+            return _fused_stats_empty()
+        dict_cols = None
+        out_cls: list[str] = []
+        out_cnt: list[int] = []
+        out_lo: list = []
+        out_hi: list = []
+        for cls in sorted(bufs):
+            # chunked concat is metadata-only (no data copy)
+            sub = pa.concat_tables(bufs[cls])
+            if dict_cols is None:
+                dict_cols = [c for c in self.dict_cols
+                             if c in sub.schema.names]
+            d = os.path.join(self.routed_dir, f"logtype_class={cls}")
+            os.makedirs(d, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}"
+            tmp = os.path.join(d, name + ".inprogress")
+            pq.write_table(sub, tmp, compression="zstd", compression_level=3,
+                           use_dictionary=dict_cols,
+                           row_group_size=self.row_group_rows)
+            os.replace(tmp, os.path.join(d, name + ".parquet"))
+            mm = pc.min_max(
+                sub.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            )
+            out_cls.append(cls)
+            out_cnt.append(len(sub))
+            out_lo.append(mm["min"].as_py())
+            out_hi.append(mm["max"].as_py())
+        return pa.table({
+            "logtype_class": pa.array(out_cls, type=pa.string()),
+            "cnt": pa.array(out_cnt, type=pa.int64()),
+            "ts_min": pa.array(out_lo, type=pa.int64()),
+            "ts_max": pa.array(out_hi, type=pa.int64()),
+        })
+
+
+def _fused_stats_empty() -> pa.Table:
+    return pa.table({
+        "logtype_class": pa.array([], type=pa.string()),
+        "cnt": pa.array([], type=pa.int64()),
+        "ts_min": pa.array([], type=pa.int64()),
+        "ts_max": pa.array([], type=pa.int64()),
+    })
+
+
 def _use_encode_actors(expected_rows: int | None) -> bool:
     """Actor pool vs stateless tasks for the encode stage.
 
-    Actors keep per-actor dictionary seen-sets across blocks (fewest delta
-    re-emissions — right for long jobs) but pay ~seconds of pool spin-up —
-    wrong for short interactive runs. Auto rule: actors when the job has
-    ≳4 encode batches per CPU (blocks ≫ CPUs ⇒ the spin-up amortizes and
-    per-block dedup would inflate delta volume). ``CLP_ENCODE_ACTORS=0/1``
-    still force-overrides in either direction."""
+    Tasks win, and not narrowly: stateless map_batches lets the streaming
+    executor fuse read → encode → sink into ONE task per block — the data
+    never enters the object store at all — while an actor pool de-fuses the
+    chain and ships every input block through plasma to the actor process.
+    Measured at sf1.6 (9.6M turns, fused sink): actors 17.4 s vs tasks
+    8.8 s at 16 CPUs — the actor pool DOUBLES wall time. What actors buy is
+    per-actor dictionary seen-sets spanning many blocks (fewer duplicate
+    delta entries); per-task seen-sets still dedup within a block, and the
+    finalize distinct removes cross-block duplicates anyway, with the delta
+    watcher overlapping that work with the sink write. So: tasks unless the
+    user forces ``CLP_ENCODE_ACTORS=1`` (a dictionary-dominated corpus where
+    delta volume, not wall time, is the binding constraint)."""
     env = os.environ.get("CLP_ENCODE_ACTORS")
     if env is not None:
         return env == "1"
-    if expected_rows is None:
-        return False
-    import ray
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return expected_rows >= 4 * ncpu * ENCODE_BATCH_SIZE
+    return False
 
 
 def _rows_from_footers(files) -> int:
@@ -222,19 +318,32 @@ def compress(
     """
     import time
 
+    # fused sink (default): encode tasks write their own per-class parquet
+    # files and return stats rows — the encoded table never re-enters the
+    # object store. CLP_FUSED_SINK=0 falls back to encode→write_parquet.
+    use_fused = os.environ.get("CLP_FUSED_SINK", "1") == "1"
     ds_provided = ds is not None
     expected_rows = None
     if ds is None:
         from clp_core_ray.sources.transcripts import transcript_files
 
-        ds = read_transcripts(sf_dir_or_sf)
-        # footer-only row count feeds the encode actor-mode auto-switch
+        # footer-only row count feeds block sizing + the actor-mode override
         expected_rows = _rows_from_footers(transcript_files(sf_dir_or_sf))
+        read_kwargs = {}
+        if use_fused:
+            # block = sink-file granularity in fused mode: floor the block
+            # row count so small jobs don't shatter the archive into
+            # per-class files of a few hundred rows (search pays per-file
+            # footer+planning cost), while keeping ≥1 block per CPU
+            import ray
+
+            ncpu = (int(ray.cluster_resources().get("CPU", 8))
+                    if ray.is_initialized() else 8)
+            read_kwargs["override_num_blocks"] = max(
+                ncpu, min(4 * ncpu, expected_rows // FUSED_ROWS_PER_BLOCK or 1)
+            )
+        ds = read_transcripts(sf_dir_or_sf, **read_kwargs)
     delta_dir = os.path.join(out_dir, "dict.deltas")
-    encoded = build_encoded(
-        ds, keep_text=keep_text, concurrency=concurrency, dict_delta_dir=delta_dir,
-        compact=compact, expected_rows=expected_rows,
-    )
     routed_dir = os.path.join(out_dir, "routed")
     timing = os.environ.get("CLP_TIMING") == "1"
     t0 = time.time()
@@ -252,30 +361,87 @@ def compress(
     dict_cols = ["conv_id", "role", "tool", "role_group", "tool_category"]
     if not compact:
         dict_cols.append("logtype")
-    # zstd level 3 = CLP's own default (CommandLineArguments.hpp:90); at this
-    # level the sink write costs the same wall time as level 1 but produces
-    # ~6% smaller archives (measured 8.4s/269MB vs 8.5s/286MB at sf1.6)
-    encoded.write_parquet(routed_dir, partition_cols=["logtype_class"],
-                          compression="zstd", compression_level=3,
-                          use_dictionary=dict_cols)
-    t_write = time.time()
-    # the two post-write steps are independent (footer reads vs the delta
-    # bucket merge, whose pre-dedup tasks the watcher already launched) —
-    # overlap them so only the slower one sits on the critical path
     from concurrent.futures import ThreadPoolExecutor
 
     from clp_core_ray.state.dictionaries import write_archive_dicts
 
-    with ThreadPoolExecutor(2) as ex:
-        f_counts = ex.submit(sink_class_stats, routed_dir)
-        f_dicts = ex.submit(
-            write_archive_dicts, out_dir, delta_dir,
+    if use_fused:
+        import ray
+
+        dict_cap = int(os.environ.get("CLP_DICT_CAP_ENTRIES", 4_000_000))
+        stage_kwargs = dict(
+            routed_dir=routed_dir, keep_text=keep_text,
+            dict_delta_dir=delta_dir, compact=compact,
+            dict_cap_entries=dict_cap, dict_cols=dict_cols,
+        )
+        os.makedirs(routed_dir, exist_ok=True)
+        if _use_encode_actors(expected_rows):
+            ncpu = (int(ray.cluster_resources().get("CPU", 8))
+                    if ray.is_initialized() else 8)
+            stats_ds = ds.map_batches(
+                FusedSinkStage, fn_constructor_kwargs=stage_kwargs,
+                batch_format="pyarrow", batch_size=None,
+                concurrency=(1, ncpu) if concurrency is None else concurrency,
+                num_cpus=1,
+            )
+        else:
+            stats_ds = ds.map_batches(
+                FusedSinkStage(**stage_kwargs), batch_format="pyarrow",
+                batch_size=None, concurrency=concurrency,
+            )
+        stats = _to_table(stats_ds)
+        t_write = time.time()
+        # aggregate the per-task stats rows (tiny) → per-class counts + range
+        agg: dict[str, int] = {}
+        lo = hi = None
+        if stats.num_rows:
+            for cls, c, l, h in zip(stats.column("logtype_class").to_pylist(),
+                                    stats.column("cnt").to_pylist(),
+                                    stats.column("ts_min").to_pylist(),
+                                    stats.column("ts_max").to_pylist()):
+                agg[cls] = agg.get(cls, 0) + c
+                if l is not None:
+                    lo = l if lo is None else min(lo, l)
+                if h is not None:
+                    hi = h if hi is None else max(hi, h)
+        counts_tbl = pa.table({
+            "logtype_class": pa.array(sorted(agg), type=pa.string()),
+            "cnt": pa.array([agg[k] for k in sorted(agg)], type=pa.int64()),
+        })
+        ts_range = (lo, hi) if lo is not None else None
+        t_counts = time.time()
+        write_archive_dicts(
+            out_dir, delta_dir,
             prededup_refs=watcher.finish() if watcher else None,
         )
-        counts_tbl, ts_range = f_counts.result()
-        t_counts = time.time()
-        f_dicts.result()
         t_dicts = time.time()
+    else:
+        encoded = build_encoded(
+            ds, keep_text=keep_text, concurrency=concurrency,
+            dict_delta_dir=delta_dir, compact=compact,
+            expected_rows=expected_rows,
+        )
+        # zstd level 3 = CLP's own default (CommandLineArguments.hpp:90); at
+        # this level the sink write costs the same wall time as level 1 but
+        # produces ~6% smaller archives (measured 8.4s/269MB vs 8.5s/286MB
+        # at sf1.6)
+        encoded.write_parquet(routed_dir, partition_cols=["logtype_class"],
+                              compression="zstd", compression_level=3,
+                              use_dictionary=dict_cols)
+        t_write = time.time()
+        # the two post-write steps are independent (footer reads vs the delta
+        # bucket merge, whose pre-dedup tasks the watcher already launched) —
+        # overlap them so only the slower one sits on the critical path
+        with ThreadPoolExecutor(2) as ex:
+            f_counts = ex.submit(sink_class_stats, routed_dir)
+            f_dicts = ex.submit(
+                write_archive_dicts, out_dir, delta_dir,
+                prededup_refs=watcher.finish() if watcher else None,
+            )
+            counts_tbl, ts_range = f_counts.result()
+            t_counts = time.time()
+            f_dicts.result()
+            t_dicts = time.time()
     if timing:
         import sys
 

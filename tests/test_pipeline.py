@@ -355,13 +355,15 @@ def test_multi_archive_search_and_pruning(ray_session, tmp_path):
 
 
 def test_encode_actor_mode_auto(ray_session, monkeypatch):
-    """Actor vs task encode mode is auto-selected from expected rows; env
-    still force-overrides in both directions."""
+    """Encode runs as stateless tasks by default at every scale (tasks let
+    the executor fuse read→encode→sink into one task; an actor pool de-fuses
+    the chain and ships every block through the object store — measured 2×
+    wall at sf1.6); env still force-overrides in both directions."""
     from clp_core_ray.pipelines import compress as cp
 
     monkeypatch.delenv("CLP_ENCODE_ACTORS", raising=False)
     assert cp._use_encode_actors(None) is False
-    assert cp._use_encode_actors(10**9) is True
+    assert cp._use_encode_actors(10**9) is False
     assert cp._use_encode_actors(100) is False
     monkeypatch.setenv("CLP_ENCODE_ACTORS", "1")
     assert cp._use_encode_actors(None) is True
@@ -372,7 +374,8 @@ def test_encode_actor_mode_auto(ray_session, monkeypatch):
 def test_encode_actor_mode_delta_floor(ray_session, tmp_path, monkeypatch):
     """Long job (blocks >> CPUs) over repetitive content: per-actor
     seen-sets emit far fewer dictionary delta files than per-block task
-    instances (the auto-switch's whole point)."""
+    instances — the property CLP_ENCODE_ACTORS=1 exists to buy (at the cost
+    of de-fusing the pipeline; delta volume only, never the archive)."""
     import ray.data as rd
 
     from clp_core_ray.pipelines.compress import build_encoded
@@ -394,17 +397,20 @@ def test_encode_actor_mode_delta_floor(ray_session, tmp_path, monkeypatch):
 
     monkeypatch.setattr(cp, "ENCODE_BATCH_SIZE", 128)
 
-    def run(expected_rows, sub):
+    def run(force_actors, sub):
+        if force_actors:
+            monkeypatch.setenv("CLP_ENCODE_ACTORS", "1")
+        else:
+            monkeypatch.delenv("CLP_ENCODE_ACTORS", raising=False)
         ds = rd.from_arrow(tbl).repartition(48)
         delta = str(tmp_path / sub)
-        out = build_encoded(ds, dict_delta_dir=delta, compact=True,
-                            expected_rows=expected_rows)
+        out = build_encoded(ds, dict_delta_dir=delta, compact=True)
         for _ in out.iter_batches(batch_format="pyarrow"):
             pass
         return len([f for f in os.listdir(delta) if f.endswith(".arrow")])
 
-    actor_files = run(10**9, "deltas_actor")  # auto → actor pool
-    task_files = run(None, "deltas_task")     # auto → stateless tasks
+    actor_files = run(True, "deltas_actor")   # forced actor pool
+    task_files = run(False, "deltas_task")    # default stateless tasks
     assert actor_files * 2 <= task_files, (actor_files, task_files)
 
 
