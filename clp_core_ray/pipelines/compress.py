@@ -156,9 +156,27 @@ class FusedSinkStage:
         self.dict_cols = list(dict_cols)
         self.row_group_rows = row_group_rows
 
-    def __call__(self, block: pa.Table) -> pa.Table:
-        import uuid
+    @staticmethod
+    def _part_name(cls: str, sub: pa.Table) -> str:
+        """Deterministic file name from the slice's content, so a retried
+        task overwrites its own output instead of duplicating it (Ray's
+        write operator gets the same property from per-task write ids;
+        content-addressing gives it to us without task identity)."""
+        import hashlib
 
+        h = hashlib.sha1()
+        h.update(cls.encode())
+        h.update(str(len(sub)).encode())
+        conv = sub.column("conv_id")
+        if len(sub):
+            h.update(str(conv[0].as_py()).encode())
+            h.update(str(conv[len(sub) - 1].as_py()).encode())
+            for buf in sub.column("turn_idx").combine_chunks().buffers():
+                if buf is not None:
+                    h.update(buf)
+        return f"part-{h.hexdigest()[:24]}"
+
+    def __call__(self, block: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
@@ -193,8 +211,12 @@ class FusedSinkStage:
                              if c in sub.schema.names]
             d = os.path.join(self.routed_dir, f"logtype_class={cls}")
             os.makedirs(d, exist_ok=True)
-            name = f"part-{uuid.uuid4().hex}"
-            tmp = os.path.join(d, name + ".inprogress")
+            name = self._part_name(cls, sub)
+            # tmp name is per-process: two live attempts of one task may
+            # overlap (speculative retry) — each writes its own tmp, both
+            # os.replace() to the SAME deterministic final name (atomic,
+            # identical content, last-wins)
+            tmp = os.path.join(d, f"{name}.{os.getpid()}.inprogress")
             pq.write_table(sub, tmp, compression="zstd", compression_level=3,
                            use_dictionary=dict_cols,
                            row_group_size=self.row_group_rows)

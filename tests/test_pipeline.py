@@ -354,6 +354,39 @@ def test_multi_archive_search_and_pruning(ray_session, tmp_path):
     assert cbh["cnt"].sum() == len(a)
 
 
+def test_fused_sink_retry_idempotent(ray_session, tmp_path):
+    """A retried fused-sink task must overwrite its own output, not
+    duplicate it: file names are content-derived, so running the stage twice
+    on the same block yields the same files and the same archive rows."""
+    from clp_core_ray.pipelines.compress import FusedSinkStage
+
+    n = 500
+    base = 1_700_000_000_000_000
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i % 7}" for i in range(n)]),
+        "turn_idx": pa.array(np.arange(n) % 31, type=pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array([f"INFO req {i} took {i % 9}.5 ms" for i in range(n)]),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([base + i * 1000 for i in range(n)],
+                       type=pa.timestamp("us")),
+    })
+    routed = str(tmp_path / "routed")
+    stage = FusedSinkStage(routed, compact=True)
+    s1 = stage(tbl)
+    files1 = sorted(os.path.join(r, f) for r, _, fs in os.walk(routed)
+                    for f in fs if f.endswith(".parquet"))
+    s2 = stage(tbl)  # the "retry"
+    files2 = sorted(os.path.join(r, f) for r, _, fs in os.walk(routed)
+                    for f in fs if f.endswith(".parquet"))
+    assert files1 == files2  # overwrote, never duplicated
+    assert s1.equals(s2)
+    import pyarrow.parquet as pq
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files2) == n
+    assert not [f for r, _, fs in os.walk(routed)
+                for f in fs if f.endswith(".inprogress")]
+
+
 def test_encode_actor_mode_auto(ray_session, monkeypatch):
     """Encode runs as stateless tasks by default at every scale (tasks let
     the executor fuse read→encode→sink into one task; an actor pool de-fuses
