@@ -59,19 +59,23 @@ def redact_pii(ds, text_col: str = "text", out_col: str = "text_redacted",
 
 
 class Decontaminator:
-    """Stateful stage: benchmark n-gram hash set broadcast once, membership
-    test per batch (callable class → actor pool / per-task reuse)."""
+    """Stateless-task stage: the benchmark n-gram hash set rides a plasma
+    ref inside the pickled instance, resolved lazily per task (zero-copy
+    numpy view) — the stage fuses with its upstream read instead of paying
+    an actor pool's per-block object-store hop."""
 
     def __init__(self, bench_ref, n: int, text_col: str, flag_col: str):
-        import ray
-
-        self.bench = ray.get(bench_ref) if not isinstance(
-            bench_ref, np.ndarray) else bench_ref
+        self.bench_ref = bench_ref
+        self.bench = bench_ref if isinstance(bench_ref, np.ndarray) else None
         self.n = n
         self.text_col = text_col
         self.flag_col = flag_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.bench is None:
+            import ray
+
+            self.bench = ray.get(self.bench_ref)
         sh, offs = word_shingle_hashes(
             batch.column(self.text_col).combine_chunks(), k=self.n
         )
@@ -104,8 +108,7 @@ def decontaminate(ds, bench_texts, n: int = 8, text_col: str = "text",
 
     ref = ray.put(benchmark_shingles(bench_texts, n))
     out = ds.map_batches(
-        Decontaminator, fn_constructor_args=(ref, n, text_col, flag_col),
-        batch_format="pyarrow", concurrency=(1, 8),
+        Decontaminator(ref, n, text_col, flag_col), batch_format="pyarrow",
     )
     if drop:
         out = out.map_batches(

@@ -47,10 +47,16 @@ def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     ref = ray.put((q, np.asarray(query_ids, dtype=np.int64)))
 
     class PartialTopK:
+        # stateless task instance: the query matrix rides a plasma ref and
+        # is resolved lazily per task (zero-copy), so the stage fuses with
+        # the upstream read rather than paying an actor pool's block hop
         def __init__(self):
-            self.q, self.qids = ray.get(ref)
+            self.q = None
+            self.qids = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.q is None:
+                self.q, self.qids = ray.get(ref)
             e = _normalize(_emb_matrix(batch, emb_col))
             ids = np.asarray(batch.column(id_col), dtype=np.int64)
             scores = self.q @ e.T  # (n_q, n_batch)
@@ -70,7 +76,7 @@ def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                 }
             )
 
-    parts = ds.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 8))
+    parts = ds.map_batches(PartialTopK(), batch_format="pyarrow")
     cand = pa.concat_tables(
         pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")
     )
@@ -121,10 +127,13 @@ def topk_cosine_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     ref = ray.put((q, np.asarray(query_ids, dtype=np.int64), cents, probe_set))
 
     class ProbedTopK:
+        # stateless task instance (same lazy-plasma pattern as PartialTopK)
         def __init__(self):
-            self.q, self.qids, self.cents, self.probe_set = ray.get(ref)
+            self.q = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.q is None:
+                self.q, self.qids, self.cents, self.probe_set = ray.get(ref)
             e = _normalize(_emb_matrix(batch, emb_col))
             ids = np.asarray(batch.column(id_col), dtype=np.int64)
             assign = (e @ self.cents.T).argmax(axis=1)
@@ -147,7 +156,7 @@ def topk_cosine_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                  "score": pa.array(np.take_along_axis(scores, part, axis=1).reshape(-1))}
             )
 
-    parts = ds.map_batches(ProbedTopK, batch_format="pyarrow", concurrency=(1, 8))
+    parts = ds.map_batches(ProbedTopK(), batch_format="pyarrow")
     cand = pa.concat_tables(
         pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")
     )

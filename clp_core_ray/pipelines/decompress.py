@@ -40,23 +40,36 @@ def load_dicts(archive_dir: str):
 
 
 class ArchiveDecodeStage:
-    """Actor-pool decode for compact archives: per-actor dictionary load (T3).
+    """Stateless-task decode for compact archives (T3): the dictionaries
+    ride a plasma ref inside the pickled instance and each task resolves it
+    lazily on first batch — a zero-copy ``ray.get`` of Arrow tables. This
+    lets the streaming executor fuse read → decode into ONE task per block;
+    an actor pool here would de-fuse the chain and ship every encoded block
+    through the object store to reach the actor (measured 2× wall on the
+    compress side for the same pattern).
 
     Resolves logtype templates by id, then decodes encoded_vars through the
     broadcast var dictionary.
     """
 
     def __init__(self, dicts_ref, out_col: str = "text"):
+        self.dicts_ref = dicts_ref
+        self.out_col = out_col
+        self._loaded = False
+
+    def _load(self):
         import ray
 
-        ldict, vdict = ray.get(dicts_ref)
+        ldict, vdict = ray.get(self.dicts_ref)
         self.lt_ids = ldict.column("logtype_id").combine_chunks()
         self.lt_values = ldict.column("logtype").combine_chunks()
         self.var_ids = np.asarray(vdict.column("var_id"), dtype=np.int64)
         self.var_values = vdict.column("value").combine_chunks()
-        self.out_col = out_col
+        self._loaded = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._loaded:
+            self._load()
         pos = pc.index_in(batch.column("logtype_id"), self.lt_ids)
         logtype = pc.take(self.lt_values, pos)
         decoded = decode_batch(
@@ -95,14 +108,10 @@ def decompress(archive_dir: str, columns=("conv_id", "turn_idx"), ordered: bool 
 
         out = ds.map_batches(DecodeStage(out_col="text"), batch_format="pyarrow")
     else:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
         out = ds.map_batches(
-            ArchiveDecodeStage,
-            fn_constructor_kwargs={"dicts_ref": dicts_ref},
+            ArchiveDecodeStage(dicts_ref),
             batch_format="pyarrow",
             batch_size=32 * 1024,
-            concurrency=(1, ncpu),
-            num_cpus=1,
         )
     out = out.map_batches(
         lambda b: b.select(list(columns) + ["text"]), batch_format="pyarrow"

@@ -2928,11 +2928,12 @@ def clp_rules_roundtrip(sf_dir: str):
     )
     ds = read_transcripts(sf_dir)
 
+    # instantiated on the driver: the compiled DFA/regex tables pickle into
+    # the task closure once, so stateless tasks fuse with the read (an actor
+    # pool would ship every block through plasma to reach the actor)
     enc = ds.map_batches(
-        RuleEncodeStage,
-        fn_constructor_kwargs={"ruleset": rs, "keep_text": True},
+        RuleEncodeStage(ruleset=rs, keep_text=True),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     dec = enc.map_batches(DecodeStage(out_col="text2"), batch_format="pyarrow")
 
