@@ -541,17 +541,27 @@ def search_archive(archive_dir: str, query: str, columns=None,
         dicts_ref = ray.put(load_dicts(archive_dir))
 
     class Scan:
-        """Phase-3 scan: subquery prune → decode candidates → wildcard check."""
+        """Phase-3 scan: subquery prune → decode candidates → wildcard check.
+
+        Dictionaries resolve lazily per task (zero-copy plasma get): an
+        eager get in the driver-side constructor would pickle the full dict
+        tables into every task's closure instead of shipping the ref."""
 
         def __init__(self):
+            self._loaded = False
+
+        def _load(self):
             if dicts_ref is not None:
                 ldict, vdict = ray.get(dicts_ref)
                 self.lt_ids = ldict.column("logtype_id").combine_chunks()
                 self.lt_values = ldict.column("logtype").combine_chunks()
                 self.var_ids = np.asarray(vdict.column("var_id"), dtype=np.int64)
                 self.var_values = vdict.column("value").combine_chunks()
+            self._loaded = True
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if not self._loaded:
+                self._load()
             if not match_all:
                 keep = np.zeros(len(batch), dtype=bool)
                 lt = batch.column("logtype_id")
@@ -681,9 +691,14 @@ def search_archive_multi(archive_dir: str, queries: list[str],
         dicts_ref = ray.put(load_dicts(archive_dir))
 
     class MultiScan:
-        """All queries' candidate masks per batch; one decode of the union."""
+        """All queries' candidate masks per batch; one decode of the union.
+
+        Lazy per-task dictionary resolution — same reasoning as Scan."""
 
         def __init__(self):
+            self._loaded = False
+
+        def _load(self):
             if dicts_ref is not None:
                 ldict, vdict = ray.get(dicts_ref)
                 self.lt_ids = ldict.column("logtype_id").combine_chunks()
@@ -691,8 +706,11 @@ def search_archive_multi(archive_dir: str, queries: list[str],
                 self.var_ids = np.asarray(vdict.column("var_id"),
                                           dtype=np.int64)
                 self.var_values = vdict.column("value").combine_chunks()
+            self._loaded = True
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if not self._loaded:
+                self._load()
             n = len(batch)
             lt = batch.column("logtype_id")
             masks = []
