@@ -188,7 +188,48 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     cands = _distinct_pairs(cands)
 
     # verify pass: signatures shipped once per SIDE of a surviving candidate
-    # pair (plus once per doc for the build side), not once per band
+    # pair (plus once per doc for the build side), not once per band.
+    # Under the broadcast cap the whole signature matrix goes to plasma ONCE
+    # and both sides resolve by searchsorted inside one map stage — the
+    # two-join formulation (one broadcast per side) stays as the
+    # over-cap fallback.
+    from clp_core_ray.pipelines.join import BROADCAST_BYTES_CAP, estimated_bytes
+
+    def _verify_tbl(t: pa.Table, sa: np.ndarray, sb: np.ndarray) -> pa.Table:
+        est = (sa == sb).mean(axis=1) if len(t) else np.zeros(0)
+        keep = pa.array(est >= threshold)
+        return pa.table({
+            "doc_a": t.column("doc_a").combine_chunks().cast(pa.int64()),
+            "doc_b": t.column("doc_b").combine_chunks().cast(pa.int64()),
+            "est_jaccard": pa.array(est),
+        }).filter(keep)
+
+    if estimated_bytes(sig_ds) <= BROADCAST_BYTES_CAP:
+        import ray
+
+        blocks = [t for t in ray.get(sig_ds.to_arrow_refs()) if t.num_columns]
+        stbl = pa.concat_tables(blocks) if blocks else pa.table(
+            {id_col: pa.array([], type=pa.int64()),
+             "sig": pa.array([], type=pa.list_(pa.int64()))})
+        ids = np.asarray(stbl.column(id_col), dtype=np.int64)
+        order = np.argsort(ids)
+        mat = np.asarray(stbl.column("sig").combine_chunks().flatten(),
+                         dtype=np.int64).reshape(max(len(stbl), 0), N_PERM)
+        sig_ref = ray.put((ids[order], mat[order]))
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return _verify_tbl(t, np.zeros((0, N_PERM), dtype=np.int64),
+                                   np.zeros((0, N_PERM), dtype=np.int64))
+            sids, smat = ray.get(sig_ref)
+            a = np.asarray(t.column("doc_a"), dtype=np.int64)
+            b = np.asarray(t.column("doc_b"), dtype=np.int64)
+            sa = smat[np.searchsorted(sids, a)]
+            sb = smat[np.searchsorted(sids, b)]
+            return _verify_tbl(t, sa, sb)
+
+        return cands.map_batches(verify_broadcast, batch_format="pyarrow")
+
     sig_a = sig_ds.map_batches(lambda t: t.rename_columns(["_ida", "sig_a"]),
                                batch_format="pyarrow")
     sig_b = sig_ds.map_batches(lambda t: t.rename_columns(["_idb", "sig_b"]),
@@ -206,13 +247,7 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         dtype=np.int64).reshape(n, N_PERM)
         sb = np.asarray(t.column("sig_b").combine_chunks().flatten(),
                         dtype=np.int64).reshape(n, N_PERM)
-        est = (sa == sb).mean(axis=1)
-        keep = pa.array(est >= threshold)
-        return pa.table({
-            "doc_a": t.column("doc_a").combine_chunks().cast(pa.int64()),
-            "doc_b": t.column("doc_b").combine_chunks().cast(pa.int64()),
-            "est_jaccard": pa.array(est),
-        }).filter(keep)
+        return _verify_tbl(t, sa, sb)
 
     return joined.map_batches(verify, batch_format="pyarrow")
 
