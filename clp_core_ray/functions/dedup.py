@@ -142,6 +142,59 @@ def _explode_bands(sig_tbl: pa.Table, id_col: str) -> pa.Table:
     })
 
 
+def _bucket_pairs_vectorized(group: pa.Table, id_col: str,
+                             cap: int = BUCKET_CAP) -> pa.Table:
+    """Candidate pairs for every LSH bucket inside one coarse bucket —
+    fully vectorized, no Python work per LSH bucket.
+
+    One lexsort orders the (band, band_hash, doc) rows; runs of equal
+    (band, band_hash) are the LSH buckets; duplicate docs within a run are
+    dropped; pair expansion is repeat/arange arithmetic. Runs larger than
+    ``cap`` emit star pairs against their min doc instead of O(n²) pairs
+    (boilerplate-heavy corpora produce huge buckets; the star keeps the
+    duplicate component connected with O(n) pairs) — and are LOGGED, never
+    silently dropped. The star case is the same expansion with the per-row
+    pair count capped to the run's first row, so one formula serves both.
+    Emitted pairs satisfy doc_a < doc_b (docs sorted within the run).
+    """
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64())})
+    m = len(group)
+    if m < 2:
+        return empty
+    band = np.asarray(group.column("band"), dtype=np.int64)
+    bh = np.asarray(group.column("band_hash"), dtype=np.uint64)
+    doc = np.asarray(group.column(id_col), dtype=np.int64)
+    order = np.lexsort((doc, bh, band))
+    band, bh, doc = band[order], bh[order], doc[order]
+    keep = np.ones(m, dtype=bool)  # drop duplicate (band, hash, doc) rows
+    keep[1:] = ((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+                | (doc[1:] != doc[:-1]))
+    band, bh, doc = band[keep], bh[keep], doc[keep]
+    m = len(doc)
+    new_run = np.ones(m, dtype=bool)
+    new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new_run)
+    counts = np.diff(np.append(starts, m))
+    run_of_row = np.cumsum(new_run) - 1
+    pos = np.arange(m) - starts[run_of_row]
+    n_of_row = counts[run_of_row]
+    # pairs this row opens: all-pairs rows pair with every later row of the
+    # run; over-cap runs pair only their first row (the star)
+    c = np.where(n_of_row <= cap, n_of_row - 1 - pos,
+                 np.where(pos == 0, n_of_row - 1, 0))
+    if (counts > cap).any():
+        _log_oversized_bucket("MinHash-LSH", int(counts.max()), cap)
+    total = int(c.sum())
+    if total == 0:
+        return empty
+    rep = np.repeat(np.arange(m), c)
+    off = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(c)[:-1])), c)
+    return pa.table({"doc_a": pa.array(doc[rep]),
+                     "doc_b": pa.array(doc[rep + 1 + off])})
+
+
 def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.5, k_shingle: int = 3):
     """Near-duplicate pairs via MinHash-LSH, verified by signature similarity.
@@ -162,28 +215,33 @@ def minhash_lsh_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow",
     ).materialize()
 
-    def bucket_candidates(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(group.column(id_col), dtype=np.int64))
-        if len(ids) < 2:
-            return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                             "doc_b": pa.array([], type=pa.int64())})
-        if len(ids) > BUCKET_CAP:
-            # boilerplate-heavy corpora produce huge buckets; emitting all
-            # O(n²) pairs is the explosion, not the fix. Star pairing against
-            # the min-id representative keeps the duplicate component
-            # connected with O(n) pairs — and we LOG it (silent drop was the
-            # round-1 bug). The verify join filters by est_jaccard as usual.
-            _log_oversized_bucket("MinHash-LSH", len(ids), BUCKET_CAP)
-            return pa.table({"doc_a": pa.array(np.full(len(ids) - 1, ids[0])),
-                             "doc_b": pa.array(ids[1:])})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": pa.array(ids[i]), "doc_b": pa.array(ids[j])})
+    import ray
+
+    ncpu = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    n_buckets = max(64, 4 * ncpu)
+
+    def add_cbucket(b: pa.Table) -> pa.Table:
+        # coarse bucket = hash of (band, band_hash): the shuffle key moves
+        # from billions of tiny LSH buckets to O(CPUs) groups so the
+        # map_groups Python callback runs per COARSE bucket; LSH-bucket
+        # boundaries are recovered vectorized inside (run detection on one
+        # lexsort). Without this, candidate generation pays a Python call
+        # per LSH bucket — the bottleneck at corpus scale, not the shuffle.
+        band = np.asarray(b.column("band"), dtype=np.int64).astype(np.uint64)
+        bh = np.asarray(b.column("band_hash"), dtype=np.uint64)
+        key = bh ^ (band * np.uint64(0x9E3779B97F4A7C15))
+        return b.append_column(
+            "_cb", pa.array((key % np.uint64(n_buckets)).astype(np.int32))
+        )
 
     cands = (
         sig_ds.map_batches(lambda b: _explode_bands(b, id_col),
                            batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_candidates, batch_format="pyarrow")
+        .map_batches(add_cbucket, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(lambda g: _bucket_pairs_vectorized(g, id_col),
+                    batch_format="pyarrow")
     )
     cands = _distinct_pairs(cands)
 
