@@ -1710,16 +1710,38 @@ def docs_fingerprint(sf_dir: str):
         return pa.table({"doc_id": b.column("doc_id"),
                          "fingerprint": fingerprints(b.column("text"))})
 
+    # coarse-bucket shuffle + vectorized run labeling: one Python call per
+    # bucket (O(CPUs) of them), not per distinct fingerprint — at corpus
+    # scale a per-group callback would dominate the stage
+    import ray as _ray
+
+    ncpu = (int(_ray.cluster_resources().get("CPU", 8))
+            if _ray.is_initialized() else 8)
+    nb = max(64, 4 * ncpu)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = np.asarray(b.column("fingerprint"), dtype=np.uint64)
+        return b.append_column(
+            "_fpb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
     def label(group: pa.Table) -> pa.Table:
-        mn = pc.min(group.column("doc_id")).as_py()
+        fpv = np.asarray(group.column("fingerprint"), dtype=np.uint64)
+        doc = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((doc, fpv))
+        fpv, doc = fpv[order], doc[order]
+        new = np.ones(len(fpv), dtype=bool)
+        new[1:] = fpv[1:] != fpv[:-1]
+        run = np.cumsum(new) - 1
+        first_doc = doc[np.flatnonzero(new)]  # docs sorted within run → min
         return pa.table({
-            "doc_id": group.column("doc_id").combine_chunks(),
-            "dup_group": pa.array([mn] * len(group), type=pa.int64()),
+            "doc_id": pa.array(doc),
+            "dup_group": pa.array(first_doc[run]),
         })
 
     return (
         ds.map_batches(fp, batch_format="pyarrow")
-        .groupby("fingerprint")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_fpb")
         .map_groups(label, batch_format="pyarrow")
     )
 
