@@ -57,6 +57,34 @@ def test_minhash_identical_and_near():
     assert (bh[0] == bh[1]).any()  # near-dup shares >=1 band
 
 
+def test_bucket_pairs_vectorized_runs_and_star_cap():
+    """The vectorized candidate stage recovers per-LSH-bucket pairs exactly:
+    all-pairs for small runs, star pairs (min doc × rest) for over-cap runs,
+    duplicates within a run deduped — several buckets in one coarse group."""
+    from clp_core_ray.functions.dedup import _bucket_pairs_vectorized
+
+    rows = []
+    # bucket A (band 0, hash 7): docs 3,1,2 (+ dup of 1) → all 3 pairs
+    for d in (3, 1, 2, 1):
+        rows.append((0, 7, d))
+    # bucket B (band 1, hash 7): docs 10..14 with cap 3 → star vs 10
+    for d in (12, 10, 13, 11, 14):
+        rows.append((1, 7, d))
+    # bucket C (band 2, hash 9): single doc → nothing
+    rows.append((2, 9, 99))
+    t = pa.table({
+        "band": pa.array([r[0] for r in rows], type=pa.int32()),
+        "band_hash": pa.array([r[1] for r in rows], type=pa.uint64()),
+        "doc_id": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    out = _bucket_pairs_vectorized(t, "doc_id", cap=3)
+    pairs = sorted(zip(out.column("doc_a").to_pylist(),
+                       out.column("doc_b").to_pylist()))
+    assert pairs == [(1, 2), (1, 3), (2, 3),
+                     (10, 11), (10, 12), (10, 13), (10, 14)]
+    assert all(a < b for a, b in pairs)
+
+
 def test_minhash_lsh_pairs_ray(ray_session):
     import ray.data as rd
 
