@@ -387,6 +387,56 @@ def test_fused_sink_retry_idempotent(ray_session, tmp_path):
                 for f in fs if f.endswith(".inprogress")]
 
 
+def test_fused_sink_survives_real_task_retry(ray_session, tmp_path):
+    """End-to-end retry: a fused-sink task crashes after writing PART of its
+    files, Ray retries it, and the archive still has exactly the input rows
+    (the retried attempt overwrites its content-named files; no duplicates,
+    no missing classes)."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import FusedSinkStage
+
+    n = 400
+    base = 1_700_000_000_000_000
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i % 5}" for i in range(n)]),
+        "turn_idx": pa.array(np.arange(n) % 23, type=pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array([f"INFO req {i} took {i % 7}.25 ms" for i in range(n)]),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([base + i * 1000 for i in range(n)],
+                       type=pa.timestamp("us")),
+    })
+    routed = str(tmp_path / "routed")
+    marker = str(tmp_path / "crashed.once")
+
+    class CrashOnceSink(FusedSinkStage):
+        def __call__(self, block: pa.Table) -> pa.Table:
+            out = super().__call__(block)  # files are on disk already
+            if not os.path.exists(marker):
+                fd = os.open(marker, os.O_CREAT | os.O_WRONLY)
+                os.write(fd, b"1")
+                os.close(fd)
+                # die like a real worker (OOM-kill shape): Ray retries the
+                # task as a system failure; a raised exception would instead
+                # surface as a user-code error
+                os._exit(1)
+            return out
+
+    ds = rd.from_arrow(tbl).repartition(2)
+    stats = ds.map_batches(CrashOnceSink(routed, compact=True),
+                           batch_format="pyarrow")
+    total = sum(
+        int(pa.table(b).column("cnt").to_pandas().sum())
+        for b in stats.iter_batches(batch_format="pyarrow"))
+    assert os.path.exists(marker)  # the crash really happened
+    assert total == n
+    import pyarrow.parquet as pq
+    files = [os.path.join(r, f) for r, _, fs in os.walk(routed)
+             for f in fs if f.endswith(".parquet")]
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == n
+
+
 def test_encode_actor_mode_auto(ray_session, monkeypatch):
     """Encode runs as stateless tasks by default at every scale (tasks let
     the executor fuse read→encode→sink into one task; an actor pool de-fuses
