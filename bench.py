@@ -130,9 +130,9 @@ def run_once() -> None:
         # best-of-3 per extra: single runs swing ±2-5x on this host (noisy
         # neighbors + cold first-call amplification on an uptime-decayed
         # boot — measured 12.7s cold vs 2.5s warm for the same query); the
-        # min is the honest cost, same policy as the flagship's best-of-3
-        # whose first run doubles as the warmup
-        def best2(f):
+        # min is the honest cost, and the first timed run doubles as the
+        # warm-up — same policy as the flagship's best-of-3
+        def best3(f):
             a = []
             for _ in range(3):
                 t0 = time.time()
@@ -140,18 +140,20 @@ def run_once() -> None:
                 a.append(time.time() - t0)
             return round(min(a), 3)
 
-        rt = roundtrip_check(sf_dir)  # warm the decode path (untimed)
-        assert rt.column("n_turns")[0].as_py() == rt.column("n_ok")[0].as_py()
-        queries["roundtrip_decode"] = best2(lambda: roundtrip_check(sf_dir))
+        rts: list = []
+        queries["roundtrip_decode"] = best3(
+            lambda: rts.append(roundtrip_check(sf_dir)))
+        assert (rts[-1].column("n_turns")[0].as_py()
+                == rts[-1].column("n_ok")[0].as_py())
 
         hits: list = []
-        queries["search_error_timeout"] = best2(lambda: hits.append(
+        queries["search_error_timeout"] = best3(lambda: hits.append(
             search_archive(os.path.join(out, "routed"), "ERROR*timeout").count()))
         n_hits = hits[-1]
 
         from clp_core_ray.pipelines.search import search_archive_multi
 
-        queries["search_multi_3q"] = best2(lambda: search_archive_multi(
+        queries["search_multi_3q"] = best3(lambda: search_archive_multi(
             out, ["ERROR*timeout", "*.bin errno=42*",
                   "*calling svc-77 *"]).count())
 
@@ -162,11 +164,11 @@ def run_once() -> None:
         import __ray_entry__ as _entry
 
         _qs = _entry.queries()
-        queries["curation_pipeline"] = best2(
+        queries["curation_pipeline"] = best3(
             lambda: _qs["docs_curation_pipeline"](sf_dir).count())
-        queries["fuzzy_dedup"] = best2(
+        queries["fuzzy_dedup"] = best3(
             lambda: _qs["docs_fuzzy_dedup"](sf_dir).count())
-        queries["sessionize"] = best2(
+        queries["sessionize"] = best3(
             lambda: _qs["clp_sessionize"](sf_dir).count())
 
     print(

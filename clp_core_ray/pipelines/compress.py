@@ -33,7 +33,12 @@ from clp_core_ray.stages.route import RouteStage
 from clp_core_ray.state import manifest as mf
 
 ENCODE_BATCH_SIZE = 16 * 1024  # rows; ~2-4 MB of text per batch → warm scratch
-FUSED_ROWS_PER_BLOCK = 64 * 1024  # fused-sink block floor → ≥~7k rows/class file
+FUSED_ROWS_PER_BLOCK = 64 * 1024  # fused-sink file target → ≥~7k rows/class file
+# Parallelism (≥1 block/CPU) takes priority over the file-size target only
+# while blocks still hold at least this many rows; below it a small job keeps
+# fewer, bigger blocks instead of shattering into per-class files of a few
+# hundred rows each.
+FUSED_MIN_ROWS_PER_BLOCK = 4096
 
 
 class _DeltaWatcher:
@@ -161,19 +166,28 @@ class FusedSinkStage:
         """Deterministic file name from the slice's content, so a retried
         task overwrites its own output instead of duplicating it (Ray's
         write operator gets the same property from per-task write ids;
-        content-addressing gives it to us without task identity)."""
+        content-addressing gives it to us without task identity).
+
+        Hashes the FULL conv_id, turn_idx and ts column buffers — a
+        first/last-row digest would let two distinct slices that share
+        endpoints collide to one final name, and os.replace would then
+        silently drop one slice while the stats rows count both. Full-key
+        hashing is ~32 B/row through sha1 — noise next to the write."""
         import hashlib
+
+        import pyarrow.compute as pc
 
         h = hashlib.sha1()
         h.update(cls.encode())
         h.update(str(len(sub)).encode())
-        conv = sub.column("conv_id")
         if len(sub):
-            h.update(str(conv[0].as_py()).encode())
-            h.update(str(conv[len(sub) - 1].as_py()).encode())
-            for buf in sub.column("turn_idx").combine_chunks().buffers():
-                if buf is not None:
-                    h.update(buf)
+            for col in (sub.column("conv_id").combine_chunks(),
+                        sub.column("turn_idx").combine_chunks(),
+                        pc.cast(sub.column("ts"), pa.int64(), safe=False)
+                        .combine_chunks()):
+                for buf in col.buffers():
+                    if buf is not None:
+                        h.update(buf)
         return f"part-{h.hexdigest()[:24]}"
 
     def __call__(self, block: pa.Table) -> pa.Table:
@@ -245,7 +259,7 @@ def _fused_stats_empty() -> pa.Table:
     })
 
 
-def _use_encode_actors(expected_rows: int | None) -> bool:
+def _use_encode_actors() -> bool:
     """Actor pool vs stateless tasks for the encode stage.
 
     Tasks win, and not narrowly: stateless map_batches lets the streaming
@@ -283,7 +297,7 @@ def build_encoded(ds, keep_text: bool = False, concurrency=None,
     # env changes made after the Ray session started)
     dict_cap = int(os.environ.get("CLP_DICT_CAP_ENTRIES", 4_000_000))
 
-    use_actors = dict_delta_dir is not None and _use_encode_actors(expected_rows)
+    use_actors = dict_delta_dir is not None and _use_encode_actors()
     if use_actors:
         # actor-pool mode: per-actor dictionary seen-sets span many blocks
         # (fewest delta duplicates), but each execution pays pool spin-up —
@@ -353,16 +367,20 @@ def compress(
         expected_rows = _rows_from_footers(transcript_files(sf_dir_or_sf))
         read_kwargs = {}
         if use_fused:
-            # block = sink-file granularity in fused mode: floor the block
-            # row count so small jobs don't shatter the archive into
+            # block = sink-file granularity in fused mode: parallelism
+            # (≥1 block/CPU) wins while blocks still hold at least
+            # FUSED_MIN_ROWS_PER_BLOCK rows; below that a small job keeps
+            # fewer, bigger blocks instead of shattering the archive into
             # per-class files of a few hundred rows (search pays per-file
-            # footer+planning cost), while keeping ≥1 block per CPU
+            # footer+planning cost)
             import ray
 
             ncpu = (int(ray.cluster_resources().get("CPU", 8))
                     if ray.is_initialized() else 8)
+            by_file = expected_rows // FUSED_ROWS_PER_BLOCK or 1
+            by_min = expected_rows // FUSED_MIN_ROWS_PER_BLOCK or 1
             read_kwargs["override_num_blocks"] = max(
-                ncpu, min(4 * ncpu, expected_rows // FUSED_ROWS_PER_BLOCK or 1)
+                1, min(4 * ncpu, max(by_file, min(ncpu, by_min)))
             )
         ds = read_transcripts(sf_dir_or_sf, **read_kwargs)
     delta_dir = os.path.join(out_dir, "dict.deltas")
@@ -397,7 +415,7 @@ def compress(
             dict_cap_entries=dict_cap, dict_cols=dict_cols,
         )
         os.makedirs(routed_dir, exist_ok=True)
-        if _use_encode_actors(expected_rows):
+        if _use_encode_actors():
             ncpu = (int(ray.cluster_resources().get("CPU", 8))
                     if ray.is_initialized() else 8)
             stats_ds = ds.map_batches(
@@ -412,6 +430,12 @@ def compress(
                 batch_size=None, concurrency=concurrency,
             )
         stats = _to_table(stats_ds)
+        # the job is complete: any surviving *.inprogress is a dead attempt
+        # (task killed mid-pq.write_table; its retry wrote its OWN tmp and
+        # replaced the final name, never the dead attempt's tmp). Readers
+        # also filter to *.parquet, but a stale tmp would still count toward
+        # archive_bytes and confuse directory listings — sweep it here.
+        sweep_inprogress(routed_dir)
         t_write = time.time()
         # aggregate the per-task stats rows (tiny) → per-class counts + range
         agg: dict[str, int] = {}
@@ -503,6 +527,24 @@ def compress(
         },
     )
     return counts_tbl
+
+
+def sweep_inprogress(sink_dir: str) -> int:
+    """Unlink dead *.inprogress attempts under a completed sink dir.
+
+    Call only after the write that produced the dir has fully finished: a
+    retried task replaces its own deterministic final name but can never
+    remove a killed attempt's pid-suffixed tmp file. Returns the count."""
+    n = 0
+    for root, _, files in os.walk(sink_dir):
+        for f in files:
+            if f.endswith(".inprogress"):
+                try:
+                    os.unlink(os.path.join(root, f))
+                    n += 1
+                except FileNotFoundError:
+                    pass
+    return n
 
 
 def dir_bytes(d: str) -> int:

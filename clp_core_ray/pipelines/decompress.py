@@ -99,7 +99,10 @@ def decompress(archive_dir: str, columns=("conv_id", "turn_idx"), ordered: bool 
     if "dict_vars" in first:  # non-compact archive: decode inline
         need.append("dict_vars")
         need.append("logtype")  # DecodeStage resolves templates from the row
-    ds = rd.read_parquet(routed, columns=need)
+    # *.parquet only: a dead task attempt's *.inprogress tmp (swept by
+    # compress(), but a reader may race a crashed job) must never reach the
+    # parquet reader
+    ds = rd.read_parquet(routed, columns=need, file_extensions=["parquet"])
     if prefilter is not None:
         ds = ds.map_batches(prefilter, batch_format="pyarrow")
 

@@ -69,7 +69,7 @@ def write_glt(archive_dir: str, out_dir: str | None = None,
     out_dir = out_dir or os.path.join(archive_dir, "glt")
     routed = os.path.join(archive_dir, "routed")
     cols = ["conv_id", "turn_idx", "ts", "logtype_id", "encoded_vars"]
-    ds = rd.read_parquet(routed, columns=cols)
+    ds = rd.read_parquet(routed, columns=cols, file_extensions=["parquet"])
 
     # group sizes from a partial count (cheap; drives the combine decision)
     from clp_core_ray.pipelines.aggregate import count_by
@@ -143,7 +143,8 @@ def read_var_column(glt_dir: str, logtype_id: int, position: int):
     import ray.data as rd
 
     d = os.path.join(glt_dir, f"logtype_id={logtype_id & 0xFFFFFFFFFFFFFFFF:016x}")
-    return rd.read_parquet(d, columns=["conv_id", "turn_idx", f"var_{position}"])
+    return rd.read_parquet(d, columns=["conv_id", "turn_idx", f"var_{position}"],
+                           file_extensions=["parquet"])
 
 
 # --------------------------------------------------------------------------
@@ -536,7 +537,8 @@ def glt_search(archive_dir: str, query: str, ignore_case: bool = False,
             }).filter(m)
 
         mds = rd.read_parquet(
-            misc, columns=["conv_id", "turn_idx", "logtype_id", "encoded_vars"]
+            misc, columns=["conv_id", "turn_idx", "logtype_id", "encoded_vars"],
+            file_extensions=["parquet"],
         )
         pieces.append(mds.map_batches(scan_misc, batch_format="pyarrow"))
 

@@ -285,7 +285,8 @@ def compile_for_archive(archive_dir: str, query: str, ignore_case: bool = False)
     if os.path.exists(dict_path):
         ldict = pq.read_table(dict_path)
     else:  # archive without persisted dicts: derive (distributed distinct)
-        dict_ds = rd.read_parquet(routed, columns=["logtype_id", "logtype", "n_vars"])
+        dict_ds = rd.read_parquet(routed, columns=["logtype_id", "logtype", "n_vars"],
+                                   file_extensions=["parquet"])
         ldict = pa.concat_tables(
             pa.table(b)
             for b in logtype_dict(dict_ds).iter_batches(batch_format="pyarrow")
@@ -524,7 +525,7 @@ def search_archive(archive_dir: str, query: str, columns=None,
     cols += [c for c in extra if c not in cols]
     if inline:
         cols += ["logtype", "dict_vars"]
-    ds = rd.read_parquet(paths, columns=cols)
+    ds = rd.read_parquet(paths, columns=cols, file_extensions=["parquet"])
     rx = wildcard_to_regex(cq.processed)
     if ignore_case:
         rx = "(?i)" + rx
@@ -681,7 +682,7 @@ def search_archive_multi(archive_dir: str, queries: list[str],
     cols = ["conv_id", "turn_idx", "logtype_id", "encoded_vars", "var_types"]
     if inline:
         cols += ["logtype", "dict_vars"]
-    ds = rd.read_parquet(paths, columns=cols)
+    ds = rd.read_parquet(paths, columns=cols, file_extensions=["parquet"])
 
     if inline:
         dicts_ref = None
