@@ -584,7 +584,8 @@ def search_ir(paths, query: str, ignore_case: bool = False,
 
 def write_ir(ds, out_dir: str, four_byte: bool = True, ts_col: str = "ts",
              text_col: str = "text",
-             target_bytes: int | None = None) -> list[str]:
+             target_bytes: int | None = None,
+             _test_crash_marker: str | None = None) -> list[str]:
     """Dataset → IR stream files under out_dir (K8 analogue).
 
     One file per block by default; ``target_bytes`` (clo's
@@ -598,10 +599,11 @@ def write_ir(ds, out_dir: str, four_byte: bool = True, ts_col: str = "ts",
     per-block result table). ``ts_col`` may be a timestamp or int64-ms
     column."""
     import os
-    import uuid
 
     import numpy as np
     import pyarrow.compute as pc
+
+    from clp_core_ray.state.atomic import atomic_write_bytes
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -629,15 +631,32 @@ def write_ir(ds, out_dir: str, four_byte: bool = True, ts_col: str = "ts",
         for lo, hi in zip(cuts[:-1], cuts[1:]):
             blob = serialize_ir_stream(ts_list[lo:hi], msgs[lo:hi],
                                        four_byte=four_byte)
-            path = os.path.join(out_dir, f"events-{uuid.uuid4().hex}.clp.ir")
-            with open(path, "wb") as f:
-                f.write(blob)
+            if _test_crash_marker and not os.path.exists(_test_crash_marker):
+                # failure injection (tests only): die mid-write on the first
+                # chunk, leaving a torn .inprogress tmp — Ray retries the
+                # task; the content-named rename must make the retry exact
+                fd = os.open(_test_crash_marker, os.O_CREAT | os.O_WRONLY)
+                os.close(fd)
+                with open(os.path.join(
+                        out_dir, f"events-dead.{os.getpid()}.inprogress"),
+                        "wb") as f:
+                    f.write(blob[: max(1, len(blob) // 2)])
+                os._exit(1)
+            # content-named atomic write: a retried task re-serializes the
+            # same events → same name, overwrites instead of duplicating
+            path = atomic_write_bytes(blob, out_dir, prefix="events",
+                                      suffix=".clp.ir")
             out_paths.append(path)
             out_events.append(hi - lo)
         return pa.table({"path": pa.array(out_paths),
                          "n_events": pa.array(out_events, type=pa.int64())})
 
     acct = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    # job complete: sweep dead attempts' .inprogress tmps (readers filter on
+    # the .clp.ir extension anyway)
+    from clp_core_ray.pipelines.compress import sweep_inprogress
+
+    sweep_inprogress(out_dir)
     return sorted(acct["path"].tolist())
 
 

@@ -345,12 +345,20 @@ def clps_compress(source, out_dir: str, timestamp_key: str | None = None,
     def assign(batch: pa.Table) -> pa.Table:
         lines = batch.column("raw").to_pylist()
         if _parse_audit_dir:
-            import uuid as _uuid
+            # audit counters are named by the batch's log_event_idx content
+            # and written atomically, so a retried parse task overwrites its
+            # own counter instead of double-counting (state/atomic.py)
+            from clp_core_ray.state.atomic import atomic_write_bytes
 
             os.makedirs(_parse_audit_dir, exist_ok=True)
-            with open(os.path.join(_parse_audit_dir,
-                                   f"{_uuid.uuid4().hex}.cnt"), "w") as f:
-                f.write(str(len(lines)))
+            atomic_write_bytes(
+                str(len(lines)).encode(), _parse_audit_dir,
+                prefix=__import__("hashlib").sha1(
+                    np.ascontiguousarray(
+                        np.asarray(batch.column("log_event_idx"),
+                                   dtype=np.int64)).tobytes()
+                ).hexdigest()[:16],
+                suffix=".cnt")
         lei = np.asarray(batch.column("log_event_idx"), dtype=np.int64)
         out_sid: list[int] = []
         out_key: list[str] = []

@@ -53,7 +53,8 @@ def explode_vars(group: pa.Table) -> pa.Table:
 
 
 def write_glt(archive_dir: str, out_dir: str | None = None,
-              target_rows_per_part: int = TARGET_ROWS_PER_PART) -> dict:
+              target_rows_per_part: int = TARGET_ROWS_PER_PART,
+              _test_crash_marker: str | None = None) -> dict:
     """Archive routed sinks → GLT layout on disk.
 
     groupby(logtype_id, _salt) — the logtype dictionary is small, so this
@@ -103,27 +104,47 @@ def write_glt(archive_dir: str, out_dir: str | None = None,
         return b.append_column("_salt", pa.array(salt))
 
     def route_glt(group: pa.Table) -> pa.Table:
-        import uuid
-
-        import pyarrow.parquet as pq
+        # content-named atomic writes (state/atomic.py): a map_groups task
+        # killed mid-write leaves only an .inprogress tmp; the retried task
+        # re-derives the SAME final name from the group's content and
+        # replaces it — no duplicate parts, no torn files
+        from clp_core_ray.state.atomic import atomic_write_table
 
         lid = group.column("logtype_id")[0].as_py()
         group = group.drop_columns(["_salt"])
+        if _test_crash_marker and not os.path.exists(_test_crash_marker):
+            # failure injection (tests only): die mid-write on the first
+            # group task — leave a torn .inprogress tmp behind, the shape a
+            # real OOM-kill during pq.write_table produces. Ray retries the
+            # task; the content-named atomic rename must make the retry exact
+            # and readers must never see the torn tmp.
+            fd = os.open(_test_crash_marker, os.O_CREAT | os.O_WRONLY)
+            os.close(fd)
+            torn_dir = (os.path.join(out_dir, "misc") if lid not in big_set
+                        else os.path.join(
+                            out_dir,
+                            f"logtype_id={lid & 0xFFFFFFFFFFFFFFFF:016x}"))
+            os.makedirs(torn_dir, exist_ok=True)
+            with open(os.path.join(
+                    torn_dir, f"part-dead.{os.getpid()}.inprogress"),
+                    "wb") as f:
+                f.write(b"PAR1torn")
+            os._exit(1)
         if lid in big_set:
             t = explode_vars(group)
             pos_dir = os.path.join(out_dir, f"logtype_id={lid & 0xFFFFFFFFFFFFFFFF:016x}")
             os.makedirs(pos_dir, exist_ok=True)
-            pq.write_table(
-                t, os.path.join(pos_dir, f"part-{uuid.uuid4().hex}.parquet"),
-                compression="zstd",
-            )
+            atomic_write_table(t, pos_dir,
+                               cols=["conv_id", "turn_idx", "ts"],
+                               compression="zstd")
             return pa.table({"logtype_id": pa.array([lid]),
                              "rows": pa.array([len(group)]),
                              "sink": pa.array(["dedicated"])})
         misc = os.path.join(out_dir, "misc")
         os.makedirs(misc, exist_ok=True)
-        pq.write_table(group, os.path.join(misc, f"part-{uuid.uuid4().hex}.parquet"),
-                       compression="zstd")
+        atomic_write_table(group, misc,
+                           cols=["conv_id", "turn_idx", "logtype_id"],
+                           compression="zstd")
         return pa.table({"logtype_id": pa.array([lid]),
                          "rows": pa.array([len(group)]),
                          "sink": pa.array(["misc"])})
@@ -134,6 +155,11 @@ def write_glt(archive_dir: str, out_dir: str | None = None,
         .map_groups(route_glt, batch_format="pyarrow")
         .to_pandas()
     )
+    # job complete: sweep dead attempts' .inprogress tmps (readers filter to
+    # *.parquet anyway, but a stale tmp pollutes listings and size accounting)
+    from clp_core_ray.pipelines.compress import sweep_inprogress
+
+    sweep_inprogress(out_dir)
     # sub-group rows sum back to per-logtype totals
     return result.groupby("logtype_id")["rows"].sum().to_dict()
 

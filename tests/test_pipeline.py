@@ -445,13 +445,11 @@ def test_encode_actor_mode_auto(ray_session, monkeypatch):
     from clp_core_ray.pipelines import compress as cp
 
     monkeypatch.delenv("CLP_ENCODE_ACTORS", raising=False)
-    assert cp._use_encode_actors(None) is False
-    assert cp._use_encode_actors(10**9) is False
-    assert cp._use_encode_actors(100) is False
+    assert cp._use_encode_actors() is False
     monkeypatch.setenv("CLP_ENCODE_ACTORS", "1")
-    assert cp._use_encode_actors(None) is True
+    assert cp._use_encode_actors() is True
     monkeypatch.setenv("CLP_ENCODE_ACTORS", "0")
-    assert cp._use_encode_actors(10**9) is False
+    assert cp._use_encode_actors() is False
 
 
 def test_encode_actor_mode_delta_floor(ray_session, tmp_path, monkeypatch):
