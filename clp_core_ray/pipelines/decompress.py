@@ -172,10 +172,14 @@ def extract_text_logs(archive_dir: str, out_dir: str) -> list[str]:
                  "eof_nl"),
     )
 
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+
     def bucket(b):
         from clp_core_ray.pipelines.temporal import _key_and_bucket
 
-        _, bk = _key_and_bucket(b.column("conv_id"), 64)
+        _, bk = _key_and_bucket(b.column("conv_id"), nb)
         return b.append_column("_bucket", bk)
 
     def write_files(g) -> "object":

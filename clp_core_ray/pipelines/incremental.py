@@ -44,7 +44,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-N_BUCKETS = 64
+N_BUCKETS = 64  # floor; operating point is windows.scaled_buckets()
 _ROT = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -68,7 +68,7 @@ def _turn_hash(batch: pa.Table) -> np.ndarray:
     return h
 
 
-def conv_hashes(ds, num_buckets: int = N_BUCKETS):
+def conv_hashes(ds, num_buckets: int | None = None):
     """Dataset[(conv_id, conv_hash:int64)] — one row per conversation.
 
     XOR-fold of per-turn hashes: commutative and associative, so per-batch
@@ -76,6 +76,9 @@ def conv_hashes(ds, num_buckets: int = N_BUCKETS):
     how turns were split across blocks. Exchange: one row per (conv, batch).
     """
     from clp_core_ray.pipelines.temporal import _key_and_bucket
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    num_buckets = num_buckets or scaled_buckets()
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

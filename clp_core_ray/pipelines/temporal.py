@@ -32,9 +32,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from clp_core_ray.pipelines.windows import scaled_buckets
 from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
 
-N_BUCKETS = 64
+N_BUCKETS = 64  # floor; operating point is windows.scaled_buckets()
 
 _SPLITMIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -140,7 +141,7 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str | None = None,
     how: str = "inner",
-    num_buckets: int = N_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """As-of join: per left row, the latest right row with
     ``right_on <= left_on`` and equal key.
@@ -152,6 +153,7 @@ def asof_join(
 
     Keys are int-valued (ids); `_on` is a timestamp or int column.
     """
+    num_buckets = num_buckets or scaled_buckets()
     union = _tag_union(
         left,
         right,
@@ -213,7 +215,7 @@ def interval_join(
     right_by: str,
     left_cols: list[str],
     right_cols: list[str],
-    num_buckets: int = N_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """Interval (range) join: pairs where ``left_by == right_by`` and
     ``right_start <= left_on < right_end``. Intervals MAY overlap.
@@ -232,6 +234,7 @@ def interval_join(
     def add_end(batch: pa.Table) -> pa.Table:
         return batch.append_column(end_tmp, _on_int64(batch.column(right_end)))
 
+    num_buckets = num_buckets or scaled_buckets()
     right2 = right.map_batches(add_end, batch_format="pyarrow")
     r_sch = _field_types(right, right_cols)
     union = _tag_union(
@@ -336,7 +339,7 @@ def grouped_topk(
     k: int,
     tiebreak_col: str,
     descending: bool = True,
-    num_buckets: int = N_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """Top-k rows per key by ``order_col`` (SQL ``QUALIFY row_number() OVER
     (PARTITION BY key ORDER BY order_col [DESC], tiebreak [DESC]) <= k``).
@@ -370,6 +373,8 @@ def grouped_topk(
     def per_bucket(g: pa.Table) -> pa.Table:
         return topk_pass(g.drop_columns(["_bucket"]))
 
+    num_buckets = num_buckets or scaled_buckets()
+
     def tag(b: pa.Table) -> pa.Table:
         b = topk_pass(b)
         _, bucket = _key_and_bucket(b.column(key_col), num_buckets)
@@ -388,7 +393,7 @@ def grouped_quantile_disc(
     key_col: str,
     val_col: str,
     qs: tuple[float, ...] = (0.5,),
-    num_buckets: int = N_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """Exact discrete quantiles per key (DuckDB ``quantile_disc`` semantics:
     the sorted value at index ``ceil(n·q) − 1``).
@@ -409,6 +414,8 @@ def grouped_quantile_disc(
         t = pa.table({key_col: b.column(key_col), val_col: b.column(val_col)})
         out = t.group_by([key_col, val_col]).aggregate([(val_col, "count")])
         return out.rename_columns([key_col, val_col, "_cnt"])
+
+    num_buckets = num_buckets or scaled_buckets()
 
     def tag(b: pa.Table) -> pa.Table:
         b = partial(b)
@@ -464,7 +471,7 @@ def grouped_quantile_cont(
     key_col: str,
     val_col: str,
     qs: tuple[float, ...] = (0.5,),
-    num_buckets: int = N_BUCKETS,
+    num_buckets: int | None = None,
 ):
     """Exact interpolated quantiles per key (SQL ``percentile_cont`` /
     DuckDB ``quantile_cont``: position h = (n−1)·q on the sorted values,
@@ -482,6 +489,8 @@ def grouped_quantile_cont(
         t = pa.table({key_col: b.column(key_col), val_col: b.column(val_col)})
         out = t.group_by([key_col, val_col]).aggregate([(val_col, "count")])
         return out.rename_columns([key_col, val_col, "_cnt"])
+
+    num_buckets = num_buckets or scaled_buckets()
 
     def tag(b: pa.Table) -> pa.Table:
         b = partial(b)

@@ -1,13 +1,15 @@
 """Per-conversation windowing: sessionization over the ordered turn log.
 
 Ray Data has no event-time windows; the rebuild shuffles once by a HASH
-BUCKET of conv_id (64 buckets, not one group per conversation) and runs a
-fully vectorized Arrow/numpy pass inside each bucket: lexsort by
-(conv_id, turn_idx), detect conversation starts and gap breaks, and derive
-per-conversation session ids with cumulative tricks — no pandas conversion,
-64 python calls total instead of one per conversation. Hot conversations
-(the generator plants ~5%-of-all-turns convs) just make one bucket somewhat
-larger; the work inside stays vectorized.
+BUCKET of conv_id (max(64, 4×CPUs) buckets — scaled_buckets(), not one group
+per conversation) and runs a fully vectorized Arrow/numpy pass inside each
+bucket: lexsort by (conv_id, turn_idx), detect conversation starts and gap
+breaks, and derive per-conversation session ids with cumulative tricks — no
+pandas conversion, one python call per bucket instead of one per
+conversation. Hot conversations (the generator plants ~5%-of-all-turns
+convs) just make one bucket somewhat larger; the work inside stays
+vectorized, and the bucket count grows with the cluster so per-bucket bytes
+stay roughly constant at any scale.
 """
 
 from __future__ import annotations
@@ -19,15 +21,35 @@ import pyarrow.compute as pc
 from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
 
 SESSION_GAP_SECONDS = 600
-N_BUCKETS = 64
+N_BUCKETS = 64  # floor, not the operating point — see scaled_buckets()
 
 
-def _add_bucket(batch: pa.Table) -> pa.Table:
-    offsets, data = _string_buffers(batch.column("conv_id"))
-    h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
-    return batch.append_column(
-        "_bucket", pa.array((h & np.uint64(N_BUCKETS - 1)).astype(np.int32))
-    )
+def scaled_buckets(minimum: int = N_BUCKETS, per_cpu: int = 4) -> int:
+    """Cluster-scaled shuffle bucket count: max(minimum, per_cpu × CPUs) —
+    the dedup module's rule (functions/dedup.py). A FIXED bucket count means
+    every map_groups task materializes corpus/64 regardless of cluster size;
+    scaling with CPUs keeps per-bucket bytes roughly constant as the cluster
+    (and with it the corpus a job is sized for) grows, and gives the
+    streaming executor enough groups to keep every slot busy."""
+    import ray
+
+    ncpu = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    return max(minimum, per_cpu * ncpu)
+
+
+def _add_bucket_fn(num_buckets: int):
+    """conv_id-hash bucketing stage for a resolved bucket count."""
+    nb = np.uint64(num_buckets)
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        offsets, data = _string_buffers(batch.column("conv_id"))
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        return batch.append_column(
+            "_bucket", pa.array((h % nb).astype(np.int32))
+        )
+
+    return _add_bucket
 
 
 def _sorted_session_arrays(group: pa.Table, gap_seconds: int):
@@ -77,7 +99,8 @@ def sessionize(ds, gap_seconds: int = SESSION_GAP_SECONDS):
         )
 
     return (
-        ds.map_batches(_add_bucket, batch_format="pyarrow")
+        ds.map_batches(_add_bucket_fn(scaled_buckets()),
+                       batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -115,7 +138,8 @@ def session_stats(ds, gap_seconds: int = SESSION_GAP_SECONDS):
         )
 
     return (
-        ds.map_batches(_add_bucket, batch_format="pyarrow")
+        ds.map_batches(_add_bucket_fn(scaled_buckets()),
+                       batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -165,7 +189,8 @@ def conv_examples(ds, *, sep: str = "\n", role_sep: str = ": "):
 
     return (
         ds.select_columns(["conv_id", "turn_idx", "role", "text"])
-        .map_batches(_add_bucket, batch_format="pyarrow")
+        .map_batches(_add_bucket_fn(scaled_buckets()),
+                     batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -218,7 +243,8 @@ def turn_pairs(ds, *, prompt_role: str = "user",
 
     return (
         ds.select_columns(["conv_id", "turn_idx", "role", "text"])
-        .map_batches(_add_bucket, batch_format="pyarrow")
+        .map_batches(_add_bucket_fn(scaled_buckets()),
+                     batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
@@ -226,7 +252,7 @@ def turn_pairs(ds, *, prompt_role: str = "user",
 
 def trailing_window_agg(ds, *, key: str, ts_col: str, row_id_col: str,
                         window_us: int, val_col: str | None = None,
-                        n_buckets: int = N_BUCKETS):
+                        n_buckets: int | None = None):
     """Trailing event-time window aggregate — the SQL RANGE frame
 
         COUNT(*) [, SUM(val)] OVER (PARTITION BY key ORDER BY ts
@@ -246,6 +272,8 @@ def trailing_window_agg(ds, *, key: str, ts_col: str, row_id_col: str,
     the SQL RANGE ... CURRENT ROW peer rule. Hot keys only fatten one
     bucket; the pass inside stays vectorized.
     """
+
+    n_buckets = n_buckets or scaled_buckets()
 
     def bucket(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(key), dtype=np.int64)
@@ -288,7 +316,7 @@ def trailing_window_agg(ds, *, key: str, ts_col: str, row_id_col: str,
 
 def partition_window(ds, *, key: str, ts_col: str, row_id_col: str,
                      val_col: str | None = None,
-                     n_buckets: int = N_BUCKETS):
+                     n_buckets: int | None = None):
     """Per-partition sequential window functions — the SQL ROWS frame
 
         ROW_NUMBER()            OVER w                          -> rn
@@ -305,6 +333,8 @@ def partition_window(ds, *, key: str, ts_col: str, row_id_col: str,
     partition-start index vector; no per-partition loop. Hot keys only
     fatten one bucket.
     """
+
+    n_buckets = n_buckets or scaled_buckets()
 
     def bucket(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(key), dtype=np.int64)
@@ -349,7 +379,7 @@ def partition_window(ds, *, key: str, ts_col: str, row_id_col: str,
 
 
 def grouped_rank(ds, *, key: str, val_col: str, row_id_col: str,
-                 descending: bool = False, n_buckets: int = N_BUCKETS):
+                 descending: bool = False, n_buckets: int | None = None):
     """Per-group value ranking — the SQL window triple
 
         RANK()       OVER (PARTITION BY key ORDER BY val [DESC])        -> rnk
@@ -366,6 +396,8 @@ def grouped_rank(ds, *, key: str, val_col: str, row_id_col: str,
     value-run starts with neighbor compares, and all three ranks fall out of
     arange / maximum.accumulate / cumsum — no per-partition loop.
     """
+
+    n_buckets = n_buckets or scaled_buckets()
 
     def bucket(batch: pa.Table) -> pa.Table:
         col = batch.column(key)

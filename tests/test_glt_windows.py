@@ -512,3 +512,18 @@ def test_new_window_ops_empty_input(ray_session):
                         window_us=10).to_pandas().empty
     assert funnel_steps(ds, key="k", ts_col="ts", type_col="et",
                         steps=["A", "B"], window_us=10).to_pandas().empty
+
+
+def test_scaled_buckets_grow_with_cluster(ray_session):
+    """Bucket count must scale with cluster CPUs (fixed 64 would make one
+    map_groups task hold corpus/64 at ANY cluster size)."""
+    import ray
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    ncpu = int(ray.cluster_resources()["CPU"])
+    assert scaled_buckets() == max(64, 4 * ncpu)
+    # growth with CPUs: per_cpu dominates once it beats the floor
+    assert scaled_buckets(minimum=8, per_cpu=100) == 100 * ncpu
+    # the floor protects small sessions
+    assert scaled_buckets(minimum=1024) == 1024
