@@ -168,8 +168,6 @@ def asof_join(
     out_schema = pa.schema(out_fields)
 
     def per_bucket(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
         side = np.asarray(g.column("_side"))
         lt = g.filter(pa.array(side == 0)).select(["_on", "_key"] + left_cols)
         rt = g.filter(pa.array(side == 1)).select(["_on", "_key"] + right_cols)
@@ -181,24 +179,55 @@ def asof_join(
                 if f.name not in cols:
                     cols[f.name] = pa.nulls(lt.num_rows, type=f.type)
             return pa.table(cols).cast(out_schema)
-        ldf = lt.to_pandas()
-        rdf = rt.to_pandas()
-        # merge_asof keeps the LAST right row among equal _on values, so an
-        # ascending tiebreak sort makes "largest tiebreak wins" deterministic
-        rsort = ["_on"] + ([tiebreak] if tiebreak else [])
-        rdf = rdf.sort_values(rsort, kind="mergesort", ignore_index=True)
-        ldf = ldf.sort_values("_on", kind="mergesort", ignore_index=True)
-        out = pd.merge_asof(
-            ldf, rdf, on="_on", by="_key", direction="backward",
-            suffixes=("", "_r"),
-        )
-        if how == "inner" and right_cols:
-            out = out[out[right_cols[0]].notna()]
-        # from_pandas=True maps unmatched-NaN back to null under int types
-        cols = {
-            f.name: pa.array(out[f.name], type=f.type, from_pandas=True)
-            for f in out_schema
-        }
+        # zero-copy numpy merge (no Arrow→pandas→Arrow round trip over the
+        # join payload): sort right by (key, on[, tiebreak]) — stable, so
+        # among equal (key, on) the LARGEST tiebreak (or last input row when
+        # no tiebreak, merge_asof's rule) sorts last — then one merged
+        # lexsort over both sides with rights BEFORE lefts at equal (key,
+        # on). For every left row the latest right with the same key and
+        # right_on <= left_on is then simply the last right row preceding it
+        # in merged order, found with a cumulative count; if that row's key
+        # differs, the left row is unmatched.
+        lk = np.asarray(lt.column("_key"), dtype=np.int64)
+        lo = np.asarray(lt.column("_on"), dtype=np.int64)
+        rk = np.asarray(rt.column("_key"), dtype=np.int64)
+        ro = np.asarray(rt.column("_on"), dtype=np.int64)
+        if tiebreak:
+            tb = np.asarray(
+                pc.cast(rt.column(tiebreak).combine_chunks(), pa.int64()))
+            rorder = np.lexsort((tb, ro, rk))
+        else:
+            rorder = np.lexsort((ro, rk))
+        rk_s, ro_s = rk[rorder], ro[rorder]
+        n_r, n_l = len(rk_s), len(lk)
+        mk = np.concatenate([rk_s, lk])
+        mt = np.concatenate([ro_s, lo])
+        mside = np.concatenate(
+            [np.zeros(n_r, np.int8), np.ones(n_l, np.int8)])
+        morder = np.lexsort((mside, mt, mk))
+        is_right = mside[morder] == 0
+        right_cum = np.cumsum(is_right)
+        left_pos = np.flatnonzero(~is_right)
+        lidx = morder[left_pos] - n_r  # original left row of each merged pos
+        cnt = right_cum[left_pos]
+        match = cnt - 1  # index into the sorted right side
+        valid = cnt > 0
+        vsel = np.flatnonzero(valid)
+        valid[vsel] = rk_s[match[vsel]] == lk[lidx[vsel]]
+        if how == "inner":
+            keep = np.flatnonzero(valid)
+            lsel = pa.array(lidx[keep])
+            rsel = pa.array(rorder[match[keep]])
+            cols = {c: lt.column(c).take(lsel) for c in left_cols}
+            for c in right_cols:
+                cols[c] = rt.column(c).take(rsel)
+        else:  # left join: null right side for unmatched rows
+            lsel = pa.array(lidx)
+            ridx = np.where(valid, rorder[np.maximum(match, 0)], 0)
+            rsel = pa.array(ridx, mask=~valid)  # null index → null output
+            cols = {c: lt.column(c).take(lsel) for c in left_cols}
+            for c in right_cols:
+                cols[c] = rt.column(c).combine_chunks().take(rsel)
         return pa.table(cols).cast(out_schema)
 
     return union.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
