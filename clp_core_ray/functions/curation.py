@@ -316,7 +316,8 @@ def mixture_sample(ds, key_col: str, weights: dict[str, float],
         raise ValueError(f"mixture weights must be positive: {bad}")
     present = {g: w for g, w in weights.items() if n.get(g)}
     if not present:
-        return ds.filter(lambda row: False)
+        # empty result, schema preserved — no per-row Python filter
+        return ds.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
     cap = min(n[g] / w for g, w in present.items())
     rates = {g: int(np.floor(w * cap / n[g] * mod))
              for g, w in present.items()}

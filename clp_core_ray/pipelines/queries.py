@@ -2037,11 +2037,14 @@ def docs_decontaminate(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    bench = [
-        r["text"] for b in ds.filter(lambda r: r["doc_id"] < 5)
-        .iter_rows()
-        for r in [b]
-    ]
+    # pruned driver-side read of the 5 fixture docs (row-group filter, no
+    # per-row Python over the whole table)
+    import pyarrow.parquet as _pq
+
+    bench = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"],
+        filters=[("doc_id", "<", 5)],
+    ).column("text").to_pylist()
     out = decontaminate(ds, bench, n=8)
 
     def fmt(b: pa.Table) -> pa.Table:
@@ -2923,10 +2926,12 @@ def docs_curation_pipeline(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
-    bench = [
-        r["text"]
-        for r in ds.filter(lambda r: r["doc_id"] < 5).iter_rows()
-    ]
+    import pyarrow.parquet as _pq
+
+    bench = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"],
+        filters=[("doc_id", "<", 5)],
+    ).column("text").to_pylist()
     return curation_pipeline(ds, bench)
 
 
