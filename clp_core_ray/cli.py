@@ -73,14 +73,16 @@ def cmd_compress(args) -> dict:
 
         if synth_sf is not None or is_cache:
             done = run_fragments(synth_sf if synth_sf is not None else src,
-                                 args.out)
+                                 args.out,
+                                 target_bytes=args.fragment_target_bytes)
         else:
             files = ([norm] if os.path.isfile(norm) else sorted(
                 os.path.join(norm, f) for f in os.listdir(norm)
                 if f.endswith(".parquet")))
             if not files:
                 raise SystemExit(f"--input {src!r}: no parquet shards found")
-            done = run_fragments(None, args.out, files=files)
+            done = run_fragments(None, args.out, files=files,
+                                 target_bytes=args.fragment_target_bytes)
         total = len(mf.read_manifests(args.out))
         return {
             "cmd": "compress", "out": args.out, "mode": "fragments",
@@ -569,6 +571,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--tag", action="append",
                    help="archive tag recorded in the manifest (repeatable; "
                         "search --tag selects on it)")
+    c.add_argument("--fragment-target-bytes", type=int, default=None,
+                   help="pack small input files into ~this-many-byte "
+                        "fragments (reference scheduler partition.py role); "
+                        "default: one fragment per file")
     c.add_argument("--fragments", action="store_true",
                    help="checkpointed mode: fragment-per-shard with resume "
                         "(rerun skips completed fragments)")

@@ -738,19 +738,67 @@ def _to_table(ds) -> pa.Table:
     return pa.concat_tables(tables) if tables else pa.table({})
 
 
-def run_fragments(sf_dir_or_sf, out_dir: str,
-                  files: list[str] | None = None) -> list[str]:
-    """Checkpointed execution: one fragment per input file, skip completed ones.
+def group_input_files(files: list[str],
+                      target_bytes: int) -> list[list[str]]:
+    """Size-bounded input partitioning: pack input files into ~target-byte
+    fragments (the reference scheduler's compression-job partitioner,
+    package scheduler/compress/partition.py:99-227 — group paths whose
+    names sort together, then bound each group by size so a corpus of
+    millions of tiny logs yields ~⌈total/target⌉ archive-sized jobs instead
+    of one micro-archive per file).
 
-    Each fragment is an independent sub-pipeline (read one shard → encode →
-    routed sink); its manifest is recorded only after the write succeeds, so a
-    rerun after a crash reprocesses only unfinished fragments (resume =
-    anti-join of fragment ids against the manifest dir). Returns the fragment
-    ids processed in this run.
+    Deterministic for a given (files, target) — fragment membership, and
+    with it the fragment ids, are resume-stable across reruns. A single
+    file larger than the target gets its own fragment (never split here;
+    the encode stage streams it in blocks anyway)."""
+    sizes = {f: os.path.getsize(f) for f in files}
+    # basename sort ≈ the reference's filename-similarity grouping: shards
+    # of one source (app-2024-01-*.parquet) pack into the same fragments
+    ordered = sorted(files, key=lambda f: (os.path.basename(f), f))
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_b = 0
+    for f in ordered:
+        if cur and cur_b + sizes[f] > target_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+        cur.append(f)
+        cur_b += sizes[f]
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _fragment_id(group: list[str]) -> str:
+    """Stable fragment id: single files keep their basename (back-compat
+    with existing manifests); multi-file groups get a content-derived id
+    from the member paths, so a rerun with the same inputs resumes."""
+    if len(group) == 1:
+        return os.path.splitext(os.path.basename(group[0]))[0]
+    import hashlib
+
+    h = hashlib.sha1("\n".join(group).encode()).hexdigest()[:12]
+    return f"group-{len(group)}-{h}"
+
+
+def run_fragments(sf_dir_or_sf, out_dir: str,
+                  files: list[str] | None = None,
+                  target_bytes: int | None = None) -> list[str]:
+    """Checkpointed execution: one fragment per input group, skip completed.
+
+    Each fragment is an independent sub-pipeline (read its input shard(s) →
+    encode → routed sink); its manifest is recorded only after the write
+    succeeds, so a rerun after a crash reprocesses only unfinished fragments
+    (resume = anti-join of fragment ids against the manifest dir). Returns
+    the fragment ids processed in this run.
 
     ``files`` overrides input discovery (the CLI passes a real user
     directory's parquet shards here; without it the synthetic transcript
-    cache for ``sf_dir_or_sf`` is used).
+    cache for ``sf_dir_or_sf`` is used). ``target_bytes`` packs small input
+    files into ~target-sized fragments (group_input_files) instead of the
+    default one-fragment-per-file — at real-corpus scale (millions of tiny
+    logs) per-file fragments would mean per-archive dict/manifest overhead
+    and no size balancing.
     """
     import ray.data as rd
 
@@ -758,15 +806,17 @@ def run_fragments(sf_dir_or_sf, out_dir: str,
 
     if files is None:
         files = transcript_files(sf_dir_or_sf)
-    frag_ids = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    groups = (group_input_files(files, target_bytes)
+              if target_bytes else [[f] for f in files])
+    frag_ids = [_fragment_id(g) for g in groups]
     todo = mf.pending_fragments(frag_ids, out_dir)
-    by_id = dict(zip(frag_ids, files))
+    by_id = dict(zip(frag_ids, groups))
     for frag in todo:
         import time
 
         t0 = time.time()
-        path = by_id[frag]
-        encoded = build_encoded(rd.read_parquet(path))
+        paths = by_id[frag]
+        encoded = build_encoded(rd.read_parquet(paths))
         sink = os.path.join(out_dir, f"fragment={frag}")
         encoded.write_parquet(sink, partition_cols=["logtype_class"], compression="zstd")
         counts, ts_range = sink_class_stats(sink)
@@ -776,7 +826,7 @@ def run_fragments(sf_dir_or_sf, out_dir: str,
             out_dir,
             frag,
             {
-                "input": path,
+                "input": paths[0] if len(paths) == 1 else paths,
                 "sink": sink,
                 "rows": n_rows,
                 "metrics": {"wall_sec": round(wall, 3),

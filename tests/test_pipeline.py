@@ -653,3 +653,66 @@ def test_multi_query_multi_archive(ray_session, tmp_path):
         for k, v in per.items():
             want[k] += v
     assert got == want and all(v > 0 for v in want.values())
+
+
+def test_fragment_size_grouping(ray_session, tmp_path):
+    """200 tiny input files pack into ~ceil(total/target) size-bounded
+    fragments (reference scheduler partition.py role); resume after a crash
+    skips completed groups; the grouped archive round-trips exactly."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import (
+        group_input_files,
+        run_fragments,
+    )
+    from clp_core_ray.state.manifest import completed_fragments
+
+    indir = tmp_path / "shards"
+    indir.mkdir()
+    base = 1_700_000_000_000_000
+    files, total_rows = [], 0
+    for i in range(200):
+        n = 6 + (i % 5)
+        t = pa.table({
+            "conv_id": pa.array([f"c{i}-{j % 3}" for j in range(n)]),
+            "turn_idx": pa.array(np.arange(n) % 17, type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([f"INFO shard {i} row {j}" for j in range(n)]),
+            "tool": pa.array([""] * n),
+            "ts": pa.array([base + (i * 100 + j) * 1000 for j in range(n)],
+                           type=pa.timestamp("us")),
+        })
+        p = str(indir / f"shard-{i:04d}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+        total_rows += n
+
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    target = total_bytes // 10  # aim for ~10 fragments
+    groups = group_input_files(files, target)
+    expect = -(-total_bytes // target)
+    assert expect <= len(groups) <= expect + 2  # ~ceil(total/target)
+    assert sorted(f for g in groups for f in g) == sorted(files)
+    # every group respects the byte bound (single oversize files exempt)
+    for g in groups:
+        if len(g) > 1:
+            assert sum(os.path.getsize(f) for f in g) <= target
+    # deterministic: same inputs → same grouping (resume-stable ids)
+    assert group_input_files(files, target) == groups
+
+    out = str(tmp_path / "frag")
+    done = run_fragments(None, out, files=files, target_bytes=target)
+    assert len(done) == len(groups)
+    # crash simulation: one fragment's manifest vanishes → only it reruns
+    victim = done[2]
+    os.remove(os.path.join(out, "_manifests", f"{victim}.json"))
+    shutil.rmtree(os.path.join(out, f"fragment={victim}"))
+    done2 = run_fragments(None, out, files=files, target_bytes=target)
+    assert done2 == [victim]
+    assert len(completed_fragments(out)) == len(groups)
+    # round trip: the union of fragment sinks holds exactly the input rows
+    sink_files = [os.path.join(r, f) for r, _, fs in os.walk(out)
+                  for f in fs if f.endswith(".parquet")]
+    assert sum(pq.ParquetFile(f).metadata.num_rows
+               for f in sink_files) == total_rows
