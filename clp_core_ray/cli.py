@@ -333,6 +333,9 @@ def cmd_json_compress(args) -> dict:
         raise SystemExit(f"json-compress: no input files match {args.input}")
     t0 = _t.time()
     if args.split_records:
+        if getattr(args, "single_file_archive", False):
+            raise SystemExit("--single-file-archive packs ONE archive; "
+                             "combine with --split-records is not supported")
         manifest = clps_compress_split(
             paths, args.out, timestamp_key=args.timestamp_key,
             max_records=args.split_records)
@@ -346,7 +349,15 @@ def cmd_json_compress(args) -> dict:
     # bare list as in-memory LINES, not paths
     counts = clps_compress(ndjson_from_files(paths), args.out,
                            timestamp_key=args.timestamp_key)
-    return {"cmd": "json-compress", "out": args.out,
+    out = args.out
+    if getattr(args, "single_file_archive", False):
+        import shutil
+
+        from clp_core_ray.pipelines.sfa import pack_sfa
+
+        out = pack_sfa(args.out)
+        shutil.rmtree(args.out, ignore_errors=True)
+    return {"cmd": "json-compress", "out": out,
             "schemas": len(counts), "records": sum(counts.values()),
             "sec": round(_t.time() - t0, 3)}
 
@@ -653,6 +664,10 @@ def build_parser() -> argparse.ArgumentParser:
     jc.add_argument("--split-records", type=int,
                     help="roll a new sub-archive every N records "
                          "(clp-s archive splitting)")
+    jc.add_argument("--single-file-archive", action="store_true",
+                    help="pack the archive into one .clpsfa file "
+                         "(clp-s c --single-file-archive); json-extract/"
+                         "json-search accept the file directly")
     jc.set_defaults(fn=cmd_json_compress)
 
     jx = sub.add_parser("json-extract",

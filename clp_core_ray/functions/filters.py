@@ -582,10 +582,12 @@ def clps_search(out_dir: str, query: str,
 
     if projection is not None and not projection:
         raise ValueError("projection must name at least one column path")
+    from clp_core_ray.pipelines.sfa import open_source
+
     dnf = to_dnf(parse_kql(query))
     work: list[dict] = []
     for path in _schema_files(out_dir):
-        pf = pq.ParquetFile(path)
+        pf = pq.ParquetFile(open_source(path))
         meta = {
             k.decode(): v.decode()
             for k, v in (pf.schema_arrow.metadata or {}).items()
@@ -634,11 +636,13 @@ def clps_search(out_dir: str, query: str,
         import pyarrow.parquet as _pq
 
         tbls = []
+        from clp_core_ray.pipelines.sfa import open_source as _open
+
         for path, viable_js, cols_js in zip(batch.column("path").to_pylist(),
                                             batch.column("viable").to_pylist(),
                                             batch.column("cols").to_pylist()):
             read_cols = json.loads(cols_js)
-            t = _pq.read_table(path, columns=read_cols)
+            t = _pq.read_table(_open(path), columns=read_cols)
             meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
             view = _decoded_view(t, meta)
             viable = _dnf_from_json(json.loads(viable_js))
@@ -684,10 +688,12 @@ def clps_search_multi(out_dir: str, queries: list[str],
         _serialize_schema_table,
     )
 
+    from clp_core_ray.pipelines.sfa import open_source
+
     dnfs = [to_dnf(parse_kql(q)) for q in queries]
     work: list[dict] = []
     for path in _schema_files(out_dir):
-        pf = pq.ParquetFile(path)
+        pf = pq.ParquetFile(open_source(path))
         meta = {
             k.decode(): v.decode()
             for k, v in (pf.schema_arrow.metadata or {}).items()
@@ -725,9 +731,11 @@ def clps_search_multi(out_dir: str, queries: list[str],
         import pyarrow.parquet as _pq
 
         tbls = []
+        from clp_core_ray.pipelines.sfa import open_source as _open
+
         for path, plans_js in zip(batch.column("path").to_pylist(),
                                   batch.column("plans").to_pylist()):
-            t = _pq.read_table(path)
+            t = _pq.read_table(_open(path))
             meta = {k.decode(): v.decode()
                     for k, v in (t.schema.metadata or {}).items()}
             view = _decoded_view(t, meta)

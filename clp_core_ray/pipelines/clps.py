@@ -478,6 +478,16 @@ def clps_compress(source, out_dir: str, timestamp_key: str | None = None,
 
 
 def _schema_files(out_dir: str) -> list[str]:
+    """Schema-table sources of an archive dir OR a single-file archive
+    (``.clpsfa``): plain paths for dirs, ``sfa::member`` tokens for SFAs —
+    every consumer opens them through sfa.open_source (the
+    ArchiveReaderAdaptor role), so search/decompress/index work unchanged
+    on both layouts."""
+    from clp_core_ray.pipelines.sfa import SfaReader, is_sfa, member_token
+
+    if is_sfa(out_dir):
+        return [member_token(out_dir, n) for n in SfaReader(out_dir).names()
+                if n.startswith("schema_") and n.endswith(".parquet")]
     return [
         os.path.join(out_dir, f)
         for f in sorted(os.listdir(out_dir))
@@ -634,8 +644,10 @@ def clps_decompress(out_dir: str, ordered: bool = True):
 
     def rebuild(batch: pa.Table) -> pa.Table:
         tbls = []
+        from clp_core_ray.pipelines.sfa import open_source
+
         for path in batch.column("path").to_pylist():
-            t = pq.read_table(path)
+            t = pq.read_table(open_source(path))
             meta = {k.decode(): v.decode() for k, v in (t.schema.metadata or {}).items()}
             view = _decoded_view(t, meta)
             js = _serialize_schema_table(view)
@@ -835,8 +847,10 @@ DEFAULT_ARCHIVE_RECORDS = 1_000_000
 def _archive_ts_range(archive_dir: str):
     """(ts_min, ts_max) over the archive's schema-table footers, or None."""
     lo = hi = None
+    from clp_core_ray.pipelines.sfa import open_source
+
     for f in _schema_files(archive_dir):
-        md = pq.ParquetFile(f).schema_arrow.metadata or {}
+        md = pq.ParquetFile(open_source(f)).schema_arrow.metadata or {}
         if b"ts_min" not in md:
             continue
         mn, mx = int(md[b"ts_min"].decode()), int(md[b"ts_max"].decode())
@@ -1045,8 +1059,9 @@ def clps_decompress_split(base_dir: str, ordered: bool = True):
 
 def schema_counts(out_dir: str) -> pa.Table:
     """A5: per-schema record counts from the schema map."""
-    with open(os.path.join(out_dir, SCHEMA_META)) as f:
-        m = json.load(f)
+    from clp_core_ray.pipelines.sfa import read_member_json
+
+    m = read_member_json(out_dir, SCHEMA_META)
     ks = sorted(m, key=int)
     return pa.table(
         {"schema_id": pa.array([int(k) for k in ks], type=pa.int64()),
@@ -1069,11 +1084,13 @@ def clps_field_index(out_dir: str) -> pa.Table:
     reference: array-typed leaves are indexed with a list<...> type instead
     of being skipped (IndexManager indexes primitive leaves only).
     """
-    with open(os.path.join(out_dir, SCHEMA_META)) as f:
-        counts = {int(k): int(v) for k, v in json.load(f).items()}
+    from clp_core_ray.pipelines.sfa import open_source, read_member_json
+
+    counts = {int(k): int(v)
+              for k, v in read_member_json(out_dir, SCHEMA_META).items()}
     agg: dict[tuple[str, str], int] = {}
     for f_ in _schema_files(out_dir):
-        md = pq.ParquetFile(f_).schema_arrow.metadata or {}
+        md = pq.ParquetFile(open_source(f_)).schema_arrow.metadata or {}
         sid = int(md.get(b"schema_id", b"0").decode())
         key = json.loads(md.get(b"schema_key", b"[]").decode())
         n = counts.get(sid, 0)

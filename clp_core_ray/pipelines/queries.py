@@ -1118,6 +1118,45 @@ def clps_roundtrip(sf_dir: str):
 
 
 @register(
+    "clps_sfa_roundtrip",
+    "SELECT '{\"k\": ' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)"
+    " || '}' AS json FROM events",
+)
+def clps_sfa_roundtrip(sf_dir: str):
+    """Single-file-archive round trip (clp-s c --single-file-archive;
+    SingleFileArchiveDefs.hpp / ArchiveReaderAdaptor.cpp roles): compress,
+    pack the archive dir into ONE .clpsfa file, DELETE the dir, and
+    decompress from the packed file alone — readers resolve members as
+    zero-copy mmap slices through pipelines/sfa.py."""
+    import shutil
+    import tempfile
+
+    from clp_core_ray.pipelines.clps import (
+        clps_compress,
+        clps_decompress,
+        ndjson_from_parquet_column,
+    )
+    from clp_core_ray.pipelines.sfa import pack_sfa
+
+    out = tempfile.mkdtemp(prefix="clps_sfa_")
+    try:
+        src = ndjson_from_parquet_column(f"{sf_dir}/events.parquet", "props")
+        clps_compress(src, out)
+        sfa = pack_sfa(out)
+        # the directory is GONE: everything below reads the single file
+        for f in os.listdir(out):
+            os.unlink(os.path.join(out, f))
+        ds = clps_decompress(sfa, ordered=False)
+        return ds.select_columns(["json"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.unlink(out.rstrip("/") + ".clpsfa")
+        except FileNotFoundError:
+            pass
+
+
+@register(
     "clps_field_index",
     "SELECT field_path, count(*) AS n_records FROM (SELECT "
     "unnest(json_keys(props)) AS field_path FROM events) GROUP BY 1",

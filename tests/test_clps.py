@@ -2,6 +2,8 @@
 sorted-diff e2e pattern, test-clp_s-end_to_end.cpp:39-126)."""
 
 import json
+import os
+import shutil
 
 import numpy as np
 import pytest
@@ -460,3 +462,72 @@ def test_clps_ordered_chunks_single_chunk(ray_session, tmp_path):
     dest = str(tmp_path / "one")
     manifest = clps_extract_ordered_chunks(out, dest, 10**9)
     assert len(manifest) == 1 and manifest[0]["is_last_chunk"]
+
+
+def test_single_file_archive_roundtrip(ray_session, tmp_path):
+    """Pack an archive dir into one .clpsfa file; decompress, search (single
+    and multi), schema counts and the field index all read the packed file
+    directly — members resolve as zero-copy mmap slices, no extraction."""
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.functions.filters import clps_search, clps_search_multi
+    from clp_core_ray.pipelines.clps import (
+        clps_compress,
+        clps_decompress,
+        clps_field_index,
+        schema_counts,
+    )
+    from clp_core_ray.pipelines.sfa import SfaReader, pack_sfa
+
+    lines = [
+        f'{{"a": {i}, "msg": "req {i} took {i % 7} ms", "tag": "t{i % 3}"}}'
+        for i in range(300)
+    ]
+    arch = str(tmp_path / "arch")
+    os.makedirs(arch)
+    clps_compress(lines, arch)
+    dir_json = sorted(clps_decompress(arch, ordered=False)
+                      .to_pandas()["json"])
+    dir_hits = clps_search(arch, 'tag: "t1"').count()
+    dir_counts = schema_counts(arch)
+    dir_index = clps_field_index(arch)
+
+    sfa = pack_sfa(arch)
+    shutil.rmtree(arch)  # everything below reads the single file
+
+    r = SfaReader(sfa)
+    assert "schemas.json" in r.names()
+    assert any(n.startswith("schema_") for n in r.names())
+    # members are byte-exact parquet: footer readable from the mmap slice
+    member = next(n for n in r.names() if n.endswith(".parquet"))
+    assert pq.ParquetFile(r.open(member)).metadata.num_rows > 0
+
+    assert sorted(clps_decompress(sfa, ordered=False)
+                  .to_pandas()["json"]) == dir_json
+    assert clps_search(sfa, 'tag: "t1"').count() == dir_hits
+    assert clps_search_multi(sfa, ['tag: "t1"', "a >= 200"]).count() \
+        == dir_hits + 100
+    assert schema_counts(sfa).equals(dir_counts)
+    assert clps_field_index(sfa).equals(dir_index)
+
+
+def test_single_file_archive_cli(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from clp_core_ray.cli import main as cli_main
+
+    def run(argv):
+        assert cli_main(argv) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    src = tmp_path / "in.ndjson"
+    src.write_text("\n".join(
+        f'{{"k": {i}, "m": "row {i} of text"}}' for i in range(50)) + "\n")
+    out = str(tmp_path / "arch")
+    res = run(["json-compress", "--input", str(src), "--out", out,
+               "--single-file-archive"])
+    assert res["out"].endswith(".clpsfa") and os.path.isfile(res["out"])
+    assert not os.path.isdir(out)  # dir was packed away
+    res2 = run(["json-search", "--archive", res["out"],
+                "--query", "k >= 25", "--limit", "0"])
+    assert res2["rows"] == 25
