@@ -339,6 +339,7 @@ def compress(
     ds=None,
     input_label: str | None = None,
     tags: list | None = None,
+    catalog_base: str | None = None,
 ):
     """Run the flagship pipeline; returns the per-class count table (small).
 
@@ -351,6 +352,11 @@ def compress(
     ``input_label`` is then recorded as the manifest's input. ``tags``
     are free-form archive labels persisted in the manifest; multi-archive
     search selects on them (the package metadata-DB tag column's role).
+    ``catalog_base`` registers the finished archive in that base dir's
+    global catalog (state/catalog.py, the GlobalSQLiteMetadataDB INSERT a
+    reference job issues on completion) — lock-free, so concurrent compress
+    jobs may share one catalog. When unset, the archive is still registered
+    automatically if its parent dir already carries a ``_catalog/``.
     """
     import time
 
@@ -526,6 +532,14 @@ def compress(
             },
         },
     )
+    from clp_core_ray.state import catalog as _cat
+
+    if catalog_base is None:
+        parent = os.path.dirname(os.path.abspath(out_dir))
+        if _cat.has_catalog(parent):
+            catalog_base = parent
+    if catalog_base is not None:
+        _cat.register_archive(catalog_base, out_dir)
     return counts_tbl
 
 

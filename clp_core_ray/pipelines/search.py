@@ -804,11 +804,20 @@ def list_archives(base_dir: str) -> list[dict]:
     range, input label and tags come from the lineage manifest (the
     per-archive begin/end timestamp + tags CLP's metadata DB rows carry —
     tags are the package-level archive attribute the query scheduler
-    filters on)."""
+    filters on).
+
+    When ``base_dir`` carries a global catalog (``_catalog/`` — the
+    GlobalSQLiteMetadataDB role, state/catalog.py), discovery reads the
+    catalog entries ONLY: no directory scan, no per-archive manifest walk —
+    selection stays O(archives-listed) when thousands of archives share the
+    base dir, and concurrent compress jobs register lock-free."""
     import os
 
+    from clp_core_ray.state import catalog as cat
     from clp_core_ray.state import manifest as mf
 
+    if cat.has_catalog(base_dir):
+        return cat.read_catalog(base_dir)
     out = []
     for name in sorted(os.listdir(base_dir)):
         d = os.path.join(base_dir, name)

@@ -1,0 +1,87 @@
+"""Global archive catalog (GlobalSQLiteMetadataDB role, state/catalog.py):
+concurrent lock-free registration + catalog-only archive selection."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def _transcripts(n, conv_prefix, base_us):
+    return pa.table({
+        "conv_id": pa.array([f"{conv_prefix}-{i % 5}" for i in range(n)]),
+        "turn_idx": pa.array(np.arange(n) % 19, type=pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array([f"INFO {conv_prefix} msg {i}" for i in range(n)]),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([base_us + i * 1_000_000 for i in range(n)],
+                       type=pa.timestamp("us")),
+    })
+
+
+def test_concurrent_compress_jobs_share_catalog(ray_session, tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import search_archives, select_archives
+    from clp_core_ray.state import catalog as cat
+
+    base = str(tmp_path / "archives")
+    cat.init_catalog(base)
+    t0 = 1_700_000_000_000_000
+
+    def job(name, tag, base_us):
+        return compress(
+            None, os.path.join(base, name),
+            ds=rd.from_arrow(_transcripts(400, name, base_us)),
+            input_label=name, tags=[tag],
+        )
+
+    # two compress jobs run CONCURRENTLY against one catalog — both must
+    # register without coordination (atomic rename, distinct entry files)
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(job, "arch-a", "prod", t0)
+        f2 = ex.submit(job, "arch-b", "staging", t0 + 10_000_000_000)
+        f1.result()
+        f2.result()
+    entries = cat.read_catalog(base)
+    assert len(entries) == 2
+    assert {e["tags"] == {"prod"} for e in entries}
+    assert all(e["rows"] == 400 for e in entries)
+    assert all(e["ts_min"] is not None for e in entries)
+
+    # a legacy archive dir that never registered is INVISIBLE once a catalog
+    # exists — selection is catalog-only (no directory scan)
+    decoy = os.path.join(base, "decoy", "routed")
+    os.makedirs(decoy)
+    assert sorted(os.path.basename(d) for d in select_archives(base)) == \
+        ["arch-a", "arch-b"]
+
+    # tag pruning via catalog entries only
+    assert [os.path.basename(d) for d in select_archives(base, tags=["prod"])] \
+        == ["arch-a"]
+    # time pruning: only arch-b overlaps the later window
+    sel = select_archives(base, ts_min=t0 + 9_000_000_000)
+    assert [os.path.basename(d) for d in sel] == ["arch-b"]
+
+    # end to end: tag+time-pruned multi-archive search touches one archive
+    hits = search_archives(base, "INFO arch-b *", tags=["staging"],
+                           ts_min=t0 + 9_000_000_000)
+    assert hits.count() == 400
+
+
+def test_reregistration_is_idempotent(ray_session, tmp_path):
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.state import catalog as cat
+
+    base = str(tmp_path / "archives")
+    cat.init_catalog(base)
+    arch = os.path.join(base, "arch-a")
+    compress(None, arch, ds=rd.from_arrow(_transcripts(100, "a", 10**15)),
+             input_label="a")
+    cat.register_archive(base, arch)  # manual re-register: same entry file
+    assert len(cat.read_catalog(base)) == 1
