@@ -6,8 +6,10 @@ Prints ONE JSON line:
    "turns": n, "turns_per_sec": r}
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
---scaling: runs the headline twice in fresh processes (8 vs 32 CPUs) on the
-same input and reports both throughputs + scaling efficiency.
+The default run also measures N-vs-4N scaling efficiency via light fresh-
+process probes (--probe NCPU SF_DIR) and emits it as an "efficiency" field
+(GRAFT_SKIP_SCALING=1 skips). --scaling: the full interleaved best-of-4
+measurement at 16x scale, reported as its own JSON line.
 """
 
 from __future__ import annotations
@@ -171,6 +173,17 @@ def run_once() -> None:
         queries["sessionize"] = best3(
             lambda: _qs["clp_sessionize"](sf_dir).count())
 
+    # N-vs-4N scaling efficiency rides the default JSON line so every
+    # recorded bench carries the north-rule's ≥0.8 criterion (fresh probe
+    # processes at 16x the bench scale; skip with GRAFT_SKIP_SCALING=1)
+    scaling: dict = {}
+    if not os.environ.get("GRAFT_SKIP_EXTRAS") \
+            and not os.environ.get("GRAFT_SKIP_SCALING"):
+        try:
+            scaling = measure_efficiency()
+        except subprocess.CalledProcessError:
+            scaling = {"efficiency": None}
+
     print(
         json.dumps(
             {
@@ -178,6 +191,7 @@ def run_once() -> None:
                 "value": round(headline, 3),
                 "unit": "sec",
                 "queries": queries,
+                **scaling,
                 "sf": sf,
                 "num_cpus": ncpu,
                 "turns": n_turns,
@@ -191,6 +205,83 @@ def run_once() -> None:
     )
     shutil.rmtree(out, ignore_errors=True)
     ray.shutdown()
+
+
+def run_probe(ncpu: int, sf_dir: str) -> None:
+    """Light scaling probe: fresh Ray session, warm once, best-of-2 timed
+    flagship compress, ONE JSON line {sec, turns_per_sec}. Used by the
+    default run's efficiency measurement (and cheap enough to call twice
+    per level)."""
+    _apply_system_tuning()
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             log_to_driver=False, object_store_memory=8_000_000_000)
+    from clp_core_ray.pipelines.compress import build_encoded, compress
+    from clp_core_ray.sources.transcripts import (
+        n_turns_for_sf,
+        read_transcripts,
+        sf_of_dir,
+        transcripts_path,
+    )
+
+    sf = sf_of_dir(sf_dir)
+    src = transcripts_path(sf_dir)  # generate (untimed, cached)
+    if os.access("/dev/shm", os.W_OK):
+        staged = os.path.join("/dev/shm/clp_bench_input", os.path.basename(src))
+        if not os.path.isdir(staged):
+            os.makedirs(os.path.dirname(staged), exist_ok=True)
+            tmp = staged + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.copytree(src, tmp)
+            os.replace(tmp, staged)
+        os.environ["CLP_TRANSCRIPTS_DIR_OVERRIDE"] = staged
+    build_encoded(read_transcripts(sf_dir)).count()  # warm workers (untimed)
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
+    warm_out = f"{base}/clp_probe_warm_{ncpu}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    compress(0.001, warm_out)
+    shutil.rmtree(warm_out, ignore_errors=True)
+    out = f"{base}/clp_probe_archive_{ncpu}"
+    times = []
+    for _ in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        compress(sf_dir, out)
+        times.append(time.time() - t0)
+    shutil.rmtree(out, ignore_errors=True)
+    sec = min(times)
+    print(json.dumps({"sec": round(sec, 3), "cpus": ncpu, "sf": sf,
+                      "turns_per_sec": round(n_turns_for_sf(sf) / sec, 1)}))
+    ray.shutdown()
+
+
+def measure_efficiency(lo_cpus: int = 4, hi_cpus: int = 16,
+                       scaling_sf: float = 1.6, rounds: int = 2) -> dict:
+    """N-vs-4N scaling efficiency from fresh probe processes, interleaved
+    (lo,hi,lo,hi) to decorrelate this host's minutes-long noise phases; min
+    per level is the honest floor. Same input both levels (cached)."""
+    def probe(ncpu: int) -> float:
+        env = dict(os.environ)
+        env.pop("CLP_TRANSCRIPTS_DIR_OVERRIDE", None)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe", str(ncpu),
+             f"/sf{scaling_sf}"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])["sec"]
+
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        lo_runs.append(probe(lo_cpus))
+        hi_runs.append(probe(hi_cpus))
+    t_lo, t_hi = min(lo_runs), min(hi_runs)
+    return {
+        "efficiency": round((t_lo / t_hi) / (hi_cpus / lo_cpus), 3),
+        "cpus_lo": lo_cpus, "cpus_hi": hi_cpus,
+        "sec_lo": round(t_lo, 3), "sec_hi": round(t_hi, 3),
+        "scaling_sf": scaling_sf,
+    }
 
 
 def run_scaling() -> None:
@@ -253,5 +344,8 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--probe" in sys.argv:
+        i = sys.argv.index("--probe")
+        run_probe(int(sys.argv[i + 1]), sys.argv[i + 2])
     else:
         run_once()

@@ -35,8 +35,11 @@ class TsPattern:
     fmt: str
 
 
-# Ported subset of TimestampPattern::init (all precise patterns; the
-# relative-timestamp "%#3" is omitted)
+# TimestampPattern::init's pattern table in reference order
+# (TimestampPattern.cpp:120-192) — all absolute patterns including the
+# yearless syslog/logcat forms (year defaults to 1970 on parse, exactly the
+# reference's int year = 1970 at TimestampPattern.cpp:263). Only the
+# relative-timestamp "%#3" is omitted (no epoch information to store).
 PATTERNS: list[TsPattern] = [
     TsPattern(0, "%Y-%m-%dT%H:%M:%S.%3"),
     TsPattern(0, "%Y-%m-%dT%H:%M:%S,%3"),
@@ -58,6 +61,7 @@ PATTERNS: list[TsPattern] = [
     TsPattern(0, "[%Y%m%d-%H:%M:%S]"),
     TsPattern(1, "%Y-%m-%d  %H:%M:%S"),
     TsPattern(0, "%y/%m/%d %H:%M:%S"),
+    TsPattern(0, "%y%m%d %k:%M:%S"),
     TsPattern(0, "%b %d, %Y %l:%M:%S %p"),
     TsPattern(0, "%B %d, %Y %H:%M"),
     TsPattern(1, "[%d/%b/%Y:%H:%M:%S"),
@@ -67,6 +71,8 @@ PATTERNS: list[TsPattern] = [
     TsPattern(1, "%Y-%m-%d %H:%M:%S"),
     TsPattern(4, "%a %b %e %H:%M:%S %Y"),
     TsPattern(0, "%a %b %e %H:%M:%S %Y"),
+    TsPattern(0, "%b %d %H:%M:%S"),
+    TsPattern(0, "%m-%d %H:%M:%S.%3"),
 ]
 
 _FIELD_RX = {

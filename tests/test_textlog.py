@@ -159,3 +159,36 @@ def test_targz_ingestion_roundtrip(ray_session, tmp_path):
         name = msgs.column("path")[0].as_py()
         assert name.startswith(str(p).removesuffix(".gz"))
         assert reconstruct_file_text(msgs) == want, p
+
+
+def test_reference_pattern_table_complete():
+    """All 32 absolute patterns of TimestampPattern::init (cpp:120-192) are
+    ported — incl. the mysql %y%m%d %k, yearless syslog %b %d and logcat
+    %m-%d forms (year defaults to 1970 exactly like cpp:263); only the
+    relative %#3 is omitted. Every form round-trips byte-identically."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clp_core_ray.timestamps import (
+        PATTERNS,
+        format_batch,
+        insert_timestamps,
+        parse_and_strip,
+    )
+
+    assert len(PATTERNS) == 32
+    lines = pa.array([
+        "150131 15:50:45 mysqld started",
+        "150131  5:50:45 mysqld padded hour",
+        "Jan 31 15:50:45 host sshd[42]: accepted",
+        "01-31 15:50:45.392 D/logcat: msg",
+    ], type=pa.large_string())
+    r = parse_and_strip(lines)
+    assert r["ts_ms"].null_count == 0
+    # yearless forms parse into 1970 (reference default year)
+    assert r["ts_ms"][2].as_py() < 366 * 86400_000
+    rendered = format_batch(np.asarray(r["ts_ms"].fill_null(0)),
+                            np.asarray(r["pattern_id"]))
+    out = insert_timestamps(r["content"], rendered,
+                            np.asarray(r["ts_begin"]))
+    assert out.to_pylist() == lines.to_pylist()
