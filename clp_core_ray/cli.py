@@ -91,19 +91,22 @@ def cmd_compress(args) -> dict:
             "archive_bytes": dir_bytes(args.out),
         }
     tags = getattr(args, "tag", None) or None
+    codec_kw = dict(codec=getattr(args, "codec", "zstd") or "zstd",
+                    codec_level=getattr(args, "codec_level", None))
     if synth_sf is not None:
         counts = compress(synth_sf, args.out, compact=not args.no_compact,
-                          tags=tags)
+                          tags=tags, **codec_kw)
     elif is_cache:
         counts = compress(src, args.out, compact=not args.no_compact,
-                          tags=tags)
+                          tags=tags, **codec_kw)
     else:
         # arbitrary transcript parquet path: read it directly (the reference's
         # archive-per-input-group model, clp/compression.cpp:133-163)
         import ray.data as rd
 
         counts = compress(None, args.out, compact=not args.no_compact,
-                          ds=rd.read_parquet(src), input_label=src, tags=tags)
+                          ds=rd.read_parquet(src), input_label=src, tags=tags,
+                          **codec_kw)
     wall = time.time() - t0
     total = sum(counts.column("cnt").to_pylist())
     out = {
@@ -582,6 +585,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--tag", action="append",
                    help="archive tag recorded in the manifest (repeatable; "
                         "search --tag selects on it)")
+    c.add_argument("--codec", default="zstd",
+                   help="segment codec: passthrough|zstd|lz4|gzip|brotli|"
+                        "snappy (Compressor.hpp breadth; default zstd)")
+    c.add_argument("--codec-level", type=int, default=None,
+                   help="codec compression level (default: codec-specific)")
     c.add_argument("--fragment-target-bytes", type=int, default=None,
                    help="pack small input files into ~this-many-byte "
                         "fragments (reference scheduler partition.py role); "

@@ -32,6 +32,27 @@ from clp_core_ray.stages.enrich import EnrichStage
 from clp_core_ray.stages.route import RouteStage
 from clp_core_ray.state import manifest as mf
 
+# Segment codec choices (K2 breadth): the reference's Compressor.hpp offers
+# passthrough/zstd/lzma; parquet's codec set maps passthrough→NONE and covers
+# the high-ratio niche with gzip/brotli (parquet has no lzma). zstd level 3
+# is CLP's own default (CommandLineArguments.hpp:90).
+CODECS = {
+    "passthrough": ("none", None),
+    "zstd": ("zstd", 3),
+    "lz4": ("lz4", None),
+    "gzip": ("gzip", None),
+    "brotli": ("brotli", None),
+    "snappy": ("snappy", None),
+}
+
+
+def _codec(name: str, level: int | None):
+    if name not in CODECS:
+        raise ValueError(f"unknown codec {name!r}; choose {sorted(CODECS)}")
+    c, default_level = CODECS[name]
+    return c, (level if level is not None else default_level)
+
+
 ENCODE_BATCH_SIZE = 16 * 1024  # rows; ~2-4 MB of text per batch → warm scratch
 FUSED_ROWS_PER_BLOCK = 64 * 1024  # fused-sink file target → ≥~7k rows/class file
 # Parallelism (≥1 block/CPU) takes priority over the file-size target only
@@ -152,7 +173,8 @@ class FusedSinkStage:
     def __init__(self, routed_dir: str, keep_text: bool = False,
                  dict_delta_dir: str | None = None, compact: bool = False,
                  dict_cap_entries: int | None = None, dict_cols=(),
-                 row_group_rows: int = 64 * 1024):
+                 row_group_rows: int = 64 * 1024,
+                 codec: str = "zstd", codec_level: int | None = None):
         self.stage = FullEncodeStage(
             keep_text=keep_text, dict_delta_dir=dict_delta_dir,
             compact=compact, dict_cap_entries=dict_cap_entries,
@@ -160,6 +182,7 @@ class FusedSinkStage:
         self.routed_dir = routed_dir
         self.dict_cols = list(dict_cols)
         self.row_group_rows = row_group_rows
+        self.compression, self.compression_level = _codec(codec, codec_level)
 
     @staticmethod
     def _part_name(cls: str, sub: pa.Table) -> str:
@@ -231,7 +254,8 @@ class FusedSinkStage:
             # os.replace() to the SAME deterministic final name (atomic,
             # identical content, last-wins)
             tmp = os.path.join(d, f"{name}.{os.getpid()}.inprogress")
-            pq.write_table(sub, tmp, compression="zstd", compression_level=3,
+            pq.write_table(sub, tmp, compression=self.compression,
+                           compression_level=self.compression_level,
                            use_dictionary=dict_cols,
                            row_group_size=self.row_group_rows)
             os.replace(tmp, os.path.join(d, name + ".parquet"))
@@ -340,6 +364,8 @@ def compress(
     input_label: str | None = None,
     tags: list | None = None,
     catalog_base: str | None = None,
+    codec: str = "zstd",
+    codec_level: int | None = None,
 ):
     """Run the flagship pipeline; returns the per-class count table (small).
 
@@ -419,6 +445,7 @@ def compress(
             routed_dir=routed_dir, keep_text=keep_text,
             dict_delta_dir=delta_dir, compact=compact,
             dict_cap_entries=dict_cap, dict_cols=dict_cols,
+            codec=codec, codec_level=codec_level,
         )
         os.makedirs(routed_dir, exist_ok=True)
         if _use_encode_actors():
@@ -477,8 +504,9 @@ def compress(
         # this level the sink write costs the same wall time as level 1 but
         # produces ~6% smaller archives (measured 8.4s/269MB vs 8.5s/286MB
         # at sf1.6)
+        comp, lvl = _codec(codec, codec_level)
         encoded.write_parquet(routed_dir, partition_cols=["logtype_class"],
-                              compression="zstd", compression_level=3,
+                              compression=comp, compression_level=lvl,
                               use_dictionary=dict_cols)
         t_write = time.time()
         # the two post-write steps are independent (footer reads vs the delta

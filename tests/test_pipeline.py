@@ -716,3 +716,38 @@ def test_fragment_size_grouping(ray_session, tmp_path):
                   for f in fs if f.endswith(".parquet")]
     assert sum(pq.ParquetFile(f).metadata.num_rows
                for f in sink_files) == total_rows
+
+
+def test_compress_codec_breadth(ray_session, tmp_path):
+    """K2 codec breadth (Compressor.hpp passthrough/zstd/... roles): every
+    codec yields a byte-different but content-identical archive; passthrough
+    is the largest, zstd round-trips exactly."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress, dir_bytes
+    from clp_core_ray.pipelines.decompress import decompress
+
+    n = 2000
+    base = 1_700_000_000_000_000
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i % 5}" for i in range(n)]),
+        "turn_idx": pa.array(np.arange(n) % 23, type=pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array([f"INFO req {i} took {i % 7}.25 ms" for i in range(n)]),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([base + i * 1000 for i in range(n)],
+                       type=pa.timestamp("us")),
+    })
+    sizes = {}
+    texts = {}
+    for codec in ("passthrough", "zstd", "lz4"):
+        out = str(tmp_path / f"arch_{codec}")
+        compress(None, out, ds=rd.from_arrow(tbl), input_label="t",
+                 codec=codec)
+        sizes[codec] = dir_bytes(os.path.join(out, "routed"))
+        texts[codec] = sorted(
+            decompress(out, columns=("conv_id", "turn_idx"))
+            .to_pandas()["text"])
+    assert sizes["passthrough"] > sizes["zstd"]
+    assert texts["passthrough"] == texts["zstd"] == texts["lz4"]
+    assert len(texts["zstd"]) == n
