@@ -479,6 +479,134 @@ def knn_label_vote_ds(ds, k: int = 5, id_col: str = "vec_id",
     return rd.from_arrow(pa.concat_tables(ray.get(refs)))
 
 
+def knn_label_vote_ivf(ds, index_dir: str, k: int = 5, n_probe: int = 4,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       label_col: str = "label"):
+    """kNN label vote with candidates routed through the at-rest IVF index —
+    the scale path for :func:`knn_label_vote_ds`'s exact O(blocks²)
+    self-join.
+
+    Each query block computes its queries' ``n_probe`` nearest cells once;
+    one raw task per (query block, probed cell) scores ONLY the probing
+    subset of the block against that cell's partition, so total matmul work
+    is ~n·n_probe/n_cells of the exact join's n². The cell partitions carry
+    the label column from index build time (build_ivf_index passes all input
+    columns through), so votes need no extra join. Exact — identical to
+    ``knn_label_vote_ds`` — when ``n_probe >= n_cells`` (every cell read);
+    partial probes trade recall for the pruning (bounded in pytest).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _fixed_matrix
+
+    ct = pq.read_table(f"{index_dir}/centroids.parquet")
+    cents = np.asarray(
+        ct.column("centroid").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(ct), -1)
+    n_probe = min(n_probe, len(cents))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col)).astype(np.float32)
+        dim = m.shape[1] if m.size else 1
+        probes = (np.argsort(-(m @ cents.T), axis=1)[:, :n_probe]
+                  .astype(np.int32) if m.size else
+                  np.zeros((0, n_probe), dtype=np.int32))
+        return pa.table({
+            id_col: batch.column(id_col).combine_chunks().cast(pa.int64()),
+            "nemb": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), dim),
+            "probes": pa.FixedSizeListArray.from_arrays(
+                pa.array(probes.reshape(-1)), n_probe),
+        })
+
+    qblocks = ds.map_batches(prep, batch_format="pyarrow").materialize() \
+        .to_arrow_refs()
+
+    @ray.remote
+    def load_cell(paths: list) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        t = pa.concat_tables(
+            _pq.read_table(p, columns=[id_col, emb_col, label_col])
+            for p in paths)
+        m = _normalize(_emb_matrix(t, emb_col)).astype(np.float32)
+        dim = m.shape[1] if m.size else 1
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+            label_col: t.column(label_col).combine_chunks().cast(pa.int64()),
+            "nemb": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), dim),
+        })
+
+    cell_refs = {}
+    for c in range(len(cents)):
+        p = f"{index_dir}/cells/ivf_cell={c}"
+        if os.path.isdir(p):
+            paths = [os.path.join(p, f) for f in sorted(os.listdir(p))
+                     if f.endswith(".parquet")]
+            if paths:
+                cell_refs[c] = load_cell.remote(paths)
+
+    def _empty_cand() -> pa.Table:
+        return pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "neighbor_label": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64())})
+
+    @ray.remote
+    def pair(qt: pa.Table, cellt: pa.Table, cell_id: int) -> pa.Table:
+        probes = np.asarray(
+            qt.column("probes").combine_chunks().flatten(), dtype=np.int64
+        ).reshape(len(qt), -1)
+        sub = np.flatnonzero((probes == cell_id).any(axis=1))
+        if not len(sub) or not len(cellt):
+            return _empty_cand()
+        ma = _fixed_matrix(qt, "nemb")[sub]
+        ia = np.asarray(qt.column(id_col), dtype=np.int64)[sub]
+        mb = _fixed_matrix(cellt, "nemb")
+        ib = np.asarray(cellt.column(id_col), dtype=np.int64)
+        lb = np.asarray(cellt.column(label_col), dtype=np.int64)
+        scores = (ma @ mb.T).astype(np.float64)
+        scores[ia[:, None] == ib[None, :]] = -np.inf  # exclude self
+        kk = min(k, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(ia, kk)),
+            "neighbor_id": pa.array(ib[part].reshape(-1)),
+            "neighbor_label": pa.array(lb[part].reshape(-1)),
+            "score": pa.array(
+                np.take_along_axis(scores, part, axis=1).reshape(-1)),
+        })
+
+    @ray.remote
+    def reduce_votes(*cands) -> pa.Table:
+        cand = pa.concat_tables(cands)
+        if len(cand) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "label_pred": pa.array([], type=pa.int32())})
+        top = _merge_topk(cand.select(["query_id", "neighbor_id", "score"]), k)
+        cn = np.asarray(cand.column("neighbor_id"), dtype=np.int64)
+        cl = np.asarray(cand.column("neighbor_label"), dtype=np.int64)
+        order = np.argsort(cn, kind="stable")
+        cn, cl = cn[order], cl[order]
+        nid = np.asarray(top.column("neighbor_id"), dtype=np.int64)
+        nlab = cl[np.searchsorted(cn, nid)]
+        qid = np.asarray(top.column("query_id"), dtype=np.int64)
+        return _majority_vote(qid, nlab, id_col)
+
+    refs = [
+        reduce_votes.remote(*[pair.remote(qb, cr, c)
+                              for c, cr in cell_refs.items()])
+        for qb in qblocks
+    ]
+    return rd.from_arrow(pa.concat_tables(ray.get(refs)))
+
+
 def knn_label_vote(ds, k: int = 5, id_col: str = "vec_id",
                    emb_col: str = "embedding", label_col: str = "label"):
     """Predict each row's label by majority over its k nearest neighbors.

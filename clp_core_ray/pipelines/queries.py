@@ -64,7 +64,8 @@ _GATE_PRIORITY = [
     "docs_inverted_index", "docs_tf_df", "docs_bm25", "docs_bigram_counts",
     "docs_perplexity",
     # similarity / clustering / linalg
-    "emb_knn_label_vote", "emb_ann_topk_pq", "emb_ann_topk_ivfpq",
+    "emb_knn_label_vote", "emb_knn_label_vote_ivf",
+    "emb_ann_topk_pq", "emb_ann_topk_ivfpq",
     "emb_kmeans_assign", "emb_kmeans", "emb_gram_int", "emb_pca_project",
     # temporal joins + windows + per-group ops
     "events_asof_latest_order", "events_window_join", "events_sliding_window",
@@ -72,7 +73,7 @@ _GATE_PRIORITY = [
     "events_value_quantiles", "events_value_quantiles_cont",
     "events_value_histogram", "lineitem_semi_hivalue",
     # sketches
-    "events_approx_users", "events_heavy_users", "events_approx_quantiles",
+    "events_approx_users", "events_heavy_users",
 ]
 
 
@@ -2262,6 +2263,40 @@ def emb_knn_label_vote(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding", "label"])
     out = knn_label_vote_ds(ds.repartition(4), k=5)
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+@register(
+    "emb_knn_label_vote_ivf",
+    "WITH nn AS (SELECT q.vec_id AS vec_id, e.label AS nlabel "
+    "FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id "
+    "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) <= 5), "
+    "votes AS (SELECT vec_id, nlabel, count(*) AS c FROM nn GROUP BY 1, 2) "
+    "SELECT vec_id, CAST(nlabel AS INTEGER) AS label_pred FROM votes "
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nlabel) = 1",
+)
+def emb_knn_label_vote_ivf(sf_dir: str):
+    """kNN label vote routed through the at-rest IVF index — the scale path
+    for the exact self-join (candidate work ~ n*n_probe/n_cells of n^2).
+    Oracled in the exact configuration (n_probe = n_cells reads every cell,
+    equal to the brute-force vote); partial probes are the production mode
+    and are recall-bounded in pytest."""
+    import os
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import (
+        build_ivf_index,
+        knn_label_vote_ivf,
+    )
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/knn_ivf_index_sf{sf_of_dir(sf_dir)}"
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    if not os.path.exists(f"{idx}/centroids.parquet"):
+        build_ivf_index(ds, idx, n_centroids=8)
+    out = knn_label_vote_ivf(ds.repartition(4), idx, k=5, n_probe=8)
     return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 

@@ -252,6 +252,27 @@ def test_knn_label_vote(ray_session):
             .to_pandas().sort_values("vec_id"))
     assert dict(zip(out2.vec_id, out2.label_pred)) == pred
 
+    # IVF-routed scale path: full probe == exact reference; partial probe
+    # keeps the clusters (well-separated data, n_probe=1 suffices here)
+    import tempfile
+
+    from clp_core_ray.functions.similarity import (
+        build_ivf_index,
+        knn_label_vote_ivf,
+    )
+
+    idx = tempfile.mkdtemp(prefix="knn_ivf_")
+    build_ivf_index(rd.from_arrow(tbl), idx, n_centroids=4)
+    full = (knn_label_vote_ivf(rd.from_arrow(tbl).repartition(4), idx,
+                               k=5, n_probe=4)
+            .to_pandas().sort_values("vec_id"))
+    assert dict(zip(full.vec_id, full.label_pred)) == pred
+    part = (knn_label_vote_ivf(rd.from_arrow(tbl).repartition(4), idx,
+                               k=5, n_probe=1)
+            .to_pandas().sort_values("vec_id"))
+    acc1 = (part.label_pred.values == np.array(labels)[part.vec_id]).mean()
+    assert acc1 == 1.0  # separated clusters survive a 1-cell probe
+
 
 def test_multimodal_image_stage(ray_session):
     import ray.data as rd
