@@ -853,16 +853,45 @@ def run_fragments(sf_dir_or_sf, out_dir: str,
     frag_ids = [_fragment_id(g) for g in groups]
     todo = mf.pending_fragments(frag_ids, out_dir)
     by_id = dict(zip(frag_ids, groups))
+    dict_cols = ["conv_id", "role", "tool", "role_group", "tool_category",
+                 "logtype"]
     for frag in todo:
         import time
 
         t0 = time.time()
         paths = by_id[frag]
-        encoded = build_encoded(rd.read_parquet(paths))
         sink = os.path.join(out_dir, f"fragment={frag}")
-        encoded.write_parquet(sink, partition_cols=["logtype_class"], compression="zstd")
-        counts, ts_range = sink_class_stats(sink)
-        n_rows = int(sum(counts.column("cnt").to_pylist()))
+        os.makedirs(sink, exist_ok=True)
+        # fused sink (same as the flagship): each encode task writes its own
+        # per-class files and returns tiny stats rows — the encoded fragment
+        # never re-enters the object store, and counts/ts-range come from
+        # the stats instead of a post-write footer pass. compact=False keeps
+        # rows self-contained (inline logtype/dict_vars), so fragments need
+        # no per-fragment dictionary finalize.
+        stats_ds = rd.read_parquet(paths).map_batches(
+            FusedSinkStage(routed_dir=sink, compact=False,
+                           dict_cols=dict_cols),
+            batch_format="pyarrow", batch_size=None,
+        )
+        stats = _to_table(stats_ds)
+        sweep_inprogress(sink)
+        agg: dict[str, int] = {}
+        lo = hi = None
+        for cls, c, l, h in zip(stats.column("logtype_class").to_pylist(),
+                                stats.column("cnt").to_pylist(),
+                                stats.column("ts_min").to_pylist(),
+                                stats.column("ts_max").to_pylist()):
+            agg[cls] = agg.get(cls, 0) + c
+            if l is not None:
+                lo = l if lo is None else min(lo, l)
+            if h is not None:
+                hi = h if hi is None else max(hi, h)
+        counts = pa.table({
+            "logtype_class": pa.array(sorted(agg), type=pa.string()),
+            "cnt": pa.array([agg[k] for k in sorted(agg)], type=pa.int64()),
+        })
+        ts_range = (lo, hi) if lo is not None else None
+        n_rows = int(sum(agg.values()))
         wall = time.time() - t0
         mf.record_fragment(
             out_dir,

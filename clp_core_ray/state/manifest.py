@@ -77,10 +77,13 @@ def select_fragments(out_dir: str, path_glob: str | None = None,
 
     out = []
     for man in read_manifests(out_dir):
-        if path_glob is not None and not fnmatch.fnmatch(
-            str(man.get("input", "")), path_glob
-        ):
-            continue
+        if path_glob is not None:
+            inp = man.get("input", "")
+            # grouped fragments record a LIST of member files — the fragment
+            # matches when any member does
+            members = inp if isinstance(inp, list) else [inp]
+            if not any(fnmatch.fnmatch(str(m), path_glob) for m in members):
+                continue
         if ts_range is not None and "ts_min" in man and "ts_max" in man:
             lo, hi = ts_range
             if int(man["ts_max"]) < lo or int(man["ts_min"]) > hi:
