@@ -272,8 +272,21 @@ def cmd_search(args) -> dict:
 def cmd_stats(args) -> dict:
     from clp_core_ray.pipelines.search import list_archives
 
-    rows = list_archives(args.archive)
+    rows = [dict(r, tags=sorted(r.get("tags") or []))
+            for r in list_archives(args.archive)]
     return {"cmd": "stats", "archives": len(rows), "detail": rows}
+
+
+def cmd_catalog_init(args) -> dict:
+    """Create a global archive catalog under a base dir (the
+    GlobalSQLiteMetadataDB role); subsequent compress jobs whose output dir
+    lives under the base register automatically and archive selection
+    becomes catalog-only."""
+    from clp_core_ray.state import catalog as cat
+
+    d = cat.init_catalog(args.base)
+    return {"cmd": "catalog-init", "catalog": d,
+            "entries": len(cat.read_catalog(args.base))}
 
 
 def cmd_ir_extract(args) -> dict:
@@ -634,6 +647,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print N conversation turns around each match "
                         "(grep -C over CLP results)")
     s.set_defaults(fn=cmd_search)
+
+    ci = sub.add_parser("catalog-init",
+                        help="create a global archive catalog (_catalog/) "
+                             "under a base dir; concurrent compress jobs "
+                             "register lock-free")
+    ci.add_argument("--base", required=True, help="archives base dir")
+    ci.set_defaults(fn=cmd_catalog_init)
 
     st = sub.add_parser("stats", help="list archives + manifests")
     st.add_argument("--archive", required=True, help="base dir of archives")

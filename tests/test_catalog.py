@@ -85,3 +85,26 @@ def test_reregistration_is_idempotent(ray_session, tmp_path):
              input_label="a")
     cat.register_archive(base, arch)  # manual re-register: same entry file
     assert len(cat.read_catalog(base)) == 1
+
+
+def test_catalog_cli(ray_session, tmp_path, capsys):
+    import json as _json
+
+    import ray.data as rd
+
+    from clp_core_ray.cli import main as cli_main
+    from clp_core_ray.pipelines.compress import compress
+
+    def run(argv):
+        assert cli_main(argv) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    base = str(tmp_path / "archives")
+    res = run(["catalog-init", "--base", base])
+    assert res["entries"] == 0 and os.path.isdir(res["catalog"])
+    compress(None, os.path.join(base, "a1"),
+             ds=rd.from_arrow(_transcripts(50, "x", 10**15)),
+             input_label="x", tags=["t"])
+    res = run(["stats", "--archive", base])
+    assert res["archives"] == 1
+    assert res["detail"][0]["tags"] == ["t"]
