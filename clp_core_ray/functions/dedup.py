@@ -983,9 +983,20 @@ def _rolling_window_hashes(texts: list, window: int):
     return h, n_win, pos
 
 
+def _pow2_buckets(n_buckets: int | None) -> int:
+    """Resolve a bucket count for mask-based (power-of-two) bucketing:
+    the cluster-scaled default rounded UP to the next power of two."""
+    if n_buckets is not None:
+        return n_buckets
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    return 1 << (scaled_buckets() - 1).bit_length()
+
+
 def dup_spans_ds(ds, *, id_col: str = "doc_id", text_col: str = "text",
                  window: int = 40, min_count: int = 2,
-                 n_buckets: int = 64, driver_cap_bytes: int | None = None):
+                 n_buckets: int | None = None,
+                 driver_cap_bytes: int | None = None):
     """Exact duplicated-substring spans over a document Dataset.
 
     Returns Dataset[(id_col, span_start, span_end)] — maximal merged
@@ -1002,6 +1013,7 @@ def dup_spans_ds(ds, *, id_col: str = "doc_id", text_col: str = "text",
                                              _bloom_positions, build_bloom)
 
     cap = BROADCAST_BYTES_CAP if driver_cap_bytes is None else driver_cap_bytes
+    n_buckets = _pow2_buckets(n_buckets)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -1151,7 +1163,7 @@ def dup_spans_ds(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
 def scrub_dup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
                     window: int = 40, min_count: int = 2,
-                    n_buckets: int = 64, spans=None):
+                    n_buckets: int | None = None, spans=None):
     """The deduplicated corpus: every duplicated span cut from every doc.
 
     Returns Dataset[(id_col, text_col)] with each doc's duplicated spans
@@ -1166,6 +1178,7 @@ def scrub_dup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
     """
     from clp_core_ray.pipelines.join import auto_join
 
+    n_buckets = _pow2_buckets(n_buckets)
     if spans is None:
         spans = dup_spans_ds(ds, id_col=id_col, text_col=text_col,
                              window=window, min_count=min_count,

@@ -498,6 +498,32 @@ def clp_search_multi_archive(sf_dir: str):
     return search_archives(_multi_archive_dir(sf_dir), "ERROR*timeout")
 
 
+@register(
+    "clp_catalog_search",
+    "SELECT conv_id, turn_idx, text FROM {T} "
+    "WHERE text LIKE '%ERROR%timeout%'",
+)
+def clp_catalog_search(sf_dir: str):
+    """Multi-archive search with archive selection through the global
+    catalog ONLY (state/catalog.py, the GlobalSQLiteMetadataDB role): both
+    archives register lock-free entries; once the catalog exists,
+    select_archives never scans directories or walks per-archive manifests.
+    Results must equal the manifest-scan path (clp_search_multi_archive)."""
+    from clp_core_ray.pipelines.search import search_archives
+    from clp_core_ray.state import catalog as cat
+
+    base = _multi_archive_dir(sf_dir)
+    if not cat.has_catalog(base):
+        cat.init_catalog(base)
+    registered = {e["archive"] for e in cat.read_catalog(base)}
+    for name in sorted(os.listdir(base)):
+        d = os.path.join(base, name)
+        if name != cat.CATALOG_DIR and os.path.isdir(
+                os.path.join(d, "routed")) and name not in registered:
+            cat.register_archive(base, d)
+    return search_archives(base, "ERROR*timeout")
+
+
 def _glt_dir(arch: str) -> str:
     """Regroup the archive into the GLT layout once (cached by marker)."""
     import shutil

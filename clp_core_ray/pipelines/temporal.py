@@ -578,7 +578,7 @@ def grouped_quantile_cont(
 
 def funnel_users(ds, *, key: str, ts_col: str, type_col: str,
                  from_type: str, to_type: str, window_us: int,
-                 n_buckets: int = 64):
+                 n_buckets: int | None = None):
     """Conversion funnel: the distinct ``key`` values with a ``from_type``
     event followed by a ``to_type`` event STRICTLY later and within
     ``window_us`` (inclusive upper bound) — the sequential-pattern join SQL
@@ -625,13 +625,15 @@ def funnel_users(ds, *, key: str, ts_col: str, type_col: str,
         converted = np.unique(ids[is_from][hi > lo])
         return pa.table({key: pa.array(converted)})
 
+    n_buckets = n_buckets or scaled_buckets()
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_fbucket").map_groups(per_bucket,
                                             batch_format="pyarrow"))
 
 
 def funnel_steps(ds, *, key: str, ts_col: str, type_col: str,
-                 steps: list[str], window_us: int, n_buckets: int = 64):
+                 steps: list[str], window_us: int,
+                 n_buckets: int | None = None):
     """Multi-step funnel with GREEDY earliest-first semantics (the standard
     product-analytics definition, and what a chain of ``min(ts)`` CTEs
     spells in SQL): anchor on each key's EARLIEST step-0 event, then each
@@ -701,6 +703,7 @@ def funnel_steps(ds, *, key: str, ts_col: str, type_col: str,
         done = np.flatnonzero(cur != INF)
         return pa.table({key: pa.array(ids[starts][done])})
 
+    n_buckets = n_buckets or scaled_buckets()
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_fbucket").map_groups(per_bucket,
                                             batch_format="pyarrow"))
