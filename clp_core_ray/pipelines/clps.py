@@ -455,7 +455,12 @@ def clps_compress(source, out_dir: str, timestamp_key: str | None = None,
                     meta["ts_string"] = "1"  # range unit: epoch ms (parsed)
                     t = t.append_column("\x00ts_ms", ts_ms)
         t = t.replace_schema_metadata({k: v for k, v in meta.items()})
-        pq.write_table(
+        # schema id IS the file identity: atomic pid-tmp -> replace makes a
+        # retried/speculative group task overwrite its own output and keeps
+        # readers from ever seeing a torn table (state/atomic.py)
+        from clp_core_ray.state.atomic import atomic_replace_table
+
+        atomic_replace_table(
             t,
             os.path.join(out_dir, f"schema_{sid & 0xFFFFFFFFFFFFFFFF:016x}.parquet"),
             compression="zstd",
@@ -468,6 +473,11 @@ def clps_compress(source, out_dir: str, timestamp_key: str | None = None,
         .map_groups(write_schema_table, batch_format="pyarrow")
         .to_pandas()
     )
+    # job complete: sweep dead attempts' tmps (schema readers filter on the
+    # .parquet suffix, but stale tmps pollute listings and size accounting)
+    from clp_core_ray.pipelines.compress import sweep_inprogress
+
+    sweep_inprogress(out_dir)
     schemas = dict(zip(acct.schema_id.astype(int), acct.n_records.astype(int)))
     with open(os.path.join(out_dir, SCHEMA_META), "w") as f:
         json.dump({str(k): int(v) for k, v in schemas.items()}, f)
@@ -714,8 +724,10 @@ def clps_extract_ordered_chunks(out_dir: str, dest_dir: str,
         first = pc.min(batch.column("log_event_idx")).as_py()
         last = pc.max(batch.column("log_event_idx")).as_py()
         t = batch.append_column("nbytes", pc.cast(nbytes, pa.int64()))
+        from clp_core_ray.state.atomic import atomic_replace_table
+
         path = os.path.join(stage_dir, f"part_{first:020d}.parquet")
-        pq.write_table(t, path, compression="zstd")
+        atomic_replace_table(t, path, compression="zstd")
         return pa.table({"first_idx": pa.array([first], type=pa.int64()),
                          "last_idx": pa.array([last], type=pa.int64()),
                          "total_bytes": pa.array(
@@ -798,7 +810,7 @@ def clps_extract_ordered_chunks(out_dir: str, dest_dir: str,
         })
 
     rows = (
-        rd.read_parquet(stage_dir)
+        rd.read_parquet(stage_dir, file_extensions=["parquet"])
         .map_batches(assign, batch_format="pyarrow")
         .groupby("chunk_id")
         .map_groups(write_chunk, batch_format="pyarrow")

@@ -59,6 +59,23 @@ def atomic_write_table(table: pa.Table, dir_: str, *, prefix: str = "part",
     return final
 
 
+def atomic_replace_table(table: pa.Table, final_path: str,
+                         **pq_kwargs) -> str:
+    """Write ``table`` to a DETERMINISTIC final path via pid-tmp →
+    ``os.replace`` — for writers whose file name IS the identity (a clp_s
+    schema table is ``schema_<id>.parquet``, a stage part is keyed by its
+    first row index). Retried/speculative attempts each write their own tmp
+    and replace the same final name with identical content; readers never
+    observe a torn or half-truncated file (a bare ``pq.write_table`` to the
+    final name truncates-then-writes in place)."""
+    import pyarrow.parquet as pq
+
+    tmp = f"{final_path}.{os.getpid()}.inprogress"
+    pq.write_table(table, tmp, **pq_kwargs)
+    os.replace(tmp, final_path)
+    return final_path
+
+
 def atomic_write_bytes(blob: bytes, dir_: str, *, prefix: str,
                        suffix: str) -> str:
     """Write raw bytes with a content-hash name via tmp → ``os.replace``."""

@@ -520,7 +520,10 @@ def _merge_write_bucket(b: int, var_part_path: str, *parts) -> pa.Table:
     # use_dictionary=False: dict-var values are mostly unique, so parquet
     # dictionary pages cost ~15x encode time AND more bytes (measured 2.6s
     # -> 0.14s per part, 47 -> 42 MB total at sf1.6)
-    pq.write_table(var_tbl, var_part_path, compression="zstd", use_dictionary=False)
+    from clp_core_ray.state.atomic import atomic_replace_table
+
+    atomic_replace_table(var_tbl, var_part_path, compression="zstd",
+                         use_dictionary=False)
     return t.filter(pc.equal(t.column("kind"), 0))
 
 
