@@ -264,10 +264,11 @@ def measure_efficiency(lo_cpus: int = 4, hi_cpus: int = 16,
     per level is the honest floor. Same input both levels (cached).
 
     Adaptive rounds: a single noisy sample inflates a level's floor (this
-    host swings ±2x for minutes at a time — the hi level, with 4x less
-    compute per run, is the sensitive one), so keep sampling up to
-    ``max_rounds`` until the floor estimate stabilizes (efficiency ≥ 0.85) —
-    extra samples can only LOWER a floor, never fake a speedup."""
+    host swings ±2x for minutes at a time), so keep sampling up to
+    ``max_rounds`` until the estimate lands in a plausible band — a noisy hi
+    floor UNDERSTATES efficiency, a noisy lo floor OVERSTATES it (>1.0 is a
+    measurement artifact, not super-linear code), so both tails trigger more
+    rounds. Extra samples can only LOWER a floor, never fake a speedup."""
     def probe(ncpu: int) -> float:
         env = dict(os.environ)
         env.pop("CLP_TRANSCRIPTS_DIR_OVERRIDE", None)
@@ -283,7 +284,7 @@ def measure_efficiency(lo_cpus: int = 4, hi_cpus: int = 16,
         lo_runs.append(probe(lo_cpus))
         hi_runs.append(probe(hi_cpus))
         eff = (min(lo_runs) / min(hi_runs)) / (hi_cpus / lo_cpus)
-        if r + 1 >= min_rounds and eff >= 0.85:
+        if r + 1 >= min_rounds and 0.85 <= eff <= 1.05:
             break
     t_lo, t_hi = min(lo_runs), min(hi_runs)
     return {
