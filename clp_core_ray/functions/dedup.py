@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 
 from clp_core_ray.functions.text import fingerprints, word_shingle_hashes
 
+_SPLITMIX64 = np.uint64(0x9E3779B97F4A7C15)
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -847,9 +849,11 @@ def semantic_dedup(ds, centroids: np.ndarray, *, threshold: float = 0.95,
 
 
 def fuzzy_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
-                threshold: float = 0.5, k_shingle: int = 3):
+                threshold: float = 0.5, k_shingle: int = 3,
+                carry_cols: tuple[str, ...] = ()):
     """End-to-end MinHash-LSH fuzzy dedup → ``(doc_id, cluster_id)`` for
-    EVERY document in the corpus.
+    EVERY document in the corpus (plus ``carry_cols`` passed through the
+    join untouched, for downstream keep-policy scoring).
 
     Composition of the three scale-safe pieces: ``minhash_lsh_pairs``
     (band-bucket LSH + signature verify), ``dup_clusters_ds`` (distributed
@@ -873,13 +877,16 @@ def fuzzy_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     pairs = minhash_lsh_pairs(docs_ds, id_col, text_col, threshold, k_shingle)
     clusters = dup_clusters_ds(pairs)  # materialized (doc_id, cluster_id)
 
-    left = docs_ds.select_columns([id_col])
+    left = docs_ds.select_columns([id_col, *carry_cols])
 
     def finish(t: pa.Table) -> pa.Table:
         cid = pc.coalesce(t.column("cluster_id").cast(pa.int64()),
                           t.column(id_col).cast(pa.int64()))
-        return pa.table({id_col: t.column(id_col).combine_chunks().cast(
-            pa.int64()), "cluster_id": cid.combine_chunks()})
+        cols = {id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+                "cluster_id": cid.combine_chunks()}
+        for c in carry_cols:
+            cols[c] = t.column(c).combine_chunks()
+        return pa.table(cols)
 
     if estimated_bytes(clusters) <= BROADCAST_BYTES_CAP:
         # empty shuffle partitions surface as column-less blocks; drop them
@@ -897,6 +904,56 @@ def fuzzy_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         joined = hash_join(left, renamed, id_col, "_cdoc",
                            join_type="left_outer")
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def fuzzy_dedup_keep_best(docs_ds, score_col: str, id_col: str = "doc_id",
+                          text_col: str = "text", threshold: float = 0.5,
+                          k_shingle: int = 3, num_buckets: int | None = None):
+    """Quality-aware fuzzy dedup: one survivor per near-dup cluster, chosen
+    by HIGHEST ``score_col`` (ties → smallest ``id_col``) instead of the
+    min-id policy ``filter(doc_id == cluster_id)`` implies.
+
+    The keep-best policy is what production curation pipelines actually run
+    (keep the longest / highest-quality member, not the lowest id). Shape:
+    the :func:`fuzzy_dedup` cluster map carries the score through its join,
+    then a per-batch argmax partial (one row per cluster per batch) feeds a
+    cluster-hash-bucketed final argmax — the shuffle moves at most one row
+    per (cluster, batch), never the corpus. Returns ``(id_col, cluster_id)``
+    for the surviving documents only.
+    """
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = num_buckets or scaled_buckets()
+
+    cmap = fuzzy_dedup(docs_ds, id_col, text_col, threshold, k_shingle,
+                       carry_cols=(score_col,))
+
+    def _argmax(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        cl = np.asarray(t.column("cluster_id"), dtype=np.int64)
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        sc = np.asarray(pc.cast(t.column(score_col).combine_chunks(),
+                                pa.float64()))
+        order = np.lexsort((ids, -sc, cl))  # cluster, score desc, id asc
+        first = np.ones(len(cl), dtype=bool)
+        clo = cl[order]
+        first[1:] = clo[1:] != clo[:-1]
+        sel = order[first]
+        return cl[sel], ids[sel], sc[sel]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cl, ids, sc = _argmax(t)
+        b = ((cl.astype(np.uint64) * _SPLITMIX64) >> np.uint64(32)) \
+            % np.uint64(nb)
+        return pa.table({"cluster_id": cl, id_col: ids, score_col: sc,
+                         "_bucket": b.astype(np.int32)})
+
+    def final(g: pa.Table) -> pa.Table:
+        cl, ids, _ = _argmax(g)
+        return pa.table({id_col: ids, "cluster_id": cl})
+
+    return (cmap.map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(final, batch_format="pyarrow"))
 
 
 # --------------------------------------------------------------------------

@@ -416,3 +416,64 @@ def bm25_scores(ds, query_terms, *, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def top_terms_per_group(ds, *, group_col: str = "lang",
+                        text_col: str = "text", k: int = 5,
+                        num_buckets: int | None = None):
+    """EXACT top-k most frequent terms per group (vocabulary report, the
+    per-language Zipf-head every corpus card prints).
+
+    Three bounded stages, no corpus-sized shuffle:
+    (1) per-batch explode (shared :func:`_explode_terms` tokenizer) +
+    per-batch ``(group, term, count)`` partials — the exchange carries one
+    row per distinct (group, term) per batch, never per occurrence;
+    (2) term-hash-bucket groupby sums the partials (each (group, term)
+    total lands wholly in ONE bucket), then keeps the k best per group in
+    that bucket — valid partial: any global top-k member is in its own
+    bucket's per-group top-k;
+    (3) final per-group merge over ≤ k × num_buckets candidate rows per
+    group. Ordering is ``count DESC, term ASC`` (deterministic ties).
+    """
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = num_buckets or scaled_buckets()
+
+    def _topk(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        idx = pc.sort_indices(tbl, sort_keys=[(group_col, "ascending"),
+                                              ("cnt", "descending"),
+                                              ("term", "ascending")])
+        s = tbl.take(idx)
+        codes = np.asarray(
+            s.column(group_col).combine_chunks().dictionary_encode().indices)
+        n = len(codes)
+        new = np.ones(n, dtype=bool)
+        new[1:] = codes[1:] != codes[:-1]
+        run_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+        rank = np.arange(n) - run_start
+        return s.filter(pa.array(rank < k))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = _explode_terms(batch, text_col, group_col)
+        g = t.group_by([group_col, "term"]).aggregate([("term", "count")])
+        part = pa.table({group_col: g.column(group_col),
+                         "term": g.column("term"),
+                         "cnt": g.column("term_count").cast(pa.int64())})
+        return _route_terms(part, nb)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        tb = g.drop_columns(["_bucket"])
+        s = tb.group_by([group_col, "term"]).aggregate([("cnt", "sum")])
+        summed = pa.table({group_col: s.column(group_col),
+                           "term": s.column("term"),
+                           "cnt": s.column("cnt_sum")})
+        return _topk(summed)
+
+    partials = (ds.map_batches(explode, batch_format="pyarrow")
+                .groupby("_bucket").map_groups(per_bucket,
+                                               batch_format="pyarrow"))
+    # ≤ k × num_buckets rows per group reach the final merge
+    return partials.groupby(group_col).map_groups(_topk,
+                                                  batch_format="pyarrow")

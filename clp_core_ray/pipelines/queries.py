@@ -3325,3 +3325,88 @@ def events_approx_quantiles(sf_dir: str):
     return pa.table({"p50": pa.array([est[0.5]]),
                      "p90": pa.array([est[0.9]]),
                      "p99": pa.array([est[0.99]])})
+
+
+@register(
+    "docs_fuzzy_dedup_best",
+    "WITH RECURSIVE " + _JACCARD_PAIRS_CTES + ","
+    "e AS (SELECT doc_a AS a, doc_b AS b FROM jpairs"
+    "      UNION ALL SELECT doc_b, doc_a FROM jpairs),"
+    "reach(s, d) AS ("
+    "  SELECT a, b FROM e"
+    "  UNION"
+    "  SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.d"
+    "), comp AS ("
+    "  SELECT s AS doc_id, least(s, min(d)) AS cid FROM reach GROUP BY s"
+    "), cmap AS ("
+    "  SELECT d.doc_id, CAST(coalesce(c.cid, d.doc_id) AS BIGINT)"
+    "    AS cluster_id, d.n_chars"
+    "  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"
+    ") SELECT doc_id, cluster_id FROM ("
+    "  SELECT doc_id, cluster_id, row_number() OVER ("
+    "    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn"
+    "  FROM cmap) WHERE rn = 1",
+)
+def docs_fuzzy_dedup_best(sf_dir: str):
+    """Quality-aware fuzzy dedup: the cluster map from MinHash-LSH +
+    connected components, but the survivor per cluster is the HIGHEST-score
+    member (here n_chars = keep-the-longest; ties → min doc_id) — the
+    keep-best policy production curation runs instead of keep-min-id. The
+    score rides the cluster-map join; the argmax is per-batch partials
+    (≤ 1 row per cluster per batch) into a cluster-hash-bucketed final."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import fuzzy_dedup_keep_best
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    return fuzzy_dedup_keep_best(ds, "n_chars", threshold=0.5)
+
+
+@register(
+    "events_debounce",
+    "SELECT event_id, ts, user_id, event_type FROM ("
+    "  SELECT event_id, ts, user_id, event_type,"
+    "    lag(ts) OVER (PARTITION BY user_id, event_type"
+    "                  ORDER BY ts, event_id) AS pts"
+    "  FROM events)"
+    " WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 600000000",
+)
+def events_debounce(sf_dir: str):
+    """Lag-based debounce (retry/sensor dedup): keep an event iff the
+    previous event with the same (user_id, event_type) is absent or more
+    than 10 min earlier. One composite-key hash shuffle + an in-bucket
+    lexsort/shifted-compare pass."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import debounce
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    return debounce(ds, key_cols=["user_id", "event_type"],
+                    gap_us=600_000_000)
+
+
+@register(
+    "docs_top_terms_per_lang",
+    "WITH w AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS term"
+    "  FROM documents),"
+    "c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM w"
+    "  WHERE term <> '' GROUP BY lang, term)"
+    " SELECT lang, term, cnt FROM ("
+    "  SELECT lang, term, cnt, row_number() OVER ("
+    "    PARTITION BY lang ORDER BY cnt DESC, term) AS rn FROM c)"
+    " WHERE rn <= 5",
+)
+def docs_top_terms_per_lang(sf_dir: str):
+    """EXACT per-language Zipf head: top-5 terms per lang. Per-batch
+    (lang, term, count) partials → term-hash-bucket sum + per-group
+    bucket-local top-k (a valid partial) → final merge over
+    ≤ k × buckets candidate rows per group."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import top_terms_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    return top_terms_per_group(ds, group_col="lang", k=5)

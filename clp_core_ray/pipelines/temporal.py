@@ -707,3 +707,59 @@ def funnel_steps(ds, *, key: str, ts_col: str, type_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_fbucket").map_groups(per_bucket,
                                             batch_format="pyarrow"))
+
+
+def debounce(
+    ds,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int,
+    num_buckets: int | None = None,
+):
+    """Lag-based event debounce: keep a row iff the previous row with the
+    same key (ordered by ``(ts, id)``) is absent or STRICTLY more than
+    ``gap_us`` earlier — exactly SQL
+    ``lag(ts) OVER (PARTITION BY keys ORDER BY ts, id)`` semantics. The
+    previous row counts whether or not it was itself kept; the greedy
+    "since last KEPT event" variant is inherently sequential and is
+    deliberately not this operator.
+
+    The dedup-of-retries / sensor-debounce shape every event pipeline needs:
+    one hash shuffle (composite key → 64-bit mixed hash, hash-as-identity
+    like the other dedup operators), then a single lexsort + shifted-compare
+    pass inside each bucket. All input columns ride through unchanged.
+    """
+    nb = num_buckets or scaled_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = np.zeros(n, dtype=np.uint64)
+        for c in key_cols:
+            kc = np.asarray(_key_and_bucket(batch.column(c), 1)[0],
+                            dtype=np.int64).view(np.uint64)
+            key = key * np.uint64(0x100000001B3) ^ kc
+        h = (key ^ (key >> np.uint64(30))) * _SPLITMIX
+        h = h ^ (h >> np.uint64(31))
+        return batch.append_column(
+            "_key", pa.array(key.view(np.int64))
+        ).append_column(
+            "_bucket", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = np.asarray(g.column("_key"), dtype=np.int64)
+        on = np.asarray(_on_int64(g.column(ts_col)), dtype=np.int64)
+        ids = np.asarray(
+            pc.cast(g.column(id_col).combine_chunks(), pa.int64()))
+        order = np.lexsort((ids, on, k))
+        ks, ons = k[order], on[order]
+        keep = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            same = ks[1:] == ks[:-1]
+            keep[1:] = ~same | (ons[1:] - ons[:-1] > gap_us)
+        return g.take(pa.array(order[keep])).drop_columns(["_key", "_bucket"])
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pyarrow"))

@@ -1066,3 +1066,49 @@ def test_hash_split_group_stable(ray_session):
 
     with pytest.raises(ValueError):
         hash_split(ds, "conv_id", {"a": 0.5, "b": 0.2})
+
+
+def test_fuzzy_dedup_keep_best(ray_session):
+    """Keep-best policy: highest score per cluster survives (ties → min id)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import fuzzy_dedup_keep_best
+
+    t = docs_table().append_column(
+        "sc", pa.array([1.0, 9.0, 5.0, 2.0, 0.0, 3.0]))
+    out = fuzzy_dedup_keep_best(rd.from_arrow(t), "sc",
+                                threshold=0.5).to_pandas()
+    got = sorted(map(tuple, out[["doc_id", "cluster_id"]].values.tolist()))
+    # cluster {0,1,3} labeled 0 → doc 1 (score 9) wins; singletons keep selves
+    assert got == [(1, 0), (2, 2), (4, 4), (5, 5)]
+
+    # equal scores → smallest doc_id per cluster (keep-min fallback)
+    t2 = docs_table().append_column("sc", pa.array([1.0] * 6))
+    out2 = fuzzy_dedup_keep_best(rd.from_arrow(t2), "sc",
+                                 threshold=0.5).to_pandas()
+    got2 = sorted(map(tuple, out2[["doc_id", "cluster_id"]].values.tolist()))
+    assert got2 == [(0, 0), (2, 2), (4, 4), (5, 5)]
+
+
+def test_top_terms_per_group(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import top_terms_per_group
+
+    t = pa.table({
+        "lang": ["en", "en", "de", "de", "en"],
+        "text": ["cat cat dog", "dog mouse cat", "hund katze hund",
+                 "katze maus", "bird"],
+    })
+    df = top_terms_per_group(rd.from_arrow(t).repartition(3), group_col="lang",
+                             k=2, num_buckets=8).to_pandas()
+    got = {(r["lang"], r["term"]): r["cnt"] for _, r in df.iterrows()}
+    # en: cat=3, dog=2 (mouse/bird=1 out); de: hund=2, katze=2
+    assert got == {("en", "cat"): 3, ("en", "dog"): 2,
+                   ("de", "hund"): 2, ("de", "katze"): 2}
+    # tie at the k boundary resolves by term ASC: de has hund=2, katze=2,
+    # maus=1 → k=1 keeps 'hund' (count tie broken lexicographically)
+    df1 = top_terms_per_group(rd.from_arrow(t), group_col="lang", k=1,
+                              num_buckets=4).to_pandas()
+    de = df1[df1.lang == "de"]
+    assert list(de.term) == ["hund"]

@@ -375,3 +375,34 @@ def test_funnel_steps_greedy_semantics(ray_session):
         steps=["A", "B", "C"], window_us=W,
         n_buckets=4).to_pandas()["u"].tolist())
     assert got == [1, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_debounce_matches_lag_bruteforce():
+    from clp_core_ray.pipelines.temporal import debounce
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 3_000, n).cumsum() * 0 +
+            rng.integers(0, 500_000, n), unit="us"),
+        "user_id": rng.integers(0, 7, n).astype(np.int64),
+        "event_type": rng.choice(["a", "b"], n),
+    })
+    # force exact-tie timestamps within a key
+    df.loc[1, ["ts", "user_id", "event_type"]] = df.loc[0, ["ts", "user_id",
+                                                            "event_type"]]
+    gap = 50_000  # 50 ms
+
+    out = debounce(rd.from_pandas(df).repartition(4),
+                   key_cols=["user_id", "event_type"], gap_us=gap,
+                   num_buckets=8).to_pandas()
+
+    ref = df.sort_values(["user_id", "event_type", "ts", "event_id"]).copy()
+    pts = ref.groupby(["user_id", "event_type"])["ts"].shift()
+    keep = pts.isna() | ((ref["ts"] - pts).dt.total_seconds() * 1e6 > gap)
+    want = sorted(ref.loc[keep, "event_id"])
+    assert sorted(out.event_id) == want
+    assert len(out) < n  # the tie row and close repeats were dropped
