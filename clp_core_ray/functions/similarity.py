@@ -1032,3 +1032,43 @@ def ivf_index_update(index_dir: str, old_ds, new_ds,
             id_col=id_col, emb_col=emb_col)
     return {"added": len(by["added"]), "changed": len(by["changed"]),
             "removed": len(by["removed"]), "appended_rows": n_appended}
+
+
+def radius_neighbors(ds, queries: np.ndarray, query_ids: np.ndarray,
+                     threshold: float, id_col: str = "vec_id",
+                     emb_col: str = "embedding", exclude_self: bool = True):
+    """Range search: EVERY ``(query_id, neighbor_id)`` pair with cosine
+    similarity ≥ ``threshold`` (the all-neighbors dual of top-k).
+
+    Fully streaming — per-batch matmul against the broadcast query matrix,
+    boolean mask, emit hits; no shuffle and no driver merge, because unlike
+    top-k the predicate is per-pair (no cross-batch state). Output size is
+    the true result size, so at 100 TB the cost is the scan itself; the IVF
+    cell layout (:func:`build_ivf_index`) prunes WHICH partitions are
+    scanned exactly as it does for top-k when recall bounds allow.
+    """
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((q, np.asarray(query_ids, dtype=np.int64)))
+
+    class RadiusScan:
+        def __init__(self):
+            self.q = None
+            self.qids = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.q is None:
+                self.q, self.qids = ray.get(ref)
+            e = _normalize(_emb_matrix(batch, emb_col))
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            scores = self.q @ e.T  # (n_q, n_batch)
+            hit = scores >= threshold
+            if exclude_self:
+                hit &= self.qids[:, None] != ids[None, :]
+            qi, ni = np.nonzero(hit)
+            return pa.table({"query_id": pa.array(self.qids[qi]),
+                             "neighbor_id": pa.array(ids[ni]),
+                             "score": pa.array(scores[qi, ni])})
+
+    return ds.map_batches(RadiusScan(), batch_format="pyarrow")

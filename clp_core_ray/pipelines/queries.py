@@ -3410,3 +3410,32 @@ def docs_top_terms_per_lang(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["lang", "text"])
     return top_terms_per_group(ds, group_col="lang", k=5)
+
+
+@register(
+    "emb_radius_neighbors",
+    "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id "
+    "FROM embeddings q, embeddings e "
+    "WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id "
+    "AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+    "                           CAST(e.embedding AS DOUBLE[])) >= 0.2",
+)
+def emb_radius_neighbors(sf_dir: str):
+    """Range search: all corpus vectors within cosine ≥ 0.2 of each query —
+    streaming per-batch matmul + mask, no shuffle, no top-k merge (the
+    per-pair predicate needs no cross-batch state)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _emb_matrix
+    from clp_core_ray.functions.similarity import radius_neighbors
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 5))
+    queries = _emb_matrix(qt, "embedding")
+    qids = qt.column("vec_id").to_pylist()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = radius_neighbors(ds, queries, qids, threshold=0.2)
+    return out.select_columns(["query_id", "neighbor_id"])

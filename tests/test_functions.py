@@ -1112,3 +1112,26 @@ def test_top_terms_per_group(ray_session):
                               num_buckets=4).to_pandas()
     de = df1[df1.lang == "de"]
     assert list(de.term) == ["hund"]
+
+
+def test_radius_neighbors_bruteforce(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _normalize
+    from clp_core_ray.functions.similarity import radius_neighbors
+
+    rng = np.random.default_rng(3)
+    n, d = 200, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": pa.array(list(mat), type=pa.list_(pa.float32()))})
+    q = mat[:4].astype(np.float64)
+    out = radius_neighbors(rd.from_arrow(t).repartition(4), q,
+                           np.arange(4), threshold=0.15).to_pandas()
+    nm = _normalize(mat.astype(np.float64))
+    scores = _normalize(q) @ nm.T
+    want = {(i, j) for i in range(4) for j in range(n)
+            if scores[i, j] >= 0.15 and i != j}
+    got = set(map(tuple, out[["query_id", "neighbor_id"]].values.tolist()))
+    assert got == want
+    assert len(want) > 20  # non-trivial hit set at this threshold
