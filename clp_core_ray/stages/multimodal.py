@@ -436,3 +436,122 @@ def resize_images(ds, concurrency=(1, 4), **stage_kwargs):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio spectrogram + image channel statistics
+# ---------------------------------------------------------------------------
+
+
+def stft_magnitude(pcm: np.ndarray, n_fft: int = 256,
+                   hop: int = 128) -> np.ndarray:
+    """Hann-windowed STFT magnitude, shape (n_frames, n_fft//2 + 1).
+
+    Pure numpy (rfft over a strided frame view) — the deterministic core a
+    real mel/feature extractor would wrap; no external codec needed."""
+    if len(pcm) < n_fft:
+        pcm = np.pad(pcm, (0, n_fft - len(pcm)))
+    n_frames = 1 + (len(pcm) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = pcm[idx] * np.hanning(n_fft)[None, :]
+    return np.abs(np.fft.rfft(frames, axis=1)).astype(np.float32)
+
+
+class SpectrogramStage:
+    """binary audio column → pooled log-spectrogram features.
+
+    Actor-pool stage (codec bound in ``__init__``): WAV → STFT magnitude →
+    mean-pool time into ``n_frames`` slots and frequency into ``n_bands``
+    bands → log1p. Output is fixed_size_list<float32> of n_frames×n_bands,
+    the fixed-shape layout a downstream audio embedder batches over.
+    """
+
+    def __init__(self, data_col: str = "audio", n_fft: int = 256,
+                 hop: int = 128, n_frames: int = 8, n_bands: int = 16,
+                 decode_fn=None, out_col: str = "spectrogram"):
+        self.data_col = data_col
+        self.n_fft, self.hop = n_fft, hop
+        self.n_frames, self.n_bands = n_frames, n_bands
+        self.decode_fn = decode_fn or real_audio_decode
+        self.out_col = out_col
+
+    def _pool(self, mag: np.ndarray) -> np.ndarray:
+        t_idx = np.linspace(0, mag.shape[0], self.n_frames + 1).astype(int)
+        f_idx = np.linspace(0, mag.shape[1], self.n_bands + 1).astype(int)
+        out = np.empty((self.n_frames, self.n_bands), dtype=np.float32)
+        for ti in range(self.n_frames):
+            seg = mag[t_idx[ti]:max(t_idx[ti + 1], t_idx[ti] + 1)]
+            for fi in range(self.n_bands):
+                out[ti, fi] = seg[:, f_idx[fi]:max(f_idx[fi + 1],
+                                                   f_idx[fi] + 1)].mean()
+        return np.log1p(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.data_col).to_pylist()
+        dim = self.n_frames * self.n_bands
+        out = np.empty((len(bufs), dim), dtype=np.float32)
+        for i, buf in enumerate(bufs):  # codec loop: per-item by nature
+            pcm = self.decode_fn(buf)
+            out[i] = self._pool(
+                stft_magnitude(pcm, self.n_fft, self.hop)).reshape(-1)
+        return batch.drop_columns([self.data_col]).append_column(
+            self.out_col,
+            pa.FixedSizeListArray.from_arrays(pa.array(out.reshape(-1)), dim))
+
+
+class ImageStatsStage:
+    """binary image column → per-channel mean/std + 8-bin luma histogram.
+
+    The cheap quality-screen features an image-curation pipeline filters on
+    (black/blank frames, low-contrast scans) before paying for an embedding.
+    """
+
+    def __init__(self, data_col: str = "image", decode_fn=None):
+        self.data_col = data_col
+        self.decode_fn = decode_fn or real_image_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.data_col).to_pylist()
+        n = len(bufs)
+        mean = np.empty((n, 3), dtype=np.float32)
+        std = np.empty((n, 3), dtype=np.float32)
+        hist = np.empty((n, 8), dtype=np.float32)
+        for i, buf in enumerate(bufs):  # codec loop: per-item by nature
+            img = self.decode_fn(buf)
+            if img.ndim == 2:
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            px = img[:, :, :3].reshape(-1, 3).astype(np.float32)
+            mean[i] = px.mean(axis=0)
+            std[i] = px.std(axis=0)
+            luma = px @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+            h, _ = np.histogram(luma, bins=8, range=(0.0, 256.0))
+            hist[i] = h / max(len(luma), 1)
+        out = batch.drop_columns([self.data_col])
+        out = out.append_column("chan_mean", pa.FixedSizeListArray.from_arrays(
+            pa.array(mean.reshape(-1)), 3))
+        out = out.append_column("chan_std", pa.FixedSizeListArray.from_arrays(
+            pa.array(std.reshape(-1)), 3))
+        return out.append_column("luma_hist", pa.FixedSizeListArray.from_arrays(
+            pa.array(hist.reshape(-1)), 8))
+
+
+def audio_spectrograms(ds, concurrency=(1, 4), **stage_kwargs):
+    """Attach pooled spectrogram features (actor-pool, wide-row batch size)."""
+    return ds.map_batches(
+        SpectrogramStage,
+        fn_constructor_kwargs=stage_kwargs,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+
+
+def image_stats(ds, concurrency=(1, 4), **stage_kwargs):
+    """Attach per-channel stats + luma histogram (actor-pool stage)."""
+    return ds.map_batches(
+        ImageStatsStage,
+        fn_constructor_kwargs=stage_kwargs,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )

@@ -1135,3 +1135,57 @@ def test_radius_neighbors_bruteforce(ray_session):
     got = set(map(tuple, out[["query_id", "neighbor_id"]].values.tolist()))
     assert got == want
     assert len(want) > 20  # non-trivial hit set at this threshold
+
+
+def test_spectrogram_stage_tone_peak(ray_session):
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from clp_core_ray.stages.multimodal import (SpectrogramStage,
+                                                audio_spectrograms,
+                                                stft_magnitude)
+
+    # pure 2 kHz tone at 16 kHz: STFT peak must land in rfft bin 32 of 128
+    sr, freq, n_fft = 16000, 2000, 256
+    t = np.arange(sr) / sr
+    pcm = np.sin(2 * np.pi * freq * t).astype(np.float32)
+    mag = stft_magnitude(pcm, n_fft=n_fft, hop=128)
+    assert mag.shape[1] == n_fft // 2 + 1
+    assert (np.abs(mag.mean(axis=0).argmax() - freq * n_fft // sr)) <= 1
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1); wv.setsampwidth(2); wv.setframerate(sr)
+        wv.writeframes((pcm * 20000).astype(np.int16).tobytes())
+    tbl = pa.table({"clip_id": pa.array([0, 1], type=pa.int64()),
+                    "audio": pa.array([buf.getvalue()] * 2, type=pa.binary())})
+    out = audio_spectrograms(rd.from_arrow(tbl), n_bands=16,
+                             n_frames=8).to_pandas()
+    spec = np.array(out.spectrogram.iloc[0]).reshape(8, 16)
+    # tone energy concentrates in ONE frequency band across all time slots
+    assert (spec.argmax(axis=1) == spec[0].argmax()).all()
+    # same input → identical features (deterministic stage)
+    assert np.allclose(spec, np.array(out.spectrogram.iloc[1]).reshape(8, 16))
+
+
+def test_image_stats_stage(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.stages.multimodal import encode_png, image_stats
+
+    flat = np.full((16, 16, 3), 100, dtype=np.uint8)      # constant gray-ish
+    noisy = np.random.default_rng(5).integers(
+        0, 256, size=(16, 16, 3), dtype=np.uint8)
+    tbl = pa.table({"img_id": pa.array([0, 1], type=pa.int64()),
+                    "image": pa.array([encode_png(flat), encode_png(noisy)],
+                                      type=pa.binary())})
+    out = image_stats(rd.from_arrow(tbl)).to_pandas().sort_values("img_id")
+    m0 = np.array(out.chan_mean.iloc[0])
+    s0 = np.array(out.chan_std.iloc[0])
+    h0 = np.array(out.luma_hist.iloc[0])
+    assert np.allclose(m0, 100.0) and np.allclose(s0, 0.0)
+    assert h0.sum() == 1.0 and h0[3] == 1.0  # luma 100 → bin [96,128)
+    s1 = np.array(out.chan_std.iloc[1])
+    assert (s1 > 50).all()  # uniform noise has high channel spread
