@@ -1072,3 +1072,70 @@ def radius_neighbors(ds, queries: np.ndarray, query_ids: np.ndarray,
                              "score": pa.array(scores[qi, ni])})
 
     return ds.map_batches(RadiusScan(), batch_format="pyarrow")
+
+
+def ivf_index_radius(index_dir: str, queries: np.ndarray,
+                     query_ids: np.ndarray, threshold: float,
+                     n_probe: int = 4, id_col: str = "vec_id",
+                     emb_col: str = "embedding", exclude_self: bool = True):
+    """Range search over the at-rest IVF index: every pair with cosine ≥
+    ``threshold`` among the probed cells.
+
+    Same partition pruning as :func:`ivf_index_topk` (only the union of the
+    queries' ``n_probe`` nearest cells' hive dirs are handed to the reader)
+    but the result streams straight out of ``map_batches`` — a per-pair
+    predicate needs no top-k merge, so there is no driver-side candidate
+    collect at all. ``n_probe >= n_centroids`` reads every cell and is
+    exact (how it is oracled); smaller probes trade recall for scan cost.
+    Returns a Dataset of (query_id, neighbor_id, score).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    ct = pq.read_table(f"{index_dir}/centroids.parquet")
+    cents = np.asarray(
+        ct.column("centroid").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(ct), -1)
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    n_probe = min(n_probe, len(cents))
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    probe_set = [int(c) for c in np.unique(probes)]
+
+    paths = [os.path.join(p, f)
+             for c in probe_set
+             if os.path.isdir(p := f"{index_dir}/cells/ivf_cell={c}")
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "neighbor_id": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.float64())})
+    if not paths:
+        return rd.from_arrow(empty)
+    cells_ds = rd.read_parquet(paths, columns=[id_col, emb_col])
+    dead = _load_tombstones(index_dir)
+    dead_ref = ray.put(dead) if dead is not None else None
+    ref = ray.put((q, np.asarray(query_ids, dtype=np.int64)))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if dead_ref is not None:
+            batch = batch.filter(pc.is_null(pc.index_in(
+                batch.column(id_col).combine_chunks().cast(pa.int64()),
+                ray.get(dead_ref))))
+        if batch.num_rows == 0:
+            return empty
+        qm, qids = ray.get(ref)
+        e = _normalize(_emb_matrix(batch, emb_col))
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        scores = qm @ e.T
+        hit = scores >= threshold
+        if exclude_self:
+            hit &= qids[:, None] != ids[None, :]
+        qi, ni = np.nonzero(hit)
+        return pa.table({"query_id": pa.array(qids[qi]),
+                         "neighbor_id": pa.array(ids[ni]),
+                         "score": pa.array(scores[qi, ni])})
+
+    return cells_ds.map_batches(scan, batch_format="pyarrow")

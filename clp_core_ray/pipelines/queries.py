@@ -3439,3 +3439,43 @@ def emb_radius_neighbors(sf_dir: str):
                          columns=["vec_id", "embedding"])
     out = radius_neighbors(ds, queries, qids, threshold=0.2)
     return out.select_columns(["query_id", "neighbor_id"])
+
+
+@register(
+    "emb_radius_neighbors_ivf",
+    "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id "
+    "FROM embeddings q, embeddings e "
+    "WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id "
+    "AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+    "                           CAST(e.embedding AS DOUBLE[])) >= 0.2",
+)
+def emb_radius_neighbors_ivf(sf_dir: str):
+    """Range search routed through the at-rest IVF index: the probed cells'
+    hive partitions are the only parquet read, and hits stream straight out
+    of the scan (no top-k merge). Full probe (n_probe = n_centroids) reads
+    every cell and is exact, so the brute-force oracle applies; the scale
+    path lowers n_probe."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _emb_matrix
+    from clp_core_ray.functions.similarity import (build_ivf_index,
+                                                   ivf_index_radius)
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/ivf_index_sf{sf_of_dir(sf_dir)}"
+    if not os.path.exists(f"{idx}/centroids.parquet"):
+        build_ivf_index(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]),
+            idx, n_centroids=16,
+        )
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 5))
+    out = ivf_index_radius(idx, _emb_matrix(qt, "embedding"),
+                           qt.column("vec_id").to_pylist(),
+                           threshold=0.2, n_probe=16)
+    return out.select_columns(["query_id", "neighbor_id"])

@@ -1189,3 +1189,35 @@ def test_image_stats_stage(ray_session):
     assert h0.sum() == 1.0 and h0[3] == 1.0  # luma 100 → bin [96,128)
     s1 = np.array(out.chan_std.iloc[1])
     assert (s1 > 50).all()  # uniform noise has high channel spread
+
+
+def test_ivf_radius_full_probe_exact(ray_session, tmp_path):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _normalize
+    from clp_core_ray.functions.similarity import (build_ivf_index,
+                                                   ivf_index_radius)
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 12
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": pa.array(list(mat), type=pa.list_(pa.float32()))})
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(t), idx, n_centroids=8)
+
+    q = mat[:3].astype(np.float64)
+    out = ivf_index_radius(idx, q, np.arange(3), threshold=0.2,
+                           n_probe=8).to_pandas()
+    nm = _normalize(mat.astype(np.float64))
+    scores = _normalize(q) @ nm.T
+    want = {(i, j) for i in range(3) for j in range(n)
+            if scores[i, j] >= 0.2 and i != j}
+    got = set(map(tuple, out[["query_id", "neighbor_id"]].values.tolist()))
+    assert got == want  # full probe == brute force exactly
+
+    # partial probe returns a SUBSET (pruned cells can only drop hits)
+    part = ivf_index_radius(idx, q, np.arange(3), threshold=0.2,
+                            n_probe=2).to_pandas()
+    pgot = set(map(tuple, part[["query_id", "neighbor_id"]].values.tolist()))
+    assert pgot <= want and len(pgot) > 0
