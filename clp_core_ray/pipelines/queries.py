@@ -55,25 +55,28 @@ _GATE_PRIORITY = [
     "clp_incremental_roundtrip", "clp_incremental_search", "clp_ir_ingest",
     "clp_rules_roundtrip",
     # dedup / curation family
-    "docs_fuzzy_dedup", "docs_dup_spans", "docs_scrub_dup_spans",
+    "docs_fuzzy_dedup", "docs_fuzzy_dedup_best", "docs_dup_spans",
+    "docs_scrub_dup_spans",
     "emb_semantic_dedup", "clp_redact_pii", "docs_decontaminate",
     "docs_snapshot_diff", "docs_pack_sequences", "docs_stratified_sample",
     "docs_mixture_sample", "docs_train_split", "docs_curation_pipeline",
     "docs_repetition",
     # text analysis / retrieval
     "docs_inverted_index", "docs_tf_df", "docs_bm25", "docs_bigram_counts",
-    "docs_perplexity",
+    "docs_perplexity", "docs_top_terms_per_lang",
     # similarity / clustering / linalg
     "emb_knn_label_vote", "emb_knn_label_vote_ivf",
-    "emb_ann_topk_pq", "emb_ann_topk_ivfpq",
-    "emb_kmeans_assign", "emb_kmeans", "emb_gram_int", "emb_pca_project",
+    "emb_radius_neighbors", "emb_radius_neighbors_ivf",
+    "emb_kmeans_assign", "emb_gram_int", "emb_pca_project",
     # temporal joins + windows + per-group ops
     "events_asof_latest_order", "events_window_join", "events_sliding_window",
+    "events_debounce",
     "events_topk_per_user", "events_sample_per_user",
-    "events_value_quantiles", "events_value_quantiles_cont",
+    "events_value_quantiles",
     "events_value_histogram", "lineitem_semi_hivalue",
-    # sketches
-    "events_approx_users", "events_heavy_users",
+    # sketches (oracled heavy-hitters representative; the rows-only
+    # sketch/PQ variants rotate behind — pytest-bounded, weaker gate signal)
+    "events_heavy_users",
 ]
 
 
