@@ -63,7 +63,7 @@ _GATE_PRIORITY = [
     "docs_repetition",
     # text analysis / retrieval
     "docs_inverted_index", "docs_tf_df", "docs_bm25", "docs_bigram_counts",
-    "docs_perplexity", "docs_top_terms_per_lang",
+    "docs_perplexity_scored", "docs_top_terms_per_lang",
     # similarity / clustering / linalg
     "emb_knn_label_vote", "emb_knn_label_vote_ivf",
     "emb_radius_neighbors", "emb_radius_neighbors_ivf",
@@ -3482,3 +3482,56 @@ def emb_radius_neighbors_ivf(sf_dir: str):
                            qt.column("vec_id").to_pylist(),
                            threshold=0.2, n_probe=16)
     return out.select_columns(["query_id", "neighbor_id"])
+
+
+@register(
+    "docs_perplexity_scored",
+    "WITH w AS ("
+    "  SELECT doc_id, u[1] AS word, CAST(u[2] AS BIGINT) AS i FROM ("
+    "    SELECT doc_id, unnest(list_zip(arr, range(1, len(arr)+1))) AS u"
+    "    FROM (SELECT doc_id, list_filter("
+    "      regexp_split_to_array(lower(text), '[^a-zà-ÿ]+'), x -> x <> '')"
+    "      AS arr FROM documents)"
+    "  )"
+    "), bg AS ("
+    "  SELECT doc_id, w1, w2 FROM ("
+    "    SELECT doc_id, word AS w1,"
+    "      lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM w"
+    "  ) WHERE w2 IS NOT NULL"
+    "), bc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),"
+    "uc AS (SELECT word AS w1, count(*) AS cnt FROM w GROUP BY 1),"
+    "v AS (SELECT count(*) AS vocab FROM uc),"
+    "lp AS ("
+    "  SELECT g.doc_id, ln(bc.cnt + 0.1)"
+    "    - ln(uc.cnt + 0.1 * (SELECT vocab FROM v)) AS l"
+    "  FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2"
+    "  JOIN uc ON uc.w1 = g.w1"
+    ") SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_bigrams,"
+    "  round(coalesce(s.m, 0.0), 6) AS logprob"
+    " FROM documents d LEFT JOIN ("
+    "  SELECT doc_id, count(*) AS n, avg(l) AS m FROM lp GROUP BY doc_id"
+    ") s ON s.doc_id = d.doc_id",
+)
+def docs_perplexity_scored(sf_dir: str):
+    """The perplexity filter signal with a FULL SQL oracle: same add-alpha
+    bigram LM as docs_perplexity (model trained on the corpus itself ⇒
+    every observed bigram/unigram is in the model, so the smoothing floor
+    never triggers and the SQL joins always hit), mean log-prob rounded to
+    6 decimals on both sides to absorb summation-order float noise (the
+    docs_bm25 oracle pattern)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.lm import perplexity_score
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = perplexity_score(ds)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        lp = np.round(np.asarray(t.column("logprob"), dtype=np.float64), 6)
+        # -0.0 stringifies differently from 0.0; normalize
+        lp = lp + 0.0
+        return t.set_column(t.schema.get_field_index("logprob"),
+                            "logprob", pa.array(lp))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
