@@ -289,6 +289,19 @@ def cmd_catalog_init(args) -> dict:
             "entries": len(cat.read_catalog(args.base))}
 
 
+def cmd_ingest(args) -> dict:
+    """One poll of the continuous-ingestion loop (compression_scheduler.py
+    role): compress exactly the input files no completed fragment owns yet;
+    rerun the command (cron / driver recurrence) to keep ingesting."""
+    from clp_core_ray.pipelines.compress import ingest_once
+
+    t0 = time.time()
+    done = ingest_once(args.input, args.out, pattern=args.pattern,
+                       target_bytes=args.fragment_target_bytes)
+    return {"cmd": "ingest", "new_fragments": done,
+            "wall_sec": round(time.time() - t0, 3)}
+
+
 def cmd_ir_extract(args) -> dict:
     """clo IR-chunk extraction (K8): archive → .clp.ir chunk files."""
     import time as _t
@@ -611,6 +624,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpointed mode: fragment-per-shard with resume "
                         "(rerun skips completed fragments)")
     c.set_defaults(fn=cmd_compress)
+
+    ing = sub.add_parser("ingest",
+                         help="compress files no completed fragment owns "
+                              "yet (continuous-ingestion poll)")
+    ing.add_argument("--input", required=True, help="watched input dir")
+    ing.add_argument("--out", required=True, help="fragment archive dir")
+    ing.add_argument("--pattern", default="*.parquet",
+                     help="input glob within --input (default *.parquet)")
+    ing.add_argument("--fragment-target-bytes", type=int, default=None,
+                     help="pack NEW files into ~this-many-byte fragments")
+    ing.set_defaults(fn=cmd_ingest)
 
     x = sub.add_parser("decompress", help="archive → text parquet (clp x)")
     x.add_argument("--archive", required=True)

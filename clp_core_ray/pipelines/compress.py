@@ -979,3 +979,47 @@ def compress_text_logs(paths, out_dir: str, **compress_kwargs):
         paths if isinstance(paths, str) else f"{len(list(paths))} log files")
     return compress(None, out_dir, ds=ds, input_label=str(label),
                     **compress_kwargs)
+
+
+def completed_inputs(out_dir: str) -> set[str]:
+    """Input paths already owned by a completed fragment (from manifests)."""
+    done: set[str] = set()
+    for m in mf.read_manifests(out_dir):
+        inp = m.get("input")
+        if isinstance(inp, list):
+            done.update(inp)
+        elif inp:
+            done.add(inp)
+    return done
+
+
+def ingest_once(input_dir: str, out_dir: str, *,
+                pattern: str = "*.parquet",
+                target_bytes: int | None = None) -> list[str]:
+    """One poll of a continuous-ingestion loop: compress exactly the input
+    files no completed fragment owns yet.
+
+    The reference package runs this as a daemon — its compression scheduler
+    polls for new work, partitions it, and dispatches tasks
+    (job-orchestration/.../compression_scheduler.py:149,355-396
+    search_and_schedule_new_tasks + the poll loop); here one call is one
+    poll, and cron/driver recurrence supplies the loop. Semantics that make
+    repeated calls safe:
+
+    - discovery − completed-inputs anti-join (manifests are the metadata-DB
+      role), so an interrupted poll re-ingests only its unfinished files;
+    - size packing (``target_bytes``) groups only the NEW files — earlier
+      fragment groupings never re-bind, so a late-arriving file can't shift
+      an old group's id and cause recompression;
+    - fragments land under the same ``out_dir`` and are immediately visible
+      to fragment-aware readers/search (manifest order is commit order).
+
+    Returns the fragment ids processed by THIS call ([] = nothing new).
+    """
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(input_dir, pattern)))
+    new = [f for f in files if f not in completed_inputs(out_dir)]
+    if not new:
+        return []
+    return run_fragments(None, out_dir, files=new, target_bytes=target_bytes)

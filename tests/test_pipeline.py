@@ -751,3 +751,55 @@ def test_compress_codec_breadth(ray_session, tmp_path):
     assert sizes["passthrough"] > sizes["zstd"]
     assert texts["passthrough"] == texts["zstd"] == texts["lz4"]
     assert len(texts["zstd"]) == n
+
+
+def test_ingest_once_two_waves(ray_session, tmp_path):
+    """Continuous-ingestion poll (scheduler role): wave 1 compresses, wave 2
+    compresses ONLY the new files (old fragment ids never re-bind even with
+    size packing), a no-change poll is a no-op, and the union of fragment
+    sinks holds exactly all ingested rows."""
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.pipelines.compress import completed_inputs, ingest_once
+    from clp_core_ray.state.manifest import read_manifests
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    base = 1_700_000_000_000_000
+
+    def shard(i: int, n: int = 8) -> str:
+        t = pa.table({
+            "conv_id": pa.array([f"c{i}-{j % 2}" for j in range(n)]),
+            "turn_idx": pa.array(np.arange(n) % 9, type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([f"INFO wave shard {i} row {j}"
+                              for j in range(n)]),
+            "tool": pa.array([""] * n),
+            "ts": pa.array([base + (i * 100 + j) * 1000 for j in range(n)],
+                           type=pa.timestamp("us")),
+        })
+        p = str(indir / f"shard-{i:04d}.parquet")
+        pq.write_table(t, p)
+        return p
+
+    out = str(tmp_path / "arch")
+    wave1 = [shard(i) for i in range(6)]
+    target = sum(os.path.getsize(f) for f in wave1) // 2  # pack ~2-3 groups
+    done1 = ingest_once(str(indir), out, target_bytes=target)
+    assert done1 and set(completed_inputs(out)) == set(wave1)
+
+    wave2 = [shard(i) for i in range(6, 9)]
+    done2 = ingest_once(str(indir), out, target_bytes=target)
+    assert done2 and not set(done2) & set(done1)  # only NEW fragments ran
+    assert set(completed_inputs(out)) == set(wave1 + wave2)
+    # wave-1 manifests untouched: their ids are still all present
+    ids = {m["fragment_id"] if "fragment_id" in m else None
+           for m in read_manifests(out)}
+    assert len(read_manifests(out)) == len(done1) + len(done2)
+
+    assert ingest_once(str(indir), out, target_bytes=target) == []  # no-op
+
+    sink_files = [os.path.join(r, f) for r, _, fs in os.walk(out)
+                  for f in fs if f.endswith(".parquet")]
+    assert sum(pq.ParquetFile(f).metadata.num_rows
+               for f in sink_files) == 9 * 8
