@@ -1291,3 +1291,124 @@ def scrub_dup_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
                          text_col: pa.array(out, type=pa.string())})
 
     return joined.map_batches(cut, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# hamming-ball near-dup pairs (SimHash-family multi-index)
+# --------------------------------------------------------------------------
+
+
+def sign_signature(batch: pa.Table, emb_col: str = "embedding") -> pa.Array:
+    """int64 sign-bit signature of an embedding column: bit j = (emb[j] > 0).
+
+    The projection-free SimHash of an already-random-basis embedding; dims
+    beyond 64 are ignored, missing dims read as 0-bits."""
+    d_m = _emb_matrix(batch, emb_col)
+    d = min(64, d_m.shape[1])
+    bits = (d_m[:, :d] > 0).astype(np.uint64)
+    packed = np.zeros(len(d_m), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(d):
+            packed |= bits[:, j] << np.uint64(j)
+    return pa.array(packed.view(np.int64))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array via the byte table."""
+    return _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(
+        axis=1).astype(np.int64)
+
+
+def hamming_ball_pairs(ds, *, sig_col: str = "sig", id_col: str = "vec_id",
+                       max_hamming: int = 3, num_buckets: int | None = None):
+    """EXACT ``(id_a, id_b)`` pairs whose 64-bit signatures differ in at
+    most ``max_hamming`` bits — the SimHash-family near-dup join.
+
+    Pigeonhole multi-index: the 64 bits split into ``max_hamming + 1``
+    contiguous bands; a pair inside the ball cannot differ in every band,
+    so exact-match banding is a GUARANTEED-superset candidate generator
+    (unlike MinHash this is deterministic recall 1.0). Band rows are
+    (band, band_value, id, sig) = ~28 B; candidates expand inside coarse
+    hash buckets with the run-detection arithmetic the LSH stage uses, and
+    the popcount verification is inline (the signature rides the band row),
+    so no verify join. A final distinct pass dedupes pairs surfacing from
+    several bands.
+
+    Intended operating point is small radii (k ≤ ~8), where bands are wide
+    and selective; at large k bands narrow toward uniform collision and the
+    candidate volume approaches all-pairs — inherent to hamming LSH, not a
+    knob. No star cap: exactness is the contract here; pathological runs
+    are logged by size through the candidate count instead.
+    """
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = num_buckets or scaled_buckets()
+    bands = max_hamming + 1
+    if bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    bounds = np.linspace(0, 64, bands + 1).astype(np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = np.asarray(batch.column(sig_col), dtype=np.int64).view(np.uint64)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        n = len(sig)
+        band_of = np.repeat(np.arange(bands, dtype=np.int64), n)
+        sig_t = np.tile(sig, bands)
+        lo = bounds[:-1][band_of].astype(np.uint64)
+        width = (bounds[1:] - bounds[:-1])[band_of].astype(np.uint64)
+        with np.errstate(over="ignore"):
+            val = (sig_t >> lo) & ((np.uint64(1) << width) - np.uint64(1))
+            mix = (val ^ (np.uint64(0x9E3779B97F4A7C15)
+                          * (band_of.view(np.uint64) + np.uint64(1))))
+            mix = (mix ^ (mix >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            mix = mix ^ (mix >> np.uint64(31))
+        return pa.table({
+            "_cb": pa.array((mix % np.uint64(nb)).astype(np.int32)),
+            "band": pa.array(band_of),
+            "band_hash": pa.array(val.view(np.int64)),
+            id_col: pa.array(np.tile(ids, bands)),
+            "sig": pa.array(sig_t.view(np.int64)),
+        })
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64())})
+        m = len(group)
+        if m < 2:
+            return empty
+        band = np.asarray(group.column("band"), dtype=np.int64)
+        bh = np.asarray(group.column("band_hash"), dtype=np.int64)
+        doc = np.asarray(group.column(id_col), dtype=np.int64)
+        sig = np.asarray(group.column("sig"), dtype=np.int64).view(np.uint64)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc, sig = band[order], bh[order], doc[order], sig[order]
+        keep = np.ones(m, dtype=bool)
+        keep[1:] = ((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+                    | (doc[1:] != doc[:-1]))
+        band, bh, doc, sig = band[keep], bh[keep], doc[keep], sig[keep]
+        m = len(doc)
+        new_run = np.ones(m, dtype=bool)
+        new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, m))
+        run_of_row = np.cumsum(new_run) - 1
+        pos = np.arange(m) - starts[run_of_row]
+        c = counts[run_of_row] - 1 - pos  # all later rows of the run
+        total = int(c.sum())
+        if total == 0:
+            return empty
+        rep = np.repeat(np.arange(m), c)
+        off = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(c)[:-1])), c)
+        other = rep + 1 + off
+        with np.errstate(over="ignore"):
+            ham = _popcount64(sig[rep] ^ sig[other])
+        ok = ham <= max_hamming
+        return pa.table({"doc_a": pa.array(doc[rep][ok]),
+                         "doc_b": pa.array(doc[other][ok])})
+
+    cand = (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("_cb").map_groups(per_bucket, batch_format="pyarrow"))
+    out = _distinct_pairs(cand)
+    return out.map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b"]), batch_format="pyarrow")

@@ -3535,3 +3535,37 @@ def docs_perplexity_scored(sf_dir: str):
                             "logprob", pa.array(lp))
 
     return out.map_batches(rnd, batch_format="pyarrow")
+
+
+@register(
+    "emb_hamming_dup_pairs",
+    "WITH s AS ("
+    "  SELECT vec_id, CAST(sum(CASE WHEN e > 0"
+    "    THEN 1::UBIGINT << (i - 1) ELSE 0 END) AS UBIGINT) AS sig"
+    "  FROM (SELECT vec_id, unnest(embedding) AS e,"
+    "        unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)"
+    "  GROUP BY vec_id"
+    ") SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+    " FROM s a JOIN s b ON a.vec_id < b.vec_id"
+    " WHERE bit_count(xor(a.sig, b.sig)) <= 18",
+)
+def emb_hamming_dup_pairs(sf_dir: str):
+    """SimHash-family near-dup join with EXACT recall: sign-bit signatures
+    (bit j = emb[j] > 0) and every pair within hamming radius 18 via the
+    pigeonhole multi-index (19 contiguous bands; a ball pair must agree on
+    ≥1 band exactly) — inline popcount verify, no star cap, distinct pass
+    across bands. Oracle is the brute-force bit_count self-join."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import (hamming_ball_pairs,
+                                              sign_signature)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def sigs(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "sig": sign_signature(b)})
+
+    return hamming_ball_pairs(ds.map_batches(sigs, batch_format="pyarrow"),
+                              max_hamming=18)

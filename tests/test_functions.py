@@ -1221,3 +1221,35 @@ def test_ivf_radius_full_probe_exact(ray_session, tmp_path):
                             n_probe=2).to_pandas()
     pgot = set(map(tuple, part[["query_id", "neighbor_id"]].values.tolist()))
     assert pgot <= want and len(pgot) > 0
+
+
+def test_hamming_ball_pairs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _popcount64, hamming_ball_pairs
+
+    rng = np.random.default_rng(17)
+    n = 250
+    sig = rng.integers(0, 1 << 63, n, dtype=np.int64)
+    # plant near-dup clusters: flips of ≤ k bits around shared bases
+    for base in (7, 99, 180):
+        for j in range(1, 4):
+            flip = np.int64(0)
+            for b in rng.choice(64, size=j, replace=False):
+                flip ^= np.int64(1) << np.int64(int(b))
+            sig[base + j] = sig[base] ^ flip
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "sig": pa.array(sig)})
+    for k in (0, 3, 8):
+        out = hamming_ball_pairs(rd.from_arrow(t).repartition(4),
+                                 max_hamming=k, num_buckets=16).to_pandas()
+        got = (set() if len(out) == 0 else
+               set(map(tuple, out[["id_a", "id_b"]].values.tolist())))
+        u = sig.view(np.uint64)
+        want = set()
+        for i in range(n):
+            h = _popcount64(u[i] ^ u[i + 1:])
+            for j in np.flatnonzero(h <= k):
+                want.add((i, i + 1 + int(j)))
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+    assert len(want) >= 6  # the planted flips are found at k=8
