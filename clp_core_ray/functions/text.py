@@ -477,3 +477,20 @@ def top_terms_per_group(ds, *, group_col: str = "lang",
     # ≤ k × num_buckets rows per group reach the final merge
     return partials.groupby(group_col).map_groups(_topk,
                                                   batch_format="pyarrow")
+
+
+# GPT-2-ish pretokenizer classes, RE2-compatible (no lookarounds): a token
+# is an optionally space-prefixed letter run, digit run, or punctuation run.
+# Whitespace itself is not counted (trailing-space runs fold into the next
+# token's prefix), which is the property LLM token-budget estimates need.
+BPE_TOKEN_PATTERN = r" ?[a-zà-ÿA-Z]+| ?[0-9]+| ?[^ a-zà-ÿA-Z0-9]+"
+
+
+def bpe_token_counts(texts: pa.Array) -> pa.Array:
+    """BPE-ish token count per text: matches of :data:`BPE_TOKEN_PATTERN`
+    (vectorized RE2 via Arrow count_substring_regex — DuckDB's
+    regexp_extract_all uses the same engine, so the SQL oracle is exact).
+    A closer budget proxy than whitespace counting: punctuation and number
+    runs tokenize separately, as real BPE vocabularies do."""
+    return pc.count_substring_regex(
+        pc.fill_null(texts, ""), BPE_TOKEN_PATTERN).cast(pa.int64())

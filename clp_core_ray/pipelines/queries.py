@@ -3569,3 +3569,29 @@ def emb_hamming_dup_pairs(sf_dir: str):
 
     return hamming_ball_pairs(ds.map_batches(sigs, batch_format="pyarrow"),
                               max_hamming=18)
+
+
+@register(
+    "docs_bpe_token_counts",
+    "SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text, ''),"
+    "  ' ?[a-zà-ÿA-Z]+| ?[0-9]+| ?[^ a-zà-ÿA-Z0-9]+')) AS BIGINT)"
+    "  AS n_bpe_tokens FROM documents",
+)
+def docs_bpe_token_counts(sf_dir: str):
+    """BPE-ish token budget per document (GPT-2-style pretokenizer classes,
+    RE2 pattern shared verbatim with the DuckDB oracle — both engines are
+    RE2, so counts match exactly). One vectorized regex-count pass, no
+    shuffle."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import bpe_token_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_bpe_tokens": bpe_token_counts(
+                             b.column("text").combine_chunks())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1253,3 +1253,13 @@ def test_hamming_ball_pairs_bruteforce(ray_session):
                 want.add((i, i + 1 + int(j)))
         assert got == want, f"k={k}: {len(got)} vs {len(want)}"
     assert len(want) >= 6  # the planted flips are found at k=8
+
+
+def test_bpe_token_counts():
+    from clp_core_ray.functions.text import bpe_token_counts
+
+    t = pa.array(["hello world", "f(x)=42", "  a  b ", "", None,
+                  "don't stop"])
+    # "hello","(space)world" =2; "f","(","x",")=","42" =5; " a"," b" =2;
+    # ""=0; null→0; "don","'","t"," stop" =4
+    assert bpe_token_counts(t).to_pylist() == [2, 5, 2, 0, 0, 4]
