@@ -476,3 +476,105 @@ def hash_split(ds, key_col: str, fractions: dict[str, float],
             "split", pc.take(names_arr, pa.array(band, type=pa.int64())))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def chunk_documents(ds, chunk_words: int = 32, overlap: int = 8,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """RAG-style document chunking: split each document's whitespace tokens
+    into windows of ``chunk_words`` words advancing by ``chunk_words -
+    overlap`` (so consecutive chunks share ``overlap`` words), emitting
+    ``(id, chunk_idx, word_start, n_words, chunk_text)`` rows.
+
+    Chunk count per doc is ``1`` when ``n <= chunk_words`` else
+    ``ceil((n - chunk_words) / stride) + 1`` — the last chunk may be shorter
+    and always ends at the document's final word, never past it.
+
+    Fully streaming flat-map — one task per block, no shuffle, no state:
+    each batch splits its texts once (Arrow ``split_pattern_regex``), then
+    all chunk boundaries and the overlapped word gather are computed with
+    numpy offset arithmetic on the FLAT word buffer (one ``take`` + one
+    ``binary_join`` re-materializes every chunk string); no per-document
+    Python loop. At 100 TB this is the canonical embarrassingly-parallel
+    shape: output size ~ input x (1 + overlap/stride).
+    """
+    if not (0 <= overlap < chunk_words):
+        raise ValueError("need 0 <= overlap < chunk_words")
+    stride = chunk_words - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(
+                batch.column(text_col).cast(pa.large_string())),
+            r"\s+").combine_chunks()
+        flat = words.flatten()
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        doc_off, n = offs[:-1], np.diff(offs)
+        # chunks per doc; every doc (even empty-text -> [""]) gets >= 1
+        n_chunks = np.where(n <= chunk_words, 1,
+                            (n - chunk_words + stride - 1) // stride + 1)
+        doc_of_chunk = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+        starts0 = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        chunk_idx = np.arange(int(n_chunks.sum()), dtype=np.int64) \
+            - starts0[doc_of_chunk]
+        word_start = chunk_idx * stride
+        cnt = np.minimum(word_start + chunk_words, n[doc_of_chunk]) \
+            - word_start
+        # gather the (overlapping) word indices for every chunk in one shot
+        tot = int(cnt.sum())
+        first = doc_off[doc_of_chunk] + word_start
+        starts_rep = np.repeat(first, cnt)
+        within = np.arange(tot, dtype=np.int64) \
+            - np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        gathered = pc.take(flat, pa.array(starts_rep + within))
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(cnt)]), type=pa.int64()),
+            gathered)
+        return pa.table({
+            id_col: pc.take(ids, pa.array(doc_of_chunk)),
+            "chunk_idx": pa.array(chunk_idx),
+            "word_start": pa.array(word_start),
+            "n_words": pa.array(cnt),
+            "chunk_text": pc.binary_join(
+                lst, pa.scalar(" ", type=pa.large_string())),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def length_bucket_batches(ds, batch_rows: int, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Padding-efficient training batch assignment: order documents by
+    token count (ties by id) and cut the order into fixed ``batch_rows``
+    batches, so each batch pads to its own near-uniform max length instead
+    of the corpus max — the standard length-bucketing step before batched
+    tokenization/inference.
+
+    No global sort: the global ordinal comes from
+    :func:`~clp_core_ray.pipelines.aggregate.global_window`'s value-range
+    bucket machinery (per-batch partial counts -> driver cumsum of #buckets
+    rows -> one in-bucket lexsort) — its ROW_NUMBER already breaks value
+    ties by ascending row id, which is SQL's ``ORDER BY n_tokens, id``
+    exactly. Returns ``(id, batch_id)``.
+    """
+    from clp_core_ray.functions.text import token_counts
+    from clp_core_ray.pipelines.aggregate import global_window
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        n = token_counts(batch.column(text_col).combine_chunks())
+        return pa.table({
+            id_col: batch.column(id_col).combine_chunks().cast(pa.int64()),
+            "n_tokens": n})
+
+    ranked = global_window(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        val_col="n_tokens", row_id_col=id_col, funcs=("row_number",))
+
+    def to_batches(batch: pa.Table) -> pa.Table:
+        rn = np.asarray(batch.column("rn"), dtype=np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "batch_id": pa.array((rn - 1) // batch_rows),
+        })
+
+    return ranked.map_batches(to_batches, batch_format="pyarrow")

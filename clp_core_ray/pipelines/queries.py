@@ -3595,3 +3595,52 @@ def docs_bpe_token_counts(sf_dir: str):
                              b.column("text").combine_chunks())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register(
+    "docs_chunk_overlap",
+    "WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')"
+    "  AS words FROM documents),"
+    "c AS (SELECT doc_id, words, len(words) AS n FROM w),"
+    "idx AS (SELECT doc_id, words, n,"
+    "  unnest(range(CAST(CASE WHEN n <= 32 THEN 1"
+    "    ELSE ceil((n - 32) / 24.0) + 1 END AS BIGINT))) AS j FROM c)"
+    " SELECT doc_id, j AS chunk_idx, j * 24 AS word_start,"
+    "  least(j * 24 + 32, n) - j * 24 AS n_words,"
+    "  array_to_string(words[j * 24 + 1 : least(j * 24 + 32, n)], ' ')"
+    "    AS chunk_text"
+    " FROM idx",
+)
+def docs_chunk_overlap(sf_dir: str):
+    """RAG-prep chunking: 32-word windows advancing by 24 (8-word overlap),
+    one row per chunk with its word offset and re-joined text. Pure
+    flat-map — one task per block, no shuffle; all boundaries and the
+    overlapped word gather are numpy offset arithmetic on the flat word
+    buffer. Oracle rebuilds the same windows with DuckDB list slicing."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import chunk_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_words=32, overlap=8)
+
+
+@register(
+    "docs_length_batches",
+    "SELECT doc_id, CAST(floor((row_number() OVER ("
+    "  ORDER BY len(regexp_split_to_array(trim(text), '\\s+')), doc_id) - 1)"
+    "  / 16) AS BIGINT) AS batch_id FROM documents",
+)
+def docs_length_batches(sf_dir: str):
+    """Padding-efficient batch assignment: documents ordered by token count
+    (ties by id) and cut into 16-row batches so each batch pads to its own
+    near-uniform max length. No global sort — the ordinal comes from
+    global_window's value-range buckets (driver state = #buckets rows)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import length_bucket_batches
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return length_bucket_batches(ds, batch_rows=16)

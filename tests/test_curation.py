@@ -161,3 +161,76 @@ def test_sample_per_user_deterministic(ray_session):
     assert sorted(map(tuple, a[key].values.tolist())) == \
         sorted(map(tuple, b[key].values.tolist()))
     assert (a.groupby("user_id").size() <= 2).all()
+
+
+def test_chunk_documents_windows(ray_session):
+    """Overlap chunking: windows of C advancing by C-overlap, last chunk
+    short but never empty; brute-force reference per doc."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import chunk_documents
+
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"w{i}" for i in range(int(rng.integers(1, 90))))
+             for _ in range(60)]
+    texts.append("solo")                   # single-word doc -> one chunk
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    C, O = 16, 4
+    out = chunk_documents(rd.from_arrow(tbl).repartition(5),
+                          chunk_words=C, overlap=O).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"])
+    stride = C - O
+    for doc_id, g in out.groupby("doc_id"):
+        words = texts[doc_id].split()
+        n = len(words)
+        want = []
+        s = 0
+        while True:
+            want.append((s, words[s:s + C]))
+            if s + C >= n:
+                break
+            s += stride
+        assert g.chunk_idx.tolist() == list(range(len(want)))
+        assert g.word_start.tolist() == [w[0] for w in want]
+        assert g.chunk_text.tolist() == [" ".join(w[1]) for w in want]
+        assert g.n_words.tolist() == [len(w[1]) for w in want]
+
+
+def test_chunk_documents_rejects_bad_overlap():
+    import pytest
+
+    from clp_core_ray.functions.curation import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, chunk_words=8, overlap=8)
+
+
+def test_length_bucket_batches_order(ray_session):
+    """Batch ids follow ORDER BY n_tokens, id in fixed-size groups."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import length_bucket_batches
+
+    rng = np.random.default_rng(11)
+    n = 300
+    lens = rng.integers(1, 50, size=n)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array([" ".join(["t"] * int(k)) for k in lens]),
+    })
+    B = 7
+    out = length_bucket_batches(rd.from_arrow(tbl).repartition(6),
+                                batch_rows=B).to_pandas()
+    order = np.lexsort((np.arange(n), lens))
+    want = {int(doc): rank // B for rank, doc in enumerate(order)}
+    got = dict(zip(out.doc_id, out.batch_id))
+    assert got == want
+    # padding efficiency: token spread inside a batch <= spread overall
+    spread = out.merge(
+        pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                  "n": pa.array(lens)}).to_pandas(), on="doc_id") \
+        .groupby("batch_id")["n"].agg(["min", "max"])
+    assert ((spread["max"] - spread["min"]) <= (lens.max() - lens.min())).all()
