@@ -1139,3 +1139,193 @@ def ivf_index_radius(index_dir: str, queries: np.ndarray,
                          "score": pa.array(scores[qi, ni])})
 
     return cells_ds.map_batches(scan, batch_format="pyarrow")
+
+
+def hard_negatives_ds(ds, k: int = 1, id_col: str = "vec_id",
+                      emb_col: str = "embedding", label_col: str = "label"):
+    """Hard-negative mining for contrastive training: for every row, its
+    ``k`` most-similar rows with a DIFFERENT label — the pairs a metric
+    model most needs to separate.
+
+    Exact variant, same block self-join shape as :func:`knn_label_vote_ds`
+    (one raw task per block pair, per-query partial top-k candidates, exact
+    merge per query block; candidate volume per reduce = k x n_blocks per
+    query). O(blocks²) by construction — route through the IVF index via
+    :func:`hard_negatives_ivf` at scale. Ties break by neighbor id
+    ascending. Returns ``(query_id, neighbor_id, rank)``.
+    """
+    import ray
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _fixed_matrix
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col)).astype(np.float32)
+        dim = m.shape[1] if m.size else 1
+        return pa.table({
+            id_col: batch.column(id_col).combine_chunks().cast(pa.int64()),
+            label_col: batch.column(label_col).combine_chunks().cast(
+                pa.int64()),
+            "nemb": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), dim),
+        })
+
+    blocks = ds.map_batches(prep, batch_format="pyarrow").materialize() \
+        .to_arrow_refs()
+
+    @ray.remote
+    def pair(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        ma = _fixed_matrix(ta, "nemb")
+        mb = _fixed_matrix(tb, "nemb")
+        ia = np.asarray(ta.column(id_col), dtype=np.int64)
+        ib = np.asarray(tb.column(id_col), dtype=np.int64)
+        la = np.asarray(ta.column(label_col), dtype=np.int64)
+        lb = np.asarray(tb.column(label_col), dtype=np.int64)
+        scores = (ma @ mb.T).astype(np.float64)
+        scores[la[:, None] == lb[None, :]] = -np.inf  # negatives only
+        kk = min(k, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(ia, kk)),
+            "neighbor_id": pa.array(ib[part].reshape(-1)),
+            "score": pa.array(
+                np.take_along_axis(scores, part, axis=1).reshape(-1)),
+        })
+
+    @ray.remote
+    def reduce_pairs(*cands) -> pa.Table:
+        cand = pa.concat_tables(cands)
+        # same-label placeholders carry -inf scores; drop before the merge
+        cand = cand.filter(pc.greater(cand.column("score"),
+                                      pa.scalar(-np.inf)))
+        return _merge_topk(cand, k)
+
+    nb = len(blocks)
+    refs = [
+        reduce_pairs.remote(*[pair.remote(blocks[i], blocks[j])
+                              for j in range(nb)])
+        for i in range(nb)
+    ]
+    return rd.from_arrow(pa.concat_tables(ray.get(refs)))
+
+
+def hard_negatives_ivf(ds, index_dir: str, k: int = 1, n_probe: int = 4,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       label_col: str = "label"):
+    """Hard-negative mining routed through the at-rest IVF index — the
+    scale path for :func:`hard_negatives_ds`'s exact O(blocks²) self-join.
+
+    Each query block computes its ``n_probe`` nearest cells once; one raw
+    task per (query block, probed cell) scores only the probing subset
+    against that cell's partition (total matmul work ~n·n_probe/n_cells of
+    the exact join's n²). Labels ride the cell partitions from index build
+    time. Exact — identical to ``hard_negatives_ds`` — when ``n_probe >=
+    n_cells``; partial probes trade recall for the pruning.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _fixed_matrix
+
+    ct = pq.read_table(f"{index_dir}/centroids.parquet")
+    cents = np.asarray(
+        ct.column("centroid").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(ct), -1)
+    n_probe = min(n_probe, len(cents))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch, emb_col)).astype(np.float32)
+        dim = m.shape[1] if m.size else 1
+        probes = (np.argsort(-(m @ cents.T), axis=1)[:, :n_probe]
+                  .astype(np.int32) if m.size else
+                  np.zeros((0, n_probe), dtype=np.int32))
+        return pa.table({
+            id_col: batch.column(id_col).combine_chunks().cast(pa.int64()),
+            label_col: batch.column(label_col).combine_chunks().cast(
+                pa.int64()),
+            "nemb": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), dim),
+            "probes": pa.FixedSizeListArray.from_arrays(
+                pa.array(probes.reshape(-1)), n_probe),
+        })
+
+    qblocks = ds.map_batches(prep, batch_format="pyarrow").materialize() \
+        .to_arrow_refs()
+
+    @ray.remote
+    def load_cell(paths: list) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        t = pa.concat_tables(
+            _pq.read_table(p, columns=[id_col, emb_col, label_col])
+            for p in paths)
+        m = _normalize(_emb_matrix(t, emb_col)).astype(np.float32)
+        dim = m.shape[1] if m.size else 1
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks().cast(pa.int64()),
+            label_col: t.column(label_col).combine_chunks().cast(pa.int64()),
+            "nemb": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1)), dim),
+        })
+
+    cell_refs = {}
+    for c in range(len(cents)):
+        p = f"{index_dir}/cells/ivf_cell={c}"
+        if os.path.isdir(p):
+            paths = [os.path.join(p, f) for f in sorted(os.listdir(p))
+                     if f.endswith(".parquet")]
+            if paths:
+                cell_refs[c] = load_cell.remote(paths)
+
+    def _empty() -> pa.Table:
+        return pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64())})
+
+    @ray.remote
+    def pair(qt: pa.Table, cellt: pa.Table, cell_id: int) -> pa.Table:
+        probes = np.asarray(
+            qt.column("probes").combine_chunks().flatten(), dtype=np.int64
+        ).reshape(len(qt), -1)
+        sub = np.flatnonzero((probes == cell_id).any(axis=1))
+        if not len(sub) or not len(cellt):
+            return _empty()
+        ma = _fixed_matrix(qt, "nemb")[sub]
+        ia = np.asarray(qt.column(id_col), dtype=np.int64)[sub]
+        la = np.asarray(qt.column(label_col), dtype=np.int64)[sub]
+        mb = _fixed_matrix(cellt, "nemb")
+        ib = np.asarray(cellt.column(id_col), dtype=np.int64)
+        lb = np.asarray(cellt.column(label_col), dtype=np.int64)
+        scores = (ma @ mb.T).astype(np.float64)
+        scores[la[:, None] == lb[None, :]] = -np.inf
+        kk = min(k, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(ia, kk)),
+            "neighbor_id": pa.array(ib[part].reshape(-1)),
+            "score": pa.array(
+                np.take_along_axis(scores, part, axis=1).reshape(-1)),
+        })
+
+    @ray.remote
+    def reduce_pairs(*cands) -> pa.Table:
+        cand = pa.concat_tables(cands)
+        cand = cand.filter(pc.greater(cand.column("score"),
+                                      pa.scalar(-np.inf)))
+        if len(cand) == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64())})
+        return _merge_topk(cand, k)
+
+    refs = [
+        reduce_pairs.remote(*[pair.remote(qb, cr, c)
+                              for c, cr in cell_refs.items()])
+        for qb in qblocks
+    ]
+    return rd.from_arrow(pa.concat_tables(ray.get(refs)))

@@ -3644,3 +3644,59 @@ def docs_length_batches(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return length_bucket_batches(ds, batch_rows=16)
+
+
+@register(
+    "emb_hard_negatives",
+    "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+    "CAST(row_number() OVER (PARTITION BY q.vec_id "
+    "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,"
+    " e.vec_id) AS BIGINT) AS rank "
+    "FROM embeddings q, embeddings e WHERE e.label <> q.label "
+    "QUALIFY rank <= 2",
+)
+def emb_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: each row's 2
+    most-similar DIFFERENT-label rows (the pairs a metric model most needs
+    to separate). Exact block self-join — every row is a query; candidates
+    per reduce = k x n_blocks per query. Oracle: brute-force cosine cross
+    join with the same id-ascending tiebreak."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import hard_negatives_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    return hard_negatives_ds(ds.repartition(4), k=2)
+
+
+@register(
+    "emb_hard_negatives_ivf",
+    "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+    "CAST(row_number() OVER (PARTITION BY q.vec_id "
+    "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,"
+    " e.vec_id) AS BIGINT) AS rank "
+    "FROM embeddings q, embeddings e WHERE e.label <> q.label "
+    "QUALIFY rank <= 2",
+)
+def emb_hard_negatives_ivf(sf_dir: str):
+    """Hard-negative mining routed through the at-rest IVF index — the
+    scale path (~n*n_probe/n_cells of the exact join's n^2 matmul work).
+    Oracled in the exact configuration (n_probe = n_cells); partial probes
+    are the production mode and recall-bounded in pytest."""
+    import os
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import (
+        build_ivf_index,
+        hard_negatives_ivf,
+    )
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/knn_ivf_index_sf{sf_of_dir(sf_dir)}"
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    if not os.path.exists(f"{idx}/centroids.parquet"):
+        build_ivf_index(ds, idx, n_centroids=8)
+    return hard_negatives_ivf(ds.repartition(4), idx, k=2, n_probe=8)
