@@ -578,3 +578,75 @@ def length_bucket_batches(ds, batch_rows: int, id_col: str = "doc_id",
         })
 
     return ranked.map_batches(to_batches, batch_format="pyarrow")
+
+
+def fuzzy_decontaminate(ds, bench_texts, threshold: float = 0.5,
+                        k_shingle: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text", drop: bool = False):
+    """Fuzzy benchmark decontamination: flag (or drop) corpus documents
+    whose MinHash-estimated Jaccard against ANY benchmark document reaches
+    ``threshold`` — the near-duplicate complement of :func:`decontaminate`'s
+    exact n-gram membership test (a paraphrased or lightly-edited benchmark
+    leak has no exact 8-gram in common but a high shingle Jaccard).
+
+    The 100-TB shape is a broadcast, not a shuffle: benchmark sets are tiny
+    next to the corpus, so the bench signatures + an LSH band-key index are
+    built once driver-side and ``ray.put`` ONCE; each corpus batch then
+    minhashes itself, probes the band index with two searchsorteds, and
+    verifies only the colliding (doc, bench) candidates by signature
+    agreement — vectorized, zero per-doc Python, no all-pairs. Recall
+    follows the 16x4 LSH curve (≳0.5 Jaccard caught reliably), same as
+    :func:`~clp_core_ray.functions.dedup.minhash_lsh_pairs`.
+    """
+    import ray
+
+    from clp_core_ray.functions.dedup import (band_hashes,
+                                              minhash_signatures)
+
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    bench_sig = minhash_signatures(
+        pa.array(list(bench_texts), type=pa.large_string()), k_shingle)
+    bh = band_hashes(bench_sig).view(np.uint64)          # (n_bench, N_BANDS)
+    bands = np.arange(bh.shape[1], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        keys = (bh ^ (bands[None, :] * MIX)).reshape(-1)
+    bench_row = np.repeat(np.arange(len(bench_sig), dtype=np.int64),
+                          bh.shape[1])
+    order = np.argsort(keys)
+    idx_ref = ray.put((keys[order], bench_row[order], bench_sig))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+        n = len(batch)
+        if n == 0:
+            flagged = pa.array([], type=pa.bool_())
+            out = batch.append_column("contaminated", flagged)
+            return out.filter(pc.invert(flagged)) \
+                .drop_columns(["contaminated"]) if drop else out
+        skeys, srow, ssig = ray.get(idx_ref)
+        sig = minhash_signatures(batch.column(text_col), k_shingle)
+        dbh = band_hashes(sig).view(np.uint64)
+        with np.errstate(over="ignore"):
+            dkeys = (dbh ^ (np.arange(dbh.shape[1], dtype=np.uint64)[None, :]
+                            * MIX)).reshape(-1)
+        lo = np.searchsorted(skeys, dkeys, side="left")
+        hi = np.searchsorted(skeys, dkeys, side="right")
+        cnt = hi - lo
+        hit = np.flatnonzero(cnt)
+        flags = np.zeros(n, dtype=bool)
+        if len(hit):
+            # candidate (doc, bench) pairs from the collision ranges
+            doc_of = np.repeat(hit // dbh.shape[1], cnt[hit])
+            within = (np.arange(int(cnt[hit].sum()), dtype=np.int64)
+                      - np.repeat(np.concatenate(
+                          [[0], np.cumsum(cnt[hit])[:-1]]), cnt[hit]))
+            bidx = srow[np.repeat(lo[hit], cnt[hit]) + within]
+            est = (sig[doc_of] == ssig[bidx]).mean(axis=1)
+            np.maximum.at(flags, doc_of, est >= threshold)
+        flagged = pa.array(flags)
+        if drop:
+            return batch.filter(pc.invert(flagged))
+        return batch.append_column("contaminated", flagged)
+
+    return ds.map_batches(probe, batch_format="pyarrow")

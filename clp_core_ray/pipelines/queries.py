@@ -3700,3 +3700,79 @@ def emb_hard_negatives_ivf(sf_dir: str):
     if not os.path.exists(f"{idx}/centroids.parquet"):
         build_ivf_index(ds, idx, n_centroids=8)
     return hard_negatives_ivf(ds.repartition(4), idx, k=2, n_probe=8)
+
+
+@register(
+    "docs_char_entropy",
+    "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c"
+    "  FROM documents),"
+    "f AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),"
+    "tot AS (SELECT doc_id, sum(k) AS n FROM f GROUP BY 1)"
+    " SELECT d.doc_id,"
+    "  round(coalesce(-sum((k / n) * log2(k / n)), 0.0), 6) AS entropy"
+    " FROM documents d LEFT JOIN f USING (doc_id) LEFT JOIN tot USING (doc_id)"
+    " GROUP BY d.doc_id",
+)
+def docs_char_entropy(sf_dir: str):
+    """Byte-distribution Shannon entropy per document — the cheap
+    gibberish/low-diversity screen. One bincount over doc_ordinal*256+byte
+    per batch, no shuffle. Equal to character entropy on this ASCII corpus,
+    which is what the SQL computes; rounded to 6 decimals both sides (the
+    BM25/perplexity float pattern)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import char_entropy
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "entropy": pc.round(char_entropy(
+                b.column("text").combine_chunks()), ndigits=6),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@register(
+    "docs_fuzzy_decontaminate",
+    "WITH " + _JACCARD_PAIRS_CTES.replace(
+        "ON a.s = b.s AND a.doc_id < b.doc_id",
+        "ON a.s = b.s AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0") + " "
+    "SELECT d.doc_id, (c.doc_a IS NOT NULL) AS contaminated "
+    "FROM documents d LEFT JOIN (SELECT DISTINCT doc_a FROM jpairs) c "
+    "ON c.doc_a = d.doc_id WHERE d.doc_id % 10 <> 0",
+)
+def docs_fuzzy_decontaminate(sf_dir: str):
+    """Fuzzy benchmark decontamination: flag corpus docs whose MinHash
+    Jaccard vs ANY benchmark doc (here: doc_id % 10 == 0 as the held-out
+    set) reaches 0.5. Broadcast shape — bench signatures + LSH band index
+    ray.put once, each corpus batch probes with two searchsorteds and
+    verifies colliding candidates by signature agreement. Oracle: exact
+    word-3-shingle Jaccard cross-set pairs (the corpus plants near-dups at
+    >=0.9 with nothing in (0.3, 0.9), so the 16x4 LSH estimate and the
+    exact relation agree at 0.5 — same argument as docs_minhash_pairs)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import fuzzy_decontaminate
+
+    bt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    bench = bt.filter(
+        pc.equal(_mod10(bt.column("doc_id")), pa.scalar(0)))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    corpus = ds.map_batches(
+        lambda b: b.filter(pc.not_equal(_mod10(b.column("doc_id")),
+                                        pa.scalar(0))),
+        batch_format="pyarrow")
+    out = fuzzy_decontaminate(corpus, bench.column("text").to_pylist())
+    return out.select_columns(["doc_id", "contaminated"])
+
+
+def _mod10(col):
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pa.array(np.asarray(c, dtype=np.int64) % 10)

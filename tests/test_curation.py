@@ -234,3 +234,55 @@ def test_length_bucket_batches_order(ray_session):
                   "n": pa.array(lens)}).to_pandas(), on="doc_id") \
         .groupby("batch_id")["n"].agg(["min", "max"])
     assert ((spread["max"] - spread["min"]) <= (lens.max() - lens.min())).all()
+
+
+def test_fuzzy_decontaminate_broadcast(ray_session):
+    """Near-dup of a bench doc is flagged (no exact 8-gram needed); clean
+    docs pass; drop mode removes flagged rows."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import fuzzy_decontaminate
+
+    bench = ["the quick brown fox jumps over the lazy dog near the river "
+             "bank today at dawn"]
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            # paraphrased leak: one word changed -> high jaccard, flagged
+            "the quick brown fox jumps over the lazy dog near the river "
+            "bank tomorrow at dawn",
+            "completely different words about database queries and "
+            "vectorized execution plans today",
+            # verbatim leak
+            "the quick brown fox jumps over the lazy dog near the river "
+            "bank today at dawn",
+            # shares a few words only -> low jaccard, clean
+            "the lazy dog sleeps all day near the house",
+        ]),
+    })
+    out = fuzzy_decontaminate(rd.from_arrow(docs).repartition(2), bench) \
+        .to_pandas().sort_values("doc_id")
+    assert out.contaminated.tolist() == [True, False, True, False]
+    kept = fuzzy_decontaminate(rd.from_arrow(docs), bench, drop=True) \
+        .to_pandas()
+    assert sorted(kept.doc_id.tolist()) == [1, 3]
+    assert "contaminated" not in kept.columns
+
+
+def test_char_entropy_values():
+    import math
+
+    from clp_core_ray.functions.text import char_entropy
+
+    a = pa.array(["aaaa", "ab", "", None, "abab", "abcd"])
+    out = char_entropy(a).to_pylist()
+    assert out[0] == 0.0 and str(out[0]) == "0.0"   # no negative zero
+    assert abs(out[1] - 1.0) < 1e-12
+    assert out[2] == 0.0 and out[3] == 0.0
+    assert abs(out[4] - 1.0) < 1e-12
+    assert abs(out[5] - 2.0) < 1e-12
+    # natural text sits well above single-char spam
+    nat, spam = char_entropy(
+        pa.array(["the quick brown fox jumps over the lazy dog",
+                  "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"])).to_pylist()
+    assert nat > 3.5 > spam + 3.0
