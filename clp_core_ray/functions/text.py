@@ -523,3 +523,63 @@ def char_entropy(texts: pa.Array) -> pa.Array:
     with np.errstate(divide="ignore", invalid="ignore"):
         term = np.where(p > 0, p * np.log2(p), 0.0)
     return pa.array(-term.sum(axis=1) + 0.0, type=pa.float64())
+
+
+def build_vocab(ds, *, max_size: int, min_count: int = 1,
+                text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int | None = None):
+    """Frequency-ranked vocabulary build (the tokenizer-training /
+    embedding-table prep step): the ``max_size`` most frequent terms with
+    ``count >= min_count``, each assigned a dense rank id
+    (``count DESC, term ASC`` — id 1 = most frequent, deterministic ties).
+
+    Same bounded three-stage shape as :func:`top_terms_per_group`, global:
+    (1) per-batch explode (shared tokenizer) + per-batch (term, count)
+    partials — the exchange carries one row per distinct term per batch,
+    never per occurrence; (2) term-hash-bucket groupby sums partials (a
+    term's total lands wholly in one bucket), applies ``min_count`` and
+    keeps the bucket's ``max_size`` best — valid partial: any global
+    top-``max_size`` member is in its own bucket's top-``max_size``;
+    (3) ONE final task merges <= max_size x num_buckets candidate rows and
+    assigns ids. Driver never materializes the token stream; the final
+    fan-in is bounded by the vocab size, not the corpus.
+    Returns Dataset[(term, cnt, term_id)].
+    """
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = num_buckets or scaled_buckets()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = _explode_terms(batch, text_col, id_col)
+        g = t.group_by(["term"]).aggregate([("term", "count")])
+        part = pa.table({"term": g.column("term"),
+                         "cnt": g.column("term_count").cast(pa.int64())})
+        return _route_terms(part, nb)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        tb = g.drop_columns(["_bucket"])
+        s = tb.group_by(["term"]).aggregate([("cnt", "sum")])
+        summed = pa.table({"term": s.column("term"),
+                           "cnt": s.column("cnt_sum")})
+        summed = summed.filter(
+            pc.greater_equal(summed.column("cnt"), pa.scalar(min_count)))
+        idx = pc.sort_indices(summed, sort_keys=[("cnt", "descending"),
+                                                 ("term", "ascending")])
+        return summed.take(idx[:max_size])
+
+    def finalize(g: pa.Table) -> pa.Table:
+        tb = g.drop_columns(["_one"])
+        idx = pc.sort_indices(tb, sort_keys=[("cnt", "descending"),
+                                             ("term", "ascending")])
+        top = tb.take(idx[:max_size])
+        return top.append_column(
+            "term_id", pa.array(np.arange(1, len(top) + 1, dtype=np.int64)))
+
+    partials = (ds.map_batches(explode, batch_format="pyarrow")
+                .groupby("_bucket").map_groups(per_bucket,
+                                               batch_format="pyarrow"))
+    one = partials.map_batches(
+        lambda b: b.append_column("_one", pa.array(
+            np.zeros(len(b), dtype=np.int32))),
+        batch_format="pyarrow")
+    return one.groupby("_one").map_groups(finalize, batch_format="pyarrow")

@@ -1331,3 +1331,29 @@ def test_hard_negatives(ray_session):
     # an answered query can probe ONE foreign cell while its true hardest
     # negative lives in another -> recall < 1 by design at partial probe
     assert len(ex & ap) / len(ex) >= 0.6
+
+
+def test_build_vocab_rank_and_min_count(ray_session):
+    """Vocabulary ids follow count DESC, term ASC; min_count and max_size
+    bound the output; partial-topk across buckets stays exact."""
+    import collections
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import build_vocab
+
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = [" ".join(rng.choice(words, p=[.3, .2, .15, .15, .1, .05, .05],
+                                 size=rng.integers(3, 30)))
+             for _ in range(200)]
+    tbl = pa.table({"doc_id": pa.array(range(200), type=pa.int64()),
+                    "text": pa.array(texts)})
+    cnt = collections.Counter(w for t in texts for w in t.split())
+    want = sorted(((w, c) for w, c in cnt.items() if c >= 5),
+                  key=lambda x: (-x[1], x[0]))[:4]
+    out = build_vocab(rd.from_arrow(tbl).repartition(6), max_size=4,
+                      min_count=5, num_buckets=8).to_pandas() \
+        .sort_values("term_id")
+    assert list(zip(out.term, out.cnt)) == want
+    assert out.term_id.tolist() == list(range(1, len(want) + 1))
