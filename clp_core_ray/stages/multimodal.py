@@ -555,3 +555,55 @@ def image_stats(ds, concurrency=(1, 4), **stage_kwargs):
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
     )
+
+
+class AudioStatsStage:
+    """binary WAV column → duration, RMS loudness, peak, silence ratio,
+    clipping ratio — the cheap screens an audio-curation pipeline filters
+    on (dead mics, near-silence, clipped takes) before paying for
+    transcription or embeddings.
+
+    Actor-pool stage: nothing heavier than the stdlib codec here, but the
+    shape matches the other media stages (decode bound per actor in
+    __init__, wide-row batch size) so a real loudness model drops in.
+    """
+
+    def __init__(self, data_col: str = "audio", decode_fn=None,
+                 silence_db: float = -40.0):
+        self.data_col = data_col
+        self.decode_fn = decode_fn or decode_wav
+        self.silence_amp = 10.0 ** (silence_db / 20.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.data_col).to_pylist()
+        n = len(bufs)
+        dur = np.empty(n, dtype=np.float32)
+        rms = np.empty(n, dtype=np.float32)
+        peak = np.empty(n, dtype=np.float32)
+        silence = np.empty(n, dtype=np.float32)
+        clip = np.empty(n, dtype=np.float32)
+        for i, buf in enumerate(bufs):  # codec loop: per-item by nature
+            pcm, rate = self.decode_fn(buf)
+            m = max(len(pcm), 1)
+            a = np.abs(pcm)
+            dur[i] = len(pcm) / max(rate, 1)
+            rms[i] = float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0
+            peak[i] = float(a.max()) if len(pcm) else 0.0
+            silence[i] = float((a < self.silence_amp).sum()) / m
+            clip[i] = float((a >= 0.999).sum()) / m
+        out = batch.drop_columns([self.data_col])
+        for name, arr in (("duration_s", dur), ("rms", rms), ("peak", peak),
+                          ("silence_ratio", silence), ("clip_ratio", clip)):
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+
+def audio_stats(ds, concurrency=(1, 4), **stage_kwargs):
+    """Attach loudness/silence/clipping screens (actor-pool stage)."""
+    return ds.map_batches(
+        AudioStatsStage,
+        fn_constructor_kwargs=stage_kwargs,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )

@@ -1357,3 +1357,43 @@ def test_build_vocab_rank_and_min_count(ray_session):
         .sort_values("term_id")
     assert list(zip(out.term, out.cnt)) == want
     assert out.term_id.tolist() == list(range(1, len(want) + 1))
+
+
+def test_audio_stats_screens(ray_session):
+    """Tone vs silence vs clipped square wave land on the right side of
+    every screen: rms, peak, silence ratio, clip ratio, duration."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from clp_core_ray.stages.multimodal import audio_stats
+
+    def wav_bytes(samples: np.ndarray, rate: int = 8000) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes((samples * 32767).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    t = np.arange(8000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)            # 1 s, -6 dB-ish
+    silence = np.zeros(4000)                             # 0.5 s dead air
+    square = np.sign(np.sin(2 * np.pi * 100 * t))        # clipped take
+    tbl = pa.table({
+        "clip_id": pa.array([0, 1, 2], type=pa.int64()),
+        "audio": pa.array([wav_bytes(tone), wav_bytes(silence),
+                           wav_bytes(square)], type=pa.binary()),
+    })
+    out = audio_stats(rd.from_arrow(tbl), concurrency=1).to_pandas() \
+        .sort_values("clip_id")
+    tone_r, sil_r, sq_r = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert abs(tone_r.duration_s - 1.0) < 1e-3
+    assert abs(sil_r.duration_s - 0.5) < 1e-3
+    assert abs(tone_r.rms - 0.5 / np.sqrt(2)) < 0.01
+    assert sil_r.rms == 0.0 and sil_r.silence_ratio == 1.0
+    assert sil_r.clip_ratio == 0.0
+    assert tone_r.silence_ratio < 0.05 and tone_r.clip_ratio == 0.0
+    assert sq_r.clip_ratio > 0.95 and abs(sq_r.peak - 1.0) < 0.01
