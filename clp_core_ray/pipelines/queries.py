@@ -64,8 +64,9 @@ _GATE_PRIORITY = [
     "docs_fuzzy_decontaminate", "docs_snapshot_diff", "docs_pack_sequences",
     "docs_mixture_sample", "docs_train_split", "docs_curation_pipeline",
     "docs_repetition", "docs_chunk_overlap", "docs_length_batches",
-    # text analysis / retrieval
-    "docs_inverted_index", "docs_bm25", "docs_char_entropy",
+    # text analysis / retrieval (inverted_index rotates behind bm25, which
+    # exercises the same explode→bucket machinery plus scoring)
+    "docs_bpe_roundtrip", "docs_bm25", "docs_char_entropy",
     "docs_bpe_token_counts",
     "docs_perplexity_scored", "docs_top_terms_per_lang",
     # similarity / clustering / linalg
@@ -3804,3 +3805,50 @@ def docs_vocab(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return build_vocab(ds, max_size=40, min_count=3)
+
+
+@register(
+    "docs_bpe_roundtrip",
+    "SELECT doc_id, text FROM documents",
+)
+def docs_bpe_roundtrip(sf_dir: str):
+    """Distributed BPE end-to-end: train merges on the corpus (word-count
+    exchange + vectorized driver merge loop), broadcast the model, encode
+    every document to token ids, DECODE the ids back — the decoded strings
+    must hash-match the raw documents table (byte-level base alphabet =
+    lossless by construction; this oracles the whole train→encode→decode
+    path including the pretokenizer's exact-concatenation property)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.bpe import bpe_encode, decode_ids, train_bpe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    model = train_bpe(ds, n_merges=200, min_count=2)
+    enc = bpe_encode(ds.select_columns(["doc_id", "text"]), model)
+
+    def back(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": decode_ids(b.column("token_ids").combine_chunks(), model),
+        })
+
+    return enc.map_batches(back, batch_format="pyarrow")
+
+
+@register("docs_bpe_tokens")
+def docs_bpe_tokens(sf_dir: str):
+    """Learned-BPE token budget per document (the real tokenizer-apply
+    stage: trained merges broadcast once, per-batch distinct-pretoken
+    cache). Rows-only by design — a learned subword segmentation has no
+    SQL expression; the sibling docs_bpe_roundtrip oracles the same
+    train/encode path end-to-end via lossless decode."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.bpe import bpe_encode, train_bpe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    model = train_bpe(ds, n_merges=200, min_count=2)
+    return bpe_encode(ds, model, keep_ids=False).select_columns(
+        ["doc_id", "n_tokens"])
