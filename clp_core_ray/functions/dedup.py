@@ -1412,3 +1412,174 @@ def hamming_ball_pairs(ds, *, sig_col: str = "sig", id_col: str = "vec_id",
     out = _distinct_pairs(cand)
     return out.map_batches(
         lambda t: t.rename_columns(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+def _bucket_cross_pairs(group: pa.Table, cap: int = BUCKET_CAP) -> pa.Table:
+    """Cross-side candidate pairs for every LSH bucket inside one coarse
+    bucket — the two-corpus analogue of :func:`_bucket_pairs_vectorized`.
+
+    Rows carry a ``side`` column (0 = left, 1 = right). One lexsort orders
+    (band, band_hash, side, doc); within each (band, band_hash) run the
+    left rows occupy a prefix and every left row pairs with the run's
+    right rows — pure repeat/arange arithmetic, no Python per bucket.
+    Duplicate (band, hash, side, doc) rows are dropped. A run whose right
+    side exceeds ``cap`` pairs each left row with its first ``cap`` rights
+    (LOGGED, never silent): unlike the self-join there is no transitive
+    component to preserve, so the cap is an explicit recall bound on
+    boilerplate-heavy buckets."""
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64())})
+    m = len(group)
+    if m < 2:
+        return empty
+    band = np.asarray(group.column("band"), dtype=np.int64)
+    bh = np.asarray(group.column("band_hash"), dtype=np.uint64)
+    doc = np.asarray(group.column("doc"), dtype=np.int64)
+    side = np.asarray(group.column("side"), dtype=np.int8)
+    order = np.lexsort((doc, side, bh, band))
+    band, bh, doc, side = band[order], bh[order], doc[order], side[order]
+    keep = np.ones(m, dtype=bool)
+    keep[1:] = ((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+                | (side[1:] != side[:-1]) | (doc[1:] != doc[:-1]))
+    band, bh, doc, side = band[keep], bh[keep], doc[keep], side[keep]
+    m = len(doc)
+    new_run = np.ones(m, dtype=bool)
+    new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new_run)
+    counts = np.diff(np.append(starts, m))
+    run_of_row = np.cumsum(new_run) - 1
+    n_left = np.bincount(run_of_row, weights=(side == 0),
+                         minlength=len(starts)).astype(np.int64)
+    n_right = counts - n_left
+    eff_right = np.minimum(n_right, cap)
+    if (n_right > cap).any():
+        _log_oversized_bucket("fuzzy-join-LSH", int(n_right.max()), cap)
+    c = np.where(side == 0, eff_right[run_of_row], 0)
+    total = int(c.sum())
+    if total == 0:
+        return empty
+    rep = np.repeat(np.arange(m), c)
+    off = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(c)[:-1])), c)
+    right_base = (starts + n_left)[run_of_row[rep]]
+    return pa.table({"doc_a": pa.array(doc[rep]),
+                     "doc_b": pa.array(doc[right_base + off])})
+
+
+def fuzzy_join(left_ds, right_ds, *, threshold: float = 0.5,
+               id_col: str = "doc_id", text_col: str = "text",
+               k_shingle: int = 3):
+    """Near-duplicate JOIN between two large corpora via a shared MinHash
+    band shuffle — both sides stream (neither is broadcast; contrast
+    :func:`clp_core_ray.functions.curation.fuzzy_decontaminate`, the
+    small-bench-side broadcast variant).
+
+    Pipeline: per-side signature tables (kept at rest), LIGHT
+    (band, band_hash, doc, side) shuffle rows (21 B — the signature never
+    rides the exchange), coarse-bucket groupby with vectorized cross-pair
+    expansion, global pair distinct, then signature verification (broadcast
+    under the cap, two partitioned joins above it).
+    Returns Dataset[(doc_a, doc_b, est_jaccard)] — doc_a from the left
+    corpus, doc_b from the right, estimated Jaccard >= threshold.
+    """
+    import ray
+
+    from clp_core_ray.pipelines.join import (
+        BROADCAST_BYTES_CAP,
+        auto_join,
+        estimated_bytes,
+    )
+
+    def sig_side(ds, side_val):
+        def fn(b: pa.Table) -> pa.Table:
+            t = _signature_table(b, id_col, text_col, k_shingle)
+            return pa.table({
+                "doc": t.column(id_col),
+                "sig": t.column("sig"),
+                "side": pa.array(
+                    np.full(len(t), side_val, dtype=np.int8)),
+            })
+
+        return ds.map_batches(fn, batch_format="pyarrow").materialize()
+
+    sig_l = sig_side(left_ds, 0)
+    sig_r = sig_side(right_ds, 1)
+
+    ncpu = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    n_buckets = max(64, 4 * ncpu)
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = _explode_bands(b.select(["doc", "sig"]), "doc")
+        side = np.repeat(np.asarray(b.column("side"), dtype=np.int8),
+                         N_BANDS)
+        band = np.asarray(t.column("band"), dtype=np.int64).astype(np.uint64)
+        bh = np.asarray(t.column("band_hash"), dtype=np.uint64)
+        key = bh ^ (band * np.uint64(0x9E3779B97F4A7C15))
+        return (t.append_column("side", pa.array(side))
+                .append_column("_cb", pa.array(
+                    (key % np.uint64(n_buckets)).astype(np.int32))))
+
+    cands = (sig_l.union(sig_r)
+             .map_batches(explode, batch_format="pyarrow")
+             .groupby("_cb")
+             .map_groups(_bucket_cross_pairs, batch_format="pyarrow"))
+    cands = _distinct_pairs(cands)
+
+    def _verify_tbl(t: pa.Table, sa: np.ndarray, sb: np.ndarray) -> pa.Table:
+        est = (sa == sb).mean(axis=1) if len(t) else np.zeros(0)
+        return pa.table({
+            "doc_a": t.column("doc_a").combine_chunks().cast(pa.int64()),
+            "doc_b": t.column("doc_b").combine_chunks().cast(pa.int64()),
+            "est_jaccard": pa.array(est),
+        }).filter(pa.array(est >= threshold))
+
+    def _collect_sigs(sig_ds):
+        blocks = [t for t in ray.get(sig_ds.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros((0, N_PERM), dtype=np.int64))
+        stbl = pa.concat_tables(blocks)
+        ids = np.asarray(stbl.column("doc"), dtype=np.int64)
+        mat = np.asarray(stbl.column("sig").combine_chunks().flatten(),
+                         dtype=np.int64).reshape(len(stbl), N_PERM)
+        order = np.argsort(ids)
+        return ids[order], mat[order]
+
+    if (estimated_bytes(sig_l) + estimated_bytes(sig_r)
+            <= BROADCAST_BYTES_CAP):
+        sig_ref = ray.put((*_collect_sigs(sig_l), *_collect_sigs(sig_r)))
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                z = np.zeros((0, N_PERM), dtype=np.int64)
+                return _verify_tbl(t, z, z)
+            lids, lmat, rids, rmat = ray.get(sig_ref)
+            a = np.asarray(t.column("doc_a"), dtype=np.int64)
+            b = np.asarray(t.column("doc_b"), dtype=np.int64)
+            return _verify_tbl(t, lmat[np.searchsorted(lids, a)],
+                               rmat[np.searchsorted(rids, b)])
+
+        return cands.map_batches(verify_broadcast, batch_format="pyarrow")
+
+    ja = auto_join(cands, sig_l.map_batches(
+        lambda t: pa.table({"_ida": t.column("doc"), "sig_a": t.column("sig")}),
+        batch_format="pyarrow"), "doc_a", "_ida", ["sig_a"])
+    jb = auto_join(ja, sig_r.map_batches(
+        lambda t: pa.table({"_idb": t.column("doc"), "sig_b": t.column("sig")}),
+        batch_format="pyarrow"), "doc_b", "_idb", ["sig_b"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            z = np.zeros((0, N_PERM), dtype=np.int64)
+            return _verify_tbl(pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64())}), z, z)
+        sa = np.asarray(t.column("sig_a").combine_chunks().flatten(),
+                        dtype=np.int64).reshape(n, N_PERM)
+        sb = np.asarray(t.column("sig_b").combine_chunks().flatten(),
+                        dtype=np.int64).reshape(n, N_PERM)
+        return _verify_tbl(t, sa, sb)
+
+    return jb.map_batches(verify, batch_format="pyarrow")

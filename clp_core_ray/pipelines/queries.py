@@ -59,7 +59,7 @@ _GATE_PRIORITY = [
     "clp_rules_roundtrip",
     # dedup / curation family
     "docs_fuzzy_dedup", "docs_fuzzy_dedup_best", "docs_dup_spans",
-    "docs_scrub_dup_spans",
+    "docs_fuzzy_join",
     "emb_semantic_dedup", "clp_redact_pii", "docs_decontaminate",
     "docs_fuzzy_decontaminate", "docs_snapshot_diff", "docs_pack_sequences",
     "docs_mixture_sample", "docs_train_split", "docs_curation_pipeline",
@@ -3852,3 +3852,38 @@ def docs_bpe_tokens(sf_dir: str):
     model = train_bpe(ds, n_merges=200, min_count=2)
     return bpe_encode(ds, model, keep_ids=False).select_columns(
         ["doc_id", "n_tokens"])
+
+
+@register(
+    "docs_fuzzy_join",
+    "WITH " + _JACCARD_PAIRS_CTES.replace(
+        "ON a.s = b.s AND a.doc_id < b.doc_id",
+        "ON a.s = b.s AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0") + " "
+    "SELECT doc_a, doc_b FROM jpairs",
+)
+def docs_fuzzy_join(sf_dir: str):
+    """Cross-corpus near-duplicate JOIN: both sides LARGE (neither
+    broadcast) — per-side MinHash signatures, one shared light band
+    shuffle, vectorized cross-side pair expansion per coarse bucket,
+    signature verify. Left = corpus docs (doc_id % 10 != 0), right = the
+    held-out set (doc_id % 10 == 0). Oracle: exact word-3-shingle Jaccard
+    cross-set pairs (valid at 0.5 because the synthetic corpus plants
+    near-dups at >=0.9 with nothing in (0.3, 0.9) — the docs_minhash_pairs
+    argument)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import fuzzy_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    left = ds.map_batches(
+        lambda b: b.filter(pc.not_equal(_mod10(b.column("doc_id")),
+                                        pa.scalar(0))),
+        batch_format="pyarrow")
+    right = ds.map_batches(
+        lambda b: b.filter(pc.equal(_mod10(b.column("doc_id")),
+                                    pa.scalar(0))),
+        batch_format="pyarrow")
+    out = fuzzy_join(left, right, threshold=0.5)
+    return out.map_batches(lambda b: b.select(["doc_a", "doc_b"]),
+                           batch_format="pyarrow")
