@@ -3887,3 +3887,32 @@ def docs_fuzzy_join(sf_dir: str):
     out = fuzzy_join(left, right, threshold=0.5)
     return out.map_batches(lambda b: b.select(["doc_a", "doc_b"]),
                            batch_format="pyarrow")
+
+
+@register("docs_quality_classifier")
+def docs_quality_classifier(sf_dir: str):
+    """Model-based quality filter (fastText/DCLM shape): train a hashed
+    bag-of-words logistic regression on an in-corpus label (lang == 'en'),
+    then score every document in one streaming pass. Rows-only by design —
+    learned float weights have no SQL expression; the training math is
+    pinned by tests/test_classifier.py (distributed partial-gradient run
+    == single-process full-batch reference to 1e-9, perfect separation on
+    a separable corpus)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    lab = ds.map_batches(
+        lambda b: b.append_column(
+            "label",
+            pc.equal(b.column("lang"), pa.scalar("en")).cast(pa.int64())),
+        batch_format="pyarrow")
+    model = train_quality_classifier(lab, label_col="label", bits=16,
+                                     iters=30)
+    out = score_quality(ds, model)
+    return out.select_columns(["doc_id", "quality_score"])
