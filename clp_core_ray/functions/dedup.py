@@ -1583,3 +1583,178 @@ def fuzzy_join(left_ds, right_ds, *, threshold: float = 0.5,
         return _verify_tbl(t, sa, sb)
 
     return jb.map_batches(verify, batch_format="pyarrow")
+
+
+def keep_first_by_content(ds, *, content_col: str = "text",
+                          order_cols=("doc_id",), normalize=None,
+                          n_buckets: int | None = None):
+    """Generic EXACT keep-first dedup over any unit table: of all rows
+    sharing a content value, keep the one with the lexicographically
+    smallest ``order_cols`` tuple (the unit-level generalization of
+    :func:`exact_dedup_survivors` — feed it documents, exploded lines,
+    or transcript turns).
+
+    ``normalize``: optional vectorized pa.Array → pa.Array canonicalizer
+    applied before comparison (e.g. lowercase + digit-run collapse =
+    template-level dedup of log-like text). The ORIGINAL columns ride
+    through untouched.
+
+    Exactness without a collision caveat: rows are routed by content hash
+    but the final per-bucket pass groups on the content STRING (one
+    pyarrow sort, run detection on adjacent equality). Exchange = one row
+    per distinct content per batch (per-batch pre-dedup), including the
+    content string — the unavoidable payload of exact dedup.
+    """
+    from clp_core_ray.functions.text import fingerprints
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = _pow2_buckets(n_buckets or scaled_buckets())
+    order_cols = list(order_cols)
+    # with no normalizer the content column itself is the compare key —
+    # don't ship it twice through the shuffle
+    key_col = "_norm" if normalize is not None else content_col
+    sort_keys = [(key_col, "ascending")] + [
+        (c, "ascending") for c in order_cols]
+
+    def _first_per_content(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        t = t.take(idx)
+        col = t.column(key_col).combine_chunks()
+        if t.num_rows == 1:
+            return t
+        neq = pc.not_equal(col.slice(1), col.slice(0, len(col) - 1))
+        keep = np.ones(t.num_rows, dtype=bool)
+        keep[1:] = np.asarray(pc.fill_null(neq, True))
+        return t.filter(pa.array(keep))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch
+        if normalize is not None:
+            norm = normalize(batch.column(content_col).combine_chunks())
+            if isinstance(norm, pa.ChunkedArray):
+                norm = norm.combine_chunks()
+            t = t.append_column("_norm", norm)
+        t = _first_per_content(t)
+        h = np.asarray(fingerprints(t.column(key_col).combine_chunks()),
+                       dtype=np.uint64)
+        return t.append_column(
+            "_kbucket", pa.array((h & np.uint64(nb - 1)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out = _first_per_content(g.drop_columns(["_kbucket"]))
+        return (out.drop_columns(["_norm"]) if normalize is not None
+                else out)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_kbucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def line_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               sep: str = "\n", min_len: int = 1,
+               n_buckets: int | None = None):
+    """C4/RefinedWeb-style exact line-level dedup with keep-first
+    semantics: split each document on ``sep``, keep only the FIRST
+    (id, line_idx) site of every duplicated line corpus-wide, reassemble
+    the scrubbed documents. Lines shorter than ``min_len`` characters
+    (e.g. blank separators) are exempt — always kept, never deduped — so
+    document structure survives.
+
+    Returns Dataset[(id_col, text_col)] covering EVERY input document
+    (a doc whose lines are all removed comes back as the empty string).
+    Shuffle shape: explode → keep_first_by_content (distinct-per-batch
+    exchange) → id-bucket reassembly groupby; the original docs table is
+    never joined back — kept lines carry their text.
+    """
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = _pow2_buckets(n_buckets or scaled_buckets())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        parts = pc.split_pattern(texts, sep)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        parent = parts.value_parent_indices()
+        flat = parts.flatten()
+        n_per = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        line_idx = (np.arange(len(flat), dtype=np.int64)
+                    - np.repeat(np.cumsum(np.concatenate(
+                        ([0], n_per[:-1].astype(np.int64)))), n_per))
+        ids = batch.column(id_col).combine_chunks().take(parent)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: ids,
+            "line_idx": pa.array(line_idx),
+            "line": flat,
+            "_exempt": pa.array(lens < min_len),
+        })
+
+    units = ds.map_batches(explode, batch_format="pyarrow")
+    dedupable = units.map_batches(
+        lambda b: b.filter(pc.invert(b.column("_exempt"))),
+        batch_format="pyarrow")
+    exempt = units.map_batches(
+        lambda b: b.filter(b.column("_exempt")), batch_format="pyarrow")
+    winners = keep_first_by_content(
+        dedupable, content_col="line", order_cols=(id_col, "line_idx"),
+        n_buckets=nb)
+    kept = winners.union(exempt)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        from clp_core_ray.functions.text import fingerprints as fp
+
+        ids = batch.column(id_col).combine_chunks()
+        if pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type):
+            h = np.asarray(fp(ids), dtype=np.uint64)
+        else:
+            h = np.asarray(ids, dtype=np.int64).astype(np.uint64)
+            h *= np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "_rbucket", pa.array((h & np.uint64(nb - 1)).astype(np.int32)))
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_rbucket", "_exempt"])
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending"),
+                                            ("line_idx", "ascending")])
+        t = t.take(idx)
+        ids = t.column(id_col)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: ids,
+                             text_col: pa.array([], type=pa.large_string())})
+        same = np.zeros(n, dtype=bool)
+        eq = pc.equal(ids.combine_chunks().slice(1),
+                      ids.combine_chunks().slice(0, n - 1))
+        same[1:] = np.asarray(pc.fill_null(eq, False))
+        starts = np.flatnonzero(~same)
+        # join each doc's kept lines with sep (vectorized via one
+        # binary-join over list offsets)
+        offs = np.append(starts, n).astype(np.int64)
+        lines = t.column("line").combine_chunks().cast(pa.large_string())
+        lists = pa.LargeListArray.from_arrays(pa.array(offs), lines)
+        joined = pc.binary_join(
+            lists, pa.scalar(sep, type=pa.large_string()))
+        return pa.table({id_col: ids.take(pa.array(starts)),
+                         text_col: joined})
+
+    rebuilt = (kept.map_batches(bucket, batch_format="pyarrow")
+               .groupby("_rbucket")
+               .map_groups(reassemble, batch_format="pyarrow"))
+
+    # docs that lost every line (and sep-less empty docs) must still appear
+    from clp_core_ray.pipelines.join import auto_join
+
+    base = ds.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col)}),
+        batch_format="pyarrow")
+    joined = auto_join(base, rebuilt.map_batches(
+        lambda t: t.rename_columns(["_rid", "_rtext"]),
+        batch_format="pyarrow"), id_col, "_rid", ["_rtext"])
+    return joined.map_batches(
+        lambda b: pa.table({
+            id_col: b.column(id_col),
+            text_col: pc.fill_null(b.column("_rtext"), ""),
+        }), batch_format="pyarrow")

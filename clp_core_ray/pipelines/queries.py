@@ -60,7 +60,7 @@ _GATE_PRIORITY = [
     # dedup / curation family
     "docs_fuzzy_dedup", "docs_fuzzy_dedup_best", "docs_dup_spans",
     "docs_fuzzy_join",
-    "emb_semantic_dedup", "clp_redact_pii", "docs_decontaminate",
+    "emb_semantic_dedup", "clp_redact_pii", "clp_turn_template_dedup",
     "docs_fuzzy_decontaminate", "docs_snapshot_diff", "docs_pack_sequences",
     "docs_mixture_sample", "docs_train_split", "docs_curation_pipeline",
     "docs_repetition", "docs_chunk_overlap", "docs_length_batches",
@@ -3916,3 +3916,67 @@ def docs_quality_classifier(sf_dir: str):
                                      iters=30)
     out = score_quality(ds, model)
     return out.select_columns(["doc_id", "quality_score"])
+
+
+@register(
+    "clp_turn_template_dedup",
+    "SELECT conv_id, turn_idx FROM {T} "
+    "QUALIFY row_number() OVER ("
+    "  PARTITION BY regexp_replace(lower(text), '[0-9]+', '#', 'g')"
+    "  ORDER BY conv_id, turn_idx) = 1",
+)
+def clp_turn_template_dedup(sf_dir: str):
+    """Template-level keep-first dedup over transcript turns: normalize
+    each turn (lowercase, digit runs → '#' — the near-exact dedup baseline
+    for templated log-like text) and keep only the first (conv, turn)
+    site of every template. Generic keep_first_by_content: per-batch
+    pre-dedup, content-hash routing, exact per-bucket string grouping —
+    no collision caveat. Heavily non-trivial on this corpus (turn texts
+    are templates with unique variables)."""
+    from clp_core_ray.functions.dedup import keep_first_by_content
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    def norm(col):
+        return pc.replace_substring_regex(
+            pc.utf8_lower(col), "[0-9]+", "#")
+
+    ds = read_transcripts(sf_dir)
+    out = keep_first_by_content(ds, content_col="text",
+                                order_cols=("conv_id", "turn_idx"),
+                                normalize=norm)
+    return out.map_batches(
+        lambda b: pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").combine_chunks().cast(
+                pa.int32()),
+        }), batch_format="pyarrow")
+
+
+@register(
+    "docs_line_dedup",
+    "WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ln"
+    "  FROM documents),"
+    "l AS (SELECT doc_id, unnest(ln) AS line,"
+    "  unnest(range(len(ln))) AS line_idx FROM d),"
+    "k AS (SELECT doc_id, line_idx, line,"
+    "  length(line) < 1 OR row_number() OVER ("
+    "    PARTITION BY line ORDER BY doc_id, line_idx) = 1 AS kept"
+    "  FROM l) "
+    "SELECT doc_id, coalesce(string_agg(line, chr(10) ORDER BY line_idx)"
+    "  FILTER (WHERE kept), '') AS text FROM k GROUP BY doc_id",
+)
+def docs_line_dedup(sf_dir: str):
+    """C4/RefinedWeb-style exact line dedup with keep-first semantics over
+    the documents corpus: split on newline, keep each duplicated line's
+    first (doc, line) site, reassemble scrubbed docs (empty-line exempt).
+    The synthetic corpus is single-line with no exact dups, so the oracle
+    pins the identity path end-to-end (explode → keep-first → reassembly
+    byte-exactness); the real scrubbing semantics are pinned by
+    tests/test_line_dedup.py against a brute-force reference."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import line_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return line_dedup(ds)
