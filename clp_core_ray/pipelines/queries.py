@@ -3980,3 +3980,27 @@ def docs_line_dedup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return line_dedup(ds)
+
+
+@register(
+    "events_transition_counts",
+    "WITH s AS (SELECT user_id, event_type,"
+    "  lag(event_type) OVER (PARTITION BY user_id"
+    "    ORDER BY ts, event_id) AS prev_type FROM events) "
+    "SELECT prev_type, event_type AS next_type,"
+    " CAST(count(*) AS BIGINT) AS cnt FROM s"
+    " WHERE prev_type IS NOT NULL GROUP BY 1, 2",
+)
+def events_transition_counts(sf_dir: str):
+    """Per-user event-type transition matrix (Markov-chain / funnel
+    discovery): adjacent-event (prev, next) counts over each user's
+    (ts, event_id)-ordered stream. One user-bucket shuffle, lexsort +
+    shifted compare per bucket, ≤|types|² partial rows out, tiny final
+    fold. Oracle: lag window + group by."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import event_transitions
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    return event_transitions(ds)

@@ -763,3 +763,76 @@ def debounce(
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_bucket").map_groups(per_bucket,
                                            batch_format="pyarrow"))
+
+
+def event_transitions(ds, *, user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type", id_col: str = "event_id",
+                      n_buckets: int | None = None):
+    """Per-user event-type transition counts (the Markov-chain /
+    funnel-discovery primitive): for every adjacent pair of events of one
+    user ordered by (ts, id), count (prev_type, next_type).
+
+    One user-hash-bucket shuffle; inside each bucket a single lexsort +
+    shifted compare finds same-user adjacencies and a group_by counts the
+    bucket's pairs — the exchange OUT of the groupby is at most
+    |types|² rows per bucket, folded by one tiny final groupby. Ties on
+    ts break by ``id_col`` (matching SQL's lag ORDER BY ts, id).
+    Returns Dataset[(prev_type, next_type, cnt)].
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = n_buckets or scaled_buckets()
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column(user_col), dtype=np.int64
+                       ).astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return batch.append_column(
+            "_tb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_tb"])
+        empty = pa.table({"prev_type": pa.array([], type=pa.string()),
+                          "next_type": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[(user_col, "ascending"),
+                                            (ts_col, "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        u = np.asarray(t.column(user_col), dtype=np.int64)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        types = t.column(type_col).combine_chunks()
+        sel = np.flatnonzero(same)
+        pairs = pa.table({
+            "prev_type": types.take(pa.array(sel)),
+            "next_type": types.take(pa.array(sel + 1)),
+        })
+        c = pairs.group_by(["prev_type", "next_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"prev_type": c.column("prev_type"),
+                         "next_type": c.column("next_type"),
+                         "cnt": c.column("count_all").cast(pa.int64())})
+
+    partials = (ds.map_batches(bucket, batch_format="pyarrow")
+                .groupby("_tb").map_groups(per_bucket,
+                                           batch_format="pyarrow"))
+
+    def final(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_one"])
+        c = t.group_by(["prev_type", "next_type"]).aggregate([("cnt", "sum")])
+        return pa.table({"prev_type": c.column("prev_type"),
+                         "next_type": c.column("next_type"),
+                         "cnt": c.column("cnt_sum")})
+
+    one = partials.map_batches(
+        lambda b: b.append_column("_one", pa.array(
+            np.zeros(len(b), dtype=np.int32))), batch_format="pyarrow")
+    return one.groupby("_one").map_groups(final, batch_format="pyarrow")
