@@ -234,3 +234,101 @@ def bloom_semi_join(left_ds, right_ds, left_on: str, right_on: str | None = None
     if right_on != left_on:
         key_ds = key_ds.rename_columns({right_on: left_on})
     return hash_join(survivors, key_ds, left_on, left_on)
+
+
+def _distinct_keys_marker(right_keys, right_on: str, marker: str):
+    """EXACT distinct key values of ``right_keys`` + a constant marker
+    column: per-batch pc.unique, key-hash-bucket groupby, per-bucket
+    pc.unique on the VALUES (grouping on values, not hashes — no collision
+    caveat). Output rows = |distinct keys|."""
+    import ray
+
+    from clp_core_ray.functions.sketch import _hash_col
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column(right_on).combine_chunks())
+        t = pa.table({right_on: u})
+        h = _hash_col(t.column(right_on))
+        return t.append_column(
+            "_dbucket", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = pc.unique(g.column(right_on).combine_chunks())
+        return pa.table({
+            right_on: u,
+            marker: pa.array(np.ones(len(u), dtype=np.int8)),
+        })
+
+    return (right_keys.map_batches(batch_distinct, batch_format="pyarrow")
+            .groupby("_dbucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def anti_join(left_ds, right_ds, left_on: str, right_on: str | None = None,
+              *, log2_bits: int = BLOOM_LOG2_BITS,
+              n_hashes: int = BLOOM_N_HASHES,
+              broadcast_cap: int = BROADCAST_BYTES_CAP):
+    """EXACT anti-join: keep left rows whose key does NOT appear in
+    ``right_ds`` (NOT EXISTS semantics — the incremental-dedup /
+    "not yet processed" / orphan-detection primitive).
+
+    Bloom-accelerated like :func:`bloom_semi_join`, inverted: a bloom MISS
+    is a proof of absence (no false negatives), so miss rows are kept with
+    zero exchange; only the bloom-HIT sliver (true members + ~1% false
+    positives) pays the exact join — against the distinct right-key table
+    (value-exact grouping, see :func:`_distinct_keys_marker`) — and the
+    join's UNMATCHED rows (the false positives) are added back. The left
+    side is consumed twice (miss pass + hit pass), both cheap probe scans;
+    that beats shuffling the full left through an exchange when the
+    anti-join survivor rate is high, which is the common case.
+    """
+    import ray
+
+    right_on = right_on or left_on
+    right_keys = right_ds.select_columns([right_on]).materialize()
+    if right_keys.count() == 0:  # empty build side: NOT EXISTS keeps all
+        return left_ds
+    bits = build_bloom(right_keys, right_on,
+                       log2_bits=log2_bits, n_hashes=n_hashes)
+    bits_ref = ray.put(bits)
+
+    def probe_mask(batch: pa.Table) -> np.ndarray:
+        from clp_core_ray.functions.sketch import _hash_col
+
+        arr = ray.get(bits_ref)
+        posn = _bloom_positions(_hash_col(batch.column(left_on)),
+                                log2_bits, n_hashes)
+        return (arr[posn >> 6] >> (posn & 63).astype(np.uint64)
+                & np.uint64(1)).astype(bool).all(axis=1)
+
+    def keep_misses(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        return batch.filter(pa.array(~probe_mask(batch)))
+
+    def keep_hits(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return batch
+        return batch.filter(pa.array(probe_mask(batch)))
+
+    misses = left_ds.map_batches(keep_misses, batch_format="pyarrow")
+    hits = left_ds.map_batches(keep_hits, batch_format="pyarrow")
+
+    marker_col = "__in_right"
+    # avoid key-name collision in the join output
+    rk_name = right_on if right_on != left_on else f"_r_{right_on}"
+    marker = _distinct_keys_marker(right_keys, right_on, marker_col)
+    if rk_name != right_on:
+        marker = marker.map_batches(
+            lambda t: t.rename_columns([rk_name, marker_col]),
+            batch_format="pyarrow")
+    joined = auto_join(hits, marker, left_on, rk_name, [marker_col],
+                       broadcast_cap=broadcast_cap)
+    fps = joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column(marker_col)))
+        .drop_columns([marker_col]),
+        batch_format="pyarrow")
+    return misses.union(fps)

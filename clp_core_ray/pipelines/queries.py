@@ -62,7 +62,8 @@ _GATE_PRIORITY = [
     "docs_fuzzy_join",
     "emb_semantic_dedup", "clp_redact_pii", "clp_turn_template_dedup",
     "docs_fuzzy_decontaminate", "docs_snapshot_diff", "docs_pack_sequences",
-    "docs_mixture_sample", "docs_train_split", "docs_curation_pipeline",
+    "docs_mixture_sample", "customers_without_events",
+    "docs_curation_pipeline",
     "docs_repetition", "docs_chunk_overlap", "docs_length_batches",
     # text analysis / retrieval (inverted_index rotates behind bm25, which
     # exercises the same explode→bucket machinery plus scoring)
@@ -4004,3 +4005,25 @@ def events_transition_counts(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id", "event_type"])
     return event_transitions(ds)
+
+
+@register(
+    "customers_without_events",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM events e"
+    "  WHERE e.user_id = c.c_custkey)",
+)
+def customers_without_events(sf_dir: str):
+    """EXACT anti-join (NOT EXISTS): customers with no event activity —
+    the orphan-detection / incremental-dedup primitive. Bloom-miss rows
+    are kept with zero exchange (a miss proves absence); only the hit
+    sliver pays the exact join against the value-distinct key table, whose
+    unmatched rows (bloom false positives) are added back."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return anti_join(cust, ev, "c_custkey", "user_id")
