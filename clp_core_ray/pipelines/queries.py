@@ -4027,3 +4027,48 @@ def customers_without_events(sf_dir: str):
                            columns=["c_custkey", "c_name"])
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     return anti_join(cust, ev, "c_custkey", "user_id")
+
+
+@register(
+    "events_asof_next_order",
+    "SELECT event_id, error_id FROM ("
+    " SELECT c.event_id, e.event_id AS error_id,"
+    "  row_number() OVER (PARTITION BY c.event_id"
+    "   ORDER BY e.ts ASC, e.event_id DESC) AS rn"
+    " FROM events c JOIN events e"
+    "  ON c.user_id = e.user_id AND e.event_type = 'error'"
+    "  AND e.ts >= c.ts"
+    " WHERE c.event_type = 'click'"
+    ") WHERE rn = 1",
+)
+def events_asof_next_order(sf_dir: str):
+    """FORWARD as-of join: each click matched to the same user's next
+    error event at or after the click (equal-timestamp ties -> largest
+    event_id -- the forward direction reuses the backward kernel over
+    negated time, so the tiebreak convention is preserved)."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"),
+                                    pa.scalar("click")))
+        .drop_columns(["event_type"]),
+        batch_format="pyarrow")
+    def _errs(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("event_type"), pa.scalar("error")))
+        return pa.table({"error_id": f.column("event_id"),
+                         "ets": f.column("ts"),
+                         "euser": f.column("user_id")})
+
+    errors = ev.map_batches(_errs, batch_format="pyarrow")
+    return asof_join(
+        clicks, errors,
+        left_on="ts", left_by="user_id",
+        right_on="ets", right_by="euser",
+        left_cols=["event_id"], right_cols=["error_id"],
+        tiebreak="error_id", how="inner", direction="forward",
+    )

@@ -141,6 +141,7 @@ def asof_join(
     right_cols: list[str],
     tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
     num_buckets: int | None = None,
 ):
     """As-of join: per left row, the latest right row with
@@ -151,8 +152,17 @@ def asof_join(
     (SQL: ``ORDER BY right_on DESC, tiebreak DESC LIMIT 1`` per left row).
     ``how`` is 'inner' (drop unmatched, DuckDB ASOF JOIN) or 'left'.
 
+    ``direction``: 'backward' (default — latest right_on <= left_on),
+    'forward' (earliest right_on >= left_on; implemented as backward over
+    negated time, so among equal right_on the largest tiebreak still wins),
+    or 'nearest' (smaller |right_on - left_on|; equidistant → backward,
+    pandas merge_asof's rule; equal-timestamp forward candidates resolve
+    to the smallest tiebreak — the sort-order inheritance, documented).
+
     Keys are int-valued (ids); `_on` is a timestamp or int column.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     num_buckets = num_buckets or scaled_buckets()
     union = _tag_union(
         left,
@@ -192,6 +202,8 @@ def asof_join(
         lo = np.asarray(lt.column("_on"), dtype=np.int64)
         rk = np.asarray(rt.column("_key"), dtype=np.int64)
         ro = np.asarray(rt.column("_on"), dtype=np.int64)
+        if direction == "forward":  # forward(t) == backward(-t)
+            lo, ro = -lo, -ro
         if tiebreak:
             tb = np.asarray(
                 pc.cast(rt.column(tiebreak).combine_chunks(), pa.int64()))
@@ -214,6 +226,15 @@ def asof_join(
         valid = cnt > 0
         vsel = np.flatnonzero(valid)
         valid[vsel] = rk_s[match[vsel]] == lk[lidx[vsel]]
+        if direction == "nearest":
+            f = cnt  # first right strictly after the left row (same sort)
+            fsafe = np.minimum(f, n_r - 1)
+            fvalid = (f < n_r) & (rk_s[fsafe] == lk[lidx])
+            bdist = lo[lidx] - ro_s[np.maximum(match, 0)]
+            fdist = ro_s[fsafe] - lo[lidx]
+            use_f = (~valid & fvalid) | (valid & fvalid & (fdist < bdist))
+            match = np.where(use_f, f, match)
+            valid = valid | fvalid
         if how == "inner":
             keep = np.flatnonzero(valid)
             lsel = pa.array(lidx[keep])

@@ -406,3 +406,68 @@ def test_debounce_matches_lag_bruteforce():
     want = sorted(ref.loc[keep, "event_id"])
     assert sorted(out.event_id) == want
     assert len(out) < n  # the tie row and close repeats were dropped
+
+
+def _brute_asof_dir(l, r, direction):
+    out = []
+    for row in l.itertuples():
+        same = r[r.rkey == row.key]
+        if direction == "forward":
+            cand = same[same.rts >= row.ts]
+            if len(cand):
+                best = cand.sort_values(["rts", "rid"],
+                                        ascending=[True, False]).iloc[0]
+                out.append((row.lid, int(best.rid)))
+        else:  # nearest: smaller |delta|, tie -> backward (largest rid)
+            back = same[same.rts <= row.ts]
+            fwd = same[same.rts > row.ts]
+            b = (back.sort_values(["rts", "rid"]).iloc[-1]
+                 if len(back) else None)
+            f = (fwd.sort_values(["rts", "rid"],
+                                 ascending=[True, True]).iloc[0]
+                 if len(fwd) else None)
+            if b is None and f is None:
+                continue
+            if b is None:
+                pick = f
+            elif f is None:
+                pick = b
+            else:
+                bd = (row.ts - b.rts).value
+                fd = (f.rts - row.ts).value
+                pick = f if fd < bd else b
+            out.append((row.lid, int(pick.rid)))
+    return pd.DataFrame(out, columns=["lid", "rid"]).astype(np.int64)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_join_directions_match_bruteforce(direction):
+    rng = np.random.default_rng(23)
+    l = _mk_left(rng, 400, 13)
+    r = _mk_right(rng, 120, 17)
+    res = (
+        asof_join(
+            rd.from_pandas(l).repartition(5),
+            rd.from_pandas(r).repartition(3),
+            left_on="ts", left_by="key",
+            right_on="rts", right_by="rkey",
+            left_cols=["lid"], right_cols=["rid"],
+            tiebreak="rid", how="inner", direction=direction,
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = _brute_asof_dir(l, r, direction).sort_values(
+        "lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(res.astype(np.int64), exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_bad_direction():
+    with pytest.raises(ValueError):
+        asof_join(None, None, left_on="a", left_by="b", right_on="c",
+                  right_by="d", left_cols=[], right_cols=[],
+                  direction="sideways")
