@@ -580,6 +580,26 @@ def length_bucket_batches(ds, batch_rows: int, id_col: str = "doc_id",
     return ranked.map_batches(to_batches, batch_format="pyarrow")
 
 
+def cap_per_group(ds, *, key_col: str, n: int, order_col: str,
+                  tiebreak_col: str | None = None,
+                  descending: bool = False):
+    """Per-group quota cap: keep at most ``n`` rows per key, chosen in
+    ``order_col`` order — the web-curation "at most N documents per
+    domain/source" rule (domain frequency capping; keeps one hot domain
+    from dominating the training mixture the way raw frequency would).
+
+    SQL: ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY order_col
+    [, tiebreak]) <= n``. Thin policy wrapper over ``grouped_topk``'s
+    bounded two-pass kernel: each batch pre-prunes to ≤ n rows per key
+    before the exchange, so the shuffle carries at most n × (keys per
+    batch) rows regardless of how skewed the hot domain is."""
+    from clp_core_ray.pipelines.temporal import grouped_topk
+
+    return grouped_topk(ds, key_col=key_col, order_col=order_col, k=n,
+                        tiebreak_col=tiebreak_col or order_col,
+                        descending=descending)
+
+
 def fuzzy_decontaminate(ds, bench_texts, threshold: float = 0.5,
                         k_shingle: int = 3, id_col: str = "doc_id",
                         text_col: str = "text", drop: bool = False):

@@ -868,14 +868,24 @@ def fuzzy_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     at least one pair, so the final join is size-gated: broadcast under the
     auto-join cap, partitioned left-outer hash join above it.
     """
+    pairs = minhash_lsh_pairs(docs_ds, id_col, text_col, threshold, k_shingle)
+    clusters = dup_clusters_ds(pairs)  # materialized (doc_id, cluster_id)
+    return cluster_map_join(docs_ds, clusters, id_col, carry_cols)
+
+
+def cluster_map_join(docs_ds, clusters, id_col: str,
+                     carry_cols: tuple[str, ...] = ()):
+    """Left-join the full corpus onto a (doc_id, cluster_id) component map;
+    rows absent from the map become their own cluster (singletons). The map
+    is the small side by construction (only ids that surfaced in a pair), so
+    the join is size-gated: broadcast under the auto-join cap, partitioned
+    left-outer hash join above it. Shared tail of every end-to-end dedup
+    (MinHash ``fuzzy_dedup``, SimHash ``simhash_dedup``)."""
     import ray
 
     from clp_core_ray.pipelines.join import (BROADCAST_BYTES_CAP,
                                              broadcast_join, estimated_bytes,
                                              hash_join)
-
-    pairs = minhash_lsh_pairs(docs_ds, id_col, text_col, threshold, k_shingle)
-    clusters = dup_clusters_ds(pairs)  # materialized (doc_id, cluster_id)
 
     left = docs_ds.select_columns([id_col, *carry_cols])
 
@@ -904,6 +914,25 @@ def fuzzy_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         joined = hash_join(left, renamed, id_col, "_cdoc",
                            join_type="left_outer")
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def simhash_dedup(sig_ds, *, id_col: str = "vec_id", sig_col: str = "sig",
+                  max_hamming: int = 3, carry_cols: tuple[str, ...] = ()):
+    """End-to-end SimHash-family dedup → ``(id, cluster_id)`` for EVERY row.
+
+    The exact-recall counterpart of ``fuzzy_dedup``: ``hamming_ball_pairs``
+    (pigeonhole multi-index over 64-bit signatures, recall 1.0 within the
+    radius) → ``dup_clusters_ds`` (distributed min-label components) →
+    ``cluster_map_join`` (singletons self-cluster). Input rows must already
+    carry the signature column (``simhash64`` for text, ``sign_signature``
+    for embeddings) so signature choice stays a caller policy."""
+    pairs = hamming_ball_pairs(sig_ds, sig_col=sig_col, id_col=id_col,
+                               max_hamming=max_hamming)
+    pairs = pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b"]),
+        batch_format="pyarrow")
+    clusters = dup_clusters_ds(pairs)
+    return cluster_map_join(sig_ds, clusters, id_col, carry_cols)
 
 
 def fuzzy_dedup_keep_best(docs_ds, score_col: str, id_col: str = "doc_id",

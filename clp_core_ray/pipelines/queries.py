@@ -64,15 +64,17 @@ _GATE_PRIORITY = [
     "docs_fuzzy_decontaminate", "docs_snapshot_diff", "docs_pack_sequences",
     "docs_mixture_sample", "customers_without_events",
     "docs_curation_pipeline",
-    "docs_repetition", "docs_chunk_overlap", "docs_length_batches",
+    "docs_repetition", "docs_chunk_overlap", "docs_cap_per_source",
     # text analysis / retrieval (inverted_index rotates behind bm25, which
     # exercises the same explode→bucket machinery plus scoring)
     "docs_bpe_roundtrip", "docs_bm25", "docs_char_entropy",
     "docs_bpe_token_counts",
     "docs_perplexity_scored", "docs_top_terms_per_lang",
     # similarity / clustering / linalg
+    # (radius_ivf rotates behind: knn_vote_ivf + hard_negatives_ivf already
+    # audit the IVF cell routing; simhash_dedup adds the newest composition)
     "emb_knn_label_vote_ivf", "emb_hard_negatives", "emb_hard_negatives_ivf",
-    "emb_radius_neighbors", "emb_radius_neighbors_ivf",
+    "emb_radius_neighbors", "emb_simhash_dedup",
     "emb_hamming_dup_pairs",
     "emb_kmeans_assign", "emb_gram_int",
     # temporal joins + windows + per-group ops
@@ -4072,3 +4074,70 @@ def events_asof_next_order(sf_dir: str):
         left_cols=["event_id"], right_cols=["error_id"],
         tiebreak="error_id", how="inner", direction="forward",
     )
+
+
+@register(
+    "docs_cap_per_source",
+    "SELECT doc_id, source FROM ("
+    "  SELECT doc_id, source, row_number() OVER ("
+    "    PARTITION BY source ORDER BY doc_id) AS rn FROM documents"
+    ") WHERE rn <= 10",
+)
+def docs_cap_per_source(sf_dir: str):
+    """Domain frequency capping: keep at most 10 documents per source
+    (first-seen by doc_id) — the per-domain quota rule web-scale curation
+    applies before mixing. cap_per_group pre-prunes every batch to <= n
+    rows per key before the exchange, so a hot domain never dominates the
+    shuffle."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import cap_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return cap_per_group(ds, key_col="source", n=10, order_col="doc_id")
+
+
+@register(
+    "emb_simhash_dedup",
+    "WITH RECURSIVE s AS ("
+    "  SELECT vec_id, CAST(sum(CASE WHEN e > 0"
+    "    THEN 1::UBIGINT << (i - 1) ELSE 0 END) AS UBIGINT) AS sig"
+    "  FROM (SELECT vec_id, unnest(embedding) AS e,"
+    "        unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)"
+    "  GROUP BY vec_id),"
+    "p AS (SELECT a.vec_id AS va, b.vec_id AS vb"
+    "  FROM s a JOIN s b ON a.vec_id < b.vec_id"
+    "  WHERE bit_count(xor(a.sig, b.sig)) <= 18),"
+    "e AS (SELECT va AS a, vb AS b FROM p"
+    "      UNION ALL SELECT vb, va FROM p),"
+    "reach(st, d) AS ("
+    "  SELECT a, b FROM e"
+    "  UNION"
+    "  SELECT r.st, e.b FROM reach r JOIN e ON e.a = r.d"
+    "), comp AS ("
+    "  SELECT st AS vec_id, least(st, min(d)) AS cid FROM reach GROUP BY st"
+    ") SELECT m.vec_id, CAST(coalesce(c.cid, m.vec_id) AS BIGINT)"
+    "    AS cluster_id "
+    "FROM embeddings m LEFT JOIN comp c ON c.vec_id = m.vec_id",
+)
+def emb_simhash_dedup(sf_dir: str):
+    """End-to-end SimHash dedup over the embeddings corpus: sign-bit
+    signatures -> EXACT hamming-ball pairs (pigeonhole multi-index,
+    radius 18) -> distributed min-label connected components -> cluster
+    map over every row (singletons self-cluster). Oracle: recursive
+    transitive closure over the brute-force bit_count pair relation.
+    keep-one dedup = rows where vec_id == cluster_id."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import sign_signature, simhash_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def sigs(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "sig": sign_signature(b)})
+
+    sig_ds = ds.map_batches(sigs, batch_format="pyarrow")
+    return simhash_dedup(sig_ds, id_col="vec_id", max_hamming=18)

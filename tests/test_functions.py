@@ -1397,3 +1397,74 @@ def test_audio_stats_screens(ray_session):
     assert sil_r.clip_ratio == 0.0
     assert tone_r.silence_ratio < 0.05 and tone_r.clip_ratio == 0.0
     assert sq_r.clip_ratio > 0.95 and abs(sq_r.peak - 1.0) < 0.01
+
+
+def test_simhash_dedup_end_to_end(ray_session):
+    """simhash_dedup == brute-force components over the hamming ball."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _popcount64, simhash_dedup
+
+    rng = np.random.default_rng(23)
+    n, k = 200, 4
+    sig = rng.integers(0, 1 << 63, n, dtype=np.int64)
+    # chains of small flips -> multi-hop components (tests transitivity)
+    for base in (10, 80, 150):
+        for j in range(1, 5):
+            flip = np.int64(0)
+            for b in rng.choice(64, size=min(j, k), replace=False):
+                flip ^= np.int64(1) << np.int64(int(b))
+            sig[base + j] = sig[base + j - 1] ^ flip
+
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "sig": pa.array(sig)})
+    out = simhash_dedup(rd.from_arrow(t).repartition(5), id_col="vec_id",
+                        max_hamming=k).to_pandas()
+    assert len(out) == n
+
+    # brute-force union-find over all pairs within the ball
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    u = sig.astype(np.uint64)
+    for i in range(n):
+        d = _popcount64(u[i] ^ u)
+        for j in np.nonzero(d <= k)[0]:
+            if j > i:
+                ra, rb = find(i), find(int(j))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    got = dict(zip(out["vec_id"], out["cluster_id"]))
+    assert got == want
+
+
+def test_cap_per_group_skew(ray_session):
+    """cap_per_group keeps exactly min(n, group size) first-ordered rows
+    per key, even when one key dominates the corpus."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import cap_per_group
+
+    ids = np.arange(1000, dtype=np.int64)
+    rng = np.random.default_rng(3)
+    key = np.where(rng.random(1000) < 0.9, "hot", "cold")
+    key[:3] = "tiny"  # group smaller than the cap
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(key)})
+    perm = rng.permutation(1000)
+    out = cap_per_group(rd.from_arrow(t.take(pa.array(perm))).repartition(7),
+                        key_col="source", n=8,
+                        order_col="doc_id").to_pandas()
+
+    import pandas as pd
+    df = t.to_pandas()
+    want = (df.sort_values("doc_id").groupby("source").head(8)
+            .sort_values("doc_id").reset_index(drop=True))
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "source"]],
+                                  want[["doc_id", "source"]])
