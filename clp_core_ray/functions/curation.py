@@ -600,6 +600,50 @@ def cap_per_group(ds, *, key_col: str, n: int, order_col: str,
                         descending=descending)
 
 
+def quantile_gate(ds, *, key_col: str, val_col: str, q: float = 0.5,
+                  keep: str = "above"):
+    """Keep rows whose value clears their group's q-quantile — the
+    "top half by quality score per language" gate curation pipelines run
+    after scoring (per-group thresholding adapts the cut to each domain's
+    score distribution instead of one global knob).
+
+    The thresholds come from ``grouped_quantile_disc``'s value-histogram
+    exchange (#keys × 1 rows), broadcast once via the plasma store; the
+    gate itself is a shuffle-free vectorized filter. ``keep``: "above"
+    (strictly greater — drops the median itself) or "at_or_above".
+    """
+    import ray
+
+    from clp_core_ray.pipelines.temporal import grouped_quantile_disc
+
+    thr = _collect_small(grouped_quantile_disc(
+        ds, key_col=key_col, val_col=val_col, qs=(q,)))
+    thr = pa.table({key_col: thr.column(key_col),
+                    "_thr": thr.column(val_col).combine_chunks()
+                    .cast(pa.float64())})
+    ref = ray.put(thr)
+
+    def gate(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        idx = pc.index_in(b.column(key_col).combine_chunks(),
+                          lk.column(key_col).combine_chunks())
+        t = lk.column("_thr").take(idx)
+        v = b.column(val_col).combine_chunks().cast(pa.float64())
+        mask = pc.greater(v, t) if keep == "above" \
+            else pc.greater_equal(v, t)
+        return b.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def _collect_small(ds) -> pa.Table:
+    """Materialize a small (driver-safe) Dataset to one Arrow table."""
+    import ray
+
+    blocks = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    return pa.concat_tables(blocks)
+
+
 def fuzzy_decontaminate(ds, bench_texts, threshold: float = 0.5,
                         k_shingle: int = 3, id_col: str = "doc_id",
                         text_col: str = "text", drop: bool = False):

@@ -90,6 +90,61 @@ def count_sum_by(ds, keys: list[str] | str, value_col: str,
     )
 
 
+def zscore_by_group(ds, *, key_col: str, val_col: str,
+                    out_col: str = "z"):
+    """Append each row's z-score relative to its group's population
+    mean/stddev — the per-sensor / per-event-type outlier screen a
+    telemetry pipeline runs before aggregation.
+
+    Two passes, both streaming: (1) per-(key, batch) moment partials
+    (n, Σv, Σv²) — one row per key per batch — folded by a tiny groupby
+    to #keys rows on the driver; (2) a broadcast score stage (stats table
+    ships once via the plasma store, resolved lazily per task) appends
+    ``z = (v − mean) / stddev_pop``. Groups with zero variance score 0.
+    The input value stream is never shuffled."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(val_col).combine_chunks().cast(pa.float64())
+        sq = pc.multiply(v, v)
+        t = pa.table({key_col: b.column(key_col), "_v": v, "_sq": sq})
+        out = t.group_by([key_col]).aggregate([
+            ("_v", "count", pc.CountOptions(mode="only_valid")),
+            ("_v", "sum"), ("_sq", "sum")])
+        return out.rename_columns([key_col, "_n", "_s", "_ss"])
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col)
+             .aggregate(Sum("_n", alias_name="_n"),
+                        Sum("_s", alias_name="_s"),
+                        Sum("_ss", alias_name="_ss")))
+    st = _to_small_table(stats)
+    n = np.asarray(st.column("_n"), dtype=np.float64)
+    s = np.asarray(st.column("_s"), dtype=np.float64)
+    ss = np.asarray(st.column("_ss"), dtype=np.float64)
+    mean = s / np.maximum(n, 1.0)
+    var = np.maximum(ss / np.maximum(n, 1.0) - mean * mean, 0.0)
+    std = np.sqrt(var)
+    lookup = pa.table({key_col: st.column(key_col),
+                       "_mean": pa.array(mean), "_std": pa.array(std)})
+    ref = ray.put(lookup)
+
+    def score(b: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        idx = pc.index_in(b.column(key_col).combine_chunks(),
+                          lk.column(key_col).combine_chunks())
+        m = np.asarray(lk.column("_mean").take(idx), dtype=np.float64)
+        sd = np.asarray(lk.column("_std").take(idx), dtype=np.float64)
+        v = np.asarray(b.column(val_col).combine_chunks().cast(pa.float64()),
+                       dtype=np.float64)
+        z = np.where(sd > 0.0, (v - m) / np.where(sd > 0.0, sd, 1.0), 0.0)
+        return b.append_column(out_col, pa.array(z))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def value_histogram(ds, col: str, width: float):
     """Equi-width histogram: Dataset[(bin, cnt)] with
     bin = floor(col / width) * width (the SQL binning idiom, bit-compatible

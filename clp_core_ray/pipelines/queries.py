@@ -4141,3 +4141,58 @@ def emb_simhash_dedup(sf_dir: str):
 
     sig_ds = ds.map_batches(sigs, batch_format="pyarrow")
     return simhash_dedup(sig_ds, id_col="vec_id", max_hamming=18)
+
+
+@register(
+    "events_value_zscore_outliers",
+    "SELECT event_id, round((value - a) / s, 6) AS z"
+    " FROM events JOIN (SELECT event_type, avg(value) AS a,"
+    "   stddev_pop(value) AS s FROM events GROUP BY 1) t"
+    " USING (event_type)"
+    " WHERE abs((value - a) / s) > 2.5",
+)
+def events_value_zscore_outliers(sf_dir: str):
+    """Per-event-type z-score outlier screen: moment partials (n, sum,
+    sum-of-squares; one row per type per batch), broadcast stats table,
+    shuffle-free scoring -- keep |z| > 2.5. Rounded to 6 decimals both
+    sides (the BM25 float-hash pattern)."""
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import zscore_by_group
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    scored = zscore_by_group(ds, key_col="event_type", val_col="value")
+
+    def fin(b: pa.Table) -> pa.Table:
+        z = np.asarray(b.column("z"), dtype=np.float64)
+        keep = np.abs(z) > 2.5
+        return pa.table({
+            "event_id": b.column("event_id").filter(pa.array(keep)),
+            "z": pa.array(np.round(z[keep], 6)),
+        })
+
+    return scored.map_batches(fin, batch_format="pyarrow")
+
+
+@register(
+    "docs_above_median_chars",
+    "SELECT doc_id, lang, n_chars FROM documents d"
+    " JOIN (SELECT lang, quantile_disc(n_chars, 0.5) AS m"
+    "       FROM documents GROUP BY lang) t USING (lang)"
+    " WHERE d.n_chars > t.m",
+)
+def docs_above_median_chars(sf_dir: str):
+    """Per-group quantile gating: keep documents strictly above their
+    language's median length -- the per-domain quality-threshold rule
+    (the cut adapts to each group's distribution). Thresholds from the
+    exact grouped quantile's value-histogram exchange, broadcast once;
+    the gate itself is shuffle-free."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import quantile_gate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return quantile_gate(ds, key_col="lang", val_col="n_chars", q=0.5)

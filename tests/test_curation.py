@@ -286,3 +286,56 @@ def test_char_entropy_values():
         pa.array(["the quick brown fox jumps over the lazy dog",
                   "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"])).to_pylist()
     assert nat > 3.5 > spam + 3.0
+
+
+def test_zscore_by_group_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import zscore_by_group
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    key = rng.choice(["a", "b", "c"], n)
+    val = rng.normal(loc=10, scale=4, size=n)
+    val[key == "c"] = 7.5  # zero-variance group scores 0
+    t = pa.table({"id": pa.array(range(n), type=pa.int64()),
+                  "k": pa.array(key), "v": pa.array(val)})
+    out = (zscore_by_group(rd.from_arrow(t).repartition(6),
+                           key_col="k", val_col="v")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = np.empty(n)
+    for g in "abc":
+        m = key == g
+        sd = val[m].std()  # population std
+        want[m] = 0.0 if sd == 0 else (val[m] - val[m].mean()) / sd
+    assert np.allclose(out["z"].to_numpy(), want, atol=1e-9)
+
+
+def test_quantile_gate(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import quantile_gate
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    lang = rng.choice(["en", "fr", "de"], n)
+    chars = rng.integers(1, 500, n)
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "lang": pa.array(lang),
+                  "n_chars": pa.array(chars, type=pa.int64())})
+    out = quantile_gate(rd.from_arrow(t).repartition(5), key_col="lang",
+                        val_col="n_chars", q=0.5).to_pandas()
+    df = t.to_pandas()
+    # DuckDB quantile_disc(0.5): sorted value at ceil(n*0.5)-1
+    med = {g: sorted(s)[-(-len(s) // 2) - 1]
+           for g, s in df.groupby("lang")["n_chars"]}
+    want = set(df[df.apply(lambda r: r.n_chars > med[r.lang], axis=1)].doc_id)
+    assert set(out["doc_id"]) == want
+    # at_or_above keeps a superset including the median rows
+    out2 = quantile_gate(rd.from_arrow(t), key_col="lang",
+                         val_col="n_chars", q=0.5,
+                         keep="at_or_above").to_pandas()
+    want2 = set(df[df.apply(lambda r: r.n_chars >= med[r.lang], axis=1)].doc_id)
+    assert set(out2["doc_id"]) == want2
