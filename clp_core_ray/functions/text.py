@@ -281,6 +281,97 @@ def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
             .map_groups(per_bucket, batch_format="pyarrow"))
 
 
+def _term_buckets(terms: list[str], n_buckets: int) -> np.ndarray:
+    """FNV-1a bucket of each term — MUST match _route_terms so query-time
+    pruning reads the same partitions index build wrote."""
+    arr = pa.array([t.lower() for t in terms], type=pa.large_string())
+    offsets, data = _string_buffers(arr)
+    h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+    return (h & np.uint64(n_buckets - 1)).astype(np.int64)
+
+
+def write_inverted_index(ds, index_dir: str, *, text_col: str = "text",
+                         id_col: str = "doc_id", n_buckets: int = 64) -> None:
+    """Write the inverted index *at rest*: postings hive-partitioned by
+    term-hash bucket (``terms/bucket=N/``) — the boolean-retrieval analogue
+    of ``build_ivf_index``'s cell layout. A query for k terms reads at most
+    k of the ``n_buckets`` partitions off storage; everything else never
+    leaves the object store. ``n_buckets`` is recorded alongside so probes
+    can't hash into a different layout."""
+    import json
+    import os
+
+    idx = inverted_index(ds, text_col=text_col, id_col=id_col,
+                         n_buckets=n_buckets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        offsets, data = _string_buffers(
+            b.column("term").combine_chunks().cast(pa.large_string()))
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        bucket = (h & np.uint64(n_buckets - 1)).astype(np.int64)
+        return b.append_column("bucket", pa.array(bucket))
+
+    idx.map_batches(tag, batch_format="pyarrow").write_parquet(
+        f"{index_dir}/terms", partition_cols=["bucket"], compression="zstd")
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+
+
+def search_terms_all(index_dir: str, terms: list[str],
+                     id_col: str = "doc_id"):
+    """Boolean AND retrieval over the at-rest inverted index: ids of
+    documents containing EVERY query term.
+
+    Reads ONLY the hive partitions the query terms hash into (≤ k of
+    n_buckets), filters to the exact terms via a parquet-pushdown
+    expression, explodes the surviving postings lists and keeps ids whose
+    per-batch-partial match count sums to k. The corpus itself is never
+    touched — work is proportional to the matched terms' document
+    frequencies, exactly an inverted index's contract."""
+    import json
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_buckets = meta["n_buckets"]
+    want = sorted({t.lower() for t in terms})
+    buckets = sorted({int(b) for b in _term_buckets(want, n_buckets)})
+    # expand each pruned bucket dir to its parquet files (a retried write's
+    # dead .inprogress straggler must never reach the scan)
+    paths = [os.path.join(p, f)
+             for b in buckets
+             if os.path.isdir(p := os.path.join(index_dir, "terms",
+                                                f"bucket={b}"))
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    k = len(want)
+    if not paths:
+        return rd.from_arrow(pa.table({id_col: pa.array([],
+                                                        type=pa.int64())}))
+    idx = rd.read_parquet(paths, columns=["term", "postings"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        hit = b.filter(pc.is_in(b.column("term"),
+                                value_set=pa.array(want)))
+        posts = hit.column("postings").combine_chunks()
+        flat = posts.flatten()
+        # partial: matches per doc inside this batch (≤ k rows per doc)
+        t = pa.table({id_col: flat})
+        out = t.group_by([id_col]).aggregate([(id_col, "count")])
+        return out.rename_columns([id_col, "_hits"])
+
+    return (idx.map_batches(explode, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("_hits", alias_name="_hits"))
+            .map_batches(
+                lambda b: b.filter(pc.equal(b.column("_hits"),
+                                            pa.scalar(k, pa.int64())))
+                .select([id_col]),
+                batch_format="pyarrow"))
+
+
 def tf_df_table(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 n_buckets: int = 64):
     """Term-frequency / document-frequency relation: one row per (doc, term)

@@ -4196,3 +4196,33 @@ def docs_above_median_chars(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     return quantile_gate(ds, key_col="lang", val_col="n_chars", q=0.5)
+
+
+@register(
+    "docs_search_all_terms",
+    "SELECT doc_id FROM ("
+    "  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w"
+    "  FROM documents)"
+    " WHERE list_contains(w, 'hash') AND list_contains(w, 'vector')"
+    "   AND list_contains(w, 'merge')",
+)
+def docs_search_all_terms(sf_dir: str):
+    """Boolean AND retrieval over the at-rest inverted index: docs
+    containing ALL of {hash, vector, merge}. The index is written once
+    (term-hash hive partitions); the query reads only the <= 3 partitions
+    its terms hash into and never touches the corpus -- work scales with
+    the terms' document frequencies, not corpus size."""
+    import os
+
+    from clp_core_ray.functions.text import (search_terms_all,
+                                             write_inverted_index)
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/inv_index_sf{sf_of_dir(sf_dir)}"
+    if not os.path.exists(f"{idx}/meta.json"):
+        import ray.data as rd
+
+        write_inverted_index(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]), idx)
+    return search_terms_all(idx, ["hash", "vector", "merge"])

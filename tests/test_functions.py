@@ -1468,3 +1468,36 @@ def test_cap_per_group_skew(ray_session):
     got = out.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["doc_id", "source"]],
                                   want[["doc_id", "source"]])
+
+
+def test_inverted_index_at_rest_search(ray_session, tmp_path):
+    """write_inverted_index + search_terms_all == brute-force AND scan."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import (search_terms_all,
+                                             write_inverted_index)
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    texts, ids = [], []
+    for i in range(300):
+        n = rng.integers(3, 20)
+        texts.append(" ".join(rng.choice(vocab, n)))
+        ids.append(i)
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    idx = str(tmp_path / "inv")
+    write_inverted_index(rd.from_arrow(t).repartition(4), idx, n_buckets=16)
+
+    def brute(*terms):
+        return {i for i, x in zip(ids, texts)
+                if all(w in x.split(" ") for w in terms)}
+
+    for q in (["w1"], ["w1", "w2"], ["w3", "w7", "w11"], ["W1", "w2"]):
+        got = set(search_terms_all(idx, q)
+                  .to_pandas()["doc_id"])
+        assert got == brute(*[w.lower() for w in q]), q
+
+    # absent term -> empty result, no error
+    assert len(search_terms_all(idx, ["w1", "nosuchterm"])
+               .to_pandas()) == 0
