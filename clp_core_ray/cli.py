@@ -342,6 +342,51 @@ def cmd_ir_search(args) -> dict:
             "sec": round(_t.time() - t0, 3)}
 
 
+def cmd_glt_write(args) -> dict:
+    """Archive → grouped-logtype-table layout (reference `glt` binary's
+    compress role, glt/streaming_archive/writer)."""
+    import time as _t
+
+    from clp_core_ray.pipelines.glt import write_glt
+
+    t0 = _t.time()
+    kwargs = {}
+    if args.target_rows:
+        kwargs["target_rows_per_part"] = args.target_rows
+    tables = write_glt(args.archive, out_dir=args.out, **kwargs)
+    return {"cmd": "glt-write", "archive": args.archive,
+            "dedicated_tables": len(tables),
+            "rows": int(sum(tables.values())),
+            "sec": round(_t.time() - t0, 3)}
+
+
+def cmd_glt_search(args) -> dict:
+    """Column-engine search over the GLT layout (glt binary's search role;
+    results equal the row engine's, decode-verified)."""
+    import time as _t
+
+    from clp_core_ray.pipelines.glt import glt_search
+
+    t0 = _t.time()
+    ds = glt_search(args.archive, args.query, ignore_case=args.ignore_case,
+                    glt_dir=args.glt_dir)
+    if args.out:
+        ds.write_parquet(args.out, compression="zstd")
+        rows = ds.count()
+        return {"cmd": "glt-search", "out": args.out, "rows": rows,
+                "sec": round(_t.time() - t0, 3)}
+    shown = 0
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for t in b.column("text").to_pylist():
+            if shown < args.limit:
+                print(t)
+                shown += 1
+            total += 1
+    return {"cmd": "glt-search", "rows": total, "rows_shown": shown,
+            "sec": round(_t.time() - t0, 3)}
+
+
 def _is_split_archive(path: str) -> bool:
     import os
 
@@ -705,6 +750,24 @@ def build_parser() -> argparse.ArgumentParser:
     isrch.add_argument("--ts-min", type=int, help="epoch-ms prune")
     isrch.add_argument("--ts-max", type=int, help="epoch-ms prune")
     isrch.set_defaults(fn=cmd_ir_search)
+
+    gw = sub.add_parser("glt-write",
+                        help="archive → grouped-logtype tables (glt c)")
+    gw.add_argument("--archive", required=True)
+    gw.add_argument("--out", help="GLT dir (default <archive>/glt)")
+    gw.add_argument("--target-rows", type=int,
+                    help="salt hot logtypes into ~this many rows per part")
+    gw.set_defaults(fn=cmd_glt_write)
+
+    gs = sub.add_parser("glt-search",
+                        help="column-engine search over GLT layout (glt s)")
+    gs.add_argument("--archive", required=True)
+    gs.add_argument("--query", required=True)
+    gs.add_argument("--ignore-case", action="store_true")
+    gs.add_argument("--glt-dir", help="default <archive>/glt")
+    gs.add_argument("--out", help="write hits to parquet instead of stdout")
+    gs.add_argument("--limit", type=int, default=1000)
+    gs.set_defaults(fn=cmd_glt_search)
 
     jc = sub.add_parser("json-compress",
                         help="NDJSON → columnar archive (clp-s c)")

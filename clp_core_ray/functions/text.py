@@ -301,9 +301,14 @@ def write_inverted_index(ds, index_dir: str, *, text_col: str = "text",
     import json
     import os
 
-    idx = inverted_index(ds, text_col=text_col, id_col=id_col,
-                         n_buckets=n_buckets)
+    _write_postings(
+        inverted_index(ds, text_col=text_col, id_col=id_col,
+                       n_buckets=n_buckets), index_dir, n_buckets)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
 
+
+def _write_postings(idx, index_dir: str, n_buckets: int) -> None:
     def tag(b: pa.Table) -> pa.Table:
         offsets, data = _string_buffers(
             b.column("term").combine_chunks().cast(pa.large_string()))
@@ -313,8 +318,29 @@ def write_inverted_index(ds, index_dir: str, *, text_col: str = "text",
 
     idx.map_batches(tag, batch_format="pyarrow").write_parquet(
         f"{index_dir}/terms", partition_cols=["bucket"], compression="zstd")
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+
+
+def append_inverted_index(index_dir: str, ds, *, text_col: str = "text",
+                          id_col: str = "doc_id") -> None:
+    """Index NEW documents into an existing at-rest inverted index WITHOUT
+    rebuild: the delta corpus is indexed under the FROZEN n_buckets and its
+    postings land as additional parquet parts inside the same bucket dirs —
+    purely additive (the ivf_index_append / incremental-archive LSM
+    discipline). A term present in several parts yields several index rows;
+    ``search_terms_all`` counts per-doc hits across rows, and a doc lives
+    in exactly one part per term, so retrieval stays exact with no merge.
+    Callers must not re-index ids already present (that would double-count);
+    compaction (rewriting a bucket's parts into one) is a separate policy
+    decision, exactly as for archives."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+
+    _write_postings(
+        inverted_index(ds, text_col=text_col, id_col=id_col,
+                       n_buckets=n_buckets), index_dir, n_buckets)
 
 
 def search_terms_all(index_dir: str, terms: list[str],

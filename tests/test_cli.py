@@ -284,3 +284,23 @@ def test_cli_log_compress_extract_roundtrip(ray_session, tmp_path, capsys):
         name = src_path.replace("/", "_").lstrip("_")
         got = open(os.path.join(out, name)).read()
         assert got == b, name
+
+
+def test_cli_glt_write_search(ray_session, tiny_sf_dir, tmp_path, capsys):
+    """glt-write then glt-search must equal the row engine's results."""
+    arch = str(tmp_path / "arch")
+    res, _ = _run(capsys, ["compress", "--input", tiny_sf_dir, "--out", arch])
+    assert res["rows"] > 0
+
+    res, _ = _run(capsys, ["glt-write", "--archive", arch])
+    assert res["cmd"] == "glt-write" and res["rows"] > 0
+
+    res, _ = _run(capsys, ["search", "--archive", arch,
+                           "--query", "*ERROR*", "--count"])
+    n_row_engine = res["count"]
+
+    out_pq = str(tmp_path / "hits")
+    res, _ = _run(capsys, ["glt-search", "--archive", arch,
+                           "--query", "*ERROR*", "--out", out_pq])
+    assert res["cmd"] == "glt-search"
+    assert res["rows"] == n_row_engine > 0

@@ -1501,3 +1501,40 @@ def test_inverted_index_at_rest_search(ray_session, tmp_path):
     # absent term -> empty result, no error
     assert len(search_terms_all(idx, ["w1", "nosuchterm"])
                .to_pandas()) == 0
+
+
+def test_inverted_index_append(ray_session, tmp_path):
+    """Additive index append: search over base+delta == full rebuild."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import (append_inverted_index,
+                                             search_terms_all,
+                                             write_inverted_index)
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def corpus(ids):
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([" ".join(rng.choice(vocab,
+                                                  rng.integers(4, 15)))
+                              for _ in ids])})
+
+    base, delta = corpus(range(150)), corpus(range(150, 260))
+    idx = str(tmp_path / "inv")
+    write_inverted_index(rd.from_arrow(base), idx, n_buckets=8)
+    append_inverted_index(idx, rd.from_arrow(delta))
+
+    full = pa.concat_tables([base, delta]).to_pandas()
+
+    def brute(*terms):
+        return {r.doc_id for r in full.itertuples()
+                if all(w in r.text.split(" ") for w in terms)}
+
+    for q in (["w0"], ["w2", "w5"], ["w1", "w9", "w17"]):
+        got = set(search_terms_all(idx, q).to_pandas()["doc_id"])
+        assert got == brute(*q), q
+    # delta-only docs are retrievable
+    assert any(d >= 150 for d in
+               set(search_terms_all(idx, ["w0"]).to_pandas()["doc_id"]))
