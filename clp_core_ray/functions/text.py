@@ -308,6 +308,190 @@ def write_inverted_index(ds, index_dir: str, *, text_col: str = "text",
         json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
 
 
+_MAX_DOC_TOKENS_LOG2 = 21  # positional phrase keys pack pos into 21 bits
+
+
+def _explode_terms_pos(batch: pa.Table, text_col: str,
+                       id_col: str) -> pa.Table:
+    """Like _explode_terms but keeps each occurrence's token ordinal —
+    empty tokens keep their slot so ordinals match the oracle-visible
+    single-space split positions."""
+    texts = pc.utf8_lower(
+        pc.fill_null(batch.column(text_col).combine_chunks(), ""))
+    toks = pc.split_pattern(texts, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parent = toks.value_parent_indices()
+    flat = toks.flatten()
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    pos = np.arange(len(flat), dtype=np.int64) - off[
+        np.asarray(parent, dtype=np.int64)]
+    ids = batch.column(id_col).combine_chunks().take(parent)
+    t = pa.table({"term": flat, id_col: ids, "pos": pa.array(pos)})
+    return t.filter(pc.not_equal(flat, ""))
+
+
+def positional_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     n_buckets: int = 64):
+    """Positional inverted index: one row per (term, doc) with the sorted
+    token ordinals of every occurrence — what phrase/proximity queries
+    need. Same scale shape as ``inverted_index``: the (term, doc, pos)
+    explode happens per batch, the shuffle routes by term-hash bucket, and
+    postings assembly inside a bucket is one lexsort + run offsets."""
+    def explode(batch: pa.Table) -> pa.Table:
+        return _route_terms(_explode_terms_pos(batch, text_col, id_col),
+                            n_buckets)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if not len(group):
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=pa.int64()),
+                "positions": pa.array([], type=pa.list_(pa.int64())),
+            })
+        term = group.column("term").combine_chunks()
+        codes = pc.dictionary_encode(term)
+        tidx = np.asarray(codes.indices, dtype=np.int64)
+        docs = np.asarray(pc.cast(group.column(id_col).combine_chunks(),
+                                  pa.int64()), dtype=np.int64)
+        pos = np.asarray(group.column("pos").combine_chunks(),
+                         dtype=np.int64)
+        order = np.lexsort((pos, docs, tidx))
+        st, sd, sp = tidx[order], docs[order], pos[order]
+        bounds = np.flatnonzero(
+            np.r_[True, (st[1:] != st[:-1]) | (sd[1:] != sd[:-1])])
+        offsets = np.r_[bounds, len(st)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), pa.array(sp))
+        return pa.table({
+            "term": term.take(pa.array(order[bounds])),
+            id_col: pa.array(sd[bounds]),
+            "positions": lists,
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def write_positional_index(ds, index_dir: str, *, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_buckets: int = 64) -> None:
+    """Positional index at rest, hive-partitioned by term-hash bucket
+    (the write_inverted_index layout plus per-occurrence ordinals)."""
+    import json
+    import os
+
+    _write_postings(
+        positional_index(ds, text_col=text_col, id_col=id_col,
+                         n_buckets=n_buckets), index_dir, n_buckets)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col,
+                   "positional": True}, f)
+
+
+def search_phrase(index_dir: str, phrase: str, id_col: str = "doc_id"):
+    """EXACT token-phrase retrieval over the at-rest positional index:
+    ids of documents containing the query tokens contiguously in order.
+
+    Classic positional-intersection: each occurrence of phrase token i at
+    ordinal p votes for anchor ``p − i``; a document matches iff some
+    anchor collects all k votes. The read touches only the ≤ k term-hash
+    partitions; the vote exchange carries one (doc, anchor) row per
+    occurrence of a QUERY term — proportional to those terms' frequencies,
+    never the corpus. Anchors pack into the key's low 21 bits, so per-doc
+    token ordinals must stay below 2^21 (enforced at vote time)."""
+    import json
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_buckets = meta["n_buckets"]
+    toks = [t for t in phrase.lower().split(" ") if t]
+    if not toks:
+        return rd.from_arrow(pa.table({id_col: pa.array([],
+                                                        type=pa.int64())}))
+    want = sorted(set(toks))
+    buckets = sorted({int(b) for b in _term_buckets(want, n_buckets)})
+    paths = [os.path.join(p, f)
+             for b in buckets
+             if os.path.isdir(p := os.path.join(index_dir, "terms",
+                                                f"bucket={b}"))
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    k = len(toks)
+    if not paths:
+        return rd.from_arrow(pa.table({id_col: pa.array([],
+                                                        type=pa.int64())}))
+    idx = rd.read_parquet(paths, columns=["term", id_col, "positions"])
+    # phrase index(es) of each distinct term
+    term_slots = {}
+    for i, t in enumerate(toks):
+        term_slots.setdefault(t, []).append(i)
+
+    shift = np.int64(_MAX_DOC_TOKENS_LOG2)
+
+    sentinel = np.int64(np.iinfo(np.int64).min)
+
+    def votes(b: pa.Table) -> pa.Table:
+        hit = b.filter(pc.is_in(b.column("term"),
+                                value_set=pa.array(want)))
+        if not hit.num_rows:
+            # 0-vote sentinel: keeps one row flowing so the groupby never
+            # collapses to zero schema-less blocks on miss-everything runs
+            return pa.table({"_key": pa.array([sentinel]),
+                             "_votes": pa.array([0], type=pa.int64())})
+        posts = hit.column("positions").combine_chunks()
+        flat = np.asarray(posts.flatten(), dtype=np.int64)
+        if flat.size and flat.max() >= (1 << _MAX_DOC_TOKENS_LOG2):
+            raise ValueError("document exceeds 2^21 tokens; "
+                             "phrase keys would collide")
+        offs = np.asarray(posts.offsets, dtype=np.int64)
+        counts = np.diff(offs)
+        docs = np.asarray(pc.cast(hit.column(id_col).combine_chunks(),
+                                  pa.int64()), dtype=np.int64)
+        row_doc = np.repeat(docs, counts)
+        term_col = hit.column("term").combine_chunks()
+        row_term_idx = np.repeat(np.arange(hit.num_rows), counts)
+        keys = []
+        for slot_term, slots in term_slots.items():
+            m = np.asarray(pc.equal(term_col, pa.scalar(slot_term)),
+                           dtype=bool)[row_term_idx]
+            for i in slots:
+                anchor = flat[m] - i
+                ok = anchor >= 0
+                keys.append((row_doc[m][ok] << shift) | anchor[ok])
+        allk = np.concatenate(keys) if keys else np.empty(0, np.int64)
+        # partial: votes per (doc, anchor) inside this batch (+ sentinel)
+        uk, cnt = np.unique(allk, return_counts=True)
+        return pa.table({"_key": pa.array(np.r_[uk, sentinel]),
+                         "_votes": pa.array(np.r_[cnt, 0].astype(np.int64))})
+
+    sentinel = np.int64(np.iinfo(np.int64).min)
+
+    def fin(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b.column("_key"), dtype=np.int64)
+        v = np.asarray(b.column("_votes"), dtype=np.int64)
+        docs = np.unique(keys[v == k] >> shift)
+        # sentinel keeps at least one row flowing so the downstream
+        # distinct groupby never collapses to zero schema-less blocks
+        return pa.table({id_col: pa.array(np.r_[docs, sentinel])})
+
+    matched = (idx.map_batches(votes, batch_format="pyarrow")
+               .groupby("_key")
+               .aggregate(Sum("_votes", alias_name="_votes"))
+               .map_batches(fin, batch_format="pyarrow"))
+    # a doc can match at several anchors -> distinct ids
+    return (matched.groupby(id_col).count()
+            .map_batches(
+                lambda b: b.filter(pc.not_equal(
+                    b.column(id_col), pa.scalar(int(sentinel), pa.int64())))
+                .select([id_col]),
+                batch_format="pyarrow"))
+
+
 def _write_postings(idx, index_dir: str, n_buckets: int) -> None:
     def tag(b: pa.Table) -> pa.Table:
         offsets, data = _string_buffers(
@@ -378,15 +562,27 @@ def search_terms_all(index_dir: str, terms: list[str],
                                                         type=pa.int64())}))
     idx = rd.read_parquet(paths, columns=["term", "postings"])
 
+    sentinel = int(np.iinfo(np.int64).min)
+
     def explode(b: pa.Table) -> pa.Table:
         hit = b.filter(pc.is_in(b.column("term"),
                                 value_set=pa.array(want)))
         posts = hit.column("postings").combine_chunks()
         flat = posts.flatten()
-        # partial: matches per doc inside this batch (≤ k rows per doc)
-        t = pa.table({id_col: flat})
+        # partial: matches per doc inside this batch (≤ k rows per doc);
+        # the 0-hit sentinel row keeps the groupby from collapsing to zero
+        # schema-less blocks when nothing matches
+        t = pa.table({id_col: pa.concat_arrays(
+            [flat.cast(pa.int64()),
+             pa.array([sentinel], type=pa.int64())])})
         out = t.group_by([id_col]).aggregate([(id_col, "count")])
-        return out.rename_columns([id_col, "_hits"])
+        out = out.rename_columns([id_col, "_hits"])
+        return out.set_column(
+            1, "_hits",
+            pc.if_else(pc.equal(out.column(id_col),
+                                pa.scalar(sentinel, pa.int64())),
+                       pa.scalar(0, pa.int64()),
+                       out.column("_hits").cast(pa.int64())))
 
     return (idx.map_batches(explode, batch_format="pyarrow")
             .groupby(id_col)

@@ -4226,3 +4226,30 @@ def docs_search_all_terms(sf_dir: str):
             rd.read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"]), idx)
     return search_terms_all(idx, ["hash", "vector", "merge"])
+
+
+@register(
+    "docs_phrase_search",
+    "SELECT doc_id FROM documents"
+    " WHERE ' ' || lower(coalesce(text, '')) || ' ' LIKE '% fast merge %'",
+)
+def docs_phrase_search(sf_dir: str):
+    """Exact token-phrase retrieval ('fast merge') over the at-rest
+    positional index: each occurrence of phrase token i at ordinal p votes
+    for anchor p - i; a doc matches iff some anchor collects all k votes.
+    Reads only the <= k term-hash partitions; the vote exchange carries one
+    row per QUERY-term occurrence, never the corpus."""
+    import os
+
+    from clp_core_ray.functions.text import (search_phrase,
+                                             write_positional_index)
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/pos_index_sf{sf_of_dir(sf_dir)}"
+    if not os.path.exists(f"{idx}/meta.json"):
+        import ray.data as rd
+
+        write_positional_index(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]), idx)
+    return search_phrase(idx, "fast merge")

@@ -1538,3 +1538,48 @@ def test_inverted_index_append(ray_session, tmp_path):
     # delta-only docs are retrievable
     assert any(d >= 150 for d in
                set(search_terms_all(idx, ["w0"]).to_pandas()["doc_id"]))
+
+
+def test_positional_phrase_search(ray_session, tmp_path):
+    """search_phrase == brute-force contiguous token-sequence scan,
+    including repeated-term phrases and single tokens."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import (search_phrase,
+                                             write_positional_index)
+
+    rng = np.random.default_rng(53)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 25)))
+             for _ in range(250)]
+    texts += ["w1 w1 w2", "w1 w2 w1 w1", "w2  w1", "", "w1"]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    idx = str(tmp_path / "pos")
+    write_positional_index(rd.from_arrow(t).repartition(4), idx,
+                           n_buckets=8)
+
+    def brute(phrase):
+        toks = phrase.split(" ")
+        out = set()
+        for i, x in zip(ids, texts):
+            w = x.split(" ")
+            if any(w[j:j + len(toks)] == toks
+                   for j in range(max(len(w) - len(toks) + 1, 0))):
+                out.add(i)
+        return out
+
+    def ids_of(ds):
+        # harness-style consumption: iter_batches skips the column-less
+        # empty shuffle partitions a groupby can emit
+        out = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out.update(pa.table(b).column("doc_id").to_pylist())
+        return out
+
+    for ph in ("w1 w2", "w1 w1", "w2 w1 w1", "w0 w3 w5", "w1",
+               "w1 w1 w1"):
+        assert ids_of(search_phrase(idx, ph)) == brute(ph), ph
+    # double space is NOT adjacency
+    assert 252 not in ids_of(search_phrase(idx, "w2 w1"))
