@@ -527,6 +527,78 @@ def append_inverted_index(index_dir: str, ds, *, text_col: str = "text",
                        n_buckets=n_buckets), index_dir, n_buckets)
 
 
+def compact_inverted_index(index_dir: str) -> int:
+    """Rewrite every bucket's accumulated parts into ONE part — the LSM
+    compaction step completing the build → append → compact lifecycle.
+    Same-term rows from different appends merge into a single posting row
+    (sorted ids / ordinals), so post-compaction reads touch one file and
+    one row per (term, bucket). Each bucket compacts independently in a
+    Ray task; the swap is atomic per file (tmp → os.replace, old parts
+    unlinked after the new one is live — a crash leaves a readable mix of
+    old-and-new parts, never a torn file). Returns #buckets compacted."""
+    import os
+
+    import ray
+
+    terms_dir = os.path.join(index_dir, "terms")
+    buckets = sorted(d for d in os.listdir(terms_dir)
+                     if d.startswith("bucket="))
+
+    @ray.remote
+    def compact_one(bdir: str) -> int:
+        import pyarrow.parquet as _pq
+
+        files = sorted(f for f in os.listdir(bdir)
+                       if f.endswith(".parquet"))
+        if len(files) <= 1:
+            return 0
+        t = pa.concat_tables([_pq.read_table(os.path.join(bdir, f))
+                              for f in files]).combine_chunks()
+        val_col = [c for c in t.column_names if c != "term"]
+        term = t.column("term")
+        codes = pc.dictionary_encode(term.combine_chunks())
+        tidx = np.asarray(codes.indices, dtype=np.int64)
+        order = np.lexsort((tidx,))
+        st = tidx[order]
+        bounds = np.flatnonzero(np.r_[True, st[1:] != st[:-1]])
+        if "postings" in val_col:
+            # merge posting lists per term
+            posts = t.column("postings").combine_chunks().take(
+                pa.array(order))
+            flat = np.asarray(posts.flatten(), dtype=np.int64)
+            offs = np.asarray(posts.offsets, dtype=np.int64)
+            row_of = np.repeat(np.arange(len(st)), np.diff(offs))
+            run_of = np.searchsorted(bounds, row_of, side="right") - 1
+            o2 = np.lexsort((flat, run_of))
+            sflat, srun = flat[o2], run_of[o2]
+            rb = np.flatnonzero(np.r_[True, srun[1:] != srun[:-1]])
+            offsets = np.r_[rb, len(srun)].astype(np.int32)
+            lists = pa.ListArray.from_arrays(pa.array(offsets),
+                                             pa.array(sflat))
+            out = pa.table({
+                "term": term.combine_chunks().take(pa.array(order[bounds])),
+                "df": pa.array(np.diff(np.r_[rb, len(srun)])
+                               .astype(np.int64)),
+                "postings": lists})
+        else:
+            # positional layout: (term, id, positions) rows are already
+            # disjoint across parts (one part per doc per term) — just
+            # concatenate in term order
+            out = t.take(pa.array(order))
+        tmp = os.path.join(bdir, f"compact.{os.getpid()}.inprogress")
+        final = os.path.join(bdir, "part-compacted.parquet")
+        _pq.write_table(out, tmp, compression="zstd")
+        os.replace(tmp, final)
+        for f in files:
+            if f != "part-compacted.parquet":
+                os.unlink(os.path.join(bdir, f))
+        return 1
+
+    done = ray.get([compact_one.remote(os.path.join(terms_dir, b))
+                    for b in buckets])
+    return int(sum(done))
+
+
 def search_terms_all(index_dir: str, terms: list[str],
                      id_col: str = "doc_id"):
     """Boolean AND retrieval over the at-rest inverted index: ids of

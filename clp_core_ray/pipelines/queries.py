@@ -4253,3 +4253,40 @@ def docs_phrase_search(sf_dir: str):
             rd.read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"]), idx)
     return search_phrase(idx, "fast merge")
+
+
+@register(
+    "docs_sample_per_source",
+    "SELECT doc_id, source FROM ("
+    "  SELECT doc_id, source, row_number() OVER ("
+    "    PARTITION BY source"
+    "    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn"
+    "  FROM documents"
+    ") WHERE rn <= 7",
+)
+def docs_sample_per_source(sf_dir: str):
+    """Uniform per-group downsampling: exactly min(7, group size) docs per
+    source chosen by Knuth-multiplicative-hash order -- deterministic,
+    resume-stable (no RNG state), and unbiased w.r.t. doc_id order. The
+    same bounded two-pass cap kernel as docs_cap_per_source, ordered by
+    the hash instead of first-seen."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import cap_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def add_h(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(b.column("doc_id").combine_chunks()
+                         .cast(pa.int64()), dtype=np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+        return b.append_column("_h", pa.array(h))
+
+    capped = cap_per_group(ds.map_batches(add_h, batch_format="pyarrow"),
+                           key_col="source", n=7, order_col="_h",
+                           tiebreak_col="doc_id")
+    return capped.map_batches(lambda b: b.drop_columns(["_h"]),
+                              batch_format="pyarrow")

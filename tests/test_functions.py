@@ -1583,3 +1583,49 @@ def test_positional_phrase_search(ray_session, tmp_path):
         assert ids_of(search_phrase(idx, ph)) == brute(ph), ph
     # double space is NOT adjacency
     assert 252 not in ids_of(search_phrase(idx, "w2 w1"))
+
+
+def test_inverted_index_compaction(ray_session, tmp_path):
+    """build -> append -> compact: results unchanged, one part per bucket,
+    same-term posting rows merged."""
+    import os
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import (append_inverted_index,
+                                             compact_inverted_index,
+                                             search_terms_all,
+                                             write_inverted_index)
+
+    rng = np.random.default_rng(61)
+    vocab = [f"w{i}" for i in range(20)]
+
+    def corpus(ids):
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([" ".join(rng.choice(vocab,
+                                                  rng.integers(4, 12)))
+                              for _ in ids])})
+
+    base, delta = corpus(range(100)), corpus(range(100, 180))
+    idx = str(tmp_path / "inv")
+    write_inverted_index(rd.from_arrow(base), idx, n_buckets=8)
+    append_inverted_index(idx, rd.from_arrow(delta))
+
+    before = {q: set(search_terms_all(idx, list(q)).to_pandas()["doc_id"])
+              for q in (("w0",), ("w1", "w2"), ("w3", "w7", "w9"))}
+    n = compact_inverted_index(idx)
+    assert n >= 1
+    for b in os.listdir(f"{idx}/terms"):
+        files = [f for f in os.listdir(f"{idx}/terms/{b}")
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (b, files)
+    after = {q: set(search_terms_all(idx, list(q)).to_pandas()["doc_id"])
+             for q in before}
+    assert after == before
+    # merged: every term appears in exactly one row now
+    import pyarrow.parquet as pqt
+    for b in os.listdir(f"{idx}/terms"):
+        t = pqt.read_table(f"{idx}/terms/{b}/part-compacted.parquet")
+        terms = t.column("term").to_pylist()
+        assert len(terms) == len(set(terms))
