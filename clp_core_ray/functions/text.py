@@ -492,6 +492,96 @@ def search_phrase(index_dir: str, phrase: str, id_col: str = "doc_id"):
                 batch_format="pyarrow"))
 
 
+def search_near(index_dir: str, terms: list[str], window: int,
+                id_col: str = "doc_id"):
+    """Proximity retrieval over the at-rest positional index: ids of
+    documents where ALL (distinct) query terms co-occur within ``window``
+    consecutive token ordinals (max pos − min pos < window).
+
+    Exact and fully vectorized: query-term occurrences (the only rows that
+    leave the index partitions) shuffle by doc-hash bucket; inside a bucket
+    one lexsort orders them by (doc, pos), then one maximum.accumulate per
+    term yields each occurrence's most-recent same-doc position of that
+    term — a doc matches iff at some occurrence every term's last position
+    lies within the trailing window. Work ∝ query-term frequencies."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_buckets = meta["n_buckets"]
+    want = sorted({t.lower() for t in terms if t})
+    k = len(want)
+    empty = pa.table({id_col: pa.array([], type=pa.int64())})
+    if not k:
+        return rd.from_arrow(empty)
+    buckets = sorted({int(b) for b in _term_buckets(want, n_buckets)})
+    paths = [os.path.join(p, f)
+             for b in buckets
+             if os.path.isdir(p := os.path.join(index_dir, "terms",
+                                                f"bucket={b}"))
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not paths:
+        return rd.from_arrow(empty)
+    idx = rd.read_parquet(paths, columns=["term", id_col, "positions"])
+    nb = scaled_buckets()
+    slot_of = {t: i for i, t in enumerate(want)}
+
+    def occurrences(b: pa.Table) -> pa.Table:
+        hit = b.filter(pc.is_in(b.column("term"),
+                                value_set=pa.array(want)))
+        posts = hit.column("positions").combine_chunks()
+        flat = np.asarray(posts.flatten(), dtype=np.int64)
+        if flat.size and flat.max() >= (1 << _MAX_DOC_TOKENS_LOG2):
+            raise ValueError("document exceeds 2^21 tokens; "
+                             "proximity keys would collide")
+        counts = np.diff(np.asarray(posts.offsets, dtype=np.int64))
+        docs = np.repeat(
+            np.asarray(pc.cast(hit.column(id_col).combine_chunks(),
+                               pa.int64()), dtype=np.int64), counts)
+        term_col = hit.column("term").combine_chunks()
+        slots = np.repeat(
+            np.asarray([slot_of[t] for t in term_col.to_pylist()],
+                       dtype=np.int64) if hit.num_rows
+            else np.empty(0, np.int64), counts)
+        return pa.table({
+            id_col: pa.array(docs), "_slot": pa.array(slots),
+            "_pos": pa.array(flat),
+            "_bucket": pa.array(
+                (docs * np.int64(-7046029254386353131)) % np.int64(nb)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows or id_col not in g.column_names:
+            return empty
+        docs = np.asarray(g.column(id_col), dtype=np.int64)
+        slot = np.asarray(g.column("_slot"), dtype=np.int64)
+        pos = np.asarray(g.column("_pos"), dtype=np.int64)
+        order = np.lexsort((pos, docs))
+        d, s, p = docs[order], slot[order], pos[order]
+        # dense doc ordinal so per-term accumulators reset across docs
+        new = np.r_[True, d[1:] != d[:-1]]
+        ord_d = np.cumsum(new) - 1
+        comp = ord_d << np.int64(_MAX_DOC_TOKENS_LOG2)
+        ok = np.ones(len(d), dtype=bool)
+        for t in range(k):
+            c = np.where(s == t, comp | p, np.int64(-1))
+            last = np.maximum.accumulate(c)
+            # same doc AND within the trailing window
+            ok &= (last >> np.int64(_MAX_DOC_TOKENS_LOG2)) == ord_d
+            ok &= (p - (last & np.int64((1 << _MAX_DOC_TOKENS_LOG2) - 1))
+                   < window) & (last >= 0)
+        return pa.table({id_col: pa.array(np.unique(d[ok]))})
+
+    return (idx.map_batches(occurrences, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
 def _write_postings(idx, index_dir: str, n_buckets: int) -> None:
     def tag(b: pa.Table) -> pa.Table:
         offsets, data = _string_buffers(

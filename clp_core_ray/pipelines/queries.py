@@ -4290,3 +4290,36 @@ def docs_sample_per_source(sf_dir: str):
                            tiebreak_col="doc_id")
     return capped.map_batches(lambda b: b.drop_columns(["_h"]),
                               batch_format="pyarrow")
+
+
+@register(
+    "docs_near_search",
+    "WITH tok AS ("
+    "  SELECT doc_id,"
+    "    unnest(string_split(lower(coalesce(text, '')), ' ')) AS term,"
+    "    unnest(range(len(string_split(lower(coalesce(text, '')), ' '))))"
+    "      AS pos FROM documents)"
+    " SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)"
+    " WHERE a.term = 'vector' AND b.term = 'slow'"
+    "   AND abs(a.pos - b.pos) < 4",
+)
+def docs_near_search(sf_dir: str):
+    """Proximity retrieval: docs where 'vector' and 'slow' co-occur within
+    a 4-token window, over the at-rest positional index. Exact: query-term
+    occurrences shuffle by doc bucket; one lexsort + one
+    maximum.accumulate per term finds a window end where every term's
+    last same-doc position is inside the trailing window."""
+    import os
+
+    from clp_core_ray.functions.text import (search_near,
+                                             write_positional_index)
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/pos_index_sf{sf_of_dir(sf_dir)}"
+    if not os.path.exists(f"{idx}/meta.json"):
+        import ray.data as rd
+
+        write_positional_index(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]), idx)
+    return search_near(idx, ["vector", "slow"], window=4)

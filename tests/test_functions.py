@@ -1629,3 +1629,50 @@ def test_inverted_index_compaction(ray_session, tmp_path):
         t = pqt.read_table(f"{idx}/terms/{b}/part-compacted.parquet")
         terms = t.column("term").to_pylist()
         assert len(terms) == len(set(terms))
+
+
+def test_search_near_proximity(ray_session, tmp_path):
+    """search_near == brute-force windowed co-occurrence."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import (search_near,
+                                             write_positional_index)
+
+    rng = np.random.default_rng(71)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 40)))
+             for _ in range(300)]
+    texts += ["w1 x x x x w2", "w2 x w1", "w1", "w2 w2 w2"]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    idx = str(tmp_path / "pos")
+    write_positional_index(rd.from_arrow(t).repartition(4), idx,
+                           n_buckets=8)
+
+    def ids_of(ds):
+        out = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out.update(pa.table(b).column("doc_id").to_pylist())
+        return out
+
+    def brute(terms, w):
+        res = set()
+        for i, x in zip(ids, texts):
+            toks = x.split(" ")
+            occ = {t: [j for j, tok in enumerate(toks) if tok == t]
+                   for t in terms}
+            if any(not v for v in occ.values()):
+                continue
+            import itertools
+            for combo in itertools.product(*occ.values()):
+                if max(combo) - min(combo) < w:
+                    res.add(i)
+                    break
+        return res
+
+    for terms, w in ((["w1", "w2"], 3), (["w1", "w2"], 6),
+                     (["w0", "w3", "w5"], 8), (["w1"], 1),
+                     (["w1", "w2", "w4"], 5)):
+        assert ids_of(search_near(idx, terms, w)) == brute(terms, w), \
+            (terms, w)
