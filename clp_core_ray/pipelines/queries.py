@@ -4323,3 +4323,63 @@ def docs_near_search(sf_dir: str):
             rd.read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"]), idx)
     return search_near(idx, ["vector", "slow"], window=4)
+
+
+@register(
+    "clp_emerging_templates",
+    "WITH mid AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS m"
+    "  FROM {T}),"
+    "n AS (SELECT DISTINCT regexp_replace(lower(text), '[0-9]+', '#', 'g')"
+    "  AS template FROM {T}, mid WHERE epoch_us(ts) >= mid.m),"
+    "o AS (SELECT DISTINCT regexp_replace(lower(text), '[0-9]+', '#', 'g')"
+    "  AS template FROM {T}, mid WHERE epoch_us(ts) < mid.m) "
+    "SELECT template FROM n WHERE NOT EXISTS"
+    " (SELECT 1 FROM o WHERE o.template = n.template)",
+)
+def clp_emerging_templates(sf_dir: str):
+    """Emerging-template detection: normalized turn templates seen in the
+    RECENT half of the corpus but never in the older half -- the 'new
+    error template' alert a log-ops pipeline runs per ingestion window.
+    One tiny min/max pass fixes the midpoint; each half collapses to its
+    distinct templates via pre-aggregated partials; the NOT-EXISTS is the
+    bloom anti-join (misses proven absent with zero exchange)."""
+    import numpy as np
+
+    from clp_core_ray.pipelines import aggregate as agg
+    from clp_core_ray.pipelines.join import anti_join
+    from clp_core_ray.sources.transcripts import read_transcripts
+
+    ds = read_transcripts(sf_dir)
+
+    def ts_partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").combine_chunks().cast(pa.int64())
+        return pa.table({"lo": pa.array([pc.min(us).as_py()]),
+                         "hi": pa.array([pc.max(us).as_py()])})
+
+    from clp_core_ray.functions.curation import _collect_small
+
+    mm = _collect_small(ds.map_batches(ts_partial, batch_format="pyarrow"))
+    lo = pc.min(mm.column("lo")).as_py()
+    hi = pc.max(mm.column("hi")).as_py()
+    mid = (lo + hi) // 2
+
+    def half(b: pa.Table, recent: bool) -> pa.Table:
+        us = np.asarray(b.column("ts").combine_chunks().cast(pa.int64()),
+                        dtype=np.int64)
+        keep = us >= mid if recent else us < mid
+        t = b.filter(pa.array(keep))
+        tpl = pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(
+                t.column("text").combine_chunks().cast(pa.large_string()),
+                "")), "[0-9]+", "#")
+        return pa.table({"template": pc.unique(tpl)})
+
+    new_t = agg.count_by(
+        ds.map_batches(lambda b: half(b, True), batch_format="pyarrow"),
+        "template").map_batches(lambda b: b.select(["template"]),
+                                batch_format="pyarrow")
+    old_t = agg.count_by(
+        ds.map_batches(lambda b: half(b, False), batch_format="pyarrow"),
+        "template").map_batches(lambda b: b.select(["template"]),
+                                batch_format="pyarrow")
+    return anti_join(new_t, old_t, "template")
