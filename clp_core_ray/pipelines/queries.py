@@ -61,14 +61,18 @@ _GATE_PRIORITY = [
     "docs_fuzzy_dedup", "docs_fuzzy_dedup_best", "docs_dup_spans",
     "docs_fuzzy_join",
     "emb_semantic_dedup", "clp_redact_pii", "clp_turn_template_dedup",
-    "docs_fuzzy_decontaminate", "docs_snapshot_diff", "docs_pack_sequences",
+    # (snapshot_diff rotates behind: its one-shuffle diff kernel is stable
+    # since r3 and pinned by a byte-exactness pytest; the anti-join family
+    # is audited by customers_without_events + emerging_templates)
+    "docs_fuzzy_decontaminate", "docs_pack_sequences",
     "docs_mixture_sample", "customers_without_events",
     "docs_curation_pipeline",
     "docs_repetition", "docs_chunk_overlap", "docs_cap_per_source",
     # text analysis / retrieval (inverted_index rotates behind bm25, which
-    # exercises the same explode→bucket machinery plus scoring)
-    "docs_bpe_roundtrip", "docs_bm25", "docs_char_entropy",
-    "docs_bpe_token_counts",
+    # exercises the same explode→bucket machinery plus scoring; bpe_tokens
+    # and char_entropy rotate behind the newest index-retrieval surface)
+    "docs_bpe_roundtrip", "docs_bm25", "docs_phrase_search",
+    "docs_near_search",
     "docs_perplexity_scored", "docs_top_terms_per_lang",
     # similarity / clustering / linalg
     # (radius_ivf rotates behind: knn_vote_ivf + hard_negatives_ivf already
@@ -81,7 +85,10 @@ _GATE_PRIORITY = [
     "events_asof_latest_order", "events_window_join", "events_sliding_window",
     "events_debounce",
     "events_topk_per_user",
-    "events_value_quantiles",
+    # quantile machinery audited through the gate composition (the gate's
+    # thresholds come from grouped_quantile_disc); zscore adds the moment
+    # partials
+    "docs_above_median_chars", "events_value_zscore_outliers",
     # sketches (oracled heavy-hitters representative; the rows-only
     # sketch/PQ variants rotate behind — pytest-bounded, weaker gate signal)
     "events_heavy_users",
