@@ -291,21 +291,119 @@ def _term_buckets(terms: list[str], n_buckets: int) -> np.ndarray:
 
 
 def write_inverted_index(ds, index_dir: str, *, text_col: str = "text",
-                         id_col: str = "doc_id", n_buckets: int = 64) -> None:
+                         id_col: str = "doc_id", n_buckets: int = 64,
+                         with_stats: bool = False) -> None:
     """Write the inverted index *at rest*: postings hive-partitioned by
     term-hash bucket (``terms/bucket=N/``) — the boolean-retrieval analogue
     of ``build_ivf_index``'s cell layout. A query for k terms reads at most
     k of the ``n_buckets`` partitions off storage; everything else never
     leaves the object store. ``n_buckets`` is recorded alongside so probes
-    can't hash into a different layout."""
+    can't hash into a different layout.
+
+    ``with_stats=True`` writes the ranked-retrieval layout: postings carry
+    parallel per-doc term frequencies and document lengths (tf, dl ride the
+    posting — 16 B/posting — so BM25 scoring needs NO doc-length side
+    table), and the corpus constants (n_docs, total token count) land in
+    meta.json for idf/avgdl."""
     import json
     import os
 
-    _write_postings(
-        inverted_index(ds, text_col=text_col, id_col=id_col,
-                       n_buckets=n_buckets), index_dir, n_buckets)
+    meta = {"n_buckets": n_buckets, "id_col": id_col}
+    if with_stats:
+        _write_postings(
+            _stats_index(ds, text_col=text_col, id_col=id_col,
+                         n_buckets=n_buckets), index_dir, n_buckets)
+        n_docs, total_toks = _corpus_stats(ds, text_col)
+        meta |= {"with_stats": True, "n_docs": n_docs,
+                 "total_toks": total_toks}
+    else:
+        _write_postings(
+            inverted_index(ds, text_col=text_col, id_col=id_col,
+                           n_buckets=n_buckets), index_dir, n_buckets)
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+        json.dump(meta, f)
+
+
+def _corpus_stats(ds, text_col: str) -> tuple[int, int]:
+    """(n_docs, total non-empty tokens) via one tiny partial pass."""
+    def partial(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(
+            pc.fill_null(b.column(text_col).combine_chunks(), ""))
+        toks = pc.split_pattern(texts, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        nt = len(flat) - pc.sum(
+            pc.equal(flat, "").cast(pa.int64())).as_py() if len(flat) else 0
+        return pa.table({"n": pa.array([b.num_rows], type=pa.int64()),
+                         "toks": pa.array([nt], type=pa.int64())})
+
+    import ray
+
+    blocks = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns]
+    tot = pa.concat_tables(blocks)
+    return (pc.sum(tot.column("n")).as_py() or 0,
+            pc.sum(tot.column("toks")).as_py() or 0)
+
+
+def _stats_index(ds, *, text_col: str, id_col: str, n_buckets: int):
+    """(term, df, postings, tfs, dls) relation — inverted_index's shape
+    plus per-posting term frequency and doc length. Same scale shape: the
+    per-(term, doc) aggregation happens inside each batch (a doc is one
+    row, so tf and dl are batch-local facts), the shuffle routes one row
+    per distinct (term, doc) per batch."""
+    def explode(batch: pa.Table) -> pa.Table:
+        t = _explode_terms(batch, text_col, id_col)
+        tf = (t.group_by(["term", id_col])
+              .aggregate([("term", "count")])
+              .rename_columns(["term", id_col, "tf"]))
+        dl = (t.group_by(id_col).aggregate([(id_col, "count")])
+              .rename_columns([id_col, "dl"]))
+        pos = pc.index_in(tf.column(id_col), dl.column(id_col))
+        tf = tf.append_column("dl", pc.take(dl.column("dl"), pos))
+        return _route_terms(tf, n_buckets)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if not len(group):
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+                "postings": pa.array([], type=pa.list_(pa.int64())),
+                "tfs": pa.array([], type=pa.list_(pa.int64())),
+                "dls": pa.array([], type=pa.list_(pa.int64())),
+            })
+        term = group.column("term").combine_chunks()
+        codes = pc.dictionary_encode(term)
+        tidx = np.asarray(codes.indices, dtype=np.int64)
+        docs = np.asarray(pc.cast(group.column(id_col).combine_chunks(),
+                                  pa.int64()), dtype=np.int64)
+        tf = np.asarray(group.column("tf").combine_chunks().cast(pa.int64()),
+                        dtype=np.int64)
+        dl = np.asarray(group.column("dl").combine_chunks().cast(pa.int64()),
+                        dtype=np.int64)
+        order = np.lexsort((docs, tidx))
+        st, sd = tidx[order], docs[order]
+        bounds = np.flatnonzero(np.r_[True, st[1:] != st[:-1]])
+        offsets = np.r_[bounds, len(st)].astype(np.int32)
+
+        def lists(vals):
+            return pa.ListArray.from_arrays(pa.array(offsets),
+                                            pa.array(vals[order]))
+
+        return pa.table({
+            "term": term.take(pa.array(order[bounds])),
+            "df": pa.array(np.diff(offsets).astype(np.int64)),
+            "postings": lists(docs),
+            "tfs": lists(tf),
+            "dls": lists(dl),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))
 
 
 _MAX_DOC_TOKENS_LOG2 = 21  # positional phrase keys pack pos into 21 bits
@@ -594,6 +692,122 @@ def _write_postings(idx, index_dir: str, n_buckets: int) -> None:
         f"{index_dir}/terms", partition_cols=["bucket"], compression="zstd")
 
 
+def search_bm25(index_dir: str, terms, *, k1: float = 1.2, b: float = 0.75,
+                ndigits: int = 6, id_col: str = "doc_id"):
+    """Okapi BM25 ranked retrieval straight off the at-rest stats index
+    (``write_inverted_index(with_stats=True)``): scores every document
+    containing ≥ 1 query term WITHOUT touching the corpus.
+
+    Reads only the ≤ k term partitions; df folds across parts in a tiny
+    driver pass (the append layout keeps one row per (term, part)); tf and
+    dl ride the postings, so the scoring exchange is one (doc, term,
+    contribution) row per candidate posting, summed per doc in ascending
+    term order inside doc-hash buckets (bit-identical to
+    :func:`bm25_scores` / the SQL ``sum(... ORDER BY term)``)."""
+    import json
+    import math
+    import os
+
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta.get("with_stats"):
+        raise ValueError("index lacks tf/dl stats; build with "
+                         "write_inverted_index(with_stats=True)")
+    n_buckets = meta["n_buckets"]
+    n_docs, total_toks = meta["n_docs"], meta["total_toks"]
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "bm25": pa.array([], type=pa.float64())})
+    want = sorted({t.lower() for t in terms if t})
+    if not want or not n_docs:
+        return rd.from_arrow(empty)
+    avgdl = total_toks / n_docs
+    buckets = sorted({int(x) for x in _term_buckets(want, n_buckets)})
+    paths = [os.path.join(p, f)
+             for x in buckets
+             if os.path.isdir(p := os.path.join(index_dir, "terms",
+                                                f"bucket={x}"))
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not paths:
+        return rd.from_arrow(empty)
+
+    def hits_of(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("term"),
+                                 value_set=pa.array(want)))
+
+    # pass 1 (tiny): global df per query term across append parts
+    import ray
+
+    df_blocks = [t for t in ray.get(
+        rd.read_parquet(paths, columns=["term", "df"])
+        .map_batches(hits_of, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns]
+    if not df_blocks:
+        return rd.from_arrow(empty)
+    df_tbl = (pa.concat_tables(df_blocks).group_by("term")
+              .aggregate([("df", "sum")]))
+    idf = {t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+           for t, d in zip(df_tbl.column("term").to_pylist(),
+                           df_tbl.column("df_sum").to_pylist())}
+    # stable term ordinal = ascending term order (the SQL ORDER BY term)
+    term_ord = {t: i for i, t in enumerate(want)}
+    idf_by_ord = np.zeros(len(want))
+    for t, v in idf.items():
+        idf_by_ord[term_ord[t]] = v
+    nb = scaled_buckets()
+
+    def contribs(batch: pa.Table) -> pa.Table:
+        hit = hits_of(batch)
+        if not hit.num_rows:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "_ord": pa.array([], type=pa.int64()),
+                             "_c": pa.array([], type=pa.float64()),
+                             "_bucket": pa.array([], type=pa.int64())})
+        posts = hit.column("postings").combine_chunks()
+        docs = np.asarray(posts.flatten(), dtype=np.int64)
+        counts = np.diff(np.asarray(posts.offsets, dtype=np.int64))
+        tf = np.asarray(hit.column("tfs").combine_chunks().flatten(),
+                        dtype=np.float64)
+        dl = np.asarray(hit.column("dls").combine_chunks().flatten(),
+                        dtype=np.float64)
+        ords = np.repeat(
+            np.asarray([term_ord[t] for t in
+                        hit.column("term").to_pylist()], dtype=np.int64),
+            counts)
+        c = (idf_by_ord[ords] * tf * (k1 + 1.0)
+             / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        return pa.table({
+            id_col: pa.array(docs), "_ord": pa.array(ords),
+            "_c": pa.array(c),
+            "_bucket": pa.array(
+                (docs * np.int64(-7046029254386353131)) % np.int64(nb)),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows or id_col not in g.column_names:
+            return empty
+        docs = np.asarray(g.column(id_col), dtype=np.int64)
+        ords = np.asarray(g.column("_ord"), dtype=np.int64)
+        c = np.asarray(g.column("_c"), dtype=np.float64)
+        order = np.lexsort((ords, docs))
+        d, cv = docs[order], c[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        return pa.table({
+            id_col: pa.array(d[starts]),
+            "bm25": pa.array(np.round(np.add.reduceat(cv, starts),
+                                      ndigits)),
+        })
+
+    return (rd.read_parquet(
+        paths, columns=["term", "df", "postings", "tfs", "dls"])
+        .map_batches(contribs, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow"))
+
+
 def append_inverted_index(index_dir: str, ds, *, text_col: str = "text",
                           id_col: str = "doc_id") -> None:
     """Index NEW documents into an existing at-rest inverted index WITHOUT
@@ -610,8 +824,21 @@ def append_inverted_index(index_dir: str, ds, *, text_col: str = "text",
     import os
 
     with open(os.path.join(index_dir, "meta.json")) as f:
-        n_buckets = json.load(f)["n_buckets"]
+        meta = json.load(f)
+    n_buckets = meta["n_buckets"]
 
+    if meta.get("with_stats"):
+        _write_postings(
+            _stats_index(ds, text_col=text_col, id_col=id_col,
+                         n_buckets=n_buckets), index_dir, n_buckets)
+        n_docs, total_toks = _corpus_stats(ds, text_col)
+        meta["n_docs"] += n_docs
+        meta["total_toks"] += total_toks
+        tmp = os.path.join(index_dir, f"meta.{os.getpid()}.inprogress")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(index_dir, "meta.json"))
+        return
     _write_postings(
         inverted_index(ds, text_col=text_col, id_col=id_col,
                        n_buckets=n_buckets), index_dir, n_buckets)
@@ -651,7 +878,7 @@ def compact_inverted_index(index_dir: str) -> int:
         order = np.lexsort((tidx,))
         st = tidx[order]
         bounds = np.flatnonzero(np.r_[True, st[1:] != st[:-1]])
-        if "postings" in val_col:
+        if sorted(val_col) == ["df", "postings"]:
             # merge posting lists per term
             posts = t.column("postings").combine_chunks().take(
                 pa.array(order))
@@ -671,9 +898,9 @@ def compact_inverted_index(index_dir: str) -> int:
                                .astype(np.int64)),
                 "postings": lists})
         else:
-            # positional layout: (term, id, positions) rows are already
-            # disjoint across parts (one part per doc per term) — just
-            # concatenate in term order
+            # positional / stats layouts: rows are already disjoint across
+            # parts (one part per doc per term; per-part df rows are summed
+            # at query time) — concatenate in term order
             out = t.take(pa.array(order))
         tmp = os.path.join(bdir, f"compact.{os.getpid()}.inprogress")
         final = os.path.join(bdir, "part-compacted.parquet")

@@ -4390,3 +4390,46 @@ def clp_emerging_templates(sf_dir: str):
         "template").map_batches(lambda b: b.select(["template"]),
                                 batch_format="pyarrow")
     return anti_join(new_t, old_t, "template")
+
+
+@register(
+    "docs_bm25_indexed",
+    # same oracle as docs_bm25 -- the index-routed path must reproduce the
+    # corpus-scan scorer bit for bit
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS"
+    " term FROM documents), toks2 AS (SELECT * FROM toks WHERE term <> ''),"
+    " dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),"
+    " c AS (SELECT (SELECT count(*) FROM documents) AS n,"
+    "  (SELECT count(*) FROM toks2) * 1.0 /"
+    "  (SELECT count(*) FROM documents) AS avgdl),"
+    " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2"
+    "  WHERE term IN ('merge', 'window', 'vector') GROUP BY doc_id, term),"
+    " df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
+    " SELECT tf.doc_id, round(sum("
+    "  ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+    "  * tf.tf * (1.2 + 1.0)"
+    "  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))"
+    "  ORDER BY tf.term), 6) AS bm25"
+    " FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c"
+    " GROUP BY tf.doc_id",
+)
+def docs_bm25_indexed(sf_dir: str):
+    """BM25 ranked retrieval straight off the at-rest stats index: tf and
+    dl ride the postings, df folds across append parts in a tiny driver
+    pass, the corpus is never touched -- and the scores reproduce the
+    corpus-scan bm25_scores (and the SQL oracle) bit for bit."""
+    import os
+
+    from clp_core_ray.functions.text import (search_bm25,
+                                             write_inverted_index)
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/bm25_index_sf{sf_of_dir(sf_dir)}"
+    if not os.path.exists(f"{idx}/meta.json"):
+        import ray.data as rd
+
+        write_inverted_index(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]), idx,
+            with_stats=True)
+    return search_bm25(idx, ["merge", "window", "vector"])

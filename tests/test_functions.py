@@ -1676,3 +1676,49 @@ def test_search_near_proximity(ray_session, tmp_path):
                      (["w1", "w2", "w4"], 5)):
         assert ids_of(search_near(idx, terms, w)) == brute(terms, w), \
             (terms, w)
+
+
+def test_search_bm25_index_routed(ray_session, tmp_path):
+    """Index-routed BM25 == corpus-scan bm25_scores, including after an
+    append (df must fold across parts, meta constants must update)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import (append_inverted_index,
+                                             bm25_scores, search_bm25,
+                                             write_inverted_index)
+
+    rng = np.random.default_rng(83)
+    vocab = [f"w{i}" for i in range(25)]
+
+    def corpus(ids):
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([" ".join(rng.choice(vocab,
+                                                  rng.integers(3, 30)))
+                              for _ in ids])})
+
+    base, delta = corpus(range(200)), corpus(range(200, 320))
+    terms = ["w1", "w5", "w9"]
+    idx = str(tmp_path / "bm")
+    write_inverted_index(rd.from_arrow(base), idx, n_buckets=8,
+                         with_stats=True)
+
+    def scores_of(ds):
+        out = {}
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            out.update(zip(t.column("doc_id").to_pylist(),
+                           t.column("bm25").to_pylist()))
+        return out
+
+    want = scores_of(bm25_scores(rd.from_arrow(base), terms))
+    got = scores_of(search_bm25(idx, terms))
+    assert got == want
+
+    append_inverted_index(idx, rd.from_arrow(delta))
+    full = pa.concat_tables([base, delta])
+    want2 = scores_of(bm25_scores(rd.from_arrow(full), terms))
+    got2 = scores_of(search_bm25(idx, terms))
+    assert got2 == want2
+    # absent terms -> empty, schema intact
+    assert scores_of(search_bm25(idx, ["nosuchterm"])) == {}
