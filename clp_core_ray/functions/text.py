@@ -808,6 +808,54 @@ def search_bm25(index_dir: str, terms, *, k1: float = 1.2, b: float = 0.75,
         .map_groups(per_bucket, batch_format="pyarrow"))
 
 
+def ordered_int64(vals: np.ndarray) -> np.ndarray:
+    """Order-preserving map double → int64 (IEEE bit trick: flip the sign
+    bit for non-negatives, all bits for negatives), so float scores can
+    ride integer-keyed machinery like ``global_window``."""
+    u = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+    top = np.uint64(1) << np.uint64(63)
+    # unsigned order-preserving key, then shift into signed int64 range
+    ku = np.where(u & top == 0, u ^ top, ~u)
+    return (ku ^ top).view(np.int64)
+
+
+def rrf_fuse(rank_sets, *, id_col: str = "doc_id", rrf_k: int = 60,
+             ndigits: int = 6):
+    """Reciprocal-rank fusion of N ranked retrieval lists (hybrid search:
+    BM25 ∪ embedding-cosine is the classic pair) —
+    ``score(id) = Σ_lists 1 / (rrf_k + rank_in_list)``, ids absent from a
+    list contribute nothing for it.
+
+    Each input is Dataset[(id, rn)]; ranks map to contributions per batch,
+    the lists union, and one groupby sums per id — the only exchange is
+    the rank rows themselves (one per (list, id)), never the corpora the
+    rankers scanned. IEEE addition is commutative and each id has ≤ one
+    row per list, so the rounded sum is deterministic."""
+    from ray.data.aggregate import Sum
+
+    def contrib(b: pa.Table) -> pa.Table:
+        rn = np.asarray(b.column("rn").combine_chunks().cast(pa.int64()),
+                        dtype=np.float64)
+        return pa.table({
+            id_col: b.column(id_col).combine_chunks().cast(pa.int64()),
+            "_c": pa.array(1.0 / (rrf_k + rn)),
+        })
+
+    parts = [ds.map_batches(contrib, batch_format="pyarrow")
+             for ds in rank_sets]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.union(p)
+    def rnd(b: pa.Table) -> pa.Table:
+        v = np.round(np.asarray(b.column("rrf"), dtype=np.float64), ndigits)
+        return b.set_column(b.schema.get_field_index("rrf"), "rrf",
+                            pa.array(v))
+
+    return (unioned.groupby(id_col)
+            .aggregate(Sum("_c", alias_name="rrf"))
+            .map_batches(rnd, batch_format="pyarrow"))
+
+
 def append_inverted_index(index_dir: str, ds, *, text_col: str = "text",
                           id_col: str = "doc_id") -> None:
     """Index NEW documents into an existing at-rest inverted index WITHOUT

@@ -4433,3 +4433,96 @@ def docs_bm25_indexed(sf_dir: str):
                             columns=["doc_id", "text"]), idx,
             with_stats=True)
     return search_bm25(idx, ["merge", "window", "vector"])
+
+
+@register(
+    "hybrid_rrf_search",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS"
+    " term FROM documents), toks2 AS (SELECT * FROM toks WHERE term <> ''),"
+    " dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),"
+    " c AS (SELECT (SELECT count(*) FROM documents) AS n,"
+    "  (SELECT count(*) FROM toks2) * 1.0 /"
+    "  (SELECT count(*) FROM documents) AS avgdl),"
+    " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2"
+    "  WHERE term IN ('merge', 'window', 'vector') GROUP BY doc_id, term),"
+    " df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),"
+    " bm AS (SELECT tf.doc_id, sum("
+    "  ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+    "  * tf.tf * (1.2 + 1.0)"
+    "  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))"
+    "  ORDER BY tf.term) AS s"
+    "  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c"
+    "  GROUP BY tf.doc_id),"
+    " bmr AS (SELECT doc_id, row_number() OVER ("
+    "  ORDER BY round(s, 6) DESC, doc_id) AS rn FROM bm),"
+    " cos AS (SELECT e.vec_id AS doc_id,"
+    "  list_cosine_similarity(e.embedding, q.embedding) AS s"
+    "  FROM embeddings e,"
+    "   (SELECT embedding FROM embeddings WHERE vec_id = 0) q"
+    "  WHERE e.vec_id <> 0),"
+    " cr AS (SELECT doc_id, row_number() OVER ("
+    "  ORDER BY s DESC, doc_id) AS rn FROM cos),"
+    " u AS (SELECT doc_id, rn FROM bmr UNION ALL"
+    "       SELECT doc_id, rn FROM cr)"
+    " SELECT doc_id, round(sum(1.0 / (60 + rn)), 6) AS rrf"
+    " FROM u GROUP BY doc_id",
+)
+def hybrid_rrf_search(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking (terms merge/window/vector) and the embedding-cosine ranking
+    against vec 0's embedding -- the RAG-standard sparse+dense fusion.
+    Each ranker runs distributed (BM25's shuffle-free scorer; brute cosine
+    matmul per batch); ranks come from global_window's value-range
+    ROW_NUMBER (no global sort); the fusion exchanges one rank row per
+    (list, id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import (_emb_matrix, _normalize)
+    from clp_core_ray.functions.text import (bm25_scores, ordered_int64,
+                                             rrf_fuse)
+    from clp_core_ray.pipelines.aggregate import global_window
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bm = bm25_scores(docs, ["merge", "window", "vector"])
+
+    def to_key(col_name):
+        def fn(b: pa.Table) -> pa.Table:
+            v = ordered_int64(np.asarray(b.column(col_name),
+                                         dtype=np.float64))
+            return pa.table({"doc_id": b.column("doc_id").combine_chunks()
+                             .cast(pa.int64()), "_key": pa.array(v)})
+        return fn
+
+    bm_rn = global_window(bm.map_batches(to_key("bm25"),
+                                         batch_format="pyarrow"),
+                          val_col="_key", row_id_col="doc_id",
+                          funcs=("row_number",), descending=True)
+
+    # dense side: brute cosine of every embedding vs vec 0's embedding
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    qvec = _normalize(_emb_matrix(qtab, "embedding"))
+
+    def cos(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.not_equal(b.column("vec_id"), pa.scalar(0)))
+        if not keep.num_rows:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "_key": pa.array([], type=pa.int64())})
+        e = _normalize(_emb_matrix(keep, "embedding"))
+        s = (qvec @ e.T)[0]
+        return pa.table({
+            "doc_id": keep.column("vec_id").combine_chunks()
+            .cast(pa.int64()),
+            "_key": pa.array(ordered_int64(s)),
+        })
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cos_rn = global_window(emb.map_batches(cos, batch_format="pyarrow"),
+                           val_col="_key", row_id_col="doc_id",
+                           funcs=("row_number",), descending=True)
+    return rrf_fuse([bm_rn, cos_rn], id_col="doc_id")

@@ -1722,3 +1722,26 @@ def test_search_bm25_index_routed(ray_session, tmp_path):
     assert got2 == want2
     # absent terms -> empty, schema intact
     assert scores_of(search_bm25(idx, ["nosuchterm"])) == {}
+
+
+def test_rrf_fuse(ray_session):
+    """rrf_fuse == hand-computed reciprocal-rank fusion over two lists."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import ordered_int64, rrf_fuse
+
+    a = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "rn": pa.array([1, 2, 3], type=pa.int64())})
+    b = pa.table({"doc_id": pa.array([3, 4], type=pa.int64()),
+                  "rn": pa.array([1, 2], type=pa.int64())})
+    out = rrf_fuse([rd.from_arrow(a), rd.from_arrow(b)]).to_pandas()
+    got = dict(zip(out["doc_id"], out["rrf"]))
+    want = {1: round(1 / 61, 6), 2: round(1 / 62, 6),
+            3: round(1 / 63 + 1 / 61, 6), 4: round(1 / 62, 6)}
+    assert got == want
+
+    # ordered_int64 preserves double ordering incl. negatives and zero
+    v = np.array([-3.5, -0.0, 0.0, 1e-300, 2.25, -1e-300, 7.0])
+    k = ordered_int64(v)
+    assert list(np.argsort(k, kind="stable")) == \
+        list(np.argsort(v, kind="stable"))
