@@ -973,6 +973,73 @@ def ivfpq_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
                         exclude_self, id_col, emb_col)
 
 
+def sq8_train(ds, *, emb_col: str = "embedding") -> np.ndarray:
+    """Per-dimension (min, max) bounds for SQ8 scalar quantization — one
+    streaming pass of per-batch d-vector partials (the kmeans exchange
+    shape: O(d) per batch, never the vectors). Returns (2, d)."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        from clp_core_ray.functions.dedup import _emb_matrix
+
+        e = _emb_matrix(b, emb_col).astype(np.float64)
+        return pa.table({
+            "mn": pa.FixedSizeListArray.from_arrays(
+                pa.array(e.min(axis=0)), e.shape[1]),
+            "mx": pa.FixedSizeListArray.from_arrays(
+                pa.array(e.max(axis=0)), e.shape[1]),
+        })
+
+    blocks = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns]
+    tot = pa.concat_tables(blocks)
+    mn = np.asarray(tot.column("mn").combine_chunks().flatten(),
+                    dtype=np.float64).reshape(len(tot), -1).min(axis=0)
+    mx = np.asarray(tot.column("mx").combine_chunks().flatten(),
+                    dtype=np.float64).reshape(len(tot), -1).max(axis=0)
+    return np.stack([mn, mx])
+
+
+def sq8_encode(ds, bounds: np.ndarray, *, emb_col: str = "embedding",
+               id_col: str = "vec_id", out_col: str = "sq8"):
+    """SQ8 scalar quantization: embedding → fixed_size_list<uint8> codes
+    (4× smaller than float32, 8× than float64 — the production at-rest
+    format simpler than PQ; dequantization error ≤ span/510 per dim).
+    code = round((v − min) / (max − min) · 255), zero-span dims → 0.
+    Bounds broadcast once via the plasma store; encoding is shuffle-free."""
+    import ray
+
+    ref = ray.put(np.asarray(bounds, dtype=np.float64))
+
+    def enc(b: pa.Table) -> pa.Table:
+        from clp_core_ray.functions.dedup import _emb_matrix
+
+        mn, mx = ray.get(ref)
+        span = mx - mn
+        e = _emb_matrix(b, emb_col).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            x = (e - mn) / np.where(span > 0, span, 1.0) * 255.0
+        # ties round away from zero (SQL round semantics; numpy's
+        # half-even produced a 1-code mismatch on a real .5 hit)
+        q = np.floor(x + 0.5)
+        q = np.clip(np.where(span > 0, q, 0.0), 0, 255).astype(np.uint8)
+        return pa.table({
+            id_col: b.column(id_col).combine_chunks().cast(pa.int64()),
+            out_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1)), e.shape[1]),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def sq8_decode(codes: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Dequantize SQ8 codes back to floats (midpoint-free linear map)."""
+    mn, mx = np.asarray(bounds, dtype=np.float64)
+    span = mx - mn
+    return mn + codes.astype(np.float64) / 255.0 * span
+
+
 def vector_hash64(emb_col) -> pa.Array:
     """64-bit FNV-1a over each vector's raw little-endian float32 bytes —
     the embedding counterpart of curation.content_hash64 (drift detection)."""

@@ -145,6 +145,51 @@ def zscore_by_group(ds, *, key_col: str, val_col: str,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def decayed_count_by(ds, *, key_col: str, ts_col: str = "ts",
+                     half_life_s: float, asof_us: int | None = None,
+                     ndigits: int = 6):
+    """Exponentially-decayed activity score per key as of ``asof_us``
+    (default: the corpus max timestamp) — the trending/recency signal a
+    telemetry pipeline keeps per entity (recent events count ~1, events a
+    half-life ago count 0.5, …).
+
+    One streaming pass: each batch pre-aggregates Σ 2^((ts − asof)/hl)
+    per key (one row per key per batch), a tiny groupby sums the partials.
+    No shuffle of raw events, driver state = #keys rows."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    if asof_us is None:
+        def mx(b: pa.Table) -> pa.Table:
+            us = b.column(ts_col).combine_chunks().cast(pa.int64())
+            return pa.table({"hi": pa.array([pc.max(us).as_py()])})
+
+        tops = _to_small_table(ds.map_batches(mx, batch_format="pyarrow"))
+        asof_us = pc.max(tops.column("hi")).as_py()
+    lam = math.log(2.0) / (half_life_s * 1e6)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = np.asarray(b.column(ts_col).combine_chunks().cast(pa.int64()),
+                        dtype=np.float64)
+        w = np.exp((us - float(asof_us)) * lam)
+        t = pa.table({key_col: b.column(key_col), "_w": pa.array(w)})
+        out = t.group_by([key_col]).aggregate([("_w", "sum")])
+        return out.rename_columns([key_col, "_w"])
+
+    def rnd(b: pa.Table) -> pa.Table:
+        v = np.round(np.asarray(b.column("decayed"), dtype=np.float64),
+                     ndigits)
+        return b.set_column(b.schema.get_field_index("decayed"),
+                            "decayed", pa.array(v))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(Sum("_w", alias_name="decayed"))
+            .map_batches(rnd, batch_format="pyarrow"))
+
+
 def value_histogram(ds, col: str, width: float):
     """Equi-width histogram: Dataset[(bin, cnt)] with
     bin = floor(col / width) * width (the SQL binning idiom, bit-compatible

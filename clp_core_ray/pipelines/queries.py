@@ -4526,3 +4526,65 @@ def hybrid_rrf_search(sf_dir: str):
                            val_col="_key", row_id_col="doc_id",
                            funcs=("row_number",), descending=True)
     return rrf_fuse([bm_rn, cos_rn], id_col="doc_id")
+
+
+@register(
+    "events_decayed_activity",
+    "WITH m AS (SELECT max(epoch_us(ts)) AS hi FROM events)"
+    " SELECT event_type, round(sum(exp("
+    "  (epoch_us(ts) - m.hi) * ln(2) / (86400 * 1000000.0))), 6)"
+    "  AS decayed FROM events, m GROUP BY event_type",
+)
+def events_decayed_activity(sf_dir: str):
+    """Exponentially-decayed activity per event type (half-life 1 day,
+    anchored at the corpus max timestamp) -- the trending/recency score.
+    One streaming pass of per-(key, batch) weighted-sum partials; raw
+    events never shuffle."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import decayed_count_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return decayed_count_by(ds, key_col="event_type",
+                            half_life_s=86400.0)
+
+
+@register(
+    "emb_sq8_checksum",
+    # e double-cast so the quantization arithmetic runs in float64 on both
+    # sides (DuckDB otherwise divides in float32, the list element type)
+    "WITH u AS (SELECT vec_id,"
+    "  CAST(unnest(embedding) AS DOUBLE) AS e,"
+    "  unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),"
+    "s AS (SELECT i, min(e) AS mn, max(e) AS mx FROM u GROUP BY i)"
+    " SELECT vec_id, CAST(sum(CAST(round("
+    "  (e - mn) / (mx - mn) * 255) AS BIGINT) * i) AS BIGINT) AS qsum"
+    " FROM u JOIN s USING (i) GROUP BY vec_id",
+)
+def emb_sq8_checksum(sf_dir: str):
+    """SQ8 scalar quantization (per-dim min/max bounds from one O(d)
+    partial pass, broadcast once; 4x smaller than float32 at rest) --
+    the oracle pins every code via a position-weighted checksum per
+    vector, so a single off-by-one code anywhere breaks the hash."""
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import sq8_encode, sq8_train
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    bounds = sq8_train(ds)
+    codes = sq8_encode(ds, bounds)
+
+    def checksum(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        q = np.asarray(b.column("sq8").combine_chunks().flatten(),
+                       dtype=np.int64).reshape(n, -1)
+        w = np.arange(1, q.shape[1] + 1, dtype=np.int64)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "qsum": pa.array(q @ w),
+        })
+
+    return codes.map_batches(checksum, batch_format="pyarrow")

@@ -1745,3 +1745,36 @@ def test_rrf_fuse(ray_session):
     k = ordered_int64(v)
     assert list(np.argsort(k, kind="stable")) == \
         list(np.argsort(v, kind="stable"))
+
+
+def test_sq8_quantization(ray_session):
+    """SQ8 round trip: dequantization error bounded by span/510 per dim;
+    zero-span dims encode to 0; codes span the full byte range."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.similarity import (sq8_decode, sq8_encode,
+                                                   sq8_train)
+
+    rng = np.random.default_rng(97)
+    n, d = 400, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32) * \
+        np.linspace(0.1, 5.0, d, dtype=np.float32)
+    mat[:, 3] = 2.5  # constant (zero-span) dimension
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": pa.array(list(mat),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(5)
+    bounds = sq8_train(ds)
+    assert np.allclose(bounds[0], mat.min(axis=0))
+    assert np.allclose(bounds[1], mat.max(axis=0))
+
+    out = sq8_encode(ds, bounds).to_pandas().sort_values("vec_id")
+    codes = np.stack(out["sq8"].to_numpy()).astype(np.uint8)
+    assert codes.shape == (n, d)
+    assert codes[:, 3].max() == 0  # zero-span -> 0
+    assert codes.min() == 0 and codes.max() == 255  # extremes hit ends
+
+    deq = sq8_decode(codes, bounds)
+    span = bounds[1] - bounds[0]
+    err = np.abs(deq - mat.astype(np.float64))
+    assert (err <= span / 510.0 + 1e-9).all()
