@@ -693,7 +693,8 @@ def _write_postings(idx, index_dir: str, n_buckets: int) -> None:
 
 
 def search_bm25(index_dir: str, terms, *, k1: float = 1.2, b: float = 0.75,
-                ndigits: int = 6, id_col: str = "doc_id"):
+                ndigits: int = 6, id_col: str = "doc_id",
+                k: int | None = None):
     """Okapi BM25 ranked retrieval straight off the at-rest stats index
     (``write_inverted_index(with_stats=True)``): scores every document
     containing ≥ 1 query term WITHOUT touching the corpus.
@@ -801,11 +802,37 @@ def search_bm25(index_dir: str, terms, *, k1: float = 1.2, b: float = 0.75,
                                       ndigits)),
         })
 
-    return (rd.read_parquet(
+    scored = (rd.read_parquet(
         paths, columns=["term", "df", "postings", "tfs", "dls"])
         .map_batches(contribs, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow"))
+    if k is None:
+        return scored
+
+    # exact top-k: each bucket pre-prunes to its own k best (score DESC,
+    # id ASC tiebreak), the ≤ k × buckets survivors merge on the driver —
+    # a top-k result is small by definition
+    def topk_block(t: pa.Table) -> pa.Table:
+        if not t.num_rows or id_col not in t.column_names:
+            return empty
+        s = np.asarray(t.column("bm25"), dtype=np.float64)
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        order = np.lexsort((ids, -s))[:k]
+        return t.take(pa.array(order))
+
+    import ray
+
+    blocks = [t for t in ray.get(
+        scored.map_batches(topk_block, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns]
+    if not blocks:
+        return rd.from_arrow(empty)
+    allb = pa.concat_tables(blocks)
+    s = np.asarray(allb.column("bm25"), dtype=np.float64)
+    ids = np.asarray(allb.column(id_col), dtype=np.int64)
+    order = np.lexsort((ids, -s))[:k]
+    return rd.from_arrow(allb.take(pa.array(order)))
 
 
 def ordered_int64(vals: np.ndarray) -> np.ndarray:

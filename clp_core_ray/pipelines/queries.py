@@ -4588,3 +4588,46 @@ def emb_sq8_checksum(sf_dir: str):
         })
 
     return codes.map_batches(checksum, batch_format="pyarrow")
+
+
+@register(
+    "docs_bm25_topk",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS"
+    " term FROM documents), toks2 AS (SELECT * FROM toks WHERE term <> ''),"
+    " dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),"
+    " c AS (SELECT (SELECT count(*) FROM documents) AS n,"
+    "  (SELECT count(*) FROM toks2) * 1.0 /"
+    "  (SELECT count(*) FROM documents) AS avgdl),"
+    " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2"
+    "  WHERE term IN ('merge', 'window', 'vector') GROUP BY doc_id, term),"
+    " df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),"
+    " bm AS (SELECT tf.doc_id, round(sum("
+    "  ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0)"
+    "  * tf.tf * (1.2 + 1.0)"
+    "  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))"
+    "  ORDER BY tf.term), 6) AS bm25"
+    "  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN c"
+    "  GROUP BY tf.doc_id)"
+    " SELECT doc_id, bm25 FROM bm"
+    " QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 10",
+)
+def docs_bm25_topk(sf_dir: str):
+    """Exact top-10 ranked retrieval off the at-rest stats index: each
+    score bucket pre-prunes to its own k best, the <= k x buckets
+    survivors merge on the driver (a top-k result is small by
+    definition). Deterministic via the (score DESC, doc_id) tiebreak."""
+    import os
+
+    from clp_core_ray.functions.text import (search_bm25,
+                                             write_inverted_index)
+    from clp_core_ray.sources.transcripts import sf_of_dir
+
+    idx = f"/tmp/clp_core_ray_data/bm25_index_sf{sf_of_dir(sf_dir)}"
+    if not os.path.exists(f"{idx}/meta.json"):
+        import ray.data as rd
+
+        write_inverted_index(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]), idx,
+            with_stats=True)
+    return search_bm25(idx, ["merge", "window", "vector"], k=10)
