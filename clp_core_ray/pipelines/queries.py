@@ -4631,3 +4631,46 @@ def docs_bm25_topk(sf_dir: str):
                             columns=["doc_id", "text"]), idx,
             with_stats=True)
     return search_bm25(idx, ["merge", "window", "vector"], k=10)
+
+
+@register(
+    "events_coverage_by_user",
+    "WITH iv AS (SELECT user_id, epoch_us(ts) AS s,"
+    "  epoch_us(ts) + CAST(floor(greatest(value, 0) * 1000000)"
+    "    AS BIGINT) AS e FROM events),"
+    "o AS (SELECT user_id, s, e, max(e) OVER ("
+    "  PARTITION BY user_id ORDER BY s, e"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax FROM iv),"
+    "isl AS (SELECT user_id, s, e, sum(CASE WHEN rmax IS NULL OR s > rmax"
+    "  THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s, e"
+    "  ROWS UNBOUNDED PRECEDING) AS island FROM o),"
+    "g AS (SELECT user_id, island, min(s) AS mn, max(e) AS mx FROM isl"
+    "  GROUP BY 1, 2)"
+    " SELECT user_id, CAST(sum(mx - mn) AS BIGINT) AS covered"
+    " FROM g GROUP BY user_id",
+)
+def events_coverage_by_user(sf_dir: str):
+    """Union-of-intervals coverage per user: each event opens an activity
+    interval of `value` seconds; overlaps merge (the uptime / speech-
+    activity primitive). One bucket shuffle + a vectorized gaps-and-
+    islands pass (segmented running max, no per-key loop)."""
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import interval_coverage
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        us = np.asarray(b.column("ts").combine_chunks().cast(pa.int64()),
+                        dtype=np.int64)
+        v = np.asarray(b.column("value").combine_chunks()
+                       .cast(pa.float64()), dtype=np.float64)
+        dur = np.floor(np.maximum(v, 0.0) * 1e6).astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "s": pa.array(us), "e": pa.array(us + dur)})
+
+    iv = ds.map_batches(to_iv, batch_format="pyarrow")
+    return interval_coverage(iv, key_col="user_id", start_col="s",
+                             end_col="e")

@@ -857,3 +857,69 @@ def event_transitions(ds, *, user_col: str = "user_id", ts_col: str = "ts",
         lambda b: b.append_column("_one", pa.array(
             np.zeros(len(b), dtype=np.int32))), batch_format="pyarrow")
     return one.groupby("_one").map_groups(final, batch_format="pyarrow")
+
+
+def interval_coverage(ds, *, key_col: str, start_col: str, end_col: str,
+                      out_col: str = "covered"):
+    """Union-of-intervals coverage per key: total length covered by the
+    (possibly overlapping) [start, end] intervals of each key — the
+    uptime / sensor-coverage / speech-activity primitive.
+
+    One key-hash bucket shuffle of (key, start, end) triples, then a
+    single vectorized gaps-and-islands pass per bucket: lexsort by
+    (key, start, end), exclusive running max of end within each key, an
+    island begins where start exceeds it, island extents come off the
+    inclusive running max at island boundaries. No per-key loop; output
+    is one row per key."""
+    import numpy as np
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = np.asarray(_key_and_bucket(b.column(key_col), nb)[1])
+        return pa.table({
+            key_col: b.column(key_col),
+            "_s": b.column(start_col).combine_chunks().cast(pa.int64()),
+            "_e": b.column(end_col).combine_chunks().cast(pa.int64()),
+            "_bucket": pa.array(k),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows or key_col not in g.column_names:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             out_col: pa.array([], type=pa.int64())})
+        key = np.asarray(_key_and_bucket(g.column(key_col), 1)[0])
+        s = np.asarray(g.column("_s"), dtype=np.int64)
+        e = np.asarray(g.column("_e"), dtype=np.int64)
+        order = np.lexsort((e, s, key))
+        k2, ss, se = key[order], s[order], e[order]
+        n = len(k2)
+        newk = np.r_[True, k2[1:] != k2[:-1]]
+        # segmented cummax of end within key: per-segment offsets larger
+        # than the value range make accumulate reset at key boundaries
+        seg = np.cumsum(newk) - 1
+        lo = np.int64(se.min())
+        span = np.int64(se.max()) - lo + 1
+        rmax = (np.maximum.accumulate((se - lo) + seg * span)
+                - seg * span + lo)
+        prev_rmax = np.r_[np.int64(-(1 << 62)), rmax[:-1]]
+        newisl = newk | (ss > prev_rmax)
+        starts_idx = np.flatnonzero(newisl)
+        # island end = inclusive running max at its last element
+        last_idx = np.r_[starts_idx[1:] - 1, n - 1]
+        lengths = rmax[last_idx] - ss[starts_idx]
+        # fold island lengths per key (islands are key-contiguous)
+        isl_key = k2[starts_idx]
+        kstart = np.flatnonzero(np.r_[True, isl_key[1:] != isl_key[:-1]])
+        covered = np.add.reduceat(lengths, kstart)
+        # first original row of each key's first island carries the key
+        orig_keys = g.column(key_col).combine_chunks().take(
+            pa.array(order[starts_idx[kstart]]))
+        return pa.table({key_col: orig_keys,
+                         out_col: pa.array(covered)})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))

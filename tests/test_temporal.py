@@ -471,3 +471,47 @@ def test_asof_join_bad_direction():
         asof_join(None, None, left_on="a", left_by="b", right_on="c",
                   right_by="d", left_cols=[], right_cols=[],
                   direction="sideways")
+
+
+def test_interval_coverage(ray_session):
+    """interval_coverage == brute-force union-of-intervals per key."""
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import interval_coverage
+
+    rng = np.random.default_rng(101)
+    n = 3000
+    key = rng.integers(0, 40, n)
+    s = rng.integers(0, 10_000, n)
+    e = s + rng.integers(0, 500, n)  # overlapping, some zero-length
+    t = pa.table({"k": pa.array(key, type=pa.int64()),
+                  "s": pa.array(s, type=pa.int64()),
+                  "e": pa.array(e, type=pa.int64())})
+    out = interval_coverage(rd.from_arrow(t).repartition(6), key_col="k",
+                            start_col="s", end_col="e").to_pandas()
+    got = dict(zip(out["k"], out["covered"]))
+
+    want = {}
+    for kk in np.unique(key):
+        ivs = sorted(zip(s[key == kk], e[key == kk]))
+        tot, cs, ce = 0, None, None
+        for a, b in ivs:
+            if cs is None:
+                cs, ce = a, b
+            elif a > ce:
+                tot += ce - cs
+                cs, ce = a, b
+            else:
+                ce = max(ce, b)
+        tot += ce - cs
+        want[kk] = tot
+    assert got == want
+
+    # string keys work too
+    t2 = pa.table({"k": pa.array([str(x) for x in key]),
+                   "s": t.column("s"), "e": t.column("e")})
+    out2 = interval_coverage(rd.from_arrow(t2), key_col="k",
+                             start_col="s", end_col="e").to_pandas()
+    got2 = dict(zip(out2["k"], out2["covered"]))
+    assert got2 == {str(k): v for k, v in want.items()}
