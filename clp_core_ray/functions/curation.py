@@ -714,3 +714,28 @@ def fuzzy_decontaminate(ds, bench_texts, threshold: float = 0.5,
         return batch.append_column("contaminated", flagged)
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def weighted_sample(ds, *, id_col: str, weight_col: str,
+                    max_weight: float):
+    """Deterministic importance sampling: keep each row with probability
+    ``weight / max_weight`` — the quality-weighted downsampling step a
+    curation mixture applies after scoring (higher-quality rows survive
+    proportionally more often).
+
+    No RNG state: the coin is the row's Knuth multiplicative hash mapped
+    to [0, 1), so the decision is stateless per batch, identical under
+    re-run / retry / repartition (the hash_split / mixture_sample
+    discipline), and SQL-reproducible. Shuffle-free."""
+    import numpy as np
+
+    def gate(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column(id_col).combine_chunks().cast(pa.int64()),
+                         dtype=np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+        w = np.asarray(b.column(weight_col).combine_chunks()
+                       .cast(pa.float64()), dtype=np.float64)
+        keep = h < np.floor(w / max_weight * 4294967296.0)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

@@ -190,6 +190,76 @@ def decayed_count_by(ds, *, key_col: str, ts_col: str = "ts",
             .map_batches(rnd, batch_format="pyarrow"))
 
 
+def entropy_by_group(ds, *, key_col: str, cat_col: str,
+                     ndigits: int = 6):
+    """Shannon entropy (nats) of each key's categorical distribution —
+    the behavioral-diversity feature (a user who only ever clicks scores
+    0; uniform activity scores ln(#categories)).
+
+    Per-(key, category, batch) count partials shuffle (one row per pair
+    per batch), a category-summing groupby folds them, then a key-bucket
+    pass turns each key's count vector into −Σ p·ln p. Contributions sum
+    in ascending category order so the rounded float is reproducible."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b.column(key_col),
+                      cat_col: b.column(cat_col)})
+        out = t.group_by([key_col, cat_col]).aggregate(
+            [(cat_col, "count")])
+        return out.rename_columns([key_col, cat_col, "_n"])
+
+    summed = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key_col, cat_col])
+              .aggregate(Sum("_n", alias_name="_n")))
+
+    def tag(b: pa.Table) -> pa.Table:
+        from clp_core_ray.pipelines.temporal import _key_and_bucket
+
+        _, bucket = _key_and_bucket(b.column(key_col), nb)
+        return b.append_column("_bucket", bucket)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows or key_col not in g.column_names:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "entropy": pa.array([], type=pa.float64())})
+        from clp_core_ray.pipelines.temporal import _key_and_bucket
+
+        key = np.asarray(_key_and_bucket(g.column(key_col), 1)[0])
+        cat = g.column(cat_col).combine_chunks()
+        codes = pc.dictionary_encode(cat)
+        # ascending category VALUE order for a deterministic sum
+        dic = codes.dictionary if not isinstance(codes, pa.ChunkedArray) \
+            else codes.chunk(0).dictionary
+        rank = np.empty(len(dic), dtype=np.int64)
+        rank[np.asarray(pc.sort_indices(dic))] = np.arange(len(dic))
+        cidx = rank[np.asarray(codes.indices
+                               if not isinstance(codes, pa.ChunkedArray)
+                               else codes.combine_chunks().indices,
+                               dtype=np.int64)]
+        n = np.asarray(g.column("_n"), dtype=np.float64)
+        order = np.lexsort((cidx, key))
+        k2, nn = key[order], n[order]
+        newk = np.r_[True, k2[1:] != k2[:-1]]
+        starts = np.flatnonzero(newk)
+        tot = np.add.reduceat(nn, starts)
+        p = nn / np.repeat(tot, np.diff(np.r_[starts, len(nn)]))
+        ent = -np.add.reduceat(p * np.log(p), starts)
+        keys_out = g.column(key_col).combine_chunks().take(
+            pa.array(order[starts]))
+        return pa.table({key_col: keys_out,
+                         "entropy": pa.array(np.round(ent, ndigits))})
+
+    return (summed.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow"))
+
+
 def value_histogram(ds, col: str, width: float):
     """Equi-width histogram: Dataset[(bin, cnt)] with
     bin = floor(col / width) * width (the SQL binning idiom, bit-compatible

@@ -4674,3 +4674,55 @@ def events_coverage_by_user(sf_dir: str):
     iv = ds.map_batches(to_iv, batch_format="pyarrow")
     return interval_coverage(iv, key_col="user_id", start_col="s",
                              end_col="e")
+
+
+@register(
+    "events_user_entropy",
+    "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events"
+    "  GROUP BY 1, 2),"
+    "t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)"
+    " SELECT user_id, round(sum(-(n * 1.0 / tot) * ln(n * 1.0 / tot)"
+    "  ORDER BY event_type), 6) AS entropy"
+    " FROM c JOIN t USING (user_id) GROUP BY user_id",
+)
+def events_user_entropy(sf_dir: str):
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    distribution (single-type users score 0). Count partials shuffle one
+    row per (user, type) per batch; the entropy pass sums contributions
+    in ascending type order so the rounded float reproduces SQL's
+    ordered aggregate."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import entropy_by_group
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return entropy_by_group(ds, key_col="user_id", cat_col="event_type")
+
+
+@register(
+    "docs_weighted_sample",
+    "WITH m AS (SELECT max(n_chars) * 1.0 AS mx FROM documents)"
+    " SELECT doc_id, n_chars FROM documents, m"
+    " WHERE (doc_id * 2654435761) % 4294967296 <"
+    "   floor(n_chars / mx * 4294967296)",
+)
+def docs_weighted_sample(sf_dir: str):
+    """Quality-weighted deterministic sampling: keep probability
+    proportional to n_chars (longer docs survive more often), the coin a
+    Knuth hash of the id -- stateless, resume-stable, shuffle-free, and
+    exactly reproducible in SQL."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from clp_core_ray.functions.curation import weighted_sample
+
+    mx = float(pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["n_chars"]).column("n_chars").combine_chunks()
+        .cast(pa.float64()).to_numpy().max())
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, id_col="doc_id", weight_col="n_chars",
+                           max_weight=mx)

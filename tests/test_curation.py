@@ -339,3 +339,31 @@ def test_quantile_gate(ray_session):
                          keep="at_or_above").to_pandas()
     want2 = set(df[df.apply(lambda r: r.n_chars >= med[r.lang], axis=1)].doc_id)
     assert set(out2["doc_id"]) == want2
+
+
+def test_weighted_sample_deterministic(ray_session):
+    """weighted_sample: survival matches the hash-threshold rule exactly
+    and is identical across repartitions; higher weights survive more."""
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import weighted_sample
+
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.concatenate([np.full(n // 2, 10.0), np.full(n // 2, 100.0)])
+    t = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    kept1 = set(weighted_sample(rd.from_arrow(t), id_col="doc_id",
+                                weight_col="w", max_weight=100.0)
+                .to_pandas()["doc_id"])
+    kept2 = set(weighted_sample(rd.from_arrow(t).repartition(9),
+                                id_col="doc_id", weight_col="w",
+                                max_weight=100.0).to_pandas()["doc_id"])
+    assert kept1 == kept2  # retry/repartition stable
+    h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+    want = set(ids[h < np.floor(w / 100.0 * 4294967296.0)])
+    assert kept1 == want
+    lo = sum(1 for i in kept1 if i < n // 2)
+    hi = sum(1 for i in kept1 if i >= n // 2)
+    assert hi == n // 2  # weight == max -> always kept
+    assert 0.05 < lo / (n // 2) < 0.2  # ~10% survival at weight 10
