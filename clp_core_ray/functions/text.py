@@ -1360,3 +1360,114 @@ def build_vocab(ds, *, max_size: int, min_count: int = 1,
             np.zeros(len(b), dtype=np.int32))),
         batch_format="pyarrow")
     return one.groupby("_one").map_groups(finalize, batch_format="pyarrow")
+
+
+def pmi_cooccurrence(ds, *, vocab_size: int = 30, min_pair_count: int = 5,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     ndigits: int = 6):
+    """Document-level PMI co-occurrence over the top-``vocab_size``
+    vocabulary — the collocation / word-association table embedding
+    pipelines precompute: ``pmi(a, b) = ln(c_ab · D / (c_a · c_b))`` where
+    counts are document frequencies within the vocab.
+
+    Scale shape: the vocab (``build_vocab``, bounded fan-in) broadcasts as
+    a sorted array; each batch reduces its docs to distinct vocab-term id
+    sets and expands the triangular pairs VECTORIZED (pair volume is
+    bounded by vocab_size²/2 per doc, and the exchange carries one
+    (pair, count) partial per batch, never the token stream); a single
+    small groupby folds pair counts; per-term doc counts ride the same
+    broadcast pass. Returns (term_a, term_b, pmi) for pairs seen in ≥
+    ``min_pair_count`` docs."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    vocab_tbl = _collect_ds(build_vocab(ds, max_size=vocab_size,
+                                        text_col=text_col, id_col=id_col))
+    terms = sorted(vocab_tbl.column("term").to_pylist())
+    v = len(terms)
+    empty = pa.table({"term_a": pa.array([], type=pa.string()),
+                      "term_b": pa.array([], type=pa.string()),
+                      "pmi": pa.array([], type=pa.float64())})
+    if v < 2:
+        return rd.from_arrow(empty)
+    ref = ray.put(pa.array(terms, type=pa.large_string()))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        t = _explode_terms(b, text_col, id_col)
+        t = t.filter(pc.is_valid(pc.index_in(
+            pc.cast(t.column("term"), pa.large_string()), want)))
+        # distinct (doc, vocab-id), sorted by (doc, id)
+        g = t.group_by([id_col, "term"]).aggregate([])
+        tid = np.asarray(pc.index_in(
+            pc.cast(g.column("term"), pa.large_string()), want),
+            dtype=np.int64)
+        doc = np.asarray(pc.cast(g.column(id_col).combine_chunks(),
+                                 pa.int64()), dtype=np.int64)
+        order = np.lexsort((tid, doc))
+        d2, i2 = doc[order], tid[order]
+        newd = np.r_[True, d2[1:] != d2[:-1]]
+        starts = np.flatnonzero(newd)
+        cnt = np.diff(np.r_[starts, len(d2)])
+        # vectorized triangular pair expansion per doc run
+        npairs = cnt * (cnt - 1) // 2
+        # per-term doc-count partial rides along (pair key -1 slot unused)
+        term_rows = pa.table({"_pk": pa.array(-1 - i2),
+                              "_n": pa.array(np.ones(len(i2), np.int64))})
+        tot = int(npairs.sum())
+        if not tot:
+            out = term_rows
+        else:
+            # left index a: for each run, repeat positions with
+            # decreasing fan-out (classic triangular expansion)
+            run_of = np.repeat(np.arange(len(cnt)), npairs)
+            pair_ord = np.arange(tot) - np.repeat(
+                np.r_[0, np.cumsum(npairs)[:-1]], npairs)
+            c_run = cnt[run_of]
+            # a = row index within run such that pairs (a, b>a) flatten
+            # in order: a = floor of inverse triangular number
+            a = (c_run - 2 - np.floor(
+                np.sqrt(-8.0 * pair_ord + 4.0 * c_run * (c_run - 1) - 7)
+                / 2.0 - 0.5)).astype(np.int64)
+            first_of_a = a * c_run - a * (a + 1) // 2
+            bidx = pair_ord - first_of_a + a + 1
+            base = np.repeat(starts, npairs)
+            ia, ib = i2[base + a], i2[base + bidx]
+            pk = ia * np.int64(v) + ib
+            upk, ucnt = np.unique(pk, return_counts=True)
+            out = pa.table({"_pk": pa.array(upk),
+                            "_n": pa.array(ucnt.astype(np.int64))})
+            out = pa.concat_tables([out, term_rows])
+        # doc-count partial for D
+        return pa.concat_tables([out, pa.table({
+            "_pk": pa.array([np.int64(-(1 << 62))]),
+            "_n": pa.array([np.int64(b.num_rows)])})])
+
+    folded = _collect_ds(
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("_pk").aggregate(Sum("_n", alias_name="_n")))
+    pk = np.asarray(folded.column("_pk"), dtype=np.int64)
+    n = np.asarray(folded.column("_n"), dtype=np.int64)
+    d_total = int(n[pk == -(1 << 62)].sum())
+    term_mask = (pk < 0) & (pk != -(1 << 62))
+    ca = np.zeros(v, dtype=np.int64)
+    ca[-1 - pk[term_mask]] = n[term_mask]
+    pair_mask = pk >= 0
+    ppk, pn = pk[pair_mask], n[pair_mask]
+    keep = pn >= min_pair_count
+    ppk, pn = ppk[keep], pn[keep]
+    ia, ib = ppk // v, ppk % v
+    pmi = np.log(pn.astype(np.float64) * d_total
+                 / (ca[ia].astype(np.float64) * ca[ib]))
+    ta = pa.array([terms[i] for i in ia])
+    tb = pa.array([terms[i] for i in ib])
+    return rd.from_arrow(pa.table({
+        "term_a": ta, "term_b": tb,
+        "pmi": pa.array(np.round(pmi, ndigits))}))
+
+
+def _collect_ds(ds) -> pa.Table:
+    """Small-result materialization (bounded by construction)."""
+    out = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(out) if out else pa.table({})

@@ -4726,3 +4726,37 @@ def docs_weighted_sample(sf_dir: str):
                          columns=["doc_id", "n_chars"])
     return weighted_sample(ds, id_col="doc_id", weight_col="n_chars",
                            max_weight=mx)
+
+
+@register(
+    "docs_pmi_pairs",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' '))"
+    "  AS term FROM documents),"
+    " toks2 AS (SELECT * FROM toks WHERE term <> ''),"
+    " v AS (SELECT term FROM (SELECT term, count(*) AS c FROM toks2"
+    "   GROUP BY term QUALIFY row_number() OVER ("
+    "   ORDER BY count(*) DESC, term) <= 30)),"
+    " tv AS (SELECT DISTINCT doc_id, term FROM toks2"
+    "   WHERE term IN (SELECT term FROM v)),"
+    " ca AS (SELECT term, count(*) AS c FROM tv GROUP BY term),"
+    " p AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS cab"
+    "   FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term < b.term"
+    "   GROUP BY 1, 2)"
+    " SELECT term_a, term_b, round(ln(cab * 1.0 *"
+    "   (SELECT count(*) FROM documents) / (x.c * y.c)), 6) AS pmi"
+    " FROM p JOIN ca x ON x.term = p.term_a"
+    " JOIN ca y ON y.term = p.term_b WHERE cab >= 5",
+)
+def docs_pmi_pairs(sf_dir: str):
+    """Document-level PMI collocation table over the top-30 vocabulary
+    (the word-association stats embedding pipelines precompute). Vocab
+    broadcasts once; each batch reduces docs to distinct vocab-id sets
+    and expands triangular pairs vectorized; the exchange carries one
+    (pair, count) partial per batch, never the token stream."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import pmi_cooccurrence
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return pmi_cooccurrence(ds, vocab_size=30, min_pair_count=5)

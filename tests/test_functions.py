@@ -1778,3 +1778,33 @@ def test_sq8_quantization(ray_session):
     span = bounds[1] - bounds[0]
     err = np.abs(deq - mat.astype(np.float64))
     assert (err <= span / 510.0 + 1e-9).all()
+
+
+def test_pmi_cooccurrence_bruteforce(ray_session):
+    """pmi_cooccurrence == brute-force doc-level PMI over the vocab."""
+    import itertools
+    import math
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import pmi_cooccurrence
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(2, 9)))
+             for _ in range(350)] + ["", "w0"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = pmi_cooccurrence(rd.from_arrow(t).repartition(6), vocab_size=12,
+                           min_pair_count=3).to_pandas()
+    got = {(r.term_a, r.term_b): r.pmi for r in out.itertuples()}
+
+    docsets = [set(x.split(" ")) - {""} for x in texts]
+    D = len(texts)
+    ca = {w: sum(1 for s in docsets if w in s) for w in vocab}
+    want = {}
+    for a, b in itertools.combinations(sorted(vocab), 2):
+        cab = sum(1 for s in docsets if a in s and b in s)
+        if cab >= 3:
+            want[(a, b)] = round(math.log(cab * D / (ca[a] * ca[b])), 6)
+    assert got == want
