@@ -1471,3 +1471,61 @@ def _collect_ds(ds) -> pa.Table:
     """Small-result materialization (bounded by construction)."""
     out = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
     return pa.concat_tables(out) if out else pa.table({})
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text",
+                   out_col: str = "text_norm", *,
+                   form: str | None = "NFKD",
+                   strip_accents: bool = False,
+                   lower: bool = True) -> pa.Table:
+    """Vectorized text normalization (the C4/CCNet-style cleanup pass that
+    precedes dedup and tokenization in pre-training pipelines).
+
+    Steps, in order: Unicode compatibility decomposition (utf8proc kernel,
+    zero Python per row; NFKD by default — this pyarrow build's
+    utf8_normalize emits decomposed output for every form, so NFKD is the
+    form whose semantics match Python's unicodedata exactly, pytest-pinned)
+    → optionally drop combining marks (the CCNet "strip accents" pass, only
+    sound after decomposition) → control chars ([\\x00-\\x1F\\x7F], which
+    covers \\t \\n \\r) become a space → runs of spaces collapse to one →
+    edge spaces trimmed → optional lowercase. Every step is a single Arrow
+    compute kernel over the batch.
+
+    The ASCII path matches DuckDB
+    ``lower(trim(regexp_replace(regexp_replace(t,'[\\x00-\\x1F\\x7F]',' ','g'),
+    ' +',' ','g')))`` exactly (both engines run RE2); the Unicode steps have
+    no SQL analogue and are pinned against ``unicodedata`` in pytest.
+    """
+    s = pc.fill_null(batch.column(text_col), "")
+    if form:
+        s = pc.utf8_normalize(s, form=form)
+    if strip_accents:
+        s = pc.replace_substring_regex(s, r"\p{Mn}", "")
+    s = pc.replace_substring_regex(s, r"[\x00-\x1F\x7F]", " ")
+    s = pc.replace_substring_regex(s, r" +", " ")
+    s = pc.utf8_trim(s, characters=" ")
+    if lower:
+        s = pc.utf8_lower(s)
+    cols = [c for c in batch.column_names if c != out_col]
+    return batch.select(cols).append_column(out_col, s)
+
+
+def extract_kv(batch: pa.Table, key: str, text_col: str = "text",
+               out_col: str | None = None) -> pa.Table:
+    """Extract the value of a ``key=value`` token from log text, vectorized.
+
+    The log-analytics staple the reference serves via dictionary-variable
+    search (components/core/src/clp/Grep.cpp variable extraction): pull a
+    structured field out of unstructured text. One RE2 kernel per batch:
+    ``key=`` followed by the maximal run of non-whitespace. Rows without the
+    key yield null (matching DuckDB ``regexp_extract(...)`` = '' → NULL via
+    nullif). Extraction feeds groupby/count downstream — the "top models by
+    usage" style rollup.
+    """
+    out_col = out_col or key
+    s = pc.fill_null(batch.column(text_col), "")
+    pat = rf"(?:^| ){key}=(?P<v>[^ ]+)"
+    ext = pc.extract_regex(s, pat)  # struct {v} or null when no match
+    vals = pc.struct_field(ext, "v")
+    cols = [c for c in batch.column_names if c != out_col]
+    return batch.select(cols).append_column(out_col, vals)

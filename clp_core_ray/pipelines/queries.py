@@ -4760,3 +4760,44 @@ def docs_pmi_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return pmi_cooccurrence(ds, vocab_size=30, min_pair_count=5)
+
+
+@register(
+    "clp_normalize_text",
+    "SELECT conv_id, turn_idx,"
+    " lower(trim(regexp_replace(regexp_replace(text,"
+    " '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' +', ' ', 'g'))) AS text_norm"
+    " FROM {T}",
+)
+def clp_normalize_text(sf_dir: str):
+    """C4/CCNet-style normalization pass over every turn: NFKD, control
+    chars to spaces, space-run collapse, trim, lowercase — five Arrow
+    kernels per batch, no shuffle, no Python per row. The ASCII path is
+    the SQL oracle; the NFKD kernel is pinned vs unicodedata in pytest."""
+    from clp_core_ray.functions.text import normalize_text
+
+    ds = read_transcripts(sf_dir).map_batches(
+        lambda b: normalize_text(b, "text"), batch_format="pyarrow")
+    return ds.select_columns(["conv_id", "turn_idx", "text_norm"])
+
+
+@register(
+    "clp_model_usage",
+    "SELECT regexp_extract(text, '(?:^| )model=([^ ]+)', 1) AS model,"
+    " count(*) AS cnt FROM {T} GROUP BY 1",
+)
+def clp_model_usage(sf_dir: str):
+    """Structured-field rollup from unstructured text: extract the
+    model=<id> token (one RE2 kernel per batch; rows without the key
+    count under ''), then a partial-aggregated count per model — the
+    dictionary-variable usage report the reference answers via wildcard
+    var search (Grep.cpp), expressed as extract → count_by."""
+    from clp_core_ray.functions.text import extract_kv
+
+    def ext(b: pa.Table) -> pa.Table:
+        out = extract_kv(b, "model")
+        m = pc.fill_null(out.column("model"), "")
+        return pa.table({"model": m})
+
+    ds = read_transcripts(sf_dir).map_batches(ext, batch_format="pyarrow")
+    return agg.count_by(ds, "model")

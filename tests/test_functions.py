@@ -1808,3 +1808,63 @@ def test_pmi_cooccurrence_bruteforce(ray_session):
         if cab >= 3:
             want[(a, b)] = round(math.log(cab * D / (ca[a] * ca[b])), 6)
     assert got == want
+
+
+def test_normalize_text_nfkd_matches_unicodedata(ray_session):
+    """The Arrow utf8proc NFKD kernel must agree with Python's unicodedata
+    on messy Unicode; the ASCII cleanup path is oracled in SQL (query
+    clp_normalize_text) — this pins the part SQL can't express, driven
+    through a real Ray pipeline."""
+    import unicodedata
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import normalize_text
+
+    texts = ["ＦＵＬＬ　ｗｉｄｔｈ", "ﬁre ﬂy", "Ⅻ um²", "café ́e",
+             "  Tabs\there\t", "ctrl\x01\x02chars", None, "", "½ + ¾",
+             "ﬀ ﬃ ﬆ", "Ωμ µ", "ｱｲｳ ﾊﾟ"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(3)
+    out = ds.map_batches(lambda b: normalize_text(b, "text"),
+                         batch_format="pyarrow").to_pandas()
+    got = dict(zip(out["text"].fillna(""), out["text_norm"]))
+
+    import re
+    for t in texts:
+        raw = t or ""
+        w = unicodedata.normalize("NFKD", raw)
+        w = re.sub(r"[\x00-\x1F\x7F]", " ", w)
+        w = re.sub(r" +", " ", w).strip(" ").lower()
+        assert got[raw if t is not None else ""] == w, (t, got.get(raw), w)
+
+
+def test_normalize_text_strip_accents(ray_session):
+    import unicodedata
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import normalize_text
+
+    texts = ["café crème", "naïve façade", "Ελληνικά ϊ", "ｶﾞ ﾊﾟ"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    out = ds.map_batches(
+        lambda b: normalize_text(b, "text", strip_accents=True),
+        batch_format="pyarrow").to_pandas()
+    got = dict(zip(out["text"], out["text_norm"]))
+    for t in texts:
+        w = "".join(c for c in unicodedata.normalize("NFKD", t)
+                    if unicodedata.category(c) != "Mn").lower()
+        assert got[t] == w, (t, got[t], w)
+
+
+def test_extract_kv_null_and_anchor(ray_session):
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import extract_kv
+
+    t = pa.table({"text": ["a model=m1 b", "model=m2", "xmodel=m3",
+                           None, "model= trailing", "k model=last model=win"]})
+    out = rd.from_arrow(t).map_batches(
+        lambda b: extract_kv(b, "model"), batch_format="pyarrow").to_pandas()
+    assert list(out["model"].where(out["model"].notna(), None)) == [
+        "m1", "m2", None, None, None, "last"]
