@@ -531,3 +531,161 @@ def global_rank(ds, *, val_col: str, row_id_col: str,
     return global_window(ds, val_col=val_col, row_id_col=row_id_col,
                          funcs=("rank",), n_buckets=n_buckets,
                          descending=descending)
+
+
+def _key_means(ds, key_col: str, val_cols: list[str]):
+    """Pass 1 of the corrected two-pass moment algorithm: exact per-key
+    count + per-column mean, one exchange of per-batch partials. Returns
+    (key_list, n_array, {col: mean_array}) — one row per key, the small
+    side that broadcasts into pass 2."""
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key_col] + val_cols).drop_null()
+        aggs = [(val_cols[0], "count")] + [(c, "sum") for c in val_cols]
+        out = sel.group_by([key_col]).aggregate(aggs)
+        return out.rename_columns([key_col, "_n"] + [f"_s_{c}" for c in val_cols])
+
+    from ray.data.aggregate import Sum
+
+    folded = _to_small_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("_n", alias_name="_n"),
+                   *[Sum(f"_s_{c}", alias_name=f"_s_{c}") for c in val_cols]))
+    import numpy as np
+
+    keys = folded.column(key_col).combine_chunks()
+    n = np.asarray(folded.column("_n"), dtype=np.float64)
+    means = {c: np.asarray(folded.column(f"_s_{c}"), dtype=np.float64) / n
+             for c in val_cols}
+    return keys, n, means
+
+
+def _centered_partial(key_col: str, val_cols: list[str], powers, mean_ref):
+    """Pass-2 batch fn: per-key sums of centered value powers/products.
+
+    ``powers`` is a list of (name, fn(centered_dict) -> np.ndarray) term
+    builders; ``mean_ref`` is a plasma ref to (key_array, {col: means}) so
+    the small side ships once per node, resolved lazily per task."""
+    import numpy as np
+
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys_arr, means = ray.get(mean_ref) if hasattr(mean_ref, "hex") else mean_ref
+        sel = batch.select([key_col] + val_cols).drop_null()
+        if sel.num_rows == 0:
+            cols = {key_col: keys_arr.slice(0, 0)}
+            cols.update({name: pa.array([], type=pa.float64())
+                         for name, _ in powers})
+            return pa.table(cols)
+        idx = pc.index_in(sel.column(key_col), value_set=keys_arr)
+        idxn = np.asarray(idx, dtype=np.int64)
+        centered = {}
+        for c in val_cols:
+            x = np.asarray(sel.column(c), dtype=np.float64)
+            centered[c] = x - means[c][idxn]
+        terms = pa.table(
+            {key_col: sel.column(key_col)}
+            | {name: pa.array(build(centered)) for name, build in powers})
+        return terms.group_by([key_col]).aggregate(
+            [(name, "sum") for name, _ in powers]).rename_columns(
+            [key_col] + [name for name, _ in powers])
+
+    return fn
+
+
+def grouped_moments(ds, *, key_col: str, val_col: str,
+                    ndigits: int = 6):
+    """Per-group mean / sample stddev / sample-adjusted skewness & excess
+    kurtosis, matching DuckDB's skewness()/kurtosis() bit-for-bit at the
+    rounding digit (formulas pinned empirically; agreement ~1e-11).
+
+    Corrected two-pass algorithm: pass 1 computes exact per-key means (one
+    partial-aggregated exchange); the key→mean table — one row per key —
+    broadcasts via plasma into pass 2, which exchanges per-batch sums of
+    (x-mean)^2..4. Centering before summation is what keeps the float
+    error below the rounding digit regardless of value magnitude; naive
+    raw-moment sums (E[x^4] style) lose ~8 digits to cancellation on wide
+    distributions. Driver state = one row per key, both passes stream."""
+    import numpy as np
+
+    import ray
+
+    keys, n, means = _key_means(ds, key_col, [val_col])
+    mean_ref = ray.put((keys, means))
+    powers = [("_p2", lambda c: c[val_col] ** 2),
+              ("_p3", lambda c: c[val_col] ** 3),
+              ("_p4", lambda c: c[val_col] ** 4)]
+    from ray.data.aggregate import Sum
+
+    folded = _to_small_table(
+        ds.map_batches(_centered_partial(key_col, [val_col], powers, mean_ref),
+                       batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(p, alias_name=p) for p, _ in powers]))
+    # align pass-2 rows to pass-1 key order
+    idx = np.asarray(pc.index_in(folded.column(key_col), value_set=keys),
+                     dtype=np.int64)
+    s2 = np.zeros(len(keys)); s3 = np.zeros(len(keys)); s4 = np.zeros(len(keys))
+    s2[idx] = np.asarray(folded.column("_p2"), dtype=np.float64)
+    s3[idx] = np.asarray(folded.column("_p3"), dtype=np.float64)
+    s4[idx] = np.asarray(folded.column("_p4"), dtype=np.float64)
+    m2, m3, m4 = s2 / n, s3 / n, s4 / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        std = np.sqrt(s2 / (n - 1))
+        g1 = m3 / m2 ** 1.5
+        skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+        g2 = m4 / m2 ** 2 - 3.0
+        kurt = ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        key_col: keys,
+        "n": pa.array(n.astype(np.int64)),
+        "mean": pa.array(np.round(means[val_col], ndigits)),
+        "std": pa.array(np.round(std, ndigits)),
+        "skew": pa.array(np.round(skew, ndigits)),
+        "kurt": pa.array(np.round(kurt, ndigits))}))
+
+
+def grouped_corr(ds, *, key_col: str, x_col: str, y_col: str,
+                 ndigits: int = 6, cov_ndigits: int = 4):
+    """Per-group Pearson correlation + sample covariance, matching DuckDB
+    corr()/covar_samp(). Same two-pass centered machinery as
+    grouped_moments (see there for the numerics rationale); rows where
+    either column is null are dropped, matching SQL aggregate semantics."""
+    import numpy as np
+
+    import ray
+
+    keys, n, means = _key_means(ds, key_col, [x_col, y_col])
+    mean_ref = ray.put((keys, means))
+    powers = [("_sxx", lambda c: c[x_col] ** 2),
+              ("_syy", lambda c: c[y_col] ** 2),
+              ("_sxy", lambda c: c[x_col] * c[y_col])]
+    from ray.data.aggregate import Sum
+
+    folded = _to_small_table(
+        ds.map_batches(
+            _centered_partial(key_col, [x_col, y_col], powers, mean_ref),
+            batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(p, alias_name=p) for p, _ in powers]))
+    idx = np.asarray(pc.index_in(folded.column(key_col), value_set=keys),
+                     dtype=np.int64)
+    sxx = np.zeros(len(keys)); syy = np.zeros(len(keys)); sxy = np.zeros(len(keys))
+    sxx[idx] = np.asarray(folded.column("_sxx"), dtype=np.float64)
+    syy[idx] = np.asarray(folded.column("_syy"), dtype=np.float64)
+    sxy[idx] = np.asarray(folded.column("_sxy"), dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = sxy / np.sqrt(sxx * syy)
+        cov = sxy / (n - 1)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        key_col: keys,
+        "n": pa.array(n.astype(np.int64)),
+        "corr": pa.array(np.round(corr, ndigits)),
+        # covar is scale-carrying (∝ x·y magnitude): absolute rounding must sit
+        # above the ~1e-10-relative two-pass error on ~1e5-magnitude values
+        "covar": pa.array(np.round(cov, cov_ndigits))}))

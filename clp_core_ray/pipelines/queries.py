@@ -4801,3 +4801,42 @@ def clp_model_usage(sf_dir: str):
 
     ds = read_transcripts(sf_dir).map_batches(ext, batch_format="pyarrow")
     return agg.count_by(ds, "model")
+
+
+@register(
+    "events_value_moments",
+    "SELECT event_type, count(value) AS n, round(avg(value), 6) AS mean,"
+    " round(stddev_samp(value), 6) AS std, round(skewness(value), 6) AS skew,"
+    " round(kurtosis(value), 6) AS kurt FROM events GROUP BY event_type",
+)
+def events_value_moments(sf_dir: str):
+    """Distribution-shape profile per event type (mean/std/skew/kurtosis)
+    via the corrected two-pass moment algorithm: exact means broadcast,
+    centered powers partial-aggregated — driver state one row per key,
+    rounded floats reproduce DuckDB's sample-adjusted estimators."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return agg.grouped_moments(ds, key_col="event_type", val_col="value")
+
+
+@register(
+    "lineitem_corr_by_flag",
+    "SELECT l_returnflag, count(*) AS n,"
+    " round(corr(l_quantity, l_extendedprice), 6) AS corr,"
+    " round(covar_samp(l_quantity, l_extendedprice), 4) AS covar"
+    " FROM lineitem GROUP BY l_returnflag",
+)
+def lineitem_corr_by_flag(sf_dir: str):
+    """Per-group Pearson correlation + sample covariance between quantity
+    and price — the feature-correlation scan data-quality audits run.
+    Two-pass centered partials (see grouped_moments) keep the float error
+    under the rounding digit at any value magnitude."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return agg.grouped_corr(ds, key_col="l_returnflag",
+                            x_col="l_quantity", y_col="l_extendedprice")

@@ -1868,3 +1868,49 @@ def test_extract_kv_null_and_anchor(ray_session):
         lambda b: extract_kv(b, "model"), batch_format="pyarrow").to_pandas()
     assert list(out["model"].where(out["model"].notna(), None)) == [
         "m1", "m2", None, None, None, "last"]
+
+
+def test_grouped_moments_and_corr_vs_numpy(ray_session):
+    """Two-pass distributed moments/correlation vs direct numpy on the
+    whole column, across multiple partitions and with nulls dropped."""
+    import ray.data as rd
+
+    import numpy as np
+
+    from clp_core_ray.pipelines.aggregate import grouped_corr, grouped_moments
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    key = rng.integers(0, 4, n)
+    x = rng.normal(10, 3, n) ** 2
+    y = 2.5 * x + rng.normal(0, 40, n)
+    xs = x.copy(); xs[::97] = np.nan  # nulls must be dropped per-row
+    t = pa.table({"k": pa.array([f"g{i}" for i in key]),
+                  "x": pa.array(xs), "y": pa.array(y)}).replace_schema_metadata()
+    import pyarrow.compute as _pc
+    t = t.set_column(1, "x", _pc.if_else(_pc.is_nan(t.column("x")),
+                                         pa.scalar(None, pa.float64()),
+                                         t.column("x")))
+    ds = rd.from_arrow(t).repartition(7)
+
+    mom = grouped_moments(ds, key_col="k", val_col="x").to_pandas() \
+        .set_index("k").sort_index()
+    cor = grouped_corr(ds, key_col="k", x_col="x", y_col="y").to_pandas() \
+        .set_index("k").sort_index()
+    for g in sorted(set(f"g{i}" for i in key)):
+        m = (np.array([f"g{i}" for i in key]) == g) & ~np.isnan(xs)
+        xv, yv = x[m], y[m]
+        nn = len(xv)
+        assert mom.loc[g, "n"] == nn
+        assert mom.loc[g, "mean"] == round(xv.mean(), 6)
+        assert mom.loc[g, "std"] == round(xv.std(ddof=1), 6)
+        c = xv - xv.mean()
+        m2, m3, m4 = (c**2).mean(), (c**3).mean(), (c**4).mean()
+        skew = (m3 / m2**1.5) * np.sqrt(nn * (nn - 1)) / (nn - 2)
+        kurt = ((nn + 1) * (m4 / m2**2 - 3) + 6) * (nn - 1) / ((nn - 2) * (nn - 3))
+        assert mom.loc[g, "skew"] == round(skew, 6)
+        assert mom.loc[g, "kurt"] == round(kurt, 6)
+        cx, cy = xv - xv.mean(), yv - yv.mean()
+        assert cor.loc[g, "corr"] == round(
+            (cx * cy).sum() / np.sqrt((cx**2).sum() * (cy**2).sum()), 6)
+        assert cor.loc[g, "covar"] == round((cx * cy).sum() / (nn - 1), 4)
