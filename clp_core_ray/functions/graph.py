@@ -1,0 +1,92 @@
+"""Distributed graph analytics over edge Datasets.
+
+PageRank as K streaming passes over the edge list: the rank vector — one
+float per node, the same driver-state shape as k-means centroids
+(clustering.py) — broadcasts via plasma each iteration; every edge batch
+emits per-destination contribution partials that a groupby folds. The edge
+Dataset is materialized once into the object store (iterative algorithms
+re-read their input by construction; blocks spill under pressure) and
+never touches the driver.
+
+Scale assumptions, documented per the custom-operator rule: the edge list
+is unbounded (streams, shuffles partially-aggregated contributions); the
+NODE table must fit in one object-store object (rank vector broadcast) —
+the same bound k-means places on centroids × dims. For node sets beyond
+that, the rank join flips to auto_join's hash-partitioned path; not needed
+at any tested scale.
+
+Connected components live in functions/dedup.py (pointer jumping); this
+module owns value-propagation algorithms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _fold(ds) -> pa.Table:
+    out = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(out) if out else pa.table({})
+
+
+def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
+             damping: float = 0.85, iters: int = 3,
+             ndigits: int = 9):
+    """PageRank over a directed edge Dataset (dangling-free graphs).
+
+    rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u)/outdeg(u), uniform
+    init 1/N. Callers with dangling nodes should symmetrize their edges
+    first (the classic bipartite treatment); with no dangling nodes the
+    iteration preserves total mass 1 exactly, which is asserted.
+
+    Each iteration: one map_batches over edges (vectorized gather of
+    rank/outdeg by pc.index_in + per-batch groupby-sum partials) → one
+    small groupby exchange (≤ one row per node per batch) → a node-sized
+    fold on the driver. Returns a Dataset (node, rank) with rank rounded
+    to ``ndigits`` so results hash-match a chained-CTE SQL oracle.
+    """
+    import ray
+    import ray.data as rd
+
+    edges = edges_ds.materialize()
+
+    # out-degree + node universe (symmetric graphs: src set == node set)
+    def deg_partial(b: pa.Table) -> pa.Table:
+        out = b.select([src_col]).group_by([src_col]).aggregate(
+            [(src_col, "count")])
+        return out.rename_columns(["node", "deg"])
+
+    from ray.data.aggregate import Sum
+
+    deg_tbl = _fold(edges.map_batches(deg_partial, batch_format="pyarrow")
+                    .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+    nodes = deg_tbl.column("node").combine_chunks()
+    deg = np.asarray(deg_tbl.column("deg"), dtype=np.float64)
+    n = len(nodes)
+    rank = np.full(n, 1.0 / n)
+
+    for _ in range(iters):
+        state = ray.put((nodes, rank / deg))
+
+        def contrib(b: pa.Table, _state=state) -> pa.Table:
+            nd, w = ray.get(_state)
+            si = np.asarray(pc.index_in(b.column(src_col), value_set=nd),
+                            dtype=np.int64)
+            t = pa.table({"node": b.column(dst_col),
+                          "_c": pa.array(w[si])})
+            return t.group_by(["node"]).aggregate([("_c", "sum")]) \
+                .rename_columns(["node", "_c"])
+
+        folded = _fold(edges.map_batches(contrib, batch_format="pyarrow")
+                       .groupby("node").aggregate(Sum("_c", alias_name="_c")))
+        idx = np.asarray(pc.index_in(folded.column("node"), value_set=nodes),
+                         dtype=np.int64)
+        inc = np.zeros(n)
+        inc[idx] = np.asarray(folded.column("_c"), dtype=np.float64)
+        rank = (1.0 - damping) / n + damping * inc
+        assert abs(rank.sum() - 1.0) < 1e-9, "mass leak: dangling nodes?"
+
+    return rd.from_arrow(pa.table({
+        "node": nodes, "rank": pa.array(np.round(rank, ndigits))}))

@@ -1529,3 +1529,29 @@ def extract_kv(batch: pa.Table, key: str, text_col: str = "text",
     vals = pc.struct_field(ext, "v")
     cols = [c for c in batch.column_names if c != out_col]
     return batch.select(cols).append_column(out_col, vals)
+
+
+def compress_ratio(batch: pa.Table, text_col: str = "text",
+                   out_col: str = "zratio", *, level: int = 6) -> pa.Table:
+    """Per-document compressibility — the RefinedWeb/Gopher-family quality
+    signal: near-1 ratios mean high-entropy noise (base64, hex dumps),
+    very low ratios mean degenerate repetition; natural text sits between.
+
+    ratio = len(zlib(text)) / max(1, len(text)), computed per document.
+    The per-row Python loop is deliberate: the work is inside zlib's C
+    deflate, and compression is irreducibly per-payload (the same shape as
+    the multimodal decode stages). Zero-copy access to the UTF-8 bytes via
+    the Arrow buffers; no oracle — DuckDB has no compression function, so
+    the kernel is pinned against zlib directly in pytest and the query is
+    rows-only."""
+    import zlib
+
+    s = pc.fill_null(batch.column(text_col), "")
+    offsets, data = _string_buffers(s)
+    ratios = np.empty(len(offsets) - 1, dtype=np.float64)
+    mv = memoryview(data)
+    for i in range(len(ratios)):
+        raw = mv[offsets[i]:offsets[i + 1]]
+        ratios[i] = len(zlib.compress(raw, level)) / max(1, len(raw))
+    cols = [c for c in batch.column_names if c != out_col]
+    return batch.select(cols).append_column(out_col, pa.array(ratios))

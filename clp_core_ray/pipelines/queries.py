@@ -4840,3 +4840,226 @@ def lineitem_corr_by_flag(sf_dir: str):
         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
     return agg.grouped_corr(ds, key_col="l_returnflag",
                             x_col="l_quantity", y_col="l_extendedprice")
+
+
+@register("docs_compress_ratio")  # no SQL oracle: DuckDB has no zlib
+def docs_compress_ratio(sf_dir: str):
+    """Compressibility quality signal per document (RefinedWeb-style):
+    zlib-deflate ratio flags high-entropy noise (ratio→1) and degenerate
+    repetition (ratio→0). Pinned against zlib directly in pytest; the
+    driver records a rows-only check."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import compress_ratio
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: compress_ratio(b, "text").select(["doc_id", "zratio"]),
+        batch_format="pyarrow")
+
+
+@register(
+    "graph_pagerank",
+    "WITH cs AS (SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s"
+    "   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),"
+    " e AS (SELECT c AS src, s AS dst FROM cs"
+    "   UNION ALL SELECT s, c FROM cs),"
+    " od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),"
+    " nn AS (SELECT count(*)::DOUBLE AS n FROM od),"
+    " r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM od),"
+    " r1 AS (SELECT e.dst AS node, 0.15 / (SELECT n FROM nn)"
+    "    + 0.85 * sum(r0.r / od.deg) AS r FROM e"
+    "   JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),"
+    " r2 AS (SELECT e.dst AS node, 0.15 / (SELECT n FROM nn)"
+    "    + 0.85 * sum(r1.r / od.deg) AS r FROM e"
+    "   JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst),"
+    " r3 AS (SELECT e.dst AS node, 0.15 / (SELECT n FROM nn)"
+    "    + 0.85 * sum(r2.r / od.deg) AS r FROM e"
+    "   JOIN r2 ON r2.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst)"
+    " SELECT node, round(r, 9) AS rank FROM r3",
+)
+def graph_pagerank(sf_dir: str):
+    """PageRank over the symmetrized customer↔supplier purchase graph
+    (edges = distinct (customer, supplier) pairs through orders⋈lineitem,
+    both directions so the bipartite graph has no dangling nodes). Three
+    damped iterations, each one streaming pass over the edge Dataset with
+    the node-sized rank vector broadcast — the influence-scoring pattern
+    for entity graphs extracted from logs."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.graph import pagerank
+    from clp_core_ray.pipelines.join import auto_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    orders_tbl = pq.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+    joined = auto_join(li, orders_tbl, left_on="l_orderkey",
+                       right_on="o_orderkey", take_cols=["o_custkey"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        c = pc.binary_join_element_wise(
+            "c", pc.cast(b.column("o_custkey"), pa.string()), "")
+        s = pc.binary_join_element_wise(
+            "s", pc.cast(b.column("l_suppkey"), pa.string()), "")
+        fwd = pa.table({"src": c, "dst": s})
+        return pa.concat_tables([fwd, fwd.rename_columns(["dst", "src"])
+                                 .select(["src", "dst"])])
+
+    pairs = joined.map_batches(mk, batch_format="pyarrow")
+    edges = agg.count_by(pairs, ["src", "dst"]).select_columns(["src", "dst"])
+    return pagerank(edges, damping=0.85, iters=3)
+
+
+@register(
+    "tpch_q3_shipping",
+    "SELECT l_orderkey, o_orderdate,"
+    " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " WHERE c_mktsegment = 'BUILDING'"
+    "   AND o_orderdate < TIMESTAMP '1996-07-01'"
+    " GROUP BY l_orderkey, o_orderdate"
+    " ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def tpch_q3_shipping(sf_dir: str):
+    """TPC-H Q3 shape: segment-filtered customers semi-join orders (date
+    pruned at the parquet read), lineitem joins the shrunken order side,
+    revenue partial-sums per (order, date), top-10 by rounded revenue
+    with a deterministic key tiebreak. Joins are size-gated (auto_join):
+    broadcast at test scale, hash-partitioned beyond the cap."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import auto_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == "BUILDING")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < dt.datetime(1996, 7, 1))
+    # semi-join: broadcast_join is left-outer, so take a match marker from
+    # the build side and drop unmatched rows (non-BUILDING customers)
+    cust = cust.map_batches(
+        lambda b: b.append_column("_bldg", b.column("c_custkey")),
+        batch_format="pyarrow")
+    orders = auto_join(orders, cust, "o_custkey", "c_custkey",
+                       ["_bldg"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("_bldg")))
+        .select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    j = auto_join(li, orders, "l_orderkey", "o_orderkey", ["o_orderdate"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("o_orderdate")))  # inner semantics
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "o_orderdate": b.column("o_orderdate"),
+                         "rev": r})
+
+    summed = agg.sum_by(j.map_batches(rev, batch_format="pyarrow"),
+                        ["l_orderkey", "o_orderdate"], "rev", alias="rev")
+    out = summed.map_batches(
+        lambda b: b.append_column(
+            "revenue", pc.round(b.column("rev"), ndigits=2))
+        .select(["l_orderkey", "o_orderdate", "revenue"]),
+        batch_format="pyarrow")
+    return out.sort(["revenue", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
+@register(
+    "tpch_q5_local_supplier",
+    "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)"
+    " AS revenue"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN supplier ON l_suppkey = s_suppkey"
+    "   AND c_nationkey = s_nationkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA'"
+    "   AND o_orderdate >= TIMESTAMP '1996-01-01'"
+    "   AND o_orderdate < TIMESTAMP '1997-01-01'"
+    " GROUP BY n_name",
+)
+def tpch_q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 shape (6-way join): region/nation fold to a driver-side
+    nation map; customers in the region broadcast onto date-pruned
+    orders; lineitem — the only big fact — makes ONE auto_join hop
+    against the shrunken order side, resolves supplier nation from a
+    broadcast map inside the same batch fn, applies the local-supplier
+    (c_nationkey = s_nationkey) filter, and partial-sums revenue per
+    nation. One size-gated exchange total on the fact table."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import auto_join, broadcast_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = reg.filter(pc.equal(reg.column("r_name"), "ASIA")) \
+        .column("r_regionkey")[0].as_py()
+    nat = nat.filter(pc.equal(nat.column("n_regionkey"), rk))
+    nation_name = dict(zip(nat.column("n_nationkey").to_pylist(),
+                           nat.column("n_name").to_pylist()))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"],
+                           filter=pc.field("c_nationkey").isin(
+                               list(nation_name)))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= dt.datetime(1996, 1, 1))
+        & (pc.field("o_orderdate") < dt.datetime(1997, 1, 1)))
+    orders = auto_join(orders, cust, "o_custkey", "c_custkey",
+                       ["c_nationkey"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("c_nationkey")))
+        .select(["o_orderkey", "c_nationkey"]), batch_format="pyarrow")
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = np.asarray(supp.column("s_suppkey"), dtype=np.int64)
+    sn = np.asarray(supp.column("s_nationkey"), dtype=np.int64)
+    order = np.argsort(sk)
+    sk, sn = sk[order], sn[order]
+    import ray as _ray
+
+    supp_ref = _ray.put((sk, sn, nation_name))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    j = auto_join(li, orders, "l_orderkey", "o_orderkey", ["c_nationkey"])
+
+    def local_rev(b: pa.Table) -> pa.Table:
+        # inner-join semantics: lineitems whose order fell outside the
+        # date/region window came back null from the left-outer lookup
+        b = b.filter(pc.is_valid(b.column("c_nationkey")))
+        k, n, names = _ray.get(supp_ref)
+        sup = np.asarray(b.column("l_suppkey"), dtype=np.int64)
+        snat = n[np.searchsorted(k, sup)]
+        keep = snat == np.asarray(b.column("c_nationkey"), dtype=np.int64)
+        rev = (np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+               * (1.0 - np.asarray(b.column("l_discount"),
+                                   dtype=np.float64)))[keep]
+        nm = pa.array([names[x] for x in snat[keep]])
+        return pa.table({"n_name": nm, "rev": pa.array(rev)})
+
+    summed = agg.sum_by(j.map_batches(local_rev, batch_format="pyarrow"),
+                        "n_name", "rev", alias="rev")
+    return summed.map_batches(
+        lambda b: pa.table({"n_name": b.column("n_name"),
+                            "revenue": pc.round(b.column("rev"), ndigits=2)}),
+        batch_format="pyarrow")

@@ -1914,3 +1914,21 @@ def test_grouped_moments_and_corr_vs_numpy(ray_session):
         assert cor.loc[g, "corr"] == round(
             (cx * cy).sum() / np.sqrt((cx**2).sum() * (cy**2).sum()), 6)
         assert cor.loc[g, "covar"] == round((cx * cy).sum() / (nn - 1), 4)
+
+
+def test_compress_ratio_vs_zlib(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import compress_ratio
+
+    texts = ["abc " * 200, "x", "", None, "9f8a7b6c5d" * 37,
+             "the quick brown fox jumps over the lazy dog " * 11]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(3)
+    out = ds.map_batches(lambda b: compress_ratio(b, "text"),
+                         batch_format="pyarrow").to_pandas()
+    got = dict(zip(out["text"].fillna(""), out["zratio"]))
+    for t in texts:
+        raw = (t or "").encode()
+        assert got[t or ""] == len(zlib.compress(raw, 6)) / max(1, len(raw))
