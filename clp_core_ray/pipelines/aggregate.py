@@ -533,6 +533,17 @@ def global_rank(ds, *, val_col: str, row_id_col: str,
                          descending=descending)
 
 
+def sql_round(x, ndigits: int):
+    """Round half away from zero, matching SQL round() (numpy's np.round
+    is banker's rounding — ties split the other way, and grouped floats
+    with few decimals land on exact half-boundaries often enough to flip
+    hash-compares)."""
+    import numpy as np
+
+    scale = 10.0 ** ndigits
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+
+
 def _key_means(ds, key_col: str, val_cols: list[str]):
     """Pass 1 of the corrected two-pass moment algorithm: exact per-key
     count + per-column mean, one exchange of per-batch partials. Returns
@@ -642,10 +653,10 @@ def grouped_moments(ds, *, key_col: str, val_col: str,
     return rd.from_arrow(pa.table({
         key_col: keys,
         "n": pa.array(n.astype(np.int64)),
-        "mean": pa.array(np.round(means[val_col], ndigits)),
-        "std": pa.array(np.round(std, ndigits)),
-        "skew": pa.array(np.round(skew, ndigits)),
-        "kurt": pa.array(np.round(kurt, ndigits))}))
+        "mean": pa.array(sql_round(means[val_col], ndigits)),
+        "std": pa.array(sql_round(std, ndigits)),
+        "skew": pa.array(sql_round(skew, ndigits)),
+        "kurt": pa.array(sql_round(kurt, ndigits))}))
 
 
 def grouped_corr(ds, *, key_col: str, x_col: str, y_col: str,
@@ -685,7 +696,93 @@ def grouped_corr(ds, *, key_col: str, x_col: str, y_col: str,
     return rd.from_arrow(pa.table({
         key_col: keys,
         "n": pa.array(n.astype(np.int64)),
-        "corr": pa.array(np.round(corr, ndigits)),
+        "corr": pa.array(sql_round(corr, ndigits)),
         # covar is scale-carrying (∝ x·y magnitude): absolute rounding must sit
         # above the ~1e-10-relative two-pass error on ~1e5-magnitude values
-        "covar": pa.array(np.round(cov, cov_ndigits))}))
+        "covar": pa.array(sql_round(cov, cov_ndigits))}))
+
+
+def pivot_counts(ds, *, row_col: str, col_col: str,
+                 col_values: list[str]):
+    """Wide behavioral-feature matrix: one row per ``row_col`` key, one
+    int64 count column per ``col_values`` entry (the user×event-type
+    pivot that feeds feature stores).
+
+    The category set must be enumerable (it defines the schema); the row
+    key is unbounded. Per batch: indicator columns (one pc.equal per
+    category — vectorized, no Python per row) partial-summed per row key,
+    then ONE groupby exchange folds partials. Equivalent SQL: conditional
+    aggregation (sum(CASE WHEN ...)).
+    """
+    names = [f"n_{v}" for v in col_values]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({row_col: batch.column(row_col)} | {
+            name: pc.cast(pc.equal(batch.column(col_col), v), pa.int64())
+            for name, v in zip(names, col_values)})
+        return t.group_by([row_col]).aggregate(
+            [(n, "sum") for n in names]).rename_columns([row_col] + names)
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(row_col)
+            .aggregate(*[Sum(n, alias_name=n) for n in names]))
+
+
+def target_encode(ds, *, key_col: str, target_col: str,
+                  out_col: str = "te", ndigits: int = 6,
+                  decimals: int = 2):
+    """Leave-one-out target encoding: each row gets the mean of its
+    category's target EXCLUDING itself — the standard leakage-safe
+    categorical feature. Singleton categories yield null (LOO undefined),
+    matching SQL's nullif(n-1, 0).
+
+    Pass 1: per-key (count, sum) partials — one exchange, one row per key.
+    The key→(n, sum) table broadcasts; pass 2 computes
+    (sum - y) / (n - 1) per row with two gathers, fully vectorized,
+    no shuffle. SQL equivalent: window sum/count PARTITION BY key.
+
+    Fixed-point numerics: the target is scaled to int64 at ``decimals``
+    digits so the per-key sum is EXACT — float partial sums land within
+    1 ulp of the SQL window sum, and with 2-decimal targets the LOO mean
+    sits exactly on a rounding half-boundary often enough (13/10k rows
+    observed) that ulp-order differences flip the rounded digit. Exact
+    integer numerator + one division = bit-identical quotients in both
+    engines.
+    """
+    import numpy as np
+
+    import ray
+
+    scale = 10 ** decimals
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        y = np.asarray(batch.column(target_col), dtype=np.float64)
+        return pa.table({key_col: batch.column(key_col),
+                         "_yi": pa.array(np.rint(y * scale).astype(np.int64))})
+
+    folded = _to_small_table(count_sum_by(
+        ds.map_batches(to_int, batch_format="pyarrow"), key_col, "_yi",
+        cnt_alias="_n", sum_alias="_s"))
+    keys = folded.column(key_col).combine_chunks()
+    n = np.asarray(folded.column("_n"), dtype=np.int64)
+    s = np.asarray(folded.column("_s"), dtype=np.int64)
+    ref = ray.put((keys, n, s))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        k, nn, ss = ray.get(ref)
+        idx = np.asarray(pc.index_in(batch.column(key_col), value_set=k),
+                         dtype=np.int64)
+        y = np.asarray(batch.column(target_col), dtype=np.float64)
+        yi = np.rint(y * scale).astype(np.int64)
+        denom = (nn[idx] - 1) * scale
+        with np.errstate(divide="ignore", invalid="ignore"):
+            te = sql_round((ss[idx] - yi).astype(np.float64)
+                           / denom.astype(np.float64), ndigits)
+        vals = pa.array(te, type=pa.float64(),
+                        mask=(denom == 0))  # singleton → null
+        cols = [c for c in batch.column_names if c != out_col]
+        return batch.select(cols).append_column(out_col, vals)
+
+    return ds.map_batches(attach, batch_format="pyarrow")

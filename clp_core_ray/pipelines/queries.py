@@ -5063,3 +5063,48 @@ def tpch_q5_local_supplier(sf_dir: str):
         lambda b: pa.table({"n_name": b.column("n_name"),
                             "revenue": pc.round(b.column("rev"), ndigits=2)}),
         batch_format="pyarrow")
+
+
+@register(
+    "events_user_pivot",
+    "SELECT user_id,"
+    " CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,"
+    " CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,"
+    " CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,"
+    " CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,"
+    " CAST(sum(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) AS BIGINT) AS n_login"
+    " FROM events GROUP BY user_id",
+)
+def events_user_pivot(sf_dir: str):
+    """User × event-type pivot (wide behavioral-feature matrix): indicator
+    columns partial-summed per batch, one groupby exchange — conditional
+    aggregation, never a per-group Python call."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return agg.pivot_counts(
+        ds, row_col="user_id", col_col="event_type",
+        col_values=["click", "view", "purchase", "error", "login"])
+
+
+@register(
+    "events_target_encode",
+    "WITH c AS (SELECT event_id, event_type,"
+    "  CAST(round(value * 100) AS BIGINT) AS yi FROM events)"
+    " SELECT event_id, round("
+    " CAST(sum(yi) OVER (PARTITION BY event_type) - yi AS DOUBLE)"
+    " / nullif((count(*) OVER (PARTITION BY event_type) - 1) * 100, 0), 6)"
+    " AS te FROM c",
+)
+def events_target_encode(sf_dir: str):
+    """Leave-one-out target encoding of event_type against value — the
+    leakage-safe categorical feature. Key stats fold to one row per key,
+    broadcast; the per-row pass is two gathers, no shuffle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return agg.target_encode(ds, key_col="event_type",
+                             target_col="value").select_columns(
+        ["event_id", "te"])

@@ -1932,3 +1932,47 @@ def test_compress_ratio_vs_zlib(ray_session):
     for t in texts:
         raw = (t or "").encode()
         assert got[t or ""] == len(zlib.compress(raw, 6)) / max(1, len(raw))
+
+
+def test_pivot_counts_vs_crosstab(ray_session):
+    import ray.data as rd
+
+    import numpy as np
+    import pandas as pd
+
+    from clp_core_ray.pipelines.aggregate import pivot_counts
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    users = rng.integers(0, 37, n)
+    cats = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    ds = rd.from_arrow(pa.table({"u": pa.array(users),
+                                 "c": pa.array(cats)})).repartition(6)
+    out = pivot_counts(ds, row_col="u", col_col="c",
+                       col_values=["a", "b", "c", "zz"]).to_pandas() \
+        .set_index("u").sort_index()
+    want = pd.crosstab(users, cats)
+    for v in ["a", "b", "c"]:
+        assert (out[f"n_{v}"] == want[v]).all()
+    assert (out["n_zz"] == 0).all()
+
+
+def test_target_encode_loo_and_singleton(ray_session):
+    import ray.data as rd
+
+    import numpy as np
+
+    from clp_core_ray.pipelines.aggregate import target_encode
+
+    keys = ["a", "a", "a", "b", "b", "solo"]
+    vals = [1.25, 2.50, 3.75, 10.00, 20.00, 5.0]
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys),
+                                 "y": pa.array(vals),
+                                 "i": pa.array(range(6))})).repartition(3)
+    out = target_encode(ds, key_col="k", target_col="y").to_pandas() \
+        .set_index("i").sort_index()
+    got = list(out["te"])
+    assert got[0] == round((2.50 + 3.75) / 2, 6)
+    assert got[1] == round((1.25 + 3.75) / 2, 6)
+    assert got[3] == 20.0 and got[4] == 10.0
+    assert np.isnan(got[5])  # singleton: LOO undefined
