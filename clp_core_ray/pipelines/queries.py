@@ -5108,3 +5108,24 @@ def events_target_encode(sf_dir: str):
     return agg.target_encode(ds, key_col="event_type",
                              target_col="value").select_columns(
         ["event_id", "te"])
+
+
+@register(
+    "part_name_editdist_pairs",
+    "WITH d AS (SELECT DISTINCT p_name FROM part)"
+    " SELECT a.p_name AS name_a, b.p_name AS name_b,"
+    " levenshtein(a.p_name, b.p_name) AS dist"
+    " FROM d a JOIN d b ON a.p_name < b.p_name"
+    " WHERE levenshtein(a.p_name, b.p_name) <= 4",
+)
+def part_name_editdist_pairs(sf_dir: str):
+    """Exact Levenshtein near-dup pairs over distinct part names (the
+    record-linkage/typo-clustering primitive): lossless length-band
+    blocking, pair-axis-vectorized DP verify — never a per-pair Python
+    loop."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import edit_distance_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return edit_distance_pairs(ds, text_col="p_name", max_dist=4)

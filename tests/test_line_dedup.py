@@ -107,3 +107,36 @@ def test_line_dedup_min_len_exemption(ray_session):
                    out.column("text").to_pylist()))
     assert got == _ref_line_dedup(docs, min_len=5)
     assert got[1] == "xx"  # short line exempt, long line deduped
+
+
+def test_edit_distance_pairs_exact(ray_session):
+    """Length-band blocking must lose no qualifying pair; DP verify must
+    equal brute-force Levenshtein — random strings, many bands."""
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import edit_distance_pairs
+
+    rng = np.random.default_rng(5)
+    pool = ["".join(rng.choice(list("abcd"), size=rng.integers(1, 12)))
+            for _ in range(120)]
+    ds = rd.from_arrow(pa.table({"t": pa.array(pool * 2)})).repartition(5)
+    out = edit_distance_pairs(ds, text_col="t", max_dist=2).to_pandas()
+    got = {(r.name_a, r.name_b): r.dist for r in out.itertuples()}
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[:], i
+            for j, cb in enumerate(b, 1):
+                d[j] = min(prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return d[len(b)]
+
+    want = {}
+    for a, b in itertools.combinations(sorted(set(pool)), 2):
+        dd = lev(a, b)
+        if dd <= 2:
+            want[(a, b)] = dd
+    assert got == want
