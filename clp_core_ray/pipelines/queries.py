@@ -5129,3 +5129,72 @@ def part_name_editdist_pairs(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
     return edit_distance_pairs(ds, text_col="p_name", max_dist=4)
+
+
+@register(
+    "events_new_users_by_day",
+    "SELECT first_day, count(*) AS new_users FROM ("
+    "  SELECT date_trunc('day', min(ts)) AS first_day"
+    "  FROM events GROUP BY user_id) GROUP BY first_day",
+)
+def events_new_users_by_day(sf_dir: str):
+    """Growth curve: each user's first-seen day, counted per day. Per-batch
+    min(ts) partials per user → one groupby Min → day truncation + count;
+    the exchange carries one row per (user, batch), never the event
+    stream."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["user_id"]).aggregate([("ts", "min")]) \
+            .rename_columns(["user_id", "ts"])
+
+    firsts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id").aggregate(Min("ts", alias_name="ts")))
+    bucketed = agg.add_time_bucket(firsts, "ts", "day", out_col="first_day")
+    out = agg.count_by(bucketed, "first_day")
+    return out.map_batches(
+        lambda b: pa.table({"first_day": b.column("first_day"),
+                            "new_users": b.column("cnt")}),
+        batch_format="pyarrow")
+
+
+@register(
+    "events_props_k_stats",
+    "SELECT event_type,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT))"
+    "   AS BIGINT) AS sum_k,"
+    " CAST(max(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT))"
+    "   AS BIGINT) AS max_k"
+    " FROM events GROUP BY event_type",
+)
+def events_props_k_stats(sf_dir: str):
+    """Semi-structured field stats: pull the integer ``k`` out of the JSON
+    props payload with one RE2 kernel per batch (the clp_s leaf-extraction
+    role on an embedded-JSON column) and fold count/sum/max per event
+    type — integer-exact, partial-aggregated."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def ext(b: pa.Table) -> pa.Table:
+        s = pc.fill_null(b.column("props"), "")
+        st = pc.extract_regex(s, r'"k": (?P<v>\d+)')
+        k = pc.cast(pc.struct_field(st, "v"), pa.int64())
+        t = pa.table({"event_type": b.column("event_type"), "_k": k})
+        return t.group_by(["event_type"]).aggregate(
+            [("_k", "count"), ("_k", "sum"), ("_k", "max")]) \
+            .rename_columns(["event_type", "n", "sum_k", "max_k"])
+
+    folded = (ds.map_batches(ext, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sum_k", alias_name="sum_k"),
+                         Max("max_k", alias_name="max_k")))
+    return folded
