@@ -90,3 +90,74 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
 
     return rd.from_arrow(pa.table({
         "node": nodes, "rank": pa.array(np.round(rank, ndigits))}))
+
+
+def cooccurrence_pairs(ds, *, basket_col: str, item_col: str,
+                       top_k: int | None = None):
+    """Market-basket co-occurrence: count (item_a < item_b) pairs that
+    share a basket — the edge-building step for co-purchase / co-view
+    graphs and item-item recommenders.
+
+    Distinct (basket, item) rows reduce per batch then shuffle once into
+    max(64, 4·CPUs) hash-coarse buckets (the dedup module's bucket rule);
+    inside a bucket one lexsort finds basket runs and pair expansion is
+    repeat/arange arithmetic — no Python per basket. Pair counts are
+    partial-aggregated before the final (item_a, item_b) exchange.
+    Basket sizes are domain-bounded (orders, sessions); a pathological
+    mega-basket would expand quadratically — callers with such data
+    should pre-cap baskets (the LSH star-cap treatment).
+    """
+    from clp_core_ray.pipelines.aggregate import count_by
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+    distinct = count_by(ds, [basket_col, item_col]) \
+        .select_columns([basket_col, item_col])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        # Knuth multiplicative hash on the basket id (int keys by contract)
+        k = np.asarray(b.column(basket_col), dtype=np.int64).view(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return b.append_column("_bk", pa.array((h % nb).astype(np.int64)))
+
+    def expand(g: pa.Table) -> pa.Table:
+        empty = pa.table({"item_a": pa.array([], type=pa.int64()),
+                          "item_b": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+        m = len(g)
+        if m < 2:
+            return empty
+        bk = np.asarray(g.column(basket_col), dtype=np.int64)
+        it = np.asarray(g.column(item_col), dtype=np.int64)
+        order = np.lexsort((it, bk))
+        bk, it = bk[order], it[order]
+        new_run = np.ones(m, dtype=bool)
+        new_run[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, m))
+        run_of_row = np.cumsum(new_run) - 1
+        pos = np.arange(m) - starts[run_of_row]
+        c = counts[run_of_row] - 1 - pos  # pairs this row opens
+        total = int(c.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(m), c)
+        offs = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+        right = left + 1 + offs
+        t = pa.table({"item_a": pa.array(it[left]),
+                      "item_b": pa.array(it[right])})
+        return t.group_by(["item_a", "item_b"]).aggregate(
+            [("item_a", "count")]).rename_columns(
+            ["item_a", "item_b", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    pairs = (distinct.map_batches(bucket, batch_format="pyarrow")
+             .groupby("_bk")
+             .map_groups(expand, batch_format="pyarrow")
+             .groupby(["item_a", "item_b"])
+             .aggregate(Sum("cnt", alias_name="cnt")))
+    if top_k is None:
+        return pairs
+    return pairs.sort(["cnt", "item_a", "item_b"],
+                      descending=[True, False, False]).limit(top_k)

@@ -5198,3 +5198,28 @@ def events_props_k_stats(sf_dir: str):
                          Sum("sum_k", alias_name="sum_k"),
                          Max("max_k", alias_name="max_k")))
     return folded
+
+
+@register(
+    "copurchase_top_pairs",
+    "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
+    " p AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,"
+    "   count(*) AS cnt FROM d a JOIN d b"
+    "   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    "   GROUP BY 1, 2)"
+    " SELECT item_a, item_b, cnt FROM p"
+    " ORDER BY cnt DESC, item_a, item_b LIMIT 20",
+)
+def copurchase_top_pairs(sf_dir: str):
+    """Top co-purchased part pairs (item-item recommender edges): distinct
+    basket rows shuffle once into hash-coarse buckets, baskets become
+    lexsort runs, pair expansion is arange arithmetic, counts fold
+    partial-aggregated — never a per-order Python call."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.graph import cooccurrence_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    return cooccurrence_pairs(ds, basket_col="l_orderkey",
+                              item_col="l_partkey", top_k=20)

@@ -33,3 +33,29 @@ def test_pagerank_vs_dense(ray_session):
     want = dict(zip(names[present], np.round(r, 12)))
     got = out.to_dict()
     assert got == want
+
+
+def test_cooccurrence_pairs_vs_brute(ray_session):
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.functions.graph import cooccurrence_pairs
+
+    rng = np.random.default_rng(9)
+    baskets = rng.integers(0, 50, 2000)
+    items = rng.integers(0, 30, 2000)
+    ds = rd.from_arrow(pa.table({"b": pa.array(baskets),
+                                 "i": pa.array(items)})).repartition(6)
+    out = cooccurrence_pairs(ds, basket_col="b", item_col="i").to_pandas()
+    got = {(r.item_a, r.item_b): r.cnt for r in out.itertuples()}
+
+    want = {}
+    per_basket = {}
+    for b, i in zip(baskets, items):
+        per_basket.setdefault(b, set()).add(i)
+    for s in per_basket.values():
+        for a, b in itertools.combinations(sorted(s), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
