@@ -5223,3 +5223,25 @@ def copurchase_top_pairs(sf_dir: str):
                          columns=["l_orderkey", "l_partkey"])
     return cooccurrence_pairs(ds, basket_col="l_orderkey",
                               item_col="l_partkey", top_k=20)
+
+
+@register(
+    "events_value_mad",
+    "WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med"
+    "  FROM events GROUP BY event_type)"
+    " SELECT e.event_type, any_value(m.med) AS med,"
+    " quantile_disc(abs(e.value - m.med), 0.5) AS mad"
+    " FROM events e JOIN m ON e.event_type = m.event_type"
+    " GROUP BY e.event_type",
+)
+def events_value_mad(sf_dir: str):
+    """Robust dispersion per event type: median absolute deviation via two
+    composed exact-quantile passes (medians broadcast between them) —
+    the outlier screen heavy-tailed value columns need."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_mad
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_mad(ds, key_col="event_type", val_col="value")

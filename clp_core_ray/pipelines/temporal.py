@@ -923,3 +923,49 @@ def interval_coverage(ds, *, key_col: str, start_col: str, end_col: str,
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def grouped_mad(ds, *, key_col: str, val_col: str):
+    """Per-key median absolute deviation — the robust dispersion measure
+    behind outlier screens that can't trust the mean (heavy-tailed value
+    columns). MAD = median(|x − median(x)|), both medians with DuckDB
+    quantile_disc semantics.
+
+    Two composed grouped_quantile_disc passes: medians fold to one row
+    per key and broadcast; the deviation pass recomputes |x − med[key]|
+    per batch (two gathers, no extra shuffle beyond the quantile
+    histogram exchange). Both engines derive the deviations from
+    identical doubles, so no rounding is needed for hash equality.
+    """
+    import ray
+
+    def fold(d):
+        out = [pa.table(b) for b in d.iter_batches(batch_format="pyarrow")]
+        return pa.concat_tables(out) if out else pa.table({})
+
+    med_tbl = fold(grouped_quantile_disc(ds, key_col=key_col,
+                                         val_col=val_col, qs=(0.5,)))
+    keys = med_tbl.column(key_col).combine_chunks()
+    med = np.asarray(med_tbl.column(val_col), dtype=np.float64)
+    ref = ray.put((keys, med))
+
+    def absdev(b: pa.Table) -> pa.Table:
+        k, m = ray.get(ref)
+        idx = np.asarray(pc.index_in(b.column(key_col), value_set=k),
+                         dtype=np.int64)
+        x = np.asarray(b.column(val_col), dtype=np.float64)
+        return pa.table({key_col: b.column(key_col),
+                         "_dev": pa.array(np.abs(x - m[idx]))})
+
+    mad_tbl = fold(grouped_quantile_disc(
+        ds.map_batches(absdev, batch_format="pyarrow"),
+        key_col=key_col, val_col="_dev", qs=(0.5,)))
+    import ray.data as rd
+
+    midx = np.asarray(pc.index_in(mad_tbl.column(key_col), value_set=keys),
+                      dtype=np.int64)
+    mad = np.empty(len(keys))
+    mad[midx] = np.asarray(mad_tbl.column("_dev"), dtype=np.float64)
+    return rd.from_arrow(pa.table({key_col: keys,
+                                   "med": pa.array(med),
+                                   "mad": pa.array(mad)}))

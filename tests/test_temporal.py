@@ -515,3 +515,32 @@ def test_interval_coverage(ray_session):
                              start_col="s", end_col="e").to_pandas()
     got2 = dict(zip(out2["k"], out2["covered"]))
     assert got2 == {str(k): v for k, v in want.items()}
+
+
+def test_grouped_mad_vs_numpy(ray_session):
+    """MAD vs brute force with quantile_disc semantics (sorted value at
+    ceil(n*q)-1), including even-sized groups where disc != interpolated."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_mad
+
+    rng = np.random.default_rng(13)
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, 999)]
+    vals = np.round(rng.normal(50, 20, 999), 2)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys),
+                                 "v": pa.array(vals)})).repartition(4)
+    out = grouped_mad(ds, key_col="k", val_col="v").to_pandas() \
+        .set_index("k").sort_index()
+
+    def qdisc(x, q=0.5):
+        s = np.sort(x)
+        return s[math.ceil(len(s) * q) - 1]
+
+    for g in ["a", "b", "c"]:
+        x = vals[keys == g]
+        med = qdisc(x)
+        assert out.loc[g, "med"] == med
+        assert out.loc[g, "mad"] == qdisc(np.abs(x - med))
