@@ -5245,3 +5245,27 @@ def events_value_mad(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "value"])
     return grouped_mad(ds, key_col="event_type", val_col="value")
+
+
+@register(
+    "events_wau",
+    "WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id"
+    "  FROM events),"
+    " days AS (SELECT DISTINCT d FROM du)"
+    " SELECT days.d AS day, count(DISTINCT du.user_id) AS wau"
+    " FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d"
+    " GROUP BY days.d",
+)
+def events_wau(sf_dir: str):
+    """7-day trailing distinct active users per day (WAU): distinct
+    (day, user) pairs replicate to the ≤7 observed target days they
+    serve — the exchange is ×7 of the distinct pairs, never the event
+    stream — then a second dedupe and per-day count."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import trailing_distinct_count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return trailing_distinct_count(ds, key_col="user_id", ts_col="ts",
+                                   window_days=7)

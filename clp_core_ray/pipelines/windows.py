@@ -447,3 +447,61 @@ def grouped_rank(ds, *, key: str, val_col: str, row_id_col: str,
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_wbucket").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def trailing_distinct_count(ds, *, key_col: str, ts_col: str = "ts",
+                            window_days: int = 7,
+                            out_col: str = "wau"):
+    """Trailing-window distinct-entity count per day (the DAU/WAU/MAU
+    family): for each observed day d, how many distinct keys appeared in
+    [d − window + 1, d].
+
+    Distinct-over-window doesn't decompose like sums, so the exchange is
+    restructured instead: (day, key) pairs dedupe per batch (one row per
+    pair per batch), each surviving pair replicates to the ≤window target
+    days it can serve — bounded ×window blowup of the ALREADY-distinct
+    pairs, not of the event stream — then a second dedupe + per-day count.
+    Target days prune against the observed-day set (broadcast, one row
+    per day) so output days match SQL's join-on-observed-days semantics.
+    """
+    import ray
+
+    from clp_core_ray.pipelines.aggregate import add_time_bucket, count_by
+
+    US_DAY = 86_400_000_000
+    du = count_by(add_time_bucket(ds, ts_col, "day", out_col="_d"),
+                  ["_d", key_col]).select_columns(["_d", key_col])
+
+    day_tbl = pa.concat_tables(
+        [pa.table(b) for b in count_by(du, "_d").select_columns(["_d"])
+         .iter_batches(batch_format="pyarrow")])
+    # day buckets come back timestamp[s] from floor_temporal — pin to us
+    days_us = np.unique(np.asarray(
+        day_tbl.column("_d").cast(pa.timestamp("us")).cast(pa.int64()),
+        dtype=np.int64))
+    days_ref = ray.put(days_us)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        obs = ray.get(days_ref)
+        d = np.asarray(b.column("_d").cast(pa.timestamp("us"))
+                       .cast(pa.int64()), dtype=np.int64)
+        n = len(d)
+        if n == 0:
+            return pa.table({"_td": b.column("_d"),
+                             key_col: b.column(key_col)})
+        reps = np.repeat(np.arange(n), window_days)
+        offs = np.tile(np.arange(window_days, dtype=np.int64), n) * US_DAY
+        td = d[reps] + offs
+        keep = np.isin(td, obs)  # only observed days emit output rows
+        td, reps = td[keep], reps[keep]
+        return pa.table({
+            "_td": pa.array(td).cast(pa.timestamp("us")),
+            key_col: pc.take(b.column(key_col), pa.array(reps))})
+
+    pairs = count_by(du.map_batches(replicate, batch_format="pyarrow"),
+                     ["_td", key_col]).select_columns(["_td", key_col])
+    out = count_by(pairs, "_td")
+    return out.map_batches(
+        lambda b: pa.table({"day": b.column("_td"),
+                            out_col: b.column("cnt")}),
+        batch_format="pyarrow")

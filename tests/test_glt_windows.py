@@ -527,3 +527,34 @@ def test_scaled_buckets_grow_with_cluster(ray_session):
     assert scaled_buckets(minimum=8, per_cpu=100) == 100 * ncpu
     # the floor protects small sessions
     assert scaled_buckets(minimum=1024) == 1024
+
+
+def test_trailing_distinct_count_vs_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import trailing_distinct_count
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    # 40 days with gaps (days 12-14 absent) — observed-day pruning matters
+    day = rng.integers(0, 40, n)
+    day[(day >= 12) & (day <= 14)] = 11
+    users = rng.integers(0, 60, n)
+    base = pd.Timestamp("2024-03-01").value // 1000
+    ts = pa.array(base + day * 86_400_000_000 +
+                  rng.integers(0, 86_400_000_000, n),
+                  type=pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({"u": pa.array(users),
+                                 "ts": ts})).repartition(5)
+    out = trailing_distinct_count(ds, key_col="u", ts_col="ts",
+                                  window_days=7).to_pandas()
+    got = dict(zip(out["day"], out["wau"]))
+
+    obs_days = sorted(set(day))
+    want = {}
+    for d in obs_days:
+        active = set(users[(day >= d - 6) & (day <= d)])
+        want[pd.Timestamp(base + d * 86_400_000_000, unit="us")] = len(active)
+    assert {pd.Timestamp(k): v for k, v in got.items()} == want
