@@ -1555,3 +1555,66 @@ def compress_ratio(batch: pa.Table, text_col: str = "text",
         ratios[i] = len(zlib.compress(raw, level)) / max(1, len(raw))
     cols = [c for c in batch.column_names if c != out_col]
     return batch.select(cols).append_column(out_col, pa.array(ratios))
+
+
+def kl_by_group(ds, *, group_col: str, text_col: str = "text",
+                vocab_size: int = 30, min_count: int = 1,
+                ndigits: int = 6):
+    """Word-distribution drift per group: KL(P_group ‖ P_corpus) over the
+    top-``vocab_size`` vocabulary — the distribution-shift monitor data
+    pipelines run per source/snapshot.
+
+    Vocabulary comes from build_vocab's bounded fan-in; the count exchange
+    carries one (group, term) partial per batch restricted to vocab terms
+    (broadcast set). The fold is groups × vocab rows; the final KL is a
+    driver-side sequential sum in ascending term order so the rounded
+    float reproduces SQL's ordered aggregate (terms absent from a group
+    contribute 0 — both engines skip the missing row).
+    """
+    import ray
+    import ray.data as rd
+
+    vt = _collect_ds(build_vocab(ds, max_size=vocab_size,
+                                 min_count=min_count, text_col=text_col,
+                                 id_col=group_col))
+    vocab = sorted(vt.column("term").to_pylist())
+    vref = ray.put(set(vocab))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        t = _explode_terms(batch, text_col, group_col)
+        t = t.filter(pc.is_in(t.column("term"),
+                              value_set=pa.array(sorted(vs))))
+        g = t.group_by([group_col, "term"]).aggregate([("term", "count")])
+        return g.rename_columns([group_col, "term", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    folded = _collect_ds(ds.map_batches(partial, batch_format="pyarrow")
+                         .groupby([group_col, "term"])
+                         .aggregate(Sum("cnt", alias_name="cnt")))
+    groups = folded.column(group_col).to_pylist()
+    terms = folded.column("term").to_pylist()
+    cnts = folded.column("cnt").to_pylist()
+    qc = {}
+    per_group: dict = {}
+    for g, t, c in zip(groups, terms, cnts):
+        qc[t] = qc.get(t, 0) + c
+        per_group.setdefault(g, {})[t] = c
+    q_tot = float(sum(qc.values()))
+    out_g, out_kl = [], []
+    for g in sorted(per_group):
+        gc = per_group[g]
+        tot = float(sum(gc.values()))
+        import math
+
+        s = 0.0
+        for t in vocab:  # ascending-term sequential sum = SQL ordered agg
+            if t in gc:
+                p = gc[t] / tot
+                s += p * math.log(p / (qc[t] / q_tot))
+        out_g.append(g)
+        out_kl.append(s)
+    return rd.from_arrow(pa.table({
+        group_col: pa.array(out_g),
+        "kl": pa.array(np.round(np.asarray(out_kl), ndigits))}))

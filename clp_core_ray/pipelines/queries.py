@@ -5269,3 +5269,35 @@ def events_wau(sf_dir: str):
                          columns=["user_id", "ts"])
     return trailing_distinct_count(ds, key_col="user_id", ts_col="ts",
                                    window_days=7)
+
+
+@register(
+    "docs_source_kl",
+    "WITH t AS (SELECT source, unnest(string_split(lower(text), ' '))"
+    "   AS term FROM documents),"
+    " t2 AS (SELECT * FROM t WHERE term <> ''),"
+    " v AS (SELECT term FROM (SELECT term, count(*) AS c FROM t2"
+    "   GROUP BY term QUALIFY row_number() OVER ("
+    "   ORDER BY count(*) DESC, term) <= 30)),"
+    " sc AS (SELECT source, term, count(*) AS c FROM t2"
+    "   WHERE term IN (SELECT term FROM v) GROUP BY 1, 2),"
+    " st AS (SELECT source, sum(c) AS tot FROM sc GROUP BY 1),"
+    " q AS (SELECT term, sum(c) * 1.0 / (SELECT sum(c) FROM sc) AS qp"
+    "   FROM sc GROUP BY 1)"
+    " SELECT sc.source, round(sum((sc.c * 1.0 / st.tot)"
+    "   * ln((sc.c * 1.0 / st.tot) / q.qp) ORDER BY sc.term), 6) AS kl"
+    " FROM sc JOIN st USING (source) JOIN q USING (term)"
+    " GROUP BY sc.source",
+)
+def docs_source_kl(sf_dir: str):
+    """Distribution-drift monitor: KL(source ‖ corpus) over the top-30
+    vocabulary — per-(source, term) count partials restricted to the
+    broadcast vocab, groups×vocab fold, ascending-term sequential sum so
+    the rounded float reproduces SQL's ordered aggregate."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import kl_by_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    return kl_by_group(ds, group_col="source", vocab_size=30)

@@ -1976,3 +1976,49 @@ def test_target_encode_loo_and_singleton(ray_session):
     assert got[1] == round((1.25 + 3.75) / 2, 6)
     assert got[3] == 20.0 and got[4] == 10.0
     assert np.isnan(got[5])  # singleton: LOO undefined
+
+
+def test_kl_by_group_vs_brute(ray_session):
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import kl_by_group
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(12)]
+    rows_g, rows_t = [], []
+    for g, bias in [("s1", 1.0), ("s2", 2.5), ("s3", 0.4)]:
+        p = np.arange(1, 13, dtype=float) ** bias
+        p /= p.sum()
+        for _ in range(80):
+            k = rng.integers(3, 9)
+            rows_g.append(g)
+            rows_t.append(" ".join(rng.choice(words, size=k, p=p)))
+    ds = rd.from_arrow(pa.table({"src": pa.array(rows_g),
+                                 "text": pa.array(rows_t)})).repartition(4)
+    out = kl_by_group(ds, group_col="src", vocab_size=8).to_pandas() \
+        .set_index("src")["kl"]
+
+    # brute force with the same vocab rule (count desc, term asc, top 8)
+    all_tokens = Counter(t for row in rows_t for t in row.split(" ") if t)
+    vocab = sorted(sorted(all_tokens), key=lambda t: (-all_tokens[t], t))[:8]
+    vs = set(vocab)
+    per_g = {}
+    for g, row in zip(rows_g, rows_t):
+        c = per_g.setdefault(g, Counter())
+        c.update(t for t in row.split(" ") if t in vs)
+    qc = Counter()
+    for c in per_g.values():
+        qc.update(c)
+    qt = sum(qc.values())
+    for g, c in per_g.items():
+        tot = sum(c.values())
+        s = 0.0
+        for t in sorted(vocab):
+            if c[t]:
+                p = c[t] / tot
+                s += p * math.log(p / (qc[t] / qt))
+        assert out[g] == round(s, 6), (g, out[g], s)
