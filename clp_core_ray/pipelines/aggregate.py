@@ -786,3 +786,53 @@ def target_encode(ds, *, key_col: str, target_col: str,
         return batch.select(cols).append_column(out_col, vals)
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def grouped_regression(ds, *, key_col: str, x_col: str, y_col: str,
+                       ndigits: int = 6):
+    """Per-group ordinary-least-squares trend line: slope, intercept and
+    r² of y on x, matching SQL regr_slope/regr_intercept/regr_r2 — the
+    metric-drift detector (value vs time per key).
+
+    Same two-pass centered machinery as grouped_corr: exact per-key means
+    broadcast, centered product partials exchanged once. slope = Sxy/Sxx,
+    intercept = ȳ − slope·x̄, r² = Sxy²/(Sxx·Syy); groups with zero x
+    variance yield nulls (SQL returns NULL there too).
+    """
+    import numpy as np
+
+    import ray
+
+    keys, n, means = _key_means(ds, key_col, [x_col, y_col])
+    mean_ref = ray.put((keys, means))
+    powers = [("_sxx", lambda c: c[x_col] ** 2),
+              ("_syy", lambda c: c[y_col] ** 2),
+              ("_sxy", lambda c: c[x_col] * c[y_col])]
+    from ray.data.aggregate import Sum
+
+    folded = _to_small_table(
+        ds.map_batches(
+            _centered_partial(key_col, [x_col, y_col], powers, mean_ref),
+            batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(*[Sum(p, alias_name=p) for p, _ in powers]))
+    idx = np.asarray(pc.index_in(folded.column(key_col), value_set=keys),
+                     dtype=np.int64)
+    sxx = np.zeros(len(keys)); syy = np.zeros(len(keys)); sxy = np.zeros(len(keys))
+    sxx[idx] = np.asarray(folded.column("_sxx"), dtype=np.float64)
+    syy[idx] = np.asarray(folded.column("_syy"), dtype=np.float64)
+    sxy[idx] = np.asarray(folded.column("_sxy"), dtype=np.float64)
+    bad = sxx == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = sxy / sxx
+        intercept = means[y_col] - slope * means[x_col]
+        r2 = np.where(syy == 0, np.nan, sxy * sxy / (sxx * syy))
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        key_col: keys,
+        "n": pa.array(n.astype(np.int64)),
+        "slope": pa.array(sql_round(slope, ndigits), mask=bad),
+        "intercept": pa.array(sql_round(intercept, ndigits), mask=bad),
+        "r2": pa.array(sql_round(r2, ndigits),
+                       mask=bad | np.isnan(r2))}))

@@ -52,45 +52,39 @@ _GATE_PRIORITY = [
     # representative core — regression canaries for the flagship paths
     "clp_roundtrip", "clp_decompress", "clp_search_error_timeout",
     "clps_roundtrip",
-    # archive formats / round trips the gate has never audited
+    # archive formats / round trips
     "clps_sfa_roundtrip", "clps_split_roundtrip", "clps_kv_ir_search",
-    "clps_kv_ir_roundtrip", "clp_textlog_roundtrip",
-    "clp_incremental_roundtrip", "clp_incremental_search", "clp_ir_ingest",
+    "clp_textlog_roundtrip",
+    "clp_incremental_roundtrip", "clp_ir_ingest",
     "clp_rules_roundtrip",
-    # dedup / curation family
-    "docs_fuzzy_dedup", "docs_fuzzy_dedup_best", "docs_dup_spans",
-    "docs_fuzzy_join",
-    "emb_semantic_dedup", "clp_redact_pii", "clp_turn_template_dedup",
-    # (snapshot_diff rotates behind: its one-shuffle diff kernel is stable
-    # since r3 and pinned by a byte-exactness pytest; the anti-join family
-    # is audited by customers_without_events + emerging_templates)
+    # dedup / curation family (fuzzy_dedup_best, chunk_overlap,
+    # cap_per_source, redact_pii rotate behind siblings already in-window
+    # or into curation_pipeline's composition)
+    "docs_fuzzy_dedup", "docs_dup_spans", "docs_fuzzy_join",
+    "emb_semantic_dedup", "clp_turn_template_dedup",
     "docs_fuzzy_decontaminate", "docs_pack_sequences",
     "docs_mixture_sample", "customers_without_events",
-    "docs_curation_pipeline",
-    "docs_repetition", "docs_chunk_overlap", "docs_cap_per_source",
-    # text analysis / retrieval (inverted_index rotates behind bm25, which
-    # exercises the same explode→bucket machinery plus scoring; bpe_tokens
-    # and char_entropy rotate behind the newest index-retrieval surface)
+    "docs_curation_pipeline", "docs_repetition",
+    # text analysis / retrieval / drift
     "docs_bpe_roundtrip", "docs_bm25", "docs_phrase_search",
-    "docs_near_search",
-    "docs_perplexity_scored", "docs_top_terms_per_lang",
-    # similarity / clustering / linalg
-    # (radius_ivf rotates behind: knn_vote_ivf + hard_negatives_ivf already
-    # audit the IVF cell routing; simhash_dedup adds the newest composition)
-    "emb_knn_label_vote_ivf", "emb_hard_negatives", "emb_hard_negatives_ivf",
-    "emb_radius_neighbors", "emb_simhash_dedup",
-    "emb_hamming_dup_pairs",
-    "emb_kmeans_assign", "emb_gram_int",
-    # temporal joins + windows + per-group ops
-    "events_asof_latest_order", "events_window_join", "events_sliding_window",
-    "events_debounce",
+    "docs_perplexity_scored",
+    "clp_normalize_text", "clp_model_usage", "docs_source_kl",
+    # similarity / clustering
+    "emb_knn_label_vote_ivf", "emb_hard_negatives_ivf", "emb_simhash_dedup",
+    "emb_kmeans_assign",
+    # graph + multi-join analytics (new this continuation)
+    "graph_pagerank", "copurchase_top_pairs",
+    "tpch_q3_shipping", "tpch_q5_local_supplier",
+    # temporal joins + windows + per-group statistics (moments/corr/mad
+    # supersede zscore/above_median in-window: same partials plus the
+    # two-pass centered machinery; wau adds distinct-over-window)
+    "events_asof_latest_order", "events_window_join",
     "events_topk_per_user",
-    # quantile machinery audited through the gate composition (the gate's
-    # thresholds come from grouped_quantile_disc); zscore adds the moment
-    # partials
-    "docs_above_median_chars", "events_value_zscore_outliers",
-    # sketches (oracled heavy-hitters representative; the rows-only
-    # sketch/PQ variants rotate behind — pytest-bounded, weaker gate signal)
+    "events_value_moments", "lineitem_corr_by_flag", "events_value_mad",
+    "events_user_pivot", "events_target_encode", "events_wau",
+    "events_new_users_by_day", "events_props_k_stats",
+    "part_name_editdist_pairs",
+    # sketches
     "events_heavy_users",
 ]
 
@@ -5301,3 +5295,32 @@ def docs_source_kl(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["source", "text"])
     return kl_by_group(ds, group_col="source", vocab_size=30)
+
+
+@register(
+    "events_value_trend",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    " round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope,"
+    " round(regr_intercept(value, epoch(ts) / 86400.0), 6) AS intercept,"
+    " round(regr_r2(value, epoch(ts) / 86400.0), 6) AS r2"
+    " FROM events GROUP BY event_type",
+)
+def events_value_trend(sf_dir: str):
+    """Metric drift per event type: OLS of value on time (days) — the
+    two-pass centered regression; rounded floats reproduce SQL's
+    regr_slope/intercept/r2."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "ts"])
+
+    def to_days(b: pa.Table) -> pa.Table:
+        us = np.asarray(b.column("ts").cast(pa.timestamp("us"))
+                        .cast(pa.int64()), dtype=np.float64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "x": pa.array(us / 86_400_000_000.0),
+                         "value": b.column("value")})
+
+    ds = ds.map_batches(to_days, batch_format="pyarrow")
+    return agg.grouped_regression(ds, key_col="event_type",
+                                  x_col="x", y_col="value")

@@ -2022,3 +2022,31 @@ def test_kl_by_group_vs_brute(ray_session):
                 p = c[t] / tot
                 s += p * math.log(p / (qc[t] / qt))
         assert out[g] == round(s, 6), (g, out[g], s)
+
+
+def test_grouped_regression_vs_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import grouped_regression
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    key = np.array(["a", "b", "flat"])[rng.integers(0, 3, n)]
+    x = rng.uniform(0, 100, n)
+    x[key == "flat"] = 42.0  # zero x-variance group -> nulls
+    y = 3.0 * x + rng.normal(0, 5, n)
+    ds = rd.from_arrow(pa.table({"k": pa.array(key), "x": pa.array(x),
+                                 "y": pa.array(y)})).repartition(6)
+    out = grouped_regression(ds, key_col="k", x_col="x", y_col="y") \
+        .to_pandas().set_index("k")
+    for g in ["a", "b"]:
+        m = key == g
+        sl, ic = np.polyfit(x[m], y[m], 1)
+        cx, cy = x[m] - x[m].mean(), y[m] - y[m].mean()
+        r2 = (cx * cy).sum() ** 2 / ((cx**2).sum() * (cy**2).sum())
+        assert abs(out.loc[g, "slope"] - sl) < 1e-6
+        assert abs(out.loc[g, "intercept"] - ic) < 1e-6
+        assert abs(out.loc[g, "r2"] - r2) < 1e-6
+    assert np.isnan(out.loc["flat", "slope"])
+    assert np.isnan(out.loc["flat", "r2"])
