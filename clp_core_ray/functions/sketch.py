@@ -366,3 +366,71 @@ def approx_quantiles_by(ds, key: str, col: str,
             .map_batches(partial, batch_format="pyarrow")
             .groupby(key)
             .map_groups(fold, batch_format="pyarrow"))
+
+
+def approx_distinct_window(ds, *, key_col: str, ts_col: str = "ts",
+                           window_days: int = 7, p: int = 12,
+                           alias: str = "approx_wau"):
+    """Approximate trailing-window distinct count per day (HLL WAU) — the
+    100-TB scale path for windows.trailing_distinct_count: HLL registers
+    union losslessly (elementwise max), so a day's sketch is built once
+    and every window containing it reuses it, where the exact path must
+    replicate (day, key) pairs per window.
+
+    Per batch: one register row per day present; fold = per-day register
+    max (one groupby); the day×2^p register table (bounded: one row per
+    DAY) folds on the driver where the trailing merge is a window_days
+    sliding elementwise max over the day axis. Approximate by design →
+    rows-only query; error bound pinned vs the exact operator in pytest.
+    """
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import add_time_bucket
+
+    m = 1 << p
+    bucketed = add_time_bucket(ds.select_columns([key_col, ts_col]),
+                               ts_col, "day", out_col="_d")
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b.column("_d").cast(pa.timestamp("us")).cast(pa.int64())
+        dn = np.asarray(d, dtype=np.int64)
+        h = _hash_col(b.column(key_col))
+        order = np.argsort(dn, kind="stable")
+        sd, sh = dn[order], h[order]
+        bounds = np.flatnonzero(np.r_[True, sd[1:] != sd[:-1]])
+        ends = np.r_[bounds[1:], len(sd)]
+        return pa.table({
+            "_d": pa.array(sd[bounds]),
+            "regs": pa.array([_registers(sh[b0:b1], p)
+                              for b0, b1 in zip(bounds, ends)],
+                             type=pa.list_(pa.uint8())),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        folded = np.zeros(m, dtype=np.uint8)
+        regs = group.column("regs").combine_chunks()
+        flat = np.asarray(regs.flatten(), dtype=np.uint8).reshape(-1, m)
+        np.maximum.reduce(flat, axis=0, out=folded)
+        return pa.table({"_d": group.column("_d").combine_chunks()
+                         .slice(0, 1),
+                         "regs": pa.array([folded],
+                                          type=pa.list_(pa.uint8()))})
+
+    day_regs = (bucketed.map_batches(partial, batch_format="pyarrow")
+                .groupby("_d").map_groups(fold, batch_format="pyarrow"))
+    tabs = [pa.table(b) for b in day_regs.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(tabs)
+    days = np.asarray(t.column("_d"), dtype=np.int64)
+    order = np.argsort(days)
+    days = days[order]
+    regs = np.asarray(t.column("regs").combine_chunks().flatten(),
+                      dtype=np.uint8).reshape(-1, m)[order]
+    US_DAY = 86_400_000_000
+    out = np.empty(len(days), dtype=np.int64)
+    for i, d in enumerate(days):
+        in_win = (days > d - window_days * US_DAY) & (days <= d)
+        merged = np.maximum.reduce(regs[in_win], axis=0)
+        out[i] = int(round(_estimate(merged)))
+    return rd.from_arrow(pa.table({
+        "day": pa.array(days).cast(pa.timestamp("us")),
+        alias: pa.array(out)}))

@@ -5324,3 +5324,19 @@ def events_value_trend(sf_dir: str):
     ds = ds.map_batches(to_days, batch_format="pyarrow")
     return agg.grouped_regression(ds, key_col="event_type",
                                   x_col="x", y_col="value")
+
+
+@register("events_wau_approx")  # approximate by design: rows-only
+def events_wau_approx(sf_dir: str):
+    """HLL trailing-window distinct users (the 100-TB WAU path): per-day
+    register sketches union losslessly across the window instead of
+    replicating (day, user) pairs. Error bound pinned vs the exact
+    operator in pytest."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import approx_distinct_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return approx_distinct_window(ds, key_col="user_id", ts_col="ts",
+                                  window_days=7)

@@ -171,3 +171,38 @@ def test_approx_quantiles_by(ray_session):
                    "x": pa.array([1.0, None, 3.0])})
     o2 = approx_quantiles_by(rd.from_arrow(t2), "k", "x", (0.5,)).to_pandas()
     assert o2.loc[0, "q_50"] in (1.0, 3.0)
+
+
+def test_approx_distinct_window_vs_exact(ray_session):
+    """HLL windowed distinct within 5% of the exact WAU operator on the
+    same Ray input, same day set, deterministic across runs."""
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import approx_distinct_window
+    from clp_core_ray.pipelines.windows import trailing_distinct_count
+
+    rng = np.random.default_rng(29)
+    n = 20000
+    day = rng.integers(0, 20, n)
+    users = rng.integers(0, 3000, n)
+    base = 1_700_000_000_000_000
+    ts = pa.array(base + day * 86_400_000_000 +
+                  rng.integers(0, 86_400_000_000, n),
+                  type=pa.timestamp("us"))
+    tbl = pa.table({"u": pa.array(users), "ts": ts})
+    ds = rd.from_arrow(tbl).repartition(5)
+    exact = trailing_distinct_count(ds, key_col="u", ts_col="ts",
+                                    window_days=7).to_pandas() \
+        .set_index("day")["wau"]
+    approx = approx_distinct_window(ds, key_col="u", ts_col="ts",
+                                    window_days=7).to_pandas() \
+        .set_index("day")["approx_wau"]
+    assert set(exact.index) == set(approx.index)
+    rel = np.abs(approx.sort_index().values - exact.sort_index().values) \
+        / exact.sort_index().values
+    assert rel.max() < 0.05, rel.max()
+    again = approx_distinct_window(ds, key_col="u", ts_col="ts",
+                                   window_days=7).to_pandas() \
+        .set_index("day")["approx_wau"]
+    assert (again.sort_index() == approx.sort_index()).all()
