@@ -836,3 +836,77 @@ def grouped_regression(ds, *, key_col: str, x_col: str, y_col: str,
         "intercept": pa.array(sql_round(intercept, ndigits), mask=bad),
         "r2": pa.array(sql_round(r2, ndigits),
                        mask=bad | np.isnan(r2))}))
+
+
+def grouped_ohlc(ds, *, key_cols: list[str], val_col: str, ts_col: str,
+                 id_col: str):
+    """Per-group OHLC candle: open/close = first/last ``val_col`` by
+    (ts, id), plus high/low/count — the SQL arg_min/arg_max-by-tuple shape
+    (reference analogue: per-segment first/last message stats,
+    clp/streaming_archive/writer/Archive.cpp footer stats role).
+
+    Shape: vectorized per-batch partial — dictionary-encode the keys,
+    lexsort (keys, ts, id), run boundaries give one candle row per group
+    per BATCH (reduceat for high/low, run endpoints for open/close) — then
+    a groupby fold that merges candles by comparing their (ts, id)
+    endpoints. The exchange carries one row per (group, batch), never the
+    event stream; ties break on ``id_col`` so the result is deterministic.
+    """
+    import numpy as np
+
+    keys = list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ts = np.asarray(batch.column(ts_col)).view(np.int64)
+        rid = np.asarray(batch.column(id_col), dtype=np.int64)
+        val = np.asarray(batch.column(val_col), dtype=np.float64)
+        codes = []
+        for k in keys:
+            enc = batch.column(k).combine_chunks().dictionary_encode()
+            codes.append(np.asarray(enc.indices, dtype=np.int64))
+        order = np.lexsort((rid, ts, *reversed(codes)))
+        sc = [c[order] for c in codes]
+        brk = np.zeros(n, dtype=bool)
+        brk[0] = True
+        for c in sc:
+            brk[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(brk)
+        last = np.r_[starts[1:], n] - 1
+        sts, srid, sval = ts[order], rid[order], val[order]
+        cols = {k: pc.take(batch.column(k), pa.array(order[starts]))
+                for k in keys}
+        cols.update({
+            "open": pa.array(sval[starts]), "close": pa.array(sval[last]),
+            "high": pa.array(np.maximum.reduceat(sval, starts)),
+            "low": pa.array(np.minimum.reduceat(sval, starts)),
+            "cnt": pa.array(last - starts + 1),
+            "_ots": pa.array(sts[starts]), "_oid": pa.array(srid[starts]),
+            "_cts": pa.array(sts[last]), "_cid": pa.array(srid[last]),
+        })
+        return pa.table(cols)
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "open" not in group.column_names:
+            return pa.table({})
+        ots = np.asarray(group.column("_ots"), dtype=np.int64)
+        oid = np.asarray(group.column("_oid"), dtype=np.int64)
+        cts = np.asarray(group.column("_cts"), dtype=np.int64)
+        cid = np.asarray(group.column("_cid"), dtype=np.int64)
+        i = int(np.lexsort((oid, ots))[0])
+        j = int(np.lexsort((cid, cts))[-1])
+        row = {k: group.column(k).slice(0, 1) for k in keys}
+        row.update({
+            "open": group.column("open").slice(i, 1),
+            "close": group.column("close").slice(j, 1),
+            "high": pa.array([pc.max(group.column("high")).as_py()]),
+            "low": pa.array([pc.min(group.column("low")).as_py()]),
+            "cnt": pa.array([pc.sum(group.column("cnt")).as_py()]),
+        })
+        return pa.table(row)
+
+    cols = keys + [ts_col, id_col, val_col]
+    return (ds.select_columns(cols)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(keys)
+            .map_groups(fold, batch_format="pyarrow"))

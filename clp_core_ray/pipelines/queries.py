@@ -5340,3 +5340,227 @@ def events_wau_approx(sf_dir: str):
                          columns=["user_id", "ts"])
     return approx_distinct_window(ds, key_col="user_id", ts_col="ts",
                                   window_days=7)
+
+
+@register(
+    "events_ohlc_daily",
+    "WITH b AS (SELECT date_trunc('day', ts) AS day, event_type, value,"
+    "             ts, event_id FROM events),"
+    " r AS (SELECT *,"
+    "  row_number() OVER (PARTITION BY day, event_type"
+    "                     ORDER BY ts, event_id) AS rn_a,"
+    "  row_number() OVER (PARTITION BY day, event_type"
+    "                     ORDER BY ts DESC, event_id DESC) AS rn_d FROM b)"
+    " SELECT day, event_type,"
+    "  max(CASE WHEN rn_a = 1 THEN value END) AS open,"
+    "  max(CASE WHEN rn_d = 1 THEN value END) AS close,"
+    "  max(value) AS high, min(value) AS low, count(*) AS cnt"
+    " FROM r GROUP BY day, event_type",
+)
+def events_ohlc_daily(sf_dir: str):
+    """Per-(day, event_type) OHLC candle — open/close are the first/last
+    value by (ts, event_id), high/low/cnt the extrema. One candle row per
+    group per batch rides the shuffle (lexsort-run partial + endpoint-
+    comparing fold), never the event stream."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_id", "event_type", "value"])
+    ds = agg.add_time_bucket(ds, "ts", "day", out_col="day")
+    return agg.grouped_ohlc(ds, key_cols=["day", "event_type"],
+                            val_col="value", ts_col="ts", id_col="event_id")
+
+
+@register(
+    "events_twa_by_user",
+    "WITH w AS (SELECT user_id, value, ts,"
+    "  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts"
+    "  FROM events)"
+    " SELECT user_id,"
+    "  round(sum(value * datediff('microsecond', ts, nts))"
+    "        / sum(datediff('microsecond', ts, nts)), 6) AS twa"
+    " FROM w WHERE nts IS NOT NULL GROUP BY user_id"
+    " HAVING sum(datediff('microsecond', ts, nts)) > 0",
+)
+def events_twa_by_user(sf_dir: str):
+    """Per-user time-weighted average value (forward-fill interpolation) —
+    the duration-weighted gauge mean a metrics pipeline computes. One hash
+    shuffle into scaled key buckets, vectorized pair-delta reduceat inside."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import time_weighted_avg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value", "event_id"])
+    return time_weighted_avg(ds, key_col="user_id", ts_col="ts",
+                             val_col="value", id_col="event_id")
+
+
+@register(
+    "events_rollup_day_type",
+    "SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt,"
+    " round(sum(value), 2) AS sum_value"
+    " FROM events GROUP BY ROLLUP(day, event_type)",
+)
+def events_rollup_day_type(sf_dir: str):
+    """GROUP BY ROLLUP(day, event_type): the fine level is ONE partial-
+    aggregated shuffle; the day level and grand total are derived from the
+    fine aggregate (days × types rows — driver-small at any corpus scale),
+    so the event stream is read and exchanged exactly once."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    ds = agg.add_time_bucket(ds, "ts", "day", out_col="day")
+    fine = _tbl(agg.count_sum_by(ds, ["day", "event_type"], "value",
+                                 cnt_alias="cnt", sum_alias="_sv"))
+    day_t = fine.group_by(["day"]).aggregate(
+        [("cnt", "sum"), ("_sv", "sum")]).rename_columns(
+        ["day", "cnt", "_sv"])
+    total = pa.table({
+        "day": pa.array([None], type=fine.column("day").type),
+        "cnt": pa.array([pc.sum(fine.column("cnt")).as_py()]),
+        "_sv": pa.array([pc.sum(fine.column("_sv")).as_py()]),
+    })
+    day_t = day_t.append_column(
+        "event_type", pa.array([None] * day_t.num_rows, type=pa.string()))
+    total = total.append_column("event_type",
+                                pa.array([None], type=pa.string()))
+    out = pa.concat_tables([
+        t.select(["day", "event_type", "cnt", "_sv"])
+        for t in (fine, day_t, total)])
+    return out.append_column(
+        "sum_value",
+        pa.array(agg.sql_round(np.asarray(out.column("_sv"),
+                                          dtype=np.float64), 2))
+    ).drop_columns(["_sv"])
+
+
+@register(
+    "tpch_q18_large_orders",
+    "SELECT c_name, o_orderkey, o_orderdate,"
+    " round(o_totalprice, 2) AS o_total, sum(l_quantity) AS total_qty"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON o_orderkey = l_orderkey"
+    " GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice"
+    " HAVING sum(l_quantity) > 300"
+    " ORDER BY o_total DESC, o_orderkey LIMIT 20",
+)
+def tpch_q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): ONE partial-aggregated shuffle
+    over lineitem yields per-order quantity sums; HAVING > 300 shrinks that
+    to a driver-small qualifying set which broadcasts onto one orders scan;
+    the customer scan is semi-filtered by the qualifying custkeys (broadcast
+    set, one pass) — the two fact tables are each read exactly once and
+    never joined row-to-row."""
+    import ray
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import broadcast_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    qty = agg.sum_by(li, "l_orderkey", "l_quantity", alias="total_qty")
+    qual = _tbl(qty.map_batches(
+        lambda b: b.filter(pc.greater(b.column("total_qty"), 300.0)),
+        batch_format="pyarrow"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    ords = _tbl(broadcast_join(orders, qual, "o_orderkey", "l_orderkey",
+                               ["total_qty"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("total_qty"))),
+        batch_format="pyarrow"))
+    need = pc.unique(ords.column("o_custkey"))
+    need_ref = ray.put(need)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    cmap = _tbl(cust.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_custkey"),
+                                    value_set=ray.get(need_ref))),
+        batch_format="pyarrow"))
+    pos = pc.index_in(ords.column("o_custkey"), cmap.column("c_custkey"))
+    out = pa.table({
+        "c_name": pc.take(cmap.column("c_name"), pos),
+        "o_orderkey": ords.column("o_orderkey"),
+        "o_orderdate": ords.column("o_orderdate"),
+        "o_total": pa.array(agg.sql_round(
+            np.asarray(ords.column("o_totalprice"), dtype=np.float64), 2)),
+        "total_qty": ords.column("total_qty"),
+    })
+    order = pc.sort_indices(out, sort_keys=[("o_total", "descending"),
+                                            ("o_orderkey", "ascending")])
+    return out.take(order.slice(0, 20))
+
+
+@register(
+    "tpch_q10_returned_revenue",
+    "SELECT c_custkey, c_name,"
+    " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+    " c_acctbal AS acctbal, n_name"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON o_orderkey = l_orderkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+    "   AND o_orderdate < TIMESTAMP '1996-04-01'"
+    "   AND l_returnflag = 'R'"
+    " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+    " ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def tpch_q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue by customer): orders are
+    date-pruned AT THE READ and broadcast onto the lineitem scan (row-
+    filtered to returnflag='R' at the read); revenue partial-sums per
+    custkey into a driver-small table; customer dims attach via a semi-
+    filtered single scan and nation via a broadcast map. The one big fact
+    makes one pass, no all-to-all."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import auto_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= dt.datetime(1996, 1, 1))
+        & (pc.field("o_orderdate") < dt.datetime(1996, 4, 1)))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R")
+    j = auto_join(li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("o_custkey")))
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"o_custkey": b.column("o_custkey"), "rev": r})
+
+    summed = _tbl(agg.sum_by(j.map_batches(rev, batch_format="pyarrow"),
+                             "o_custkey", "rev", alias="_rev"))
+    need_ref = ray.put(pc.unique(summed.column("o_custkey")))
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    cmap = _tbl(cust.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_custkey"),
+                                    value_set=ray.get(need_ref))),
+        batch_format="pyarrow"))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    pos = pc.index_in(summed.column("o_custkey"), cmap.column("c_custkey"))
+    npos = pc.index_in(pc.take(cmap.column("c_nationkey"), pos),
+                       nat.column("n_nationkey"))
+    out = pa.table({
+        "c_custkey": summed.column("o_custkey"),
+        "c_name": pc.take(cmap.column("c_name"), pos),
+        "revenue": pa.array(agg.sql_round(
+            np.asarray(summed.column("_rev"), dtype=np.float64), 2)),
+        "acctbal": pc.take(cmap.column("c_acctbal"), pos),
+        "n_name": pc.take(nat.column("n_name"), npos),
+    })
+    order = pc.sort_indices(out, sort_keys=[("revenue", "descending"),
+                                            ("c_custkey", "ascending")])
+    return out.take(order.slice(0, 20))

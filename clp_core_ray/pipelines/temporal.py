@@ -969,3 +969,56 @@ def grouped_mad(ds, *, key_col: str, val_col: str):
     return rd.from_arrow(pa.table({key_col: keys,
                                    "med": pa.array(med),
                                    "mad": pa.array(mad)}))
+
+
+def time_weighted_avg(ds, *, key_col: str, ts_col: str, val_col: str,
+                      id_col: str, alias: str = "twa", ndigits: int = 6,
+                      num_buckets: int | None = None):
+    """Per-key time-weighted average under piecewise-constant (forward-fill)
+    interpolation: each value holds from its timestamp to the key's next
+    event, so twa = Σ v_i·(t_{i+1}−t_i) / Σ (t_{i+1}−t_i) over consecutive
+    pairs ordered by (ts, id). Keys with < 2 distinct timestamps (zero total
+    span) are dropped — the quotient is undefined there, matching the SQL
+    lead()-window oracle's HAVING sum(dt) > 0.
+
+    Shape: one hash shuffle into key buckets (a key's full history meets in
+    one group), then a fully vectorized in-group pass — lexsort
+    (key, ts, id), zero the cross-key pair deltas, one reduceat per sum.
+    The exchange carries (key, ts, id, val); output is one row per key.
+    """
+    num_buckets = num_buckets or scaled_buckets()
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(key_col), dtype=np.int64)
+        return batch.select([key_col, ts_col, val_col, id_col]).append_column(
+            "_twb", pa.array((ids % np.int64(num_buckets)).astype(np.int32)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          alias: pa.array([], type=pa.float64())})
+        if group.num_rows < 2 or key_col not in group.column_names:
+            return empty
+        k = np.asarray(group.column(key_col), dtype=np.int64)
+        ts = np.asarray(group.column(ts_col)).view(np.int64)
+        v = np.asarray(group.column(val_col), dtype=np.float64)
+        rid = np.asarray(group.column(id_col), dtype=np.int64)
+        order = np.lexsort((rid, ts, k))
+        k, ts, v = k[order], ts[order], v[order]
+        same = k[1:] == k[:-1]
+        dt = (ts[1:] - ts[:-1]).astype(np.float64)
+        dt[~same] = 0.0
+        w = v[:-1] * dt
+        starts = np.flatnonzero(np.r_[True, ~same])
+        # pad one zero so reduceat never indexes past the pair arrays
+        sum_dt = np.add.reduceat(np.r_[dt, 0.0], starts)
+        sum_w = np.add.reduceat(np.r_[w, 0.0], starts)
+        keep = sum_dt > 0.0
+        if not keep.any():
+            return empty
+        from clp_core_ray.pipelines.aggregate import sql_round
+        twa = sql_round(sum_w[keep] / sum_dt[keep], ndigits)
+        return pa.table({key_col: pa.array(k[starts][keep]),
+                         alias: pa.array(twa)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_twb").map_groups(per_bucket, batch_format="pyarrow"))

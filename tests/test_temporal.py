@@ -544,3 +544,69 @@ def test_grouped_mad_vs_numpy(ray_session):
         med = qdisc(x)
         assert out.loc[g, "med"] == med
         assert out.loc[g, "mad"] == qdisc(np.abs(x - med))
+
+
+def test_time_weighted_avg_vs_bruteforce(ray_session):
+    """Bucketed TWA == per-key pandas brute force, incl. duplicate
+    timestamps (zero-width segments contribute nothing), single-event
+    keys (dropped), and all-same-ts keys (dropped: zero span)."""
+    from clp_core_ray.pipelines.temporal import time_weighted_avg
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    key = rng.integers(0, 37, n)
+    ts = rng.integers(0, 500, n) * US  # heavy duplicate-ts pressure
+    ts[key == 5] = 77 * US             # one key: all-equal ts -> dropped
+    val = rng.normal(10, 4, n)
+    eid = np.arange(n, dtype=np.int64)
+    # a single-event key, isolated
+    key[0], ts[0] = 900, 123 * US
+    key[1:][key[1:] == 900] = 1
+    t = pa.table({"k": pa.array(key, type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "v": pa.array(val), "eid": pa.array(eid)})
+    got = (time_weighted_avg(rd.from_arrow(t).repartition(7), key_col="k",
+                             ts_col="ts", val_col="v", id_col="eid")
+           .to_pandas().set_index("k")["twa"].sort_index())
+
+    df = t.to_pandas().sort_values(["k", "ts", "eid"])
+    want = {}
+    for k, g in df.groupby("k"):
+        dt = g["ts"].values[1:].astype("int64") - \
+            g["ts"].values[:-1].astype("int64")
+        if len(g) < 2 or dt.sum() == 0:
+            continue
+        want[k] = np.round((g["v"].values[:-1] * dt).sum() / dt.sum(), 6)
+    assert set(got.index) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6), k
+    assert 5 not in got.index and 900 not in got.index
+
+
+def test_grouped_ohlc_vs_bruteforce(ray_session):
+    """grouped_ohlc fold == pandas first/last-by-(ts,id) + min/max/count,
+    across batch boundaries and with duplicate timestamps."""
+    from clp_core_ray.pipelines.aggregate import grouped_ohlc
+
+    rng = np.random.default_rng(32)
+    n = 3000
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 11, n), type=pa.int64()),
+        "s": pa.array(rng.choice(["a", "b", "c"], n)),
+        "ts": pa.array(rng.integers(0, 80, n) * US, type=pa.timestamp("us")),
+        "v": pa.array(rng.normal(0, 9, n)),
+        "eid": pa.array(rng.permutation(n).astype(np.int64)),
+    })
+    got = (grouped_ohlc(rd.from_arrow(t).repartition(9),
+                        key_cols=["g", "s"], val_col="v", ts_col="ts",
+                        id_col="eid")
+           .to_pandas().set_index(["g", "s"]).sort_index())
+    df = t.to_pandas().sort_values(["g", "s", "ts", "eid"])
+    for (g, s), grp in df.groupby(["g", "s"]):
+        row = got.loc[(g, s)]
+        assert row["open"] == grp["v"].iloc[0]
+        assert row["close"] == grp["v"].iloc[-1]
+        assert row["high"] == grp["v"].max()
+        assert row["low"] == grp["v"].min()
+        assert row["cnt"] == len(grp)
+    assert len(got) == df.groupby(["g", "s"]).ngroups
