@@ -434,3 +434,54 @@ def approx_distinct_window(ds, *, key_col: str, ts_col: str = "ts",
     return rd.from_arrow(pa.table({
         "day": pa.array(days).cast(pa.timestamp("us")),
         alias: pa.array(out)}))
+
+
+def cms_build(ds, col: str, *, width: int = 2048, depth: int = 4):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over ``col``:
+    returns (sketch[depth, width] int64, total_n). Per batch each of the
+    ``depth`` rows gets np.add.at of the batch's key hashes under an
+    independent (splitmix-derived) hash — a fixed depth×width grid rides
+    the exchange per batch (one row each), never the keys. Sketches merge
+    by elementwise +, so the fold is a plain sum; estimates overcount only
+    (min over rows), ε = e/width with probability 1 − e^−depth.
+    """
+    salts = (np.arange(1, depth + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _hash_col(b.column(col))
+        grid = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            pos = (_finalize(h ^ salts[d]) % np.uint64(width)).astype(np.int64)
+            np.add.at(grid[d], pos, 1)
+        return pa.table({"_row": pa.array(np.arange(depth)),
+                         "grid": pa.array(list(grid),
+                                          type=pa.list_(pa.int64())),
+                         "n": pa.array([len(h)] * depth)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    tabs = [pa.table(b) for b in parts.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(tabs)
+    rows = np.asarray(t.column("_row"), dtype=np.int64)
+    flat = np.asarray(t.column("grid").combine_chunks().flatten(),
+                      dtype=np.int64).reshape(-1, width)
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    np.add.at(sketch, rows, flat)
+    total = int(np.asarray(t.column("n"), dtype=np.int64)[rows == 0].sum())
+    return sketch, total
+
+
+def cms_query(sketch: np.ndarray, keys, *, col_type=None) -> np.ndarray:
+    """Point-query estimates for ``keys`` against a cms_build sketch:
+    min over depth rows — always ≥ the true count, ≤ true + ε·N w.h.p."""
+    depth, width = sketch.shape
+    arr = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(keys, type=col_type)
+    h = _hash_col(arr)
+    salts = (np.arange(1, depth + 1, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        pos = (_finalize(h ^ salts[d]) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, sketch[d, pos])
+    return est

@@ -606,10 +606,21 @@ def _centered_partial(key_col: str, val_cols: list[str], powers, mean_ref):
 
 
 def grouped_moments(ds, *, key_col: str, val_col: str,
-                    ndigits: int = 6):
+                    ndigits: int = 6, out_divisor: float = 1.0):
     """Per-group mean / sample stddev / sample-adjusted skewness & excess
     kurtosis, matching DuckDB's skewness()/kurtosis() bit-for-bit at the
     rounding digit (formulas pinned empirically; agreement ~1e-11).
+
+    ``out_divisor`` divides mean and std at OUTPUT (before rounding); skew
+    and kurtosis are scale-free. Feed integer-valued inputs (e.g.
+    microsecond gaps) and rescale at the end: integer-valued float64
+    partial sums are exact in ANY summation order, so the per-key mean is
+    bit-identical to the SQL oracle's — per-row pre-division (us→s) would
+    make each value carry an ulp and the rounded 6th decimal order-
+    dependent. A DIVISOR, not a multiplier, deliberately: /1e6 is a single
+    correctly-rounded operation matching SQL's ``avg(x)/1000000.0``, while
+    *1e-6 double-rounds through the inexact constant 1e-6 and flips exact
+    half-boundary values the other way.
 
     Corrected two-pass algorithm: pass 1 computes exact per-key means (one
     partial-aggregated exchange); the key→mean table — one row per key —
@@ -653,8 +664,8 @@ def grouped_moments(ds, *, key_col: str, val_col: str,
     return rd.from_arrow(pa.table({
         key_col: keys,
         "n": pa.array(n.astype(np.int64)),
-        "mean": pa.array(sql_round(means[val_col], ndigits)),
-        "std": pa.array(sql_round(std, ndigits)),
+        "mean": pa.array(sql_round(means[val_col] / out_divisor, ndigits)),
+        "std": pa.array(sql_round(std / out_divisor, ndigits)),
         "skew": pa.array(sql_round(skew, ndigits)),
         "kurt": pa.array(sql_round(kurt, ndigits))}))
 

@@ -5564,3 +5564,137 @@ def tpch_q10_returned_revenue(sf_dir: str):
     order = pc.sort_indices(out, sort_keys=[("revenue", "descending"),
                                             ("c_custkey", "ascending")])
     return out.take(order.slice(0, 20))
+
+
+@register(
+    "events_value_ntile",
+    "SELECT event_id, ntile(4) OVER (PARTITION BY event_type"
+    " ORDER BY value, event_id) AS tile FROM events",
+)
+def events_value_ntile(sf_dir: str):
+    """NTILE(4) per event type — the per-group quartile-bucket assignment a
+    feature pipeline uses for binned encodings. One key-hash shuffle,
+    branch-free tile arithmetic inside the bucket."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import grouped_ntile
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return grouped_ntile(ds, key="event_type", val_col="value",
+                         row_id_col="event_id", n_tiles=4)
+
+
+@register(
+    "events_gap_moments",
+    "WITH g AS (SELECT user_id, datediff('microsecond',"
+    "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    "  AS gap FROM events)"
+    " SELECT user_id, count(gap) AS n,"
+    " round(avg(gap) / 1000000.0, 6) AS mean,"
+    " round(stddev_samp(gap) / 1000000.0, 6) AS std,"
+    " round(skewness(gap), 6) AS skew, round(kurtosis(gap), 6) AS kurt"
+    " FROM g WHERE gap IS NOT NULL GROUP BY user_id",
+)
+def events_gap_moments(sf_dir: str):
+    """Inter-event-gap distribution profile per user (mean/std/skew/kurt of
+    seconds between consecutive events) — the burstiness signal. Gaps come
+    from one key-hash shuffle (lexsort + neighbor diff, no per-row window);
+    the moments reuse the corrected two-pass centered machinery."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import inter_event_gaps
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    gaps = inter_event_gaps(ds, key_col="user_id", ts_col="ts",
+                            id_col="event_id", unit_us=1.0)
+    # integer-microsecond gaps keep every partial sum exact (order-
+    # independent); scale to seconds only at output, before rounding
+    return agg.grouped_moments(gaps, key_col="user_id", val_col="gap",
+                               out_divisor=1e6)
+
+
+@register(
+    "events_modal_type",
+    "WITH c AS (SELECT user_id, event_type, count(*) AS cnt"
+    "  FROM events GROUP BY 1, 2)"
+    " SELECT user_id, event_type AS modal_type, cnt FROM c"
+    " QUALIFY row_number() OVER (PARTITION BY user_id"
+    "   ORDER BY cnt DESC, event_type) = 1",
+)
+def events_modal_type(sf_dir: str):
+    """Per-user modal event type (mode with min-string tiebreak): ONE
+    partial-aggregated count shuffle produces (user, type, cnt) — already
+    aggregate-sized — then a groupby(user) fold picks the argmax row."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    counts = agg.count_by(ds, ["user_id", "event_type"])
+
+    def pick(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "modal_type": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        order = pc.sort_indices(group, sort_keys=[
+            ("cnt", "descending"), ("event_type", "ascending")])
+        top = group.take(order.slice(0, 1))
+        return pa.table({"user_id": top.column("user_id"),
+                         "modal_type": top.column("event_type"),
+                         "cnt": top.column("cnt")})
+
+    return counts.groupby("user_id").map_groups(pick, batch_format="pyarrow")
+
+
+@register(
+    "emb_ann_topk_filtered",
+    "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id "
+    "FROM embeddings q, embeddings e "
+    "WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id AND e.label = 3 "
+    "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+    "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,"
+    " e.vec_id) <= 10",
+)
+def emb_ann_topk_filtered(sf_dir: str):
+    """Filtered vector search (metadata predicate + top-k cosine): the
+    label filter is pushed into the parquet READ (row-group pruning — only
+    matching rows leave storage), then the brute top-k scans the shrunken
+    stream. The production shape for 'nearest neighbors among docs tagged
+    X' without post-filter recall loss."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _emb_matrix
+    from clp_core_ray.functions.similarity import topk_cosine
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 5))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filter=pc.field("label") == 3)
+    out = topk_cosine(ds, _emb_matrix(qt, "embedding"),
+                      qt.column("vec_id").to_pylist(), k=10)
+    return out.select(["query_id", "neighbor_id"])
+
+
+@register("events_cms_user_counts")  # approximate by design: rows-only
+def events_cms_user_counts(sf_dir: str):
+    """Count-min sketch point estimates for the heavy-hitter users: one
+    streaming pass builds the fixed depth×width grid (one grid row per
+    batch rides the exchange, never the keys), Misra-Gries supplies the
+    candidate set, CMS answers the point queries. Overcount-only error
+    bounded at e/width·N — pinned in pytest."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import (cms_build, cms_query,
+                                               heavy_hitters)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    hh = heavy_hitters(ds, "user_id", k=10)
+    sketch, _ = cms_build(ds, "user_id", width=4096, depth=4)
+    est = cms_query(sketch, hh.column("user_id").combine_chunks())
+    return pa.table({"user_id": hh.column("user_id"),
+                     "est_cnt": pa.array(est)})

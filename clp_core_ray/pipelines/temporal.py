@@ -1022,3 +1022,40 @@ def time_weighted_avg(ds, *, key_col: str, ts_col: str, val_col: str,
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_twb").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def inter_event_gaps(ds, *, key_col: str, ts_col: str, id_col: str,
+                     out_col: str = "gap", unit_us: float = 1e6,
+                     num_buckets: int | None = None):
+    """Per-key inter-event gaps: for every event after its key's first,
+    emit (key, gap) where gap = ts − previous ts in (ts, id) order, scaled
+    by ``unit_us`` (default: seconds). The SQL lag()-window shape, produced
+    without a per-row window: one hash shuffle into key buckets, lexsort,
+    neighbor diff, cross-key pairs masked out. Feed the output to
+    ``aggregate.grouped_moments`` for gap-distribution profiles."""
+    num_buckets = num_buckets or scaled_buckets()
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(key_col), dtype=np.int64)
+        return batch.select([key_col, ts_col, id_col]).append_column(
+            "_gb", pa.array((ids % np.int64(num_buckets)).astype(np.int32)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
+                          out_col: pa.array([], type=pa.float64())})
+        if group.num_rows < 2 or key_col not in group.column_names:
+            return empty
+        k = np.asarray(group.column(key_col), dtype=np.int64)
+        ts = np.asarray(group.column(ts_col)).view(np.int64)
+        rid = np.asarray(group.column(id_col), dtype=np.int64)
+        order = np.lexsort((rid, ts, k))
+        k, ts = k[order], ts[order]
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return empty
+        gaps = (ts[1:] - ts[:-1]).astype(np.float64)[same] / unit_us
+        return pa.table({key_col: pa.array(k[1:][same]),
+                         out_col: pa.array(gaps)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_gb").map_groups(per_bucket, batch_format="pyarrow"))

@@ -505,3 +505,66 @@ def trailing_distinct_count(ds, *, key_col: str, ts_col: str = "ts",
         lambda b: pa.table({"day": b.column("_td"),
                             out_col: b.column("cnt")}),
         batch_format="pyarrow")
+
+
+def grouped_ntile(ds, *, key: str, val_col: str, row_id_col: str,
+                  n_tiles: int, n_buckets: int | None = None):
+    """SQL NTILE(n) OVER (PARTITION BY key ORDER BY val, id): split each
+    partition into ``n_tiles`` ordered tiles, the first ``n % n_tiles``
+    tiles one row larger (the SQL remainder rule). Returns
+    Dataset[(row_id_col, tile)].
+
+    Shape: one shuffle into key-hash buckets, then a vectorized pass per
+    bucket — lexsort (key, val, id), partition starts via neighbor compare,
+    per-row partition size by indexing the run-length table, and the tile
+    index is branch-free arithmetic on the 0-based row number. Works for
+    float or integer ``val_col``.
+    """
+    n_buckets = n_buckets or scaled_buckets()
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if pa.types.is_integer(col.type):
+            b = (np.asarray(col, dtype=np.int64)
+                 % np.int64(n_buckets)).astype(np.int32)
+        else:
+            offsets, data = _string_buffers(col)
+            h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+            b = (h % np.uint64(n_buckets)).astype(np.int32)
+        return (batch.select([row_id_col, key, val_col])
+                .append_column("_wbucket", pa.array(b)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = {row_id_col: pa.array([], type=pa.int64()),
+                 "tile": pa.array([], type=pa.int64())}
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table(empty)
+        kcol = group.column(key).combine_chunks()
+        if pa.types.is_integer(kcol.type):
+            kcode = np.asarray(kcol, dtype=np.int64)
+        else:
+            kcode = np.asarray(pc.dictionary_encode(kcol).indices,
+                               dtype=np.int64)
+        v = np.asarray(group.column(val_col), dtype=np.float64)
+        rid = np.asarray(group.column(row_id_col), dtype=np.int64)
+        order = np.lexsort((rid, v, kcode))
+        kcode, rid = kcode[order], rid[order]
+        m = len(rid)
+        idx = np.arange(m, dtype=np.int64)
+        brk = np.ones(m, dtype=bool)
+        brk[1:] = kcode[1:] != kcode[:-1]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[starts, m])
+        part = np.cumsum(brk) - 1
+        n = sizes[part]                      # partition size, per row
+        rn0 = idx - starts[part]             # 0-based row number in partition
+        q, r = n // n_tiles, n % n_tiles
+        cut = r * (q + 1)                    # rows covered by the fat tiles
+        fat = rn0 < cut
+        tile = np.where(fat, rn0 // np.maximum(q + 1, 1),
+                        r + (rn0 - cut) // np.maximum(q, 1)) + 1
+        return pa.table({row_id_col: pa.array(rid),
+                         "tile": pa.array(tile.astype(np.int64))})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_wbucket").map_groups(per_bucket, batch_format="pyarrow"))

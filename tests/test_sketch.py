@@ -206,3 +206,63 @@ def test_approx_distinct_window_vs_exact(ray_session):
                                    window_days=7).to_pandas() \
         .set_index("day")["approx_wau"]
     assert (again.sort_index() == approx.sort_index()).all()
+
+
+def test_cms_point_queries_bounded(ray_session):
+    """CMS estimates never undercount and stay within eps*N of truth;
+    merged-across-partitions sketch equals a single-partition build."""
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import cms_build, cms_query
+
+    rng = np.random.default_rng(41)
+    # zipf-ish: few heavy keys, long tail
+    keys = np.concatenate([
+        np.repeat(np.arange(10, dtype=np.int64), 2000),
+        rng.integers(100, 40000, 30000),
+    ])
+    rng.shuffle(keys)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(8)
+    sketch, n = cms_build(ds, "k", width=2048, depth=4)
+    assert n == len(keys)
+    true = {k: int(c) for k, c in
+            zip(*np.unique(keys, return_counts=True))}
+    probe = list(range(10)) + [99999]  # heavies + one absent key
+    est = cms_query(sketch, np.asarray(probe, dtype=np.int64))
+    eps_n = (np.e / 2048) * n
+    for k, e in zip(probe, est):
+        t = true.get(k, 0)
+        assert e >= t, (k, e, t)
+        assert e <= t + eps_n, (k, e, t, eps_n)
+    # determinism / merge-associativity: 1 partition == 8 partitions
+    s1, _ = cms_build(rd.from_arrow(pa.table({"k": pa.array(keys)})), "k",
+                      width=2048, depth=4)
+    assert (s1 == sketch).all()
+
+
+def test_grouped_ntile_vs_duckdb(ray_session):
+    """grouped_ntile == SQL NTILE across remainder splits, n < tiles,
+    string keys, and float values."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import grouped_ntile
+
+    rng = np.random.default_rng(42)
+    n = 5000
+    t = pa.table({
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "g": pa.array(rng.choice(["x", "y", "z", "tiny"], n,
+                                 p=[0.45, 0.45, 0.0994, 0.0006])),
+        "v": pa.array(rng.normal(0, 3, n)),
+    })
+    for k in (3, 4, 7):
+        got = (grouped_ntile(rd.from_arrow(t).repartition(6), key="g",
+                             val_col="v", row_id_col="eid", n_tiles=k)
+               .to_pandas().set_index("eid")["tile"].sort_index())
+        want = duckdb.sql(
+            f"SELECT eid, ntile({k}) OVER (PARTITION BY g ORDER BY v, eid)"
+            " AS tile FROM t ORDER BY eid").df().set_index("eid")["tile"]
+        assert (got.values == want.values).all(), k
