@@ -72,17 +72,20 @@ _GATE_PRIORITY = [
     # similarity / clustering
     "emb_knn_label_vote_ivf", "emb_hard_negatives_ivf", "emb_simhash_dedup",
     "emb_kmeans_assign",
-    # graph + multi-join analytics (new this continuation)
+    # graph + multi-join analytics (q18 supersedes q3 in-window: same
+    # broadcast machinery plus the aggregate→HAVING→semi-join-back shape)
     "graph_pagerank", "copurchase_top_pairs",
-    "tpch_q3_shipping", "tpch_q5_local_supplier",
-    # temporal joins + windows + per-group statistics (moments/corr/mad
-    # supersede zscore/above_median in-window: same partials plus the
-    # two-pass centered machinery; wau adds distinct-over-window)
+    "tpch_q18_large_orders", "tpch_q5_local_supplier",
+    # temporal joins + windows + per-group statistics (gap_moments
+    # supersedes value_moments in-window: same two-pass centered machinery
+    # — still covered by corr — plus the pair-delta gap operator and the
+    # exact-integer-µs output-divisor path; ohlc adds the endpoint-merge
+    # fold, twa the duration-weighted mean)
     "events_asof_latest_order", "events_window_join",
-    "events_topk_per_user",
-    "events_value_moments", "lineitem_corr_by_flag", "events_value_mad",
-    "events_user_pivot", "events_target_encode", "events_wau",
-    "events_new_users_by_day", "events_props_k_stats",
+    "events_topk_per_user", "events_ohlc_daily", "events_twa_by_user",
+    "events_gap_moments", "lineitem_corr_by_flag", "events_value_mad",
+    "events_target_encode", "events_wau",
+    "events_props_k_stats",
     "part_name_editdist_pairs",
     # sketches
     "events_heavy_users",
