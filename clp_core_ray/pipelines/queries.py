@@ -5701,3 +5701,103 @@ def events_cms_user_counts(sf_dir: str):
     est = cms_query(sketch, hh.column("user_id").combine_chunks())
     return pa.table({"user_id": hh.column("user_id"),
                      "est_cnt": pa.array(est)})
+
+
+@register(
+    "events_dod_change",
+    "WITH d AS (SELECT date_trunc('day', ts) AS day, event_type,"
+    "  count(*) AS cnt FROM events GROUP BY 1, 2)"
+    " SELECT day, event_type, cnt,"
+    "  cnt - lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS delta,"
+    "  round(cnt / lag(cnt) OVER (PARTITION BY event_type ORDER BY day)"
+    "        - 1.0, 6) AS pct_change"
+    " FROM d",
+)
+def events_dod_change(sf_dir: str):
+    """Day-over-day volume change per event type: ONE partial-aggregated
+    count shuffle to (day, type) — aggregate-sized at any corpus scale —
+    then the lag/ratio pass runs on the folded table driver-side (days ×
+    types rows). Missing previous day yields SQL's NULLs."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    ds = agg.add_time_bucket(ds, "ts", "day", out_col="day")
+    fine = _tbl(agg.count_by(ds, ["day", "event_type"]))
+    day = np.asarray(fine.column("day").cast(pa.timestamp("us"))
+                     .cast(pa.int64()))
+    et = fine.column("event_type").combine_chunks()
+    code = np.asarray(et.dictionary_encode().indices, dtype=np.int64)
+    cnt = np.asarray(fine.column("cnt"), dtype=np.int64)
+    order = np.lexsort((day, code))
+    day, code, cnt = day[order], code[order], cnt[order]
+    first = np.r_[True, code[1:] != code[:-1]]
+    prev = np.empty_like(cnt)
+    prev[1:] = cnt[:-1]
+    delta = cnt - prev
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct = agg.sql_round(cnt / prev.astype(np.float64) - 1.0, 6)
+    return pa.table({
+        "day": pa.array(day).cast(pa.timestamp("us")),
+        "event_type": et.take(pa.array(order)),
+        "cnt": pa.array(cnt),
+        "delta": pa.array(delta, mask=first),
+        "pct_change": pa.array(pct, mask=first),
+    })
+
+
+@register(
+    "events_incremental_counts",
+    "SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value"
+    " FROM events GROUP BY event_type",
+)
+def events_incremental_counts(sf_dir: str):
+    """Incremental aggregate (materialized-view) maintenance: the base
+    aggregate is built from the first 80% of events (by event_id), then
+    the remaining 20% stream through the SAME partial-aggregation path and
+    merge into the view by key — no recompute of the base. The oracle is
+    the full-table aggregate: incremental merge must equal recompute
+    exactly (counts int-exact; sums reassociate within the rounding digit).
+    Reference analogue: incremental archive ingestion
+    (clp::streaming_archive appending segments without rewriting)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    path = f"{sf_dir}/events.parquet"
+    hi = pc.max(pq.read_table(path, columns=["event_id"])
+                .column("event_id")).as_py()
+    split = int(hi * 0.8)
+    base_ds = rd.read_parquet(path, columns=["event_id", "event_type", "value"],
+                              filter=pc.field("event_id") <= split)
+    delta_ds = rd.read_parquet(path, columns=["event_id", "event_type", "value"],
+                               filter=pc.field("event_id") > split)
+    base = _tbl(agg.count_sum_by(base_ds, "event_type", "value",
+                                 cnt_alias="cnt", sum_alias="_sv"))
+    delta = _tbl(agg.count_sum_by(delta_ds, "event_type", "value",
+                                  cnt_alias="cnt", sum_alias="_sv"))
+    merged = (pa.concat_tables([base, delta])
+              .group_by(["event_type"])
+              .aggregate([("cnt", "sum"), ("_sv", "sum")])
+              .rename_columns(["event_type", "cnt", "_sv"]))
+    return merged.append_column(
+        "sum_value", pa.array(agg.sql_round(
+            np.asarray(merged.column("_sv"), dtype=np.float64), 2))
+    ).drop_columns(["_sv"])
+
+
+@register(
+    "clp_csv_ingest",
+    f"SELECT {ROUTE_SQL_EXPR} AS logtype_class, count(*) AS cnt"
+    " FROM {T} GROUP BY 1",
+)
+def clp_csv_ingest(sf_dir: str):
+    """CSV ingestion path: the transcript shards are read from their CSV
+    replica (ray.data.read_csv, explicit arrow schema — no inference
+    drift) and run through the same route→count pipeline as the parquet
+    flagship; the oracle compares against the PARQUET table, so any CSV
+    parse divergence (quoting, timestamps, empty-vs-null) breaks the hash."""
+    from clp_core_ray.sources.transcripts import read_transcripts_csv
+
+    ds = read_transcripts_csv(sf_dir).map_batches(RouteStage(),
+                                                  batch_format="pyarrow")
+    return agg.count_by(ds, "logtype_class")

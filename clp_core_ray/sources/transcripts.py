@@ -220,3 +220,47 @@ def read_transcripts(sf_dir_or_sf: str | float, seed: int = SEED, **read_kwargs)
             FILES_PER_DATASET, 2 * ncpu, min(4 * ncpu, by_rows)
         )
     return rd.read_parquet(transcripts_path(sf_dir_or_sf, seed), **read_kwargs)
+
+
+def transcripts_csv_path(sf_dir_or_sf: str | float, seed: int = SEED) -> str:
+    """CSV replica of the transcript shards (converted once, atomic dir
+    rename like :func:`transcripts_path`) — the fixture for the CSV ingest
+    path (S-family: many telemetry exports ship CSV, reference analogue
+    clp's fileless stdin/text ingestion surface)."""
+    from pyarrow import csv as pacsv
+
+    src = transcripts_path(sf_dir_or_sf, seed)
+    path = src + "_csv"
+    if not os.path.isdir(path):
+        tmp = tempfile.mkdtemp(dir=CACHE_DIR)
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                pacsv.write_csv(
+                    pq.read_table(os.path.join(src, f)),
+                    os.path.join(tmp, f.replace(".parquet", ".csv")))
+        try:
+            os.replace(tmp, path)
+        except OSError:  # concurrent converter won; keep theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def read_transcripts_csv(sf_dir_or_sf: str | float, seed: int = SEED,
+                         **read_kwargs):
+    """Ray Dataset from the CSV replica via ``ray.data.read_csv`` with an
+    EXPLICIT arrow schema (no type inference drift: turn_idx stays int32,
+    ts parses as timestamp[us], empty strings stay strings, not nulls).
+    Produces the same table as :func:`read_transcripts` — pinned by the
+    clp_csv_ingest oracle."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    convert = pacsv.ConvertOptions(column_types={
+        "conv_id": pa.string(), "turn_idx": pa.int32(),
+        "role": pa.string(), "text": pa.string(), "tool": pa.string(),
+        "ts": pa.timestamp("us"),
+    }, strings_can_be_null=False)
+    return rd.read_csv(transcripts_csv_path(sf_dir_or_sf, seed),
+                       convert_options=convert, **read_kwargs)
