@@ -5801,3 +5801,174 @@ def clp_csv_ingest(sf_dir: str):
     ds = read_transcripts_csv(sf_dir).map_batches(RouteStage(),
                                                   batch_format="pyarrow")
     return agg.count_by(ds, "logtype_class")
+
+
+@register(
+    "emb_dim_stats",
+    "SELECT i AS dim, round(avg(embedding[i]), 6) AS mean,"
+    " round(stddev_samp(embedding[i]), 6) AS std,"
+    " round(min(embedding[i]), 6) AS lo, round(max(embedding[i]), 6) AS hi"
+    " FROM embeddings, range(1, 65) t(i) GROUP BY i",
+)
+def emb_dim_stats(sf_dir: str):
+    """Per-dimension embedding statistics (the drift monitor a vector
+    pipeline runs before/after re-embedding): each batch folds its
+    embedding matrix to 64 (n, Σx, Σx², min, max) rows — the exchange is
+    dims × batches regardless of corpus size — and the driver finishes the
+    sample-variance algebra. Dimension ids are 1-based to match SQL list
+    indexing."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import _emb_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _emb_matrix(b, "embedding").astype(np.float64)
+        d = x.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1)),
+            "_n": pa.array(np.full(d, x.shape[0], dtype=np.int64)),
+            "_s": pa.array(x.sum(axis=0)),
+            "_ss": pa.array((x * x).sum(axis=0)),
+            "_lo": pa.array(x.min(axis=0)),
+            "_hi": pa.array(x.max(axis=0)),
+        })
+
+    folded = _tbl(ds.map_batches(partial, batch_format="pyarrow")) \
+        .group_by(["dim"]).aggregate([
+            ("_n", "sum"), ("_s", "sum"), ("_ss", "sum"),
+            ("_lo", "min"), ("_hi", "max")]) \
+        .rename_columns(["dim", "_n", "_s", "_ss", "_lo", "_hi"])
+    n = np.asarray(folded.column("_n"), dtype=np.float64)
+    s = np.asarray(folded.column("_s"), dtype=np.float64)
+    ss = np.asarray(folded.column("_ss"), dtype=np.float64)
+    mean = s / n
+    var = np.maximum((ss - s * s / n) / (n - 1.0), 0.0)
+    return pa.table({
+        "dim": folded.column("dim"),
+        "mean": pa.array(agg.sql_round(mean, 6)),
+        "std": pa.array(agg.sql_round(np.sqrt(var), 6)),
+        "lo": pa.array(agg.sql_round(
+            np.asarray(folded.column("_lo"), dtype=np.float64), 6)),
+        "hi": pa.array(agg.sql_round(
+            np.asarray(folded.column("_hi"), dtype=np.float64), 6)),
+    })
+
+
+@register(
+    "clp_conv_features",
+    "SELECT conv_id, count(*) AS n_turns,"
+    " CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_user,"
+    " CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_assistant,"
+    " round(CAST(sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS DOUBLE)"
+    "       / count(*), 6) AS tool_rate,"
+    " round(CAST(sum(length(text)) AS DOUBLE) / count(*), 2) AS avg_chars"
+    " FROM {T} GROUP BY conv_id",
+)
+def clp_conv_features(sf_dir: str):
+    """Per-conversation curation features (turn counts, role balance, tool
+    usage rate, mean turn length) — the quality-signal table a transcript
+    corpus filter keys on. ONE partial-aggregated shuffle: each batch folds
+    to per-conv indicator sums; ratios are exact-integer divisions, so they
+    are bit-identical to the SQL oracle's."""
+    ds = read_transcripts(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "conv_id": b.column("conv_id"),
+            "_n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "_u": pc.cast(pc.equal(b.column("role"), "user"), pa.int64()),
+            "_a": pc.cast(pc.equal(b.column("role"), "assistant"),
+                          pa.int64()),
+            "_t": pc.cast(pc.not_equal(
+                pc.fill_null(b.column("tool"), ""), ""), pa.int64()),
+            "_c": pc.cast(pc.utf8_length(
+                pc.fill_null(b.column("text"), "")), pa.int64()),
+        })
+        return (t.group_by(["conv_id"])
+                .aggregate([("_n", "sum"), ("_u", "sum"), ("_a", "sum"),
+                            ("_t", "sum"), ("_c", "sum")])
+                .rename_columns(["conv_id", "_n", "_u", "_a", "_t", "_c"]))
+
+    from ray.data.aggregate import Sum
+
+    folded = _tbl(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("conv_id")
+                  .aggregate(Sum("_n", alias_name="_n"),
+                             Sum("_u", alias_name="_u"),
+                             Sum("_a", alias_name="_a"),
+                             Sum("_t", alias_name="_t"),
+                             Sum("_c", alias_name="_c")))
+    n = np.asarray(folded.column("_n"), dtype=np.float64)
+    return pa.table({
+        "conv_id": folded.column("conv_id"),
+        "n_turns": folded.column("_n"),
+        "n_user": folded.column("_u"),
+        "n_assistant": folded.column("_a"),
+        "tool_rate": pa.array(agg.sql_round(
+            np.asarray(folded.column("_t"), dtype=np.float64) / n, 6)),
+        "avg_chars": pa.array(agg.sql_round(
+            np.asarray(folded.column("_c"), dtype=np.float64) / n, 2)),
+    })
+
+
+@register(
+    "clp_role_violations",
+    "WITH r AS (SELECT conv_id, role, lag(role) OVER"
+    "  (PARTITION BY conv_id ORDER BY turn_idx) AS prev FROM {T})"
+    " SELECT conv_id, count(*) FILTER (WHERE role = prev"
+    "   AND role IN ('user', 'assistant')) AS n_violations"
+    " FROM r GROUP BY conv_id"
+    " HAVING count(*) FILTER (WHERE role = prev"
+    "   AND role IN ('user', 'assistant')) > 0",
+)
+def clp_role_violations(sf_dir: str):
+    """Role-alternation validator: conversations where the same user/
+    assistant role speaks twice in a row (turn order) — the structural
+    data-quality gate a dialogue corpus runs before training. One hash
+    shuffle into conv buckets, lexsort (conv, turn_idx), one neighbor
+    compare; only violating conversations are emitted."""
+    from clp_core_ray.pipelines.windows import scaled_buckets
+    from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
+
+    nb = scaled_buckets()
+    ds = read_transcripts(
+        sf_dir).select_columns(["conv_id", "turn_idx", "role"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        offsets, data = _string_buffers(b.column("conv_id").combine_chunks())
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        return b.append_column(
+            "_rb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"conv_id": pa.array([], type=pa.string()),
+                          "n_violations": pa.array([], type=pa.int64())})
+        if g.num_rows < 2 or "conv_id" not in g.column_names:
+            return empty
+        conv = g.column("conv_id").combine_chunks()
+        code = np.asarray(conv.dictionary_encode().indices, dtype=np.int64)
+        ti = np.asarray(g.column("turn_idx"), dtype=np.int64)
+        role = g.column("role").combine_chunks()
+        rcode = np.asarray(role.dictionary_encode().indices, dtype=np.int64)
+        speak = np.asarray(pc.is_in(role, value_set=pa.array(
+            ["user", "assistant"])))
+        order = np.lexsort((ti, code))
+        code, rcode, speak = code[order], rcode[order], speak[order]
+        viol = (code[1:] == code[:-1]) & (rcode[1:] == rcode[:-1]) & speak[1:]
+        if not viol.any():
+            return empty
+        starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+        per_conv = np.add.reduceat(np.r_[viol, False].astype(np.int64),
+                                   starts)
+        keep = per_conv > 0
+        return pa.table({
+            "conv_id": conv.take(pa.array(order[starts][keep])),
+            "n_violations": pa.array(per_conv[keep])})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_rb").map_groups(per_bucket, batch_format="pyarrow"))
