@@ -5972,3 +5972,237 @@ def clp_role_violations(sf_dir: str):
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_rb").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+@register(
+    "clp_last_k_turns",
+    "SELECT conv_id, turn_idx, role FROM {T}"
+    " QUALIFY row_number() OVER (PARTITION BY conv_id"
+    "  ORDER BY turn_idx DESC) <= 3",
+)
+def clp_last_k_turns(sf_dir: str):
+    """Context truncation: keep each conversation's last 3 turns (the
+    window an SFT pipeline feeds a bounded-context model). Per-batch
+    top-k prunes to ≤k rows per conv before the one bucket exchange."""
+    from clp_core_ray.pipelines.temporal import grouped_topk
+
+    ds = read_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role"])
+    out = grouped_topk(ds, key_col="conv_id", order_col="turn_idx", k=3,
+                       tiebreak_col="turn_idx", descending=True)
+    return out.select_columns(["conv_id", "turn_idx", "role"])
+
+
+@register(
+    "clp_markup_roundtrip",
+    "SELECT role, count(*) AS n_turns,"
+    " CAST(sum(length(text)) AS BIGINT) AS n_chars"
+    " FROM {T} GROUP BY role",
+)
+def clp_markup_roundtrip(sf_dir: str):
+    """Chat-markup format round trip: render each conversation to one
+    '<|role|>text…' string (the ChatML-ish export an SFT pipeline emits),
+    then PARSE the markup back into turns and aggregate per role — counts
+    and character totals must equal the source table exactly, so any
+    render/parse asymmetry breaks the hash. Both directions are fully
+    vectorized: render = lexsort + run-offset ListArray + binary_join;
+    parse = split_pattern flatten + one more bounded split. One conv-bucket
+    shuffle total."""
+    from clp_core_ray.pipelines.windows import scaled_buckets
+    from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
+
+    nb = scaled_buckets()
+    ds = read_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        offsets, data = _string_buffers(b.column("conv_id").combine_chunks())
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        return b.append_column(
+            "_mb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def render(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "conv_id" not in g.column_names:
+            return pa.table({"markup": pa.array([], type=pa.large_string())})
+        conv = g.column("conv_id").combine_chunks()
+        code = np.asarray(conv.dictionary_encode().indices, dtype=np.int64)
+        ti = np.asarray(g.column("turn_idx"), dtype=np.int64)
+        order = np.lexsort((ti, code))
+        code = code[order]
+        idx = pa.array(order)
+        parts = pc.binary_join_element_wise(
+            pa.array(["<|"] * g.num_rows),
+            pc.take(g.column("role"), idx).cast(pa.string()),
+            pa.array(["|>"] * g.num_rows), "")
+        parts = pc.binary_join_element_wise(
+            parts, pc.fill_null(pc.take(g.column("text"), idx), "")
+            .cast(pa.string()), "")
+        starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+        offsets = pa.array(np.r_[starts, len(code)].astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, parts.combine_chunks())
+        return pa.table({"markup": pc.binary_join(lists, "")})
+
+    def parse(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("markup").combine_chunks(), "<|")
+        flat = pc.list_flatten(toks)  # first element per conv is "" — drop
+        flat = flat.filter(pc.not_equal(flat, ""))
+        two = pc.split_pattern(flat, "|>", max_splits=1)
+        role = pc.list_element(two, 0)
+        text = pc.list_element(two, 1)
+        t = pa.table({"role": role,
+                      "_n": pa.array(np.ones(len(role), dtype=np.int64)),
+                      "_c": pc.cast(pc.utf8_length(text), pa.int64())})
+        return (t.group_by(["role"])
+                .aggregate([("_n", "sum"), ("_c", "sum")])
+                .rename_columns(["role", "n_turns", "n_chars"]))
+
+    from ray.data.aggregate import Sum
+
+    markup = (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby("_mb").map_groups(render, batch_format="pyarrow"))
+    return (markup.map_batches(parse, batch_format="pyarrow")
+            .groupby("role")
+            .aggregate(Sum("n_turns", alias_name="n_turns"),
+                       Sum("n_chars", alias_name="n_chars")))
+
+
+@register(
+    "events_value_winsorized",
+    "WITH q AS (SELECT event_type,"
+    "   quantile_disc(value, 0.05) AS lo, quantile_disc(value, 0.95) AS hi"
+    "  FROM events GROUP BY 1)"
+    " SELECT e.event_type, count(*) AS cnt,"
+    "  round(sum(least(greatest(e.value, q.lo), q.hi)), 2) AS wsum"
+    " FROM events e JOIN q USING (event_type)"
+    " GROUP BY e.event_type",
+)
+def events_value_winsorized(sf_dir: str):
+    """Winsorized sums: per-type p05/p95 quantiles (exact, one histogram
+    exchange) broadcast into a clip-and-partial-sum pass over the value
+    stream — the heavy-tail-robust aggregate a metrics pipeline reports.
+    The value stream itself is never shuffled; the second exchange carries
+    one row per (type, batch)."""
+    import ray
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_quantile_disc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    qt = _tbl(grouped_quantile_disc(ds, key_col="event_type",
+                                    val_col="value", qs=(0.05, 0.95)))
+    lo_t = qt.filter(pc.equal(qt.column("q"), 0.05))
+    hi_t = qt.filter(pc.equal(qt.column("q"), 0.95))
+    pos = pc.index_in(lo_t.column("event_type"), hi_t.column("event_type"))
+    bounds = pa.table({
+        "event_type": lo_t.column("event_type"),
+        "lo": lo_t.column("value"),
+        "hi": pc.take(hi_t.column("value"), pos)})
+    ref = ray.put(bounds)
+
+    def clip_sum(b: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        idx = pc.index_in(b.column("event_type").combine_chunks(),
+                          bd.column("event_type"))
+        lo = np.asarray(bd.column("lo").take(idx), dtype=np.float64)
+        hi = np.asarray(bd.column("hi").take(idx), dtype=np.float64)
+        v = np.clip(np.asarray(b.column("value"), dtype=np.float64), lo, hi)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "_n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                      "_w": pa.array(v)})
+        return (t.group_by(["event_type"])
+                .aggregate([("_n", "sum"), ("_w", "sum")])
+                .rename_columns(["event_type", "cnt", "_w"]))
+
+    from ray.data.aggregate import Sum
+
+    out = _tbl(ds.map_batches(clip_sum, batch_format="pyarrow")
+               .groupby("event_type")
+               .aggregate(Sum("cnt", alias_name="cnt"),
+                          Sum("_w", alias_name="_w")))
+    return out.append_column(
+        "wsum", pa.array(agg.sql_round(
+            np.asarray(out.column("_w"), dtype=np.float64), 2))
+    ).drop_columns(["_w"])
+
+
+@register(
+    "events_max_burst",
+    "WITH w AS (SELECT user_id, count(*) OVER (PARTITION BY user_id"
+    "   ORDER BY ts RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING"
+    "   AND CURRENT ROW) AS c FROM events)"
+    " SELECT user_id, max(c) AS max_burst FROM w GROUP BY user_id",
+)
+def events_max_burst(sf_dir: str):
+    """Peak burst rate per user: max trailing-10-minute event count — the
+    rate-limit/abuse signal. One key-hash shuffle; inside each bucket the
+    trailing frame comes from two searchsorted sweeps on a composite
+    partition×time axis (the trailing_window_agg kernel) and the per-key
+    max folds in the same pass, so only (user, max) rows leave the bucket."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+    window_us = 10 * 60 * 1_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("user_id"), dtype=np.int64)
+        return b.append_column(
+            "_bb", pa.array((ids % np.int64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "max_burst": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return empty
+        ids = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts")).view(np.int64)
+        order = np.lexsort((ts, ids))
+        ids, ts = ids[order], ts[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = ids[1:] != ids[:-1]
+        part = np.cumsum(brk) - 1
+        t0 = ts.min()
+        stride = np.int64(int(ts.max()) - int(t0) + window_us + 2)
+        adj = part * stride + (ts - t0)
+        right = np.searchsorted(adj, adj, side="right")
+        left = np.searchsorted(adj, adj - np.int64(window_us), side="left")
+        cnt = right - left
+        starts = np.flatnonzero(brk)
+        mx = np.maximum.reduceat(cnt, starts)
+        return pa.table({"user_id": pa.array(ids[starts]),
+                         "max_burst": pa.array(mx)})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_bb").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+@register(
+    "events_users_per_type",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users"
+    " FROM events GROUP BY event_type",
+)
+def events_users_per_type(sf_dir: str):
+    """Exact distinct users per event type: per-batch (type, user) dedupe
+    bounds the first exchange at distinct pairs per batch; a second
+    aggregate-sized count finishes. The HLL sibling
+    (events_approx_users_by_type) is the sketch path at higher key
+    cardinality."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def dedupe(b: pa.Table) -> pa.Table:
+        return (b.group_by(["event_type", "user_id"])
+                .aggregate([]))
+
+    pairs = agg.count_by(
+        ds.map_batches(dedupe, batch_format="pyarrow"),
+        ["event_type", "user_id"])
+    return agg.count_by(pairs, "event_type").map_batches(
+        lambda b: b.rename_columns(["event_type", "n_users"]),
+        batch_format="pyarrow")
