@@ -6206,3 +6206,141 @@ def events_users_per_type(sf_dir: str):
     return agg.count_by(pairs, "event_type").map_batches(
         lambda b: b.rename_columns(["event_type", "n_users"]),
         batch_format="pyarrow")
+
+
+@register(
+    "events_rfm_features",
+    "WITH mx AS (SELECT max(ts) AS m FROM events)"
+    " SELECT user_id,"
+    " CAST(date_diff('day', date_trunc('day', max(ts)),"
+    "      date_trunc('day', (SELECT m FROM mx))) AS BIGINT) AS recency_days,"
+    " count(*) AS n_total,"
+    " CAST(count(*) FILTER (WHERE ts > (SELECT m FROM mx)"
+    "      - INTERVAL 7 DAY) AS BIGINT) AS freq_7d,"
+    " round(sum(value) FILTER (WHERE ts > (SELECT m FROM mx)"
+    "      - INTERVAL 7 DAY), 2) AS mon_7d"
+    " FROM events GROUP BY user_id",
+)
+def events_rfm_features(sf_dir: str):
+    """RFM (recency / frequency / monetary) feature table per user — the
+    churn-model input. Pass 1 folds the corpus max timestamp (one scalar
+    per batch); pass 2 partial-aggregates (n, max_ts, windowed n, windowed
+    Σvalue) per (user, batch) with the 7-day cutoff broadcast — the event
+    stream is never shuffled, both exchanges are aggregate-sized. Users
+    with no in-window events get SQL's NULL monetary."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    US_DAY = 86_400_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def mx(b: pa.Table) -> pa.Table:
+        us = b.column("ts").combine_chunks().cast(pa.int64())
+        return pa.table({"hi": pa.array([pc.max(us).as_py()])})
+
+    tops = _tbl(ds.map_batches(mx, batch_format="pyarrow"))
+    m_us = pc.max(tops.column("hi")).as_py()
+    cutoff = m_us - 7 * US_DAY
+    m_day = (m_us // US_DAY) * US_DAY
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = np.asarray(b.column("ts").combine_chunks().cast(pa.int64()),
+                        dtype=np.int64)
+        inw = us > cutoff
+        v = np.asarray(b.column("value"), dtype=np.float64)
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "_mx": pa.array(us),
+            "_n": pa.array(np.ones(len(us), dtype=np.int64)),
+            "_f": pa.array(inw.astype(np.int64)),
+            "_s": pa.array(np.where(inw, v, 0.0)),
+        })
+        return (t.group_by(["user_id"])
+                .aggregate([("_mx", "max"), ("_n", "sum"), ("_f", "sum"),
+                            ("_s", "sum")])
+                .rename_columns(["user_id", "_mx", "_n", "_f", "_s"]))
+
+    folded = _tbl(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("user_id")
+                  .aggregate(Max("_mx", alias_name="_mx"),
+                             Sum("_n", alias_name="_n"),
+                             Sum("_f", alias_name="_f"),
+                             Sum("_s", alias_name="_s")))
+    umx = np.asarray(folded.column("_mx"), dtype=np.int64)
+    recency = (m_day - (umx // US_DAY) * US_DAY) // US_DAY
+    f7 = np.asarray(folded.column("_f"), dtype=np.int64)
+    mon = agg.sql_round(np.asarray(folded.column("_s"), dtype=np.float64), 2)
+    return pa.table({
+        "user_id": folded.column("user_id"),
+        "recency_days": pa.array(recency),
+        "n_total": folded.column("_n"),
+        "freq_7d": pa.array(f7),
+        "mon_7d": pa.array(mon, mask=f7 == 0),
+    })
+
+
+@register(
+    "docs_keywords",
+    "WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ("
+    "  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term"
+    "  FROM documents) WHERE term <> '' GROUP BY doc_id, term),"
+    " df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " s AS (SELECT t.doc_id, t.term,"
+    "   round(t.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6)"
+    "   AS score FROM tf t JOIN df d USING (term))"
+    " SELECT doc_id, term, score FROM s"
+    " QUALIFY row_number() OVER (PARTITION BY doc_id"
+    "   ORDER BY score DESC, term) <= 3",
+)
+def docs_keywords(sf_dir: str):
+    """Per-document TF-IDF keywords (top-3): composes the integer-exact
+    TF/DF relation (term-hash-bucketed, token stream never shuffled) with
+    a doc-bucket top-k — scores ride as int64 micro-units so ordering by
+    them IS ordering by the rounded score, making the top-3 boundary
+    deterministic across engines; corpus size comes from the parquet
+    footer (metadata-only, no scan)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import tf_df_table
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rel = tf_df_table(ds)
+    nb = scaled_buckets()
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = np.asarray(b.column("tf"), dtype=np.float64)
+        df = np.asarray(b.column("df"), dtype=np.float64)
+        sc = agg.sql_round(tf * np.log(float(n_docs) / df), 6)
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"), "term": b.column("term"),
+            "score": pa.array(sc),
+            "_is": pa.array(np.round(sc * 1e6).astype(np.int64)),
+            "_kb": pa.array((did % np.int64(nb)).astype(np.int32))})
+
+    def topk(g: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "term": pa.array([], type=pa.string()),
+                          "score": pa.array([], type=pa.float64())})
+        if g.num_rows == 0 or "doc_id" not in g.column_names:
+            return empty
+        order = pc.sort_indices(g, sort_keys=[
+            ("doc_id", "ascending"), ("_is", "descending"),
+            ("term", "ascending")])
+        g = g.take(order)
+        did = np.asarray(g.column("doc_id"), dtype=np.int64)
+        idx = np.arange(len(did), dtype=np.int64)
+        brk = np.ones(len(did), dtype=bool)
+        brk[1:] = did[1:] != did[:-1]
+        rn = idx - np.maximum.accumulate(np.where(brk, idx, 0))
+        return g.filter(pa.array(rn < 3)).select(
+            ["doc_id", "term", "score"])
+
+    return (rel.map_batches(score, batch_format="pyarrow")
+            .groupby("_kb").map_groups(topk, batch_format="pyarrow"))
