@@ -607,3 +607,60 @@ def audio_stats(ds, concurrency=(1, 4), **stage_kwargs):
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
     )
+
+
+def dhash64(img: np.ndarray) -> np.uint64:
+    """64-bit difference hash (dHash): grayscale → area-resample to 8×9 →
+    sign of the horizontal gradient, row-major bit order. Robust to
+    resizing/re-encoding/mild noise; hamming distance ≈ perceptual
+    distance, so near-dup detection is a hamming-ball join."""
+    gray = img.astype(np.float64).mean(axis=2, keepdims=True)
+    small = resize_area(gray, 8, 9)[:, :, 0]
+    bits = (small[:, 1:] < small[:, :-1]).reshape(-1)
+    return np.uint64(np.packbits(bits).view(">u8")[0])
+
+
+class PerceptualHashStage:
+    """binary image column → 64-bit dHash signature rows.
+
+    Actor-pool stage (codec bound once per actor in ``__init__``); the
+    output (id, sig) feeds ``dedup.hamming_ball_pairs`` — the
+    image-near-dup pipeline: decode → dHash → pigeonhole hamming join.
+    """
+
+    def __init__(self, data_col: str = "image", decode_fn=None,
+                 out_col: str = "sig"):
+        self.data_col = data_col
+        self.decode_fn = decode_fn or real_image_decode
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column(self.data_col).to_pylist()
+        sigs = np.empty(len(bufs), dtype=np.uint64)
+        for i, buf in enumerate(bufs):  # codec loop: decoding is per-item
+            sigs[i] = dhash64(self.decode_fn(buf))
+        out = batch.drop_columns([self.data_col])
+        return out.append_column(
+            self.out_col, pa.array(sigs.view(np.int64), type=pa.int64()))
+
+
+def image_near_dup_pairs(ds, *, id_col: str = "img_id",
+                         data_col: str = "image", max_hamming: int = 6,
+                         concurrency=(1, 4), **stage_kwargs):
+    """End-to-end image near-dup detection: per-actor codec decode →
+    64-bit dHash → exact hamming-ball pair join (pigeonhole multi-index,
+    recall 1.0 within the radius). Returns (id_a, id_b) pairs. The hash
+    stage streams (8 B/image leaves the decode stage); the join is the
+    same bounded-band machinery as SimHash text dedup."""
+    from clp_core_ray.functions.dedup import hamming_ball_pairs
+
+    sigs = ds.map_batches(
+        PerceptualHashStage,
+        fn_constructor_kwargs={"data_col": data_col, **stage_kwargs},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return hamming_ball_pairs(sigs, sig_col="sig", id_col=id_col,
+                              max_hamming=max_hamming)

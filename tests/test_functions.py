@@ -2050,3 +2050,41 @@ def test_grouped_regression_vs_numpy(ray_session):
         assert abs(out.loc[g, "r2"] - r2) < 1e-6
     assert np.isnan(out.loc["flat", "slope"])
     assert np.isnan(out.loc["flat", "r2"])
+
+
+def test_image_near_dup_pairs(ray_session):
+    """dHash + hamming join finds perturbed/re-encoded copies, not distinct
+    images; pairs are exact within the radius and deterministic."""
+    import ray.data as rd
+
+    from clp_core_ray.stages.multimodal import (dhash64, encode_png,
+                                                image_near_dup_pairs,
+                                                real_image_decode)
+
+    rng = np.random.default_rng(7)
+    originals = [rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+                 for _ in range(6)]
+    rows_id, rows_img = [], []
+    for i, img in enumerate(originals):
+        rows_id.append(i * 10)
+        rows_img.append(encode_png(img))
+        # mild noise copy: flip a few pixels slightly
+        noisy = img.copy().astype(np.int16)
+        noisy[::7, ::5] += rng.integers(-6, 7, noisy[::7, ::5].shape)
+        noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+        rows_id.append(i * 10 + 1)
+        rows_img.append(encode_png(noisy, filter_type=2))
+    t = pa.table({"img_id": pa.array(rows_id, type=pa.int64()),
+                  "image": pa.array(rows_img, type=pa.binary())})
+    ds = rd.from_arrow(t).repartition(3)
+    pairs = image_near_dup_pairs(ds, max_hamming=6).to_pandas()
+    got = {tuple(sorted(p)) for p in
+           zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int))}
+    want = {(i * 10, i * 10 + 1) for i in range(6)}
+    assert want <= got, want - got
+    # distinct random images should not collide at this radius
+    cross = {p for p in got if p[0] // 10 != p[1] // 10}
+    assert not cross, cross
+    # determinism + codec invariance: dHash of a decode(encode) round trip
+    h0 = dhash64(originals[0])
+    assert dhash64(real_image_decode(encode_png(originals[0]))) == h0
