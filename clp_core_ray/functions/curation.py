@@ -739,3 +739,98 @@ def weighted_sample(ds, *, id_col: str, weight_col: str,
         return b.filter(pa.array(keep))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def span_corrupt(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 span_len: int = 3, gap_len: int = 11,
+                 input_col: str = "input", target_col: str = "target"):
+    """T5-style span-corruption example generation (Raffel et al. 2020
+    semantics, deterministic variant): mask pseudo-random token spans with
+    ``<extra_id_k>`` sentinels; the target is the sentinel-delimited
+    sequence of masked spans. Denoising pairs are INVERTIBLE — splicing
+    target spans back over the sentinels reproduces the original token
+    stream (pytest-pinned) — and fully deterministic per doc id, so any
+    re-run or retried task emits identical examples (no RNG state).
+
+    Span placement uses a fixed (span_len + gap_len) grid with a per-cell
+    splitmix coin keyed on (doc_id, cell): spans never overlap BY
+    CONSTRUCTION, which keeps the whole transform vectorized — flatten the
+    corpus token stream once (split → list offsets), compute every mask
+    bit with array arithmetic, and rebuild both strings with run-offset
+    binary_join. ~15% of tokens mask at the defaults.
+    """
+
+    stride = span_len + gap_len
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: b.column(id_col),
+                             input_col: pa.array([], type=pa.string()),
+                             target_col: pa.array([], type=pa.string())})
+        ids = np.asarray(b.column(id_col).combine_chunks().cast(pa.int64()),
+                         dtype=np.int64)
+        toks = pc.split_pattern(
+            pc.fill_null(b.column(text_col).combine_chunks(), ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        flat = toks.values
+        n = len(flat)
+        counts = np.diff(offsets)
+        parent = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        pos = np.arange(n, dtype=np.int64) - offsets[:-1][parent]
+        cell, incell = pos // stride, pos % stride
+        # per-(doc, cell) deterministic coin: mask the cell's first span_len
+        # tokens when the mixed hash lands in the low 40% of the range
+        x = (ids[parent].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ^ (cell.astype(np.uint64) + np.uint64(1))
+             * np.uint64(0xBF58476D1CE4E5B9))
+        x ^= x >> np.uint64(31)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(29)
+        coin = (x % np.uint64(10)) < np.uint64(4)
+        masked = coin & (incell < span_len)
+        start = masked & (incell == 0)
+        # sentinel ordinal k = 0-based rank of the span within its doc
+        cs = np.cumsum(start)
+        base = np.zeros(len(ids), dtype=np.int64)
+        nz = offsets[:-1] > 0
+        base[nz] = cs[offsets[:-1][nz] - 1]
+        sent = np.where(start, cs - base[parent] - 1, 0).astype(np.int64)
+        sent_str = pa.array(
+            np.char.add(np.char.add("<extra_id_",
+                                    (sent).astype("U4")), ">"))
+        # ---- input: sentinel at span starts, masked non-starts dropped
+        tok_in = pc.if_else(pa.array(start), sent_str, flat)
+        keep_in = ~masked | start
+        in_counts = np.add.reduceat(np.r_[keep_in, False].astype(np.int64),
+                                    offsets[:-1])
+        in_off = pa.array(np.r_[0, np.cumsum(in_counts)].astype(np.int32))
+        kept = tok_in.filter(pa.array(keep_in))
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        in_lists = pa.ListArray.from_arrays(in_off, kept)
+        inputs = pc.binary_join(in_lists, " ")
+        # ---- target: sentinel before each span + the masked tokens
+        # expand: span-start tokens emit (sentinel, token); other masked
+        # tokens emit (token)
+        rep = np.where(masked, np.where(start, 2, 1), 0)
+        tgt_parent = np.repeat(parent, rep)
+        order = np.repeat(np.arange(n, dtype=np.int64), rep)
+        first_slot = np.r_[0, np.cumsum(rep)][:-1]
+        is_sent_slot = np.zeros(int(rep.sum()), dtype=bool)
+        is_sent_slot[first_slot[start & masked]] = True
+        tgt_tok = pc.if_else(pa.array(is_sent_slot),
+                             pc.take(sent_str, pa.array(order)),
+                             pc.take(flat, pa.array(order)))
+        tgt_counts = np.bincount(tgt_parent, minlength=len(ids)) \
+            if len(tgt_parent) else np.zeros(len(ids), dtype=np.int64)
+        tgt_off = pa.array(np.r_[0, np.cumsum(tgt_counts)].astype(np.int32))
+        if isinstance(tgt_tok, pa.ChunkedArray):
+            tgt_tok = tgt_tok.combine_chunks()
+        tgt_lists = pa.ListArray.from_arrays(tgt_off, tgt_tok)
+        targets = pc.binary_join(tgt_lists, " ")
+        return pa.table({id_col: b.column(id_col),
+                         input_col: inputs, target_col: targets})
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")

@@ -6344,3 +6344,18 @@ def docs_keywords(sf_dir: str):
 
     return (rel.map_batches(score, batch_format="pyarrow")
             .groupby("_kb").map_groups(topk, batch_format="pyarrow"))
+
+
+@register("docs_span_corrupt")  # invertibility pinned in pytest: rows-only
+def docs_span_corrupt(sf_dir: str):
+    """T5-style span-corruption denoising pairs over the documents table —
+    deterministic per doc id (retry/rerun emits identical examples), fully
+    vectorized (flattened token stream + run-offset joins), and invertible
+    (pytest splices targets back over sentinels and recovers every doc)."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import span_corrupt
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return span_corrupt(ds)

@@ -367,3 +367,48 @@ def test_weighted_sample_deterministic(ray_session):
     hi = sum(1 for i in kept1 if i >= n // 2)
     assert hi == n // 2  # weight == max -> always kept
     assert 0.05 < lo / (n // 2) < 0.2  # ~10% survival at weight 10
+
+
+def test_span_corrupt_invertible(ray_session):
+    """Span-corruption pairs reconstruct the original token stream exactly
+    (splice target spans over the sentinels), are deterministic across
+    runs/partitionings, and mask a nontrivial token fraction."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.curation import span_corrupt
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 120)))
+             for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(200), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = (span_corrupt(rd.from_arrow(t).repartition(5))
+           .to_pandas().set_index("doc_id").sort_index())
+    masked_total = orig_total = 0
+    for did, row in out.iterrows():
+        spans = {}
+        cur = None
+        for tok in row["target"].split(" ") if row["target"] else []:
+            if tok.startswith("<extra_id_"):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in row["input"].split(" "):
+            if tok.startswith("<extra_id_"):
+                rebuilt.extend(spans[tok])
+                masked_total += len(spans[tok])
+            else:
+                rebuilt.append(tok)
+        assert " ".join(rebuilt) == texts[did], did
+        orig_total += len(texts[did].split(" "))
+    assert 0.05 < masked_total / orig_total < 0.30, \
+        masked_total / orig_total
+    again = (span_corrupt(rd.from_arrow(t).repartition(2))
+             .to_pandas().set_index("doc_id").sort_index())
+    assert (again["input"] == out["input"]).all()
+    assert (again["target"] == out["target"]).all()
