@@ -664,3 +664,72 @@ def image_near_dup_pairs(ds, *, id_col: str = "img_id",
     )
     return hamming_ball_pairs(sigs, sig_col="sig", id_col=id_col,
                               max_hamming=max_hamming)
+
+
+class AudioFingerprintStage:
+    """binary WAV column → (id, fp) landmark-fingerprint rows (Shazam-lite).
+
+    Actor-pool stage: decode → STFT → per-frame peak frequency bin →
+    landmark hash over ``k`` consecutive peaks (peak sequence packed into
+    one int64). Emits ONE ROW PER LANDMARK (id, fp) — the relation shape
+    ``functions.graph.cooccurrence_pairs`` consumes directly, so duplicate
+    detection is fingerprint-bucket pair counting, never a clip×clip scan.
+    Peak-bin quantization (``bin_shift``) absorbs mild noise/level changes.
+    """
+
+    def __init__(self, data_col: str = "audio", id_col: str = "clip_id",
+                 n_fft: int = 256, hop: int = 128, k: int = 4,
+                 bin_shift: int = 2):
+        self.data_col = data_col
+        self.id_col = id_col
+        self.n_fft, self.hop, self.k = n_fft, hop, k
+        self.bin_shift = bin_shift
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, fps_out = [], []
+        ids = batch.column(self.id_col).to_pylist()
+        for cid, buf in zip(ids, batch.column(self.data_col).to_pylist()):
+            pcm = real_audio_decode(buf)  # codec loop: per-item by nature
+            mag = stft_magnitude(pcm, self.n_fft, self.hop)
+            peaks = (mag.argmax(axis=1) >> self.bin_shift).astype(np.uint64)
+            if len(peaks) < self.k:
+                continue
+            # pack k consecutive quantized peaks into one 64-bit landmark
+            win = np.lib.stride_tricks.sliding_window_view(peaks, self.k)
+            fp = np.zeros(len(win), dtype=np.uint64)
+            for j in range(self.k):
+                fp = (fp << np.uint64(8)) | (win[:, j] & np.uint64(0xFF))
+            fp = np.unique(fp)
+            ids_out.append(np.full(len(fp), cid, dtype=np.int64))
+            fps_out.append(fp.view(np.int64))
+        if not ids_out:
+            return pa.table({self.id_col: pa.array([], type=pa.int64()),
+                             "fp": pa.array([], type=pa.int64())})
+        return pa.table({self.id_col: pa.array(np.concatenate(ids_out)),
+                         "fp": pa.array(np.concatenate(fps_out))})
+
+
+def audio_dup_pairs(ds, *, id_col: str = "clip_id", data_col: str = "audio",
+                    min_matches: int = 5, concurrency=(1, 4),
+                    **stage_kwargs):
+    """End-to-end duplicate/overlap audio detection: per-actor WAV decode →
+    landmark fingerprints → fingerprint-bucket pair counting (the
+    market-basket kernel with fp as the basket) → pairs sharing ≥
+    ``min_matches`` landmarks. Returns (item_a, item_b, cnt)."""
+    import pyarrow.compute as pc
+
+    from clp_core_ray.functions.graph import cooccurrence_pairs
+
+    fps = ds.map_batches(
+        AudioFingerprintStage,
+        fn_constructor_kwargs={"data_col": data_col, "id_col": id_col,
+                               **stage_kwargs},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    pairs = cooccurrence_pairs(fps, basket_col="fp", item_col=id_col)
+    return pairs.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("cnt"), min_matches)),
+        batch_format="pyarrow")

@@ -2088,3 +2088,49 @@ def test_image_near_dup_pairs(ray_session):
     # determinism + codec invariance: dHash of a decode(encode) round trip
     h0 = dhash64(originals[0])
     assert dhash64(real_image_decode(encode_png(originals[0]))) == h0
+
+
+def test_audio_dup_pairs(ray_session):
+    """Landmark fingerprinting matches a clip with its noisy copy, not with
+    spectrally distinct clips."""
+    import io
+    import struct
+    import wave
+
+    import ray.data as rd
+
+    from clp_core_ray.stages.multimodal import audio_dup_pairs
+
+    def wav_bytes(pcm: np.ndarray, rate: int = 8000) -> bytes:
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(
+                np.clip(pcm * 32000, -32768, 32767).astype("<i2").tobytes())
+        return bio.getvalue()
+
+    rng = np.random.default_rng(23)
+    t = np.arange(8000 * 2) / 8000.0  # 2 s
+    rows_id, rows_audio = [], []
+    for i in range(4):
+        # per-clip melody: frequency steps every 0.25 s
+        freqs = rng.integers(300, 3200, 8)
+        pcm = np.concatenate([
+            np.sin(2 * np.pi * f * t[:2000]) for f in freqs])
+        rows_id.append(i * 10)
+        rows_audio.append(wav_bytes(pcm))
+        noisy = pcm + rng.normal(0, 0.02, len(pcm))
+        rows_id.append(i * 10 + 1)
+        rows_audio.append(wav_bytes(noisy))
+    tb = pa.table({"clip_id": pa.array(rows_id, type=pa.int64()),
+                   "audio": pa.array(rows_audio, type=pa.binary())})
+    pairs = audio_dup_pairs(rd.from_arrow(tb).repartition(3),
+                            min_matches=5).to_pandas()
+    got = {tuple(sorted(p)) for p in
+           zip(pairs["item_a"].astype(int), pairs["item_b"].astype(int))}
+    want = {(i * 10, i * 10 + 1) for i in range(4)}
+    assert want <= got, want - got
+    cross = {p for p in got if p[0] // 10 != p[1] // 10}
+    assert not cross, cross
