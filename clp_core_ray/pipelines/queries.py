@@ -6359,3 +6359,113 @@ def docs_span_corrupt(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return span_corrupt(ds)
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'"
+    "   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+    "  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey"
+    " WHERE l_shipdate >= TIMESTAMP '1996-03-01'"
+    "   AND l_shipdate < TIMESTAMP '1996-04-01'",
+)
+def tpch_q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue share): the part side folds to a
+    partkey→is-promo BITMAP broadcast once; lineitem is date-pruned AT THE
+    READ and partial-sums both the conditional and total revenue per batch
+    — a two-scalar exchange, no join shuffle."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    ref = ray.put(pa.table({
+        "p_partkey": part.column("p_partkey"),
+        "promo": pc.equal(part.column("p_type"), "PROMO")}))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= dt.datetime(1996, 3, 1))
+        & (pc.field("l_shipdate") < dt.datetime(1996, 4, 1)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        pm = ray.get(ref)
+        pos = pc.index_in(b.column("l_partkey").combine_chunks(),
+                          pm.column("p_partkey"))
+        promo = np.asarray(pc.fill_null(pm.column("promo").take(pos), False))
+        rev = np.asarray(b.column("l_extendedprice"), dtype=np.float64) \
+            * (1.0 - np.asarray(b.column("l_discount"), dtype=np.float64))
+        return pa.table({"_p": pa.array([rev[promo].sum()]),
+                         "_t": pa.array([rev.sum()])})
+
+    folded = _tbl(li.map_batches(partial, batch_format="pyarrow"))
+    p = np.asarray(folded.column("_p"), dtype=np.float64).sum()
+    t = np.asarray(folded.column("_t"), dtype=np.float64).sum()
+    return pa.table({"promo_pct": pa.array(
+        agg.sql_round(np.array([100.0 * p / t]), 4))})
+
+
+@register(
+    "tpch_q19_disjunctive",
+    "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15"
+    "        AND l_quantity BETWEEN 1 AND 20)"
+    "    OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30"
+    "        AND l_quantity BETWEEN 10 AND 35)"
+    "    OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50"
+    "        AND l_quantity BETWEEN 20 AND 50)",
+)
+def tpch_q19_disjunctive(sf_dir: str):
+    """TPC-H Q19 shape (OR-of-ANDs across a join): each disjunct's PART
+    predicate compiles to a broadcast partkey→clause bitmap (3 bits/part);
+    lineitem scans once, resolves its part's clause bits, applies the
+    row-local l_quantity conjunct per clause vectorized, and partial-sums
+    the matching revenue. The disjunction never materializes a join."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    clauses = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+        ("Brand#11", 1, 15, 1.0, 20.0),
+        ("Brand#22", 10, 30, 10.0, 35.0),
+        ("Brand#33", 20, 50, 20.0, 50.0),
+    ]
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    size = np.asarray(part.column("p_size"), dtype=np.int64)
+    bits = np.zeros(part.num_rows, dtype=np.uint8)
+    for ci, (brand, lo, hi, _, _) in enumerate(clauses):
+        m = np.asarray(pc.equal(part.column("p_brand"), brand)) \
+            & (size >= lo) & (size <= hi)
+        bits |= np.uint8(1 << ci) * m.astype(np.uint8)
+    ref = ray.put(pa.table({"p_partkey": part.column("p_partkey"),
+                            "bits": pa.array(bits)}))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pm = ray.get(ref)
+        pos = pc.index_in(b.column("l_partkey").combine_chunks(),
+                          pm.column("p_partkey"))
+        pb = np.asarray(pc.fill_null(pm.column("bits").take(pos), 0),
+                        dtype=np.uint8)
+        qty = np.asarray(b.column("l_quantity"), dtype=np.float64)
+        hit = np.zeros(len(qty), dtype=bool)
+        for ci, (_, _, _, qlo, qhi) in enumerate(clauses):
+            hit |= ((pb & np.uint8(1 << ci)) != 0) \
+                & (qty >= qlo) & (qty <= qhi)
+        rev = np.asarray(b.column("l_extendedprice"), dtype=np.float64) \
+            * (1.0 - np.asarray(b.column("l_discount"), dtype=np.float64))
+        return pa.table({"_r": pa.array([rev[hit].sum()])})
+
+    folded = _tbl(li.map_batches(partial, batch_format="pyarrow"))
+    r = np.asarray(folded.column("_r"), dtype=np.float64).sum()
+    return pa.table({"revenue": pa.array(
+        agg.sql_round(np.array([r]), 2))})
