@@ -95,3 +95,40 @@ def read_catalog(base_dir: str) -> list[dict]:
         e["tags"] = set(e.get("tags") or [])
         out.append(e)
     return out
+
+
+def retention_sweep(base_dir: str, *, before_us: int,
+                    dry_run: bool = False) -> list[str]:
+    """Archive TTL enforcement (the reference package's archive-deletion
+    job role, `clp-package` del-archives script semantics): drop every
+    archive whose ENTIRE time range ends before ``before_us``.
+
+    Order makes this crash-safe without coordination: the catalog entry is
+    unlinked FIRST (the atomic commit point — selection stops routing
+    queries at the archive immediately), then the archive directory is
+    removed. A crash between the two leaves an orphaned directory that no
+    query will read and a re-run's sweep of untracked dirs can collect;
+    the reverse order would leave a catalog entry pointing at nothing and
+    break multi-archive search. Archives with unknown ts_max are kept
+    (unknown age is not old age). Returns the removed archive dirs.
+    """
+    import shutil
+
+    removed = []
+    d = catalog_dir(base_dir)
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".json"):
+            continue
+        path = os.path.join(d, name)
+        with open(path) as f:
+            e = json.load(f)
+        if e.get("ts_max") is None or int(e["ts_max"]) >= before_us:
+            continue
+        target = os.path.join(base_dir, e["archive"])
+        if dry_run:
+            removed.append(target)
+            continue
+        os.unlink(path)            # commit point: archive leaves selection
+        shutil.rmtree(target, ignore_errors=True)
+        removed.append(target)
+    return removed

@@ -108,3 +108,36 @@ def test_catalog_cli(ray_session, tmp_path, capsys):
     res = run(["stats", "--archive", base])
     assert res["archives"] == 1
     assert res["detail"][0]["tags"] == ["t"]
+
+
+def test_retention_sweep(ray_session, tmp_path):
+    """TTL sweep removes only archives entirely older than the cutoff,
+    catalog-first (selection stops routing before the dir vanishes);
+    dry_run reports without touching; searches over survivors stay green."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import search_archives
+    from clp_core_ray.state import catalog as cat
+
+    base = str(tmp_path / "archives")
+    cat.init_catalog(base)
+    t0 = 1_700_000_000_000_000
+    US_DAY = 86_400_000_000
+    for name, age_days in (("old", 40), ("mid", 10), ("new", 0)):
+        compress(None, os.path.join(base, name),
+                 ds=rd.from_arrow(
+                     _transcripts(300, name, t0 - age_days * US_DAY)),
+                 input_label=name, tags=["t"])
+    cutoff = t0 - 5 * US_DAY
+    plan = cat.retention_sweep(base, before_us=cutoff, dry_run=True)
+    assert [os.path.basename(p) for p in plan] == ["old", "mid"] or \
+        sorted(os.path.basename(p) for p in plan) == ["mid", "old"]
+    assert all(os.path.isdir(p) for p in plan)  # dry run touched nothing
+    removed = cat.retention_sweep(base, before_us=cutoff)
+    assert sorted(os.path.basename(p) for p in removed) == ["mid", "old"]
+    assert not any(os.path.isdir(p) for p in removed)
+    entries = cat.read_catalog(base)
+    assert [os.path.basename(e["dir"]) for e in entries] == ["new"]
+    hits = search_archives(base, "INFO new*").to_pandas()
+    assert len(hits) == 300
