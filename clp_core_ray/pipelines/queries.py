@@ -6469,3 +6469,88 @@ def tpch_q19_disjunctive(sf_dir: str):
     r = np.asarray(folded.column("_r"), dtype=np.float64).sum()
     return pa.table({"revenue": pa.array(
         agg.sql_round(np.array([r]), 2))})
+
+
+@register(
+    "events_percent_rank",
+    "SELECT event_id,"
+    " round(percent_rank() OVER (PARTITION BY event_type"
+    "   ORDER BY value), 6) AS pct_rank,"
+    " round(cume_dist() OVER (PARTITION BY event_type"
+    "   ORDER BY value), 6) AS cume_dist"
+    " FROM events",
+)
+def events_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST per event type (the quantile-normalization
+    transform feature pipelines apply before model input): one key-hash
+    shuffle, tie-aware rank arithmetic inside the bucket; both quotients
+    are exact-integer divisions, bit-identical to the SQL window."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import grouped_percentiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return grouped_percentiles(ds, key="event_type", val_col="value",
+                               row_id_col="event_id")
+
+
+@register(
+    "clp_dialogue_shapes",
+    "WITH s AS (SELECT conv_id,"
+    "  string_agg(substr(role, 1, 1), '' ORDER BY turn_idx) AS shape"
+    "  FROM {T} GROUP BY conv_id)"
+    " SELECT shape, count(*) AS n_convs FROM s GROUP BY shape"
+    " HAVING count(*) >= 5",
+)
+def clp_dialogue_shapes(sf_dir: str):
+    """Dialogue-shape distribution: each conversation reduces to its
+    ordered role-initial signature ('uaua…'), then signatures are counted
+    — the structural fingerprint a dialogue-corpus audit clusters on. One
+    conv-bucket shuffle; the signature build is the run-offset ListArray
+    join (no per-conv Python), the count is a second aggregate-sized
+    exchange."""
+    from clp_core_ray.pipelines.windows import scaled_buckets
+    from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
+
+    nb = scaled_buckets()
+    ds = read_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        offsets, data = _string_buffers(b.column("conv_id").combine_chunks())
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        return b.append_column(
+            "_sb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def shapes(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "conv_id" not in g.column_names:
+            return pa.table({"shape": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        conv = g.column("conv_id").combine_chunks()
+        code = np.asarray(conv.dictionary_encode().indices, dtype=np.int64)
+        ti = np.asarray(g.column("turn_idx"), dtype=np.int64)
+        order = np.lexsort((ti, code))
+        code = code[order]
+        initial = pc.utf8_slice_codeunits(
+            pc.take(g.column("role"), pa.array(order)).combine_chunks(),
+            0, 1)
+        if isinstance(initial, pa.ChunkedArray):
+            initial = initial.combine_chunks()
+        starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+        off = pa.array(np.r_[starts, len(code)].astype(np.int32))
+        sig = pc.binary_join(pa.ListArray.from_arrays(off, initial), "")
+        t = pa.table({"shape": sig,
+                      "cnt": pa.array(np.ones(len(sig), dtype=np.int64))})
+        return (t.group_by(["shape"]).aggregate([("cnt", "sum")])
+                .rename_columns(["shape", "cnt"]))
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(bucket, batch_format="pyarrow")
+              .groupby("_sb").map_groups(shapes, batch_format="pyarrow")
+              .groupby("shape")
+              .aggregate(Sum("cnt", alias_name="n_convs")))
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_convs"), 5)),
+        batch_format="pyarrow")

@@ -568,3 +568,76 @@ def grouped_ntile(ds, *, key: str, val_col: str, row_id_col: str,
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_wbucket").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def grouped_percentiles(ds, *, key: str, val_col: str, row_id_col: str,
+                        ndigits: int = 6, n_buckets: int | None = None):
+    """SQL PERCENT_RANK() and CUME_DIST() per partition:
+
+        percent_rank = (RANK() − 1) / (n − 1)     (0 when n == 1)
+        cume_dist    = #rows with val ≤ current / n   (peers included)
+
+    Returns Dataset[(row_id_col, pct_rank, cume_dist)]. Same shape as
+    grouped_rank: one key-hash shuffle, lexsort + run detection per
+    bucket; both quotients are exact-integer divisions, so the rounded
+    values are bit-identical to the SQL window's.
+    """
+    n_buckets = n_buckets or scaled_buckets()
+
+    from clp_core_ray.pipelines.aggregate import sql_round
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if pa.types.is_integer(col.type):
+            b = (np.asarray(col, dtype=np.int64)
+                 % np.int64(n_buckets)).astype(np.int32)
+        else:
+            offsets, data = _string_buffers(col)
+            h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+            b = (h % np.uint64(n_buckets)).astype(np.int32)
+        return (batch.select([row_id_col, key, val_col])
+                .append_column("_wbucket", pa.array(b)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = {row_id_col: pa.array([], type=pa.int64()),
+                 "pct_rank": pa.array([], type=pa.float64()),
+                 "cume_dist": pa.array([], type=pa.float64())}
+        if group.num_rows == 0 or key not in group.column_names:
+            return pa.table(empty)
+        kcol = group.column(key).combine_chunks()
+        if pa.types.is_integer(kcol.type):
+            kcode = np.asarray(kcol, dtype=np.int64)
+        else:
+            kcode = np.asarray(pc.dictionary_encode(kcol).indices,
+                               dtype=np.int64)
+        v = np.asarray(group.column(val_col), dtype=np.float64)
+        rid = np.asarray(group.column(row_id_col), dtype=np.int64)
+        order = np.lexsort((rid, v, kcode))
+        kcode, v, rid = kcode[order], v[order], rid[order]
+        m = len(rid)
+        idx = np.arange(m, dtype=np.int64)
+        brk = np.ones(m, dtype=bool)
+        brk[1:] = kcode[1:] != kcode[:-1]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[starts, m])
+        part = np.cumsum(brk) - 1
+        n = sizes[part].astype(np.float64)
+        start_of = starts[part]
+        newval = brk.copy()
+        newval[1:] |= v[1:] != v[:-1]
+        run_start = np.maximum.accumulate(np.where(newval, idx, 0))
+        rnk = run_start - start_of + 1          # RANK (ties share)
+        # last index of each value run, propagated backward
+        run_id = np.cumsum(newval) - 1
+        run_last = np.zeros(run_id[-1] + 1, dtype=np.int64)
+        np.maximum.at(run_last, run_id, idx)
+        peers_le = run_last[run_id] - start_of + 1  # rows ≤ current value
+        with np.errstate(invalid="ignore"):
+            pr = np.where(n > 1, (rnk - 1) / np.maximum(n - 1, 1), 0.0)
+        cd = peers_le / n
+        return pa.table({row_id_col: pa.array(rid),
+                         "pct_rank": pa.array(sql_round(pr, ndigits)),
+                         "cume_dist": pa.array(sql_round(cd, ndigits))})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_wbucket").map_groups(per_bucket, batch_format="pyarrow"))

@@ -558,3 +558,33 @@ def test_trailing_distinct_count_vs_brute(ray_session):
         active = set(users[(day >= d - 6) & (day <= d)])
         want[pd.Timestamp(base + d * 86_400_000_000, unit="us")] = len(active)
     assert {pd.Timestamp(k): v for k, v in got.items()} == want
+
+
+def test_grouped_percentiles_ties_vs_duckdb(ray_session):
+    """percent_rank/cume_dist with HEAVY value ties (integers) and string
+    keys, vs the DuckDB window — peers must share rank and cume_dist."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import grouped_percentiles
+
+    rng = np.random.default_rng(51)
+    n = 4000
+    t = pa.table({
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "g": pa.array(rng.choice(["a", "b", "one"], n,
+                                 p=[0.5, 0.4997, 0.0003])),
+        "v": pa.array(rng.integers(0, 12, n).astype(np.float64)),
+    })
+    got = (grouped_percentiles(rd.from_arrow(t).repartition(7), key="g",
+                               val_col="v", row_id_col="eid")
+           .to_pandas().set_index("eid").sort_index())
+    want = duckdb.sql(
+        "SELECT eid,"
+        " round(percent_rank() OVER (PARTITION BY g ORDER BY v), 6) AS pr,"
+        " round(cume_dist() OVER (PARTITION BY g ORDER BY v), 6) AS cd"
+        " FROM t ORDER BY eid").df().set_index("eid")
+    assert (got["pct_rank"].values == want["pr"].values).all()
+    assert (got["cume_dist"].values == want["cd"].values).all()
