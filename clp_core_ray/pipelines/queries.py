@@ -6554,3 +6554,94 @@ def clp_dialogue_shapes(sf_dir: str):
     return counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("n_convs"), 5)),
         batch_format="pyarrow")
+
+
+@register(
+    "orders_price_reconcile",
+    "WITH c AS (SELECT l_orderkey,"
+    "   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)"
+    "   AS computed FROM lineitem GROUP BY l_orderkey)"
+    " SELECT o_orderkey, round(o_totalprice, 2) AS listed, c.computed,"
+    "  round(abs(o_totalprice - c.computed), 2) AS dev"
+    " FROM orders JOIN c ON o_orderkey = l_orderkey"
+    " ORDER BY dev DESC, o_orderkey LIMIT 20",
+)
+def orders_price_reconcile(sf_dir: str):
+    """Cross-table reconciliation audit: recompute each order's total from
+    its line items (one partial-aggregated shuffle) and join against the
+    orders table's listed total — DELIBERATELY via the partitioned hash
+    join (both sides are order-cardinality; a broadcast would ship one
+    whole side). Top-20 largest deviations with a key tiebreak."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = np.asarray(b.column("l_extendedprice"), dtype=np.float64) \
+            * (1.0 - np.asarray(b.column("l_discount"), dtype=np.float64)) \
+            * (1.0 + np.asarray(b.column("l_tax"), dtype=np.float64))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "_r": pa.array(r)})
+
+    comp = agg.sum_by(li.map_batches(rev, batch_format="pyarrow"),
+                      "l_orderkey", "_r", alias="_raw")
+    comp = comp.map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "computed": pa.array(agg.sql_round(
+                np.asarray(b.column("_raw"), dtype=np.float64), 2))}),
+        batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    j = hash_join(orders, comp, "o_orderkey", "l_orderkey")
+
+    def dev(b: pa.Table) -> pa.Table:
+        listed = np.asarray(b.column("o_totalprice"), dtype=np.float64)
+        computed = np.asarray(b.column("computed"), dtype=np.float64)
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "listed": pa.array(agg.sql_round(listed, 2)),
+            "computed": b.column("computed"),
+            "dev": pa.array(agg.sql_round(np.abs(listed - computed), 2))})
+
+    out = _tbl(j.map_batches(dev, batch_format="pyarrow"))
+    order = pc.sort_indices(out, sort_keys=[("dev", "descending"),
+                                            ("o_orderkey", "ascending")])
+    return out.take(order.slice(0, 20))
+
+
+@register(
+    "events_benford_digits",
+    "WITH x AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS iv"
+    "  FROM events WHERE value >= 1)"
+    " SELECT event_type, CAST(floor(iv / pow(10,"
+    "   length(CAST(iv AS VARCHAR)) - 1)) AS BIGINT) AS digit,"
+    " count(*) AS cnt FROM x GROUP BY 1, 2",
+)
+def events_benford_digits(sf_dir: str):
+    """Benford first-digit profile per event type (the numeric-anomaly
+    audit). The digit comes from INTEGER arithmetic on floor(value) —
+    repeated integer division by 10 — because the textbook
+    v/10^floor(log10 v) formulation diverges between engines at power-of-
+    ten boundaries (libm log10 ulps); integer division cannot."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def digits(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("value"), dtype=np.float64)
+        pos = v >= 1.0
+        d = np.floor(v[pos]).astype(np.int64)
+        while (d >= 10).any():
+            np.floor_divide(d, 10, out=d, where=d >= 10)
+        return pa.table({
+            "event_type": b.column("event_type").filter(pa.array(pos)),
+            "digit": pa.array(d)})
+
+    return agg.count_by(ds.map_batches(digits, batch_format="pyarrow"),
+                        ["event_type", "digit"])
