@@ -6645,3 +6645,117 @@ def events_benford_digits(sf_dir: str):
 
     return agg.count_by(ds.map_batches(digits, batch_format="pyarrow"),
                         ["event_type", "digit"])
+
+
+@register(
+    "events_session_conversion",
+    "WITH g AS (SELECT user_id, ts, event_id, event_type,"
+    "   datediff('microsecond', lag(ts) OVER (PARTITION BY user_id"
+    "     ORDER BY ts, event_id), ts) AS gap_us FROM events),"
+    " s AS (SELECT *, sum(CASE WHEN gap_us IS NULL OR"
+    "     gap_us > 1800000000 THEN 1 ELSE 0 END)"
+    "   OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    "     ROWS UNBOUNDED PRECEDING) AS sess FROM g),"
+    " per AS (SELECT user_id, sess,"
+    "   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv"
+    "   FROM s GROUP BY user_id, sess)"
+    " SELECT count(*) AS n_sessions, CAST(sum(conv) AS BIGINT)"
+    "  AS n_converted,"
+    "  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS rate FROM per",
+)
+def events_session_conversion(sf_dir: str):
+    """Sessionized conversion rate (30-min inactivity sessions; fraction
+    containing a purchase) — the product-analytics headline number. One
+    user-hash shuffle; inside each bucket sessions come from one lexsort +
+    gap compare, per-session conversion from one maximum.reduceat, and
+    only TWO COUNTERS leave the bucket. The division is exact-integer."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+    gap_us = 1_800_000_000
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("user_id"), dtype=np.int64)
+        return b.append_column(
+            "_cb", pa.array((ids % np.int64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"_s": pa.array([], type=pa.int64()),
+                          "_c": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return empty
+        ids = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts")).view(np.int64)
+        eid = np.asarray(g.column("event_id"), dtype=np.int64)
+        conv = np.asarray(pc.equal(g.column("event_type"), "purchase"))
+        order = np.lexsort((eid, ts, ids))
+        ids, ts, conv = ids[order], ts[order], conv[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = (ids[1:] != ids[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        sess_conv = np.maximum.reduceat(conv.astype(np.int64), starts)
+        return pa.table({"_s": pa.array([len(starts)]),
+                         "_c": pa.array([int(sess_conv.sum())])})
+
+    folded = _tbl(ds.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("_cb").map_groups(per_bucket,
+                                             batch_format="pyarrow"))
+    n_s = int(pc.sum(folded.column("_s")).as_py() or 0)
+    n_c = int(pc.sum(folded.column("_c")).as_py() or 0)
+    return pa.table({
+        "n_sessions": pa.array([n_s]),
+        "n_converted": pa.array([n_c]),
+        "rate": pa.array(agg.sql_round(
+            np.array([n_c / n_s if n_s else 0.0]), 6))})
+
+
+@register(
+    "docs_dedup_rate",
+    "SELECT source, count(*) AS n_docs,"
+    " CAST(count(DISTINCT text) AS BIGINT) AS n_unique,"
+    " round(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6)"
+    "  AS dup_rate"
+    " FROM documents GROUP BY source",
+)
+def docs_dedup_rate(sf_dir: str):
+    """Dedup diagnostics: per-source exact-duplicate rate (what fraction a
+    keep-one dedup would remove) — the report a curation run logs before
+    and after. Per-batch (source, content-hash) dedupe bounds the first
+    exchange at distinct pairs; counts fold aggregate-sized; the rate is
+    an exact-integer division."""
+    import ray.data as rd
+
+    from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        offsets, data = _string_buffers(
+            pc.fill_null(b.column("text").combine_chunks(), ""))
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        t = pa.table({"source": b.column("source"),
+                      "_h": pa.array(h.view(np.int64)),
+                      "_n": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        out = t.group_by(["source", "_h"]).aggregate([("_n", "sum")])
+        return out.rename_columns(["source", "_h", "_n"])
+
+    from ray.data.aggregate import Sum
+
+    pairs = _tbl(ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["source", "_h"])
+                 .aggregate(Sum("_n", alias_name="_n")))
+    agg2 = (pairs.group_by(["source"])
+            .aggregate([("_n", "sum"), ("_h", "count")])
+            .rename_columns(["source", "n_docs", "n_unique"]))
+    nd = np.asarray(agg2.column("n_docs"), dtype=np.float64)
+    nu = np.asarray(agg2.column("n_unique"), dtype=np.float64)
+    return pa.table({
+        "source": agg2.column("source"),
+        "n_docs": agg2.column("n_docs"),
+        "n_unique": agg2.column("n_unique").cast(pa.int64()),
+        "dup_rate": pa.array(agg.sql_round(1.0 - nu / nd, 6))})
