@@ -6759,3 +6759,72 @@ def docs_dedup_rate(sf_dir: str):
         "n_docs": agg2.column("n_docs"),
         "n_unique": agg2.column("n_unique").cast(pa.int64()),
         "dup_rate": pa.array(agg.sql_round(1.0 - nu / nd, 6))})
+
+
+@register(
+    "clp_response_latency",
+    "WITH o AS (SELECT conv_id, turn_idx, role, ts,"
+    "   lag(role) OVER w AS prev_role, lag(ts) OVER w AS prev_ts"
+    "  FROM {T} WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),"
+    " lat AS (SELECT datediff('microsecond', prev_ts, ts) AS lat_us FROM o"
+    "   WHERE role = 'assistant' AND prev_role = 'user')"
+    " SELECT count(*) AS n,"
+    "  round(avg(lat_us) / 1000000.0, 6) AS mean_s,"
+    "  round(CAST(max(lat_us) AS DOUBLE) / 1000000.0, 6) AS max_s"
+    " FROM lat",
+)
+def clp_response_latency(sf_dir: str):
+    """Assistant response latency (user turn → immediately following
+    assistant turn): the serving-quality metric a transcript pipeline
+    monitors. One conv-bucket shuffle, lexsort + neighbor compare; the
+    aggregate is exact integer microseconds (order-independent partial
+    sums) rescaled by a correctly-rounded divisor — only three counters
+    leave each bucket."""
+    from clp_core_ray.pipelines.windows import scaled_buckets
+    from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
+
+    nb = scaled_buckets()
+    ds = read_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "ts"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        offsets, data = _string_buffers(b.column("conv_id").combine_chunks())
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        return b.append_column(
+            "_lb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"_n": pa.array([], type=pa.int64()),
+                          "_s": pa.array([], type=pa.int64()),
+                          "_m": pa.array([], type=pa.int64())})
+        if g.num_rows < 2 or "conv_id" not in g.column_names:
+            return empty
+        conv = g.column("conv_id").combine_chunks()
+        code = np.asarray(conv.dictionary_encode().indices, dtype=np.int64)
+        ti = np.asarray(g.column("turn_idx"), dtype=np.int64)
+        ts = np.asarray(g.column("ts")).view(np.int64)
+        role = g.column("role").combine_chunks()
+        is_user = np.asarray(pc.equal(role, "user"))
+        is_asst = np.asarray(pc.equal(role, "assistant"))
+        order = np.lexsort((ti, code))
+        code, ts = code[order], ts[order]
+        is_user, is_asst = is_user[order], is_asst[order]
+        hit = (code[1:] == code[:-1]) & is_user[:-1] & is_asst[1:]
+        if not hit.any():
+            return empty
+        lat = (ts[1:] - ts[:-1])[hit]
+        return pa.table({"_n": pa.array([len(lat)]),
+                         "_s": pa.array([int(lat.sum())]),
+                         "_m": pa.array([int(lat.max())])})
+
+    folded = _tbl(ds.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("_lb").map_groups(per_bucket,
+                                             batch_format="pyarrow"))
+    n = int(pc.sum(folded.column("_n")).as_py() or 0)
+    s = float(pc.sum(folded.column("_s")).as_py() or 0)
+    m = float(pc.max(folded.column("_m")).as_py() or 0)
+    return pa.table({
+        "n": pa.array([n]),
+        "mean_s": pa.array(agg.sql_round(
+            np.array([(s / n if n else 0.0) / 1e6]), 6)),
+        "max_s": pa.array(agg.sql_round(np.array([m / 1e6]), 6))})
