@@ -68,10 +68,13 @@ _GATE_PRIORITY = [
     # text analysis / retrieval / drift
     "docs_bpe_roundtrip", "docs_bm25", "docs_phrase_search",
     "docs_perplexity_scored",
-    "clp_normalize_text", "clp_model_usage", "docs_source_kl",
-    # similarity / clustering
+    "clp_csv_ingest", "clp_model_usage", "docs_source_kl",
+    # similarity / clustering (kmeans_assign rotates behind: semantic
+    # dedup's nearest-centroid partition exercises the same assignment
+    # kernel; normalize_text rotates behind model_usage — the CSV source
+    # and the partitioned-hash-join audit take the slots)
     "emb_knn_label_vote_ivf", "emb_hard_negatives_ivf", "emb_simhash_dedup",
-    "emb_kmeans_assign",
+    "orders_price_reconcile",
     # graph + multi-join analytics (q18 supersedes q3 in-window: same
     # broadcast machinery plus the aggregate→HAVING→semi-join-back shape)
     "graph_pagerank", "copurchase_top_pairs",

@@ -141,3 +141,41 @@ def test_retention_sweep(ray_session, tmp_path):
     assert [os.path.basename(e["dir"]) for e in entries] == ["new"]
     hits = search_archives(base, "INFO new*").to_pandas()
     assert len(hits) == 300
+
+
+def test_results_cache(ray_session, tmp_path):
+    """Cache hit serves the identical table WITHOUT re-running the search;
+    any archive change (new compress job) changes the key so the next
+    query recomputes — stale hits structurally impossible."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.pipelines.search import search_archives
+    from clp_core_ray.state import catalog as cat
+    from clp_core_ray.state.results_cache import cache_key, cached_search
+
+    base = str(tmp_path / "archives")
+    cat.init_catalog(base)
+    t0 = 1_700_000_000_000_000
+    compress(None, os.path.join(base, "a1"),
+             ds=rd.from_arrow(_transcripts(300, "a1", t0)),
+             input_label="a1", tags=["t"])
+    calls = []
+
+    def run():
+        calls.append(1)
+        return search_archives(base, "INFO a1*")
+
+    q = "INFO a1*"
+    r1 = cached_search(base, q, run)
+    assert len(calls) == 1 and r1.num_rows == 300
+    r2 = cached_search(base, q, run)
+    assert len(calls) == 1, "second call must be served from cache"
+    assert r2.equals(r1)
+    k_before = cache_key(base, q)
+    compress(None, os.path.join(base, "a2"),
+             ds=rd.from_arrow(_transcripts(100, "a1", t0 + 10 ** 12)),
+             input_label="a2", tags=["t"])
+    assert cache_key(base, q) != k_before, "archive change must rotate key"
+    r3 = cached_search(base, q, run)
+    assert len(calls) == 2 and r3.num_rows == 400
