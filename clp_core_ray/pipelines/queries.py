@@ -6831,3 +6831,44 @@ def clp_response_latency(sf_dir: str):
         "mean_s": pa.array(agg.sql_round(
             np.array([(s / n if n else 0.0) / 1e6]), 6)),
         "max_s": pa.array(agg.sql_round(np.array([m / 1e6]), 6))})
+
+
+@register(
+    "clp_latency_by_route",
+    "WITH x AS (SELECT"
+    f"  {ROUTE_SQL_EXPR} AS logtype_class,"
+    "   CAST(regexp_extract(text,"
+    "     '(?:took |in |latency )(\\d+) ms', 1) AS BIGINT) AS ms"
+    "  FROM {T}"
+    "  WHERE regexp_extract(text,"
+    "     '(?:took |in |latency )(\\d+) ms', 1) <> '')"
+    " SELECT logtype_class, 0.5 AS q,"
+    "  CAST(quantile_disc(ms, 0.5) AS DOUBLE) AS ms"
+    "  FROM x GROUP BY 1 UNION ALL"
+    " SELECT logtype_class, 0.95 AS q,"
+    "  CAST(quantile_disc(ms, 0.95) AS DOUBLE) AS ms"
+    "  FROM x GROUP BY 1",
+)
+def clp_latency_by_route(sf_dir: str):
+    """Latency SLO report straight from raw log text: the RE2 kernel
+    extracts '<n> ms' durations (one vectorized pass, same engine as the
+    oracle), rows route to their logtype class, and exact per-class
+    p50/p95 come from the grouped value-histogram quantile exchange — the
+    end-to-end 'grep the latency out of prod logs' pipeline."""
+    from clp_core_ray.pipelines.temporal import grouped_quantile_disc
+
+    ds = read_transcripts(sf_dir).map_batches(RouteStage(),
+                                              batch_format="pyarrow")
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(b.column("text"), ""),
+                             r"(?:took |in |latency )(?P<ms>\d+) ms")
+        ok = pc.is_valid(m)
+        ms = pc.cast(pc.struct_field(m.combine_chunks(), "ms"), pa.int64())
+        return pa.table({
+            "logtype_class": b.column("logtype_class").filter(ok),
+            "ms": ms.filter(ok.combine_chunks())})
+
+    vals = ds.map_batches(extract, batch_format="pyarrow")
+    return grouped_quantile_disc(vals, key_col="logtype_class",
+                                 val_col="ms", qs=(0.5, 0.95))
