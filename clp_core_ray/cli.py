@@ -289,6 +289,19 @@ def cmd_catalog_init(args) -> dict:
             "entries": len(cat.read_catalog(args.base))}
 
 
+def cmd_retention(args) -> dict:
+    """Archive TTL sweep (the package's del-archives job role): drop every
+    catalogued archive whose whole time range ends before the cutoff —
+    catalog entry first (atomic: selection stops routing immediately),
+    directory second."""
+    from clp_core_ray.state import catalog as cat
+
+    removed = cat.retention_sweep(args.base, before_us=args.before_us,
+                                  dry_run=args.dry_run)
+    return {"cmd": "retention", "dry_run": bool(args.dry_run),
+            "removed": removed}
+
+
 def cmd_ingest(args) -> dict:
     """One poll of the continuous-ingestion loop (compression_scheduler.py
     role): compress exactly the input files no completed fragment owns yet;
@@ -723,6 +736,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "register lock-free")
     ci.add_argument("--base", required=True, help="archives base dir")
     ci.set_defaults(fn=cmd_catalog_init)
+
+    rt = sub.add_parser("retention",
+                        help="TTL sweep: remove catalogued archives whose "
+                             "ts range ends before the cutoff")
+    rt.add_argument("--base", required=True, help="archives base dir")
+    rt.add_argument("--before-us", type=int, required=True,
+                    help="epoch-microsecond cutoff")
+    rt.add_argument("--dry-run", action="store_true",
+                    help="report without deleting")
+    rt.set_defaults(fn=cmd_retention)
 
     st = sub.add_parser("stats", help="list archives + manifests")
     st.add_argument("--archive", required=True, help="base dir of archives")

@@ -304,3 +304,26 @@ def test_cli_glt_write_search(ray_session, tiny_sf_dir, tmp_path, capsys):
                            "--query", "*ERROR*", "--out", out_pq])
     assert res["cmd"] == "glt-search"
     assert res["rows"] == n_row_engine > 0
+
+
+def test_cli_retention(ray_session, tiny_sf_dir, tmp_path, capsys):
+    """catalog-init → compress → retention --dry-run → retention deletes;
+    stats reflect the survivor set."""
+    import os
+
+    base = str(tmp_path / "arch")
+    _run(capsys, ["catalog-init", "--base", base])
+    out, _ = _run(capsys, ["compress", "--input", tiny_sf_dir,
+                           "--out", os.path.join(base, "a1")])
+    cutoff = 4_000_000_000_000_000  # ~2096: everything is older
+    dry, _ = _run(capsys, ["retention", "--base", base,
+                           "--before-us", str(cutoff), "--dry-run"])
+    assert dry["dry_run"] and len(dry["removed"]) == 1
+    assert os.path.isdir(dry["removed"][0])
+    real, _ = _run(capsys, ["retention", "--base", base,
+                            "--before-us", str(cutoff)])
+    assert len(real["removed"]) == 1
+    assert not os.path.isdir(real["removed"][0])
+    keep, _ = _run(capsys, ["retention", "--base", base,
+                            "--before-us", "1"])
+    assert keep["removed"] == []
