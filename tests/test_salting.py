@@ -83,3 +83,51 @@ def test_archive_tags(ray_session, tmp_path, capsys):
                    "ERROR*timeout*", "--tag", "staging", "--count"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["count"] == 0  # a1 is not tagged staging
+
+
+def test_zorder_layout_prunes_both_dims(ray_session, tmp_path):
+    """Z-order layout: a (user ∧ time) box query touches a small file
+    fraction; both single-dimension queries ALSO prune (the property a
+    one-column sort cannot give); results equal the brute-force filter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.layout import read_pruned, write_zordered
+
+    rng = np.random.default_rng(61)
+    n = 120_000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 4096, n)),
+        "ts": pa.array(rng.integers(0, 1 << 40, n),
+                       type=pa.timestamp("us")),
+        "v": pa.array(rng.normal(0, 1, n)),
+    })
+    out = str(tmp_path / "z")
+    write_zordered(rd.from_arrow(t).repartition(8), out,
+                   col_a="user_id", col_b="ts",
+                   target_rows_per_file=2000)
+    ub = (1000, 1127)                      # 1/32 of user space
+    tb = (100 << 30, 132 << 30)            # ~1/32 of time space
+
+    def brute(ub_=None, tb_=None):
+        u = np.asarray(t.column("user_id"))
+        s = np.asarray(t.column("ts")).view("int64")
+        m = np.ones(n, dtype=bool)
+        if ub_:
+            m &= (u >= ub_[0]) & (u <= ub_[1])
+        if tb_:
+            m &= (s >= tb_[0]) & (s <= tb_[1])
+        return int(m.sum())
+
+    ds, nf, total = read_pruned(out, a_between=ub, b_between=tb)
+    got = sum(len(b["v"]) for b in ds.iter_batches(batch_format="pyarrow"))
+    assert got == brute(ub, tb)
+    assert nf / total < 0.30, (nf, total)  # box query: strong pruning
+    for kw, want in ((dict(a_between=ub), brute(ub_=ub)),
+                     (dict(b_between=tb), brute(tb_=tb))):
+        ds1, nf1, _ = read_pruned(out, **kw)
+        got1 = sum(len(b["v"])
+                   for b in ds1.iter_batches(batch_format="pyarrow"))
+        assert got1 == want
+        assert nf1 / total < 0.60, (kw, nf1, total)  # single dim prunes too
