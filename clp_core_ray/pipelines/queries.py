@@ -6872,3 +6872,55 @@ def clp_latency_by_route(sf_dir: str):
     vals = ds.map_batches(extract, batch_format="pyarrow")
     return grouped_quantile_disc(vals, key_col="logtype_class",
                                  val_col="ms", qs=(0.5, 0.95))
+
+
+@register(
+    "events_zorder_pruned",
+    "SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_user"
+    " FROM events WHERE user_id BETWEEN 4 AND 11"
+    "   AND ts >= TIMESTAMP '2024-01-08'"
+    "   AND ts < TIMESTAMP '2024-01-15'",
+)
+def events_zorder_pruned(sf_dir: str):
+    """Box query over the Z-order layout: events are laid out ONCE per
+    scale in Morton (user, time) order (cached like the transcript
+    fixture; the one deliberate all-to-all), then the (user ∧ time) box
+    reads only the part files whose stats envelope intersects — the
+    multi-dimensional prune a single-column sort cannot give. The oracle
+    is the plain filtered aggregate, so pruning must be lossless."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.layout import read_pruned, write_zordered
+    from clp_core_ray.sources.transcripts import CACHE_DIR
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(CACHE_DIR, f"zorder_events_{tag}")
+    if not os.path.isdir(out) or \
+            not os.path.isfile(os.path.join(out, "_zmanifest.json")):
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=CACHE_DIR)
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+        write_zordered(ds, tmp, col_a="user_id", col_b="ts",
+                       target_rows_per_file=25_000)
+        try:
+            os.replace(tmp, out)
+        except OSError:  # concurrent builder won; keep theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    lo = 1_704_672_000_000_000  # 2024-01-08 UTC in epoch-us
+    hi = 1_705_276_800_000_000  # 2024-01-15 UTC
+    ds, nf, total = read_pruned(out, a_between=(4, 11),
+                                b_between=(lo, hi - 1))
+    if ds is None:
+        return pa.table({"cnt": pa.array([0]),
+                         "sum_user": pa.array([0])})
+    tab = _tbl(ds)
+    return pa.table({
+        "cnt": pa.array([tab.num_rows]),
+        "sum_user": pa.array([int(pc.sum(tab.column("user_id")).as_py()
+                                  or 0)])})
