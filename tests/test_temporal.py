@@ -610,3 +610,50 @@ def test_grouped_ohlc_vs_bruteforce(ray_session):
         assert row["low"] == grp["v"].min()
         assert row["cnt"] == len(grp)
     assert len(got) == df.groupby(["g", "s"]).ngroups
+
+
+def test_new_kernels_empty_and_singleton_inputs(ray_session):
+    """Zero-row and single-row datasets flow through every kernel added
+    this session without crashing, with empty/expected outputs."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.aggregate import grouped_ohlc
+    from clp_core_ray.pipelines.temporal import (inter_event_gaps,
+                                                 time_weighted_avg)
+    from clp_core_ray.pipelines.windows import (grouped_ntile,
+                                                grouped_percentiles)
+
+    empty = pa.table({
+        "k": pa.array([], type=pa.int64()),
+        "g": pa.array([], type=pa.string()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "v": pa.array([], type=pa.float64()),
+        "eid": pa.array([], type=pa.int64()),
+    })
+    one = pa.table({
+        "k": pa.array([7], type=pa.int64()),
+        "g": pa.array(["x"]),
+        "ts": pa.array([123 * US], type=pa.timestamp("us")),
+        "v": pa.array([1.5]),
+        "eid": pa.array([0], type=pa.int64()),
+    })
+    for t in (empty, one):
+        ds = rd.from_arrow(t)
+        assert len(grouped_ohlc(ds, key_cols=["g"], val_col="v",
+                                ts_col="ts", id_col="eid")
+                   .to_pandas()) == (0 if t is empty else 1)
+        assert len(time_weighted_avg(ds, key_col="k", ts_col="ts",
+                                     val_col="v", id_col="eid")
+                   .to_pandas()) == 0  # <2 events or zero span
+        assert len(inter_event_gaps(ds, key_col="k", ts_col="ts",
+                                    id_col="eid").to_pandas()) == 0
+        nt = grouped_ntile(ds, key="g", val_col="v", row_id_col="eid",
+                           n_tiles=4).to_pandas()
+        pr = grouped_percentiles(ds, key="g", val_col="v",
+                                 row_id_col="eid").to_pandas()
+        if t is empty:
+            assert len(nt) == 0 and len(pr) == 0
+        else:
+            assert list(nt["tile"]) == [1]
+            assert list(pr["pct_rank"]) == [0.0]
+            assert list(pr["cume_dist"]) == [1.0]
