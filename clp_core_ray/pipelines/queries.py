@@ -6924,3 +6924,40 @@ def events_zorder_pruned(sf_dir: str):
         "cnt": pa.array([tab.num_rows]),
         "sum_user": pa.array([int(pc.sum(tab.column("user_id")).as_py()
                                   or 0)])})
+
+
+@register(
+    "events_expectations",
+    "SELECT 'type_in_set' AS rule,"
+    "  count(*) FILTER (WHERE event_type IS NULL OR event_type NOT IN"
+    "    ('click', 'error', 'purchase', 'signup', 'view')) AS violations,"
+    "  count(*) AS total FROM events"
+    " UNION ALL SELECT 'event_id_unique',"
+    "  count(*) - count(DISTINCT event_id), count(*) FROM events"
+    " UNION ALL SELECT 'user_id_in_range',"
+    "  count(*) FILTER (WHERE user_id IS NULL OR user_id < 0"
+    "    OR user_id > 10000000), count(*) FROM events"
+    " UNION ALL SELECT 'value_not_null',"
+    "  count(*) FILTER (WHERE value IS NULL), count(*) FROM events"
+    " ORDER BY rule",
+)
+def events_expectations(sf_dir: str):
+    """Declarative data-quality expectations (the validation gate an
+    ingest pipeline runs before publishing a snapshot): all row-level
+    rules fold to per-batch counters in ONE streaming pass; uniqueness
+    adds one shared distinct exchange. Report is rule-cardinality."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.expect import run_expectations
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"])
+    return run_expectations(ds, [
+        {"rule": "type_in_set", "kind": "in_set", "col": "event_type",
+         "values": ["click", "error", "purchase", "signup", "view"]},
+        {"rule": "event_id_unique", "kind": "unique", "col": "event_id"},
+        {"rule": "user_id_in_range", "kind": "in_range", "col": "user_id",
+         "lo": 0, "hi": 10_000_000},
+        {"rule": "value_not_null", "kind": "not_null", "col": "value"},
+    ])

@@ -412,3 +412,37 @@ def test_span_corrupt_invertible(ray_session):
              .to_pandas().set_index("doc_id").sort_index())
     assert (again["input"] == out["input"]).all()
     assert (again["target"] == out["target"]).all()
+
+
+def test_expectations_detect_planted_violations(ray_session):
+    """Every rule kind counts exactly its planted violations, including
+    null-as-violation semantics and cross-batch duplicate keys."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.expect import run_expectations
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 3, 4, 5, 1, 6], type=pa.int64()),
+        "cat": pa.array(["a", "b", "zz", None, "a", "b", "a", "b"]),
+        "x": pa.array([1.0, 2.0, None, 50.0, -7.0, 3.0, 4.0, 5.0]),
+        "s": pa.array(["ok1", "ok2", "bad", "ok3", None, "ok4", "ok5",
+                       "ok6"]),
+    })
+    out = run_expectations(rd.from_arrow(t).repartition(4), [
+        {"rule": "cat_in_set", "kind": "in_set", "col": "cat",
+         "values": ["a", "b"]},
+        {"rule": "id_unique", "kind": "unique", "col": "id"},
+        {"rule": "x_in_range", "kind": "in_range", "col": "x",
+         "lo": 0.0, "hi": 10.0},
+        {"rule": "x_not_null", "kind": "not_null", "col": "x"},
+        {"rule": "s_matches", "kind": "matches", "col": "s",
+         "pattern": r"^ok\d$"},
+    ]).to_pandas().set_index("rule")
+    assert out.loc["cat_in_set", "violations"] == 2      # 'zz' + null
+    assert out.loc["id_unique", "violations"] == 2       # dup 3 and dup 1
+    assert out.loc["x_in_range", "violations"] == 3      # null, 50, -7
+    assert out.loc["x_not_null", "violations"] == 1
+    assert out.loc["s_matches", "violations"] == 2       # 'bad' + null
+    assert (out["total"] == 8).all()
