@@ -22,6 +22,9 @@ module owns value-propagation algorithms.
 from __future__ import annotations
 
 import numpy as np
+
+from clp_core_ray.pipelines.aggregate import \
+    sql_round as _sql_round
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -89,7 +92,7 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
         assert abs(rank.sum() - 1.0) < 1e-9, "mass leak: dangling nodes?"
 
     return rd.from_arrow(pa.table({
-        "node": nodes, "rank": pa.array(np.round(rank, ndigits))}))
+        "node": nodes, "rank": pa.array(_sql_round(rank, ndigits))}))
 
 
 def cooccurrence_pairs(ds, *, basket_col: str, item_col: str,

@@ -8,6 +8,9 @@ Arrow batches; the only Python-level loops are over languages (constant).
 from __future__ import annotations
 
 import numpy as np
+
+from clp_core_ray.pipelines.aggregate import \
+    sql_round as _sql_round
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -798,7 +801,7 @@ def search_bm25(index_dir: str, terms, *, k1: float = 1.2, b: float = 0.75,
         starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
         return pa.table({
             id_col: pa.array(d[starts]),
-            "bm25": pa.array(np.round(np.add.reduceat(cv, starts),
+            "bm25": pa.array(_sql_round(np.add.reduceat(cv, starts),
                                       ndigits)),
         })
 
@@ -874,7 +877,14 @@ def rrf_fuse(rank_sets, *, id_col: str = "doc_id", rrf_k: int = 60,
     for p in parts[1:]:
         unioned = unioned.union(p)
     def rnd(b: pa.Table) -> pa.Table:
-        v = np.round(np.asarray(b.column("rrf"), dtype=np.float64), ndigits)
+        # SQL round-half-away, NOT np.round: RRF sums are dyadic rationals
+        # (1/(60+rn) combinations like 1/128 = 0.0078125) that land EXACTLY
+        # on rounding half-boundaries, where banker's rounding flips the
+        # last digit the other way from the oracle (caught at sf0.1)
+        from clp_core_ray.pipelines.aggregate import sql_round
+
+        v = sql_round(np.asarray(b.column("rrf"), dtype=np.float64),
+                      ndigits)
         return b.set_column(b.schema.get_field_index("rrf"), "rrf",
                             pa.array(v))
 
@@ -1188,7 +1198,7 @@ def bm25_scores(ds, query_terms, *, text_col: str = "text",
         score_v = np.add.reduceat(contrib, starts)
         return pa.table({
             id_col: pa.array(ids[starts], type=pa.int64()),
-            "bm25": pa.array(np.round(score_v, ndigits)),
+            "bm25": pa.array(_sql_round(score_v, ndigits)),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(
@@ -1464,7 +1474,7 @@ def pmi_cooccurrence(ds, *, vocab_size: int = 30, min_pair_count: int = 5,
     tb = pa.array([terms[i] for i in ib])
     return rd.from_arrow(pa.table({
         "term_a": ta, "term_b": tb,
-        "pmi": pa.array(np.round(pmi, ndigits))}))
+        "pmi": pa.array(_sql_round(pmi, ndigits))}))
 
 
 def _collect_ds(ds) -> pa.Table:
@@ -1617,4 +1627,4 @@ def kl_by_group(ds, *, group_col: str, text_col: str = "text",
         out_kl.append(s)
     return rd.from_arrow(pa.table({
         group_col: pa.array(out_g),
-        "kl": pa.array(np.round(np.asarray(out_kl), ndigits))}))
+        "kl": pa.array(_sql_round(np.asarray(out_kl), ndigits))}))

@@ -179,8 +179,8 @@ def decayed_count_by(ds, *, key_col: str, ts_col: str = "ts",
         return out.rename_columns([key_col, "_w"])
 
     def rnd(b: pa.Table) -> pa.Table:
-        v = np.round(np.asarray(b.column("decayed"), dtype=np.float64),
-                     ndigits)
+        v = sql_round(np.asarray(b.column("decayed"), dtype=np.float64),
+                      ndigits)
         return b.set_column(b.schema.get_field_index("decayed"),
                             "decayed", pa.array(v))
 
@@ -253,7 +253,7 @@ def entropy_by_group(ds, *, key_col: str, cat_col: str,
         keys_out = g.column(key_col).combine_chunks().take(
             pa.array(order[starts]))
         return pa.table({key_col: keys_out,
-                         "entropy": pa.array(np.round(ent, ndigits))})
+                         "entropy": pa.array(sql_round(ent, ndigits))})
 
     return (summed.map_batches(tag, batch_format="pyarrow")
             .groupby("_bucket")

@@ -3543,7 +3543,8 @@ def docs_perplexity_scored(sf_dir: str):
     out = perplexity_score(ds)
 
     def rnd(t: pa.Table) -> pa.Table:
-        lp = np.round(np.asarray(t.column("logprob"), dtype=np.float64), 6)
+        lp = agg.sql_round(np.asarray(t.column("logprob"),
+                           dtype=np.float64), 6)
         # -0.0 stringifies differently from 0.0; normalize
         lp = lp + 0.0
         return t.set_column(t.schema.get_field_index("logprob"),
@@ -4177,7 +4178,7 @@ def events_value_zscore_outliers(sf_dir: str):
         keep = np.abs(z) > 2.5
         return pa.table({
             "event_id": b.column("event_id").filter(pa.array(keep)),
-            "z": pa.array(np.round(z[keep], 6)),
+            "z": pa.array(agg.sql_round(z[keep], 6)),
         })
 
     return scored.map_batches(fin, batch_format="pyarrow")
