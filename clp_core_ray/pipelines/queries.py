@@ -6962,3 +6962,64 @@ def events_expectations(sf_dir: str):
          "lo": 0, "hi": 10_000_000},
         {"rule": "value_not_null", "kind": "not_null", "col": "value"},
     ])
+
+
+@register(
+    "supplier_revenue_top",
+    "SELECT s_name, n_name,"
+    " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+    " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " GROUP BY s_name, n_name"
+    " ORDER BY revenue DESC, s_name LIMIT 10",
+)
+def supplier_revenue_top(sf_dir: str):
+    """Top suppliers by lifetime revenue: ONE partial-sum shuffle keyed on
+    l_suppkey (never a fact join); the supplier-cardinality aggregate is
+    cut to the top candidates DISTRIBUTED (sort + limit with a margin for
+    rounded-revenue ties) before anything reaches the driver, then dims
+    attach to those few rows via a semi-filtered supplier scan and a
+    broadcast nation map."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = np.asarray(b.column("l_extendedprice"), dtype=np.float64) \
+            * (1.0 - np.asarray(b.column("l_discount"), dtype=np.float64))
+        return pa.table({"l_suppkey": b.column("l_suppkey"),
+                         "_r": pa.array(r)})
+
+    summed_ds = agg.sum_by(li.map_batches(rev, batch_format="pyarrow"),
+                           "l_suppkey", "_r", alias="_rev")
+    summed_ds = summed_ds.map_batches(
+        lambda b: b.append_column("_rr", pa.array(agg.sql_round(
+            np.asarray(b.column("_rev"), dtype=np.float64), 2))),
+        batch_format="pyarrow")
+    # distributed cut: top-10 plus margin so rounded-revenue ties at the
+    # boundary still resolve by name after the dims attach
+    summed = _tbl(summed_ds.sort("_rr", descending=True).limit(100))
+    need_ref = ray.put(pc.unique(summed.column("l_suppkey")))
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name", "s_nationkey"])
+    smap = _tbl(sup.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("s_suppkey"),
+                                    value_set=ray.get(need_ref))),
+        batch_format="pyarrow"))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    pos = pc.index_in(summed.column("l_suppkey"), smap.column("s_suppkey"))
+    npos = pc.index_in(pc.take(smap.column("s_nationkey"), pos),
+                       nat.column("n_nationkey"))
+    out = pa.table({
+        "s_name": pc.take(smap.column("s_name"), pos),
+        "n_name": pc.take(nat.column("n_name"), npos),
+        "revenue": summed.column("_rr"),
+    })
+    order = pc.sort_indices(out, sort_keys=[("revenue", "descending"),
+                                            ("s_name", "ascending")])
+    return out.take(order.slice(0, 10))
