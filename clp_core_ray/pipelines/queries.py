@@ -7023,3 +7023,74 @@ def supplier_revenue_top(sf_dir: str):
     order = pc.sort_indices(out, sort_keys=[("revenue", "descending"),
                                             ("s_name", "ascending")])
     return out.take(order.slice(0, 10))
+
+
+@register(
+    "events_top_paths",
+    "WITH s AS (SELECT user_id, event_type AS e1,"
+    "   lead(event_type) OVER w AS e2, lead(event_type, 2) OVER w AS e3"
+    "  FROM events WINDOW w AS (PARTITION BY user_id"
+    "    ORDER BY ts, event_id))"
+    " SELECT e1, e2, e3, count(*) AS cnt FROM s WHERE e3 IS NOT NULL"
+    " GROUP BY 1, 2, 3 ORDER BY cnt DESC, e1, e2, e3 LIMIT 15",
+)
+def events_top_paths(sf_dir: str):
+    """Most common 3-step behavioral paths (the sequence-mining extension
+    of the 2-step transition matrix): one user-hash shuffle, per-bucket
+    lexsort + shifted-code triple extraction (pure array arithmetic), path
+    counts partial-aggregated — the cross-bucket exchange carries at most
+    |event types|³ rows per bucket."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("user_id"), dtype=np.int64)
+        return b.append_column(
+            "_pb", pa.array((ids % np.int64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"e1": pa.array([], type=pa.string()),
+                          "e2": pa.array([], type=pa.string()),
+                          "e3": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if g.num_rows < 3 or "user_id" not in g.column_names:
+            return empty
+        ids = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts")).view(np.int64)
+        eid = np.asarray(g.column("event_id"), dtype=np.int64)
+        et = g.column("event_type").combine_chunks()
+        enc = et.dictionary_encode()
+        code = np.asarray(enc.indices, dtype=np.int64)
+        dic = enc.dictionary
+        order = np.lexsort((eid, ts, ids))
+        ids, code = ids[order], code[order]
+        same3 = (ids[2:] == ids[:-2])
+        if not same3.any():
+            return empty
+        k = len(dic)
+        trip = code[:-2] * k * k + code[1:-1] * k + code[2:]
+        trip = trip[same3]
+        u, c = np.unique(trip, return_counts=True)
+        return pa.table({
+            "e1": pc.take(dic, pa.array(u // (k * k))),
+            "e2": pc.take(dic, pa.array((u // k) % k)),
+            "e3": pc.take(dic, pa.array(u % k)),
+            "cnt": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    counts = _tbl(ds.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("_pb").map_groups(per_bucket,
+                                             batch_format="pyarrow")
+                  .groupby(["e1", "e2", "e3"])
+                  .aggregate(Sum("cnt", alias_name="cnt")))
+    order = pc.sort_indices(counts, sort_keys=[
+        ("cnt", "descending"), ("e1", "ascending"),
+        ("e2", "ascending"), ("e3", "ascending")])
+    return counts.take(order.slice(0, 15))
