@@ -7094,3 +7094,38 @@ def events_top_paths(sf_dir: str):
         ("cnt", "descending"), ("e1", "ascending"),
         ("e2", "ascending"), ("e3", "ascending")])
     return counts.take(order.slice(0, 15))
+
+
+@register(
+    "events_ewma_daily",
+    "WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS cnt"
+    "  FROM events GROUP BY 1)"
+    " SELECT a.day, round(sum(b.cnt * 0.3"
+    "   * pow(0.7, datediff('day', b.day, a.day))), 4) AS ewma"
+    " FROM d a JOIN d b ON b.day <= a.day GROUP BY a.day",
+)
+def events_ewma_daily(sf_dir: str):
+    """Exponentially-weighted daily volume (α = 0.3) — the smoothed
+    baseline an anomaly monitor compares against. ONE partial-aggregated
+    count shuffle to the day series (driver-tiny at any corpus scale);
+    the decay convolution runs vectorized on that aggregate."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ds = agg.add_time_bucket(ds, "ts", "day", out_col="day")
+    fine = _tbl(agg.count_by(ds, ["day"]))
+    day_us = np.asarray(fine.column("day").cast(pa.timestamp("us"))
+                        .cast(pa.int64()))
+    order = np.argsort(day_us)
+    day_us, cnt = day_us[order], \
+        np.asarray(fine.column("cnt"), dtype=np.float64)[order]
+    US_DAY = 86_400_000_000
+    dnum = day_us // US_DAY
+    # decay convolution over the (tiny) day axis, matching the SQL
+    # sum-over-b<=a formulation term for term
+    k = dnum[:, None] - dnum[None, :]
+    w = np.where(k >= 0, 0.3 * np.power(0.7, np.maximum(k, 0)), 0.0)
+    ewma = w @ cnt
+    return pa.table({
+        "day": pa.array(day_us).cast(pa.timestamp("us")),
+        "ewma": pa.array(agg.sql_round(ewma, 4))})
