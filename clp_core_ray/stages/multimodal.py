@@ -733,3 +733,51 @@ def audio_dup_pairs(ds, *, id_col: str = "clip_id", data_col: str = "audio",
     return pairs.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("cnt"), min_matches)),
         batch_format="pyarrow")
+
+
+class SceneChangeStage:
+    """binary video column → one row per detected scene boundary.
+
+    Actor-pool stage (codec in ``__init__``): decode → per-frame mean
+    absolute pixel delta to the previous frame (one vectorized diff over
+    the whole frame tensor) → boundaries where the delta exceeds
+    ``threshold``. Emits (video_id, frame_idx, delta) — the shot-boundary
+    table a video curation pipeline samples keyframes from.
+    """
+
+    def __init__(self, data_col: str = "video", id_col: str = "video_id",
+                 threshold: float = 12.0, decode_fn=None):
+        self.data_col = data_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.decode_fn = decode_fn or decode_rawv
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, d_out = [], [], []
+        ids = batch.column(self.id_col).to_pylist()
+        for vid, buf in zip(ids, batch.column(self.data_col).to_pylist()):
+            frames = self.decode_fn(buf).astype(np.float32)
+            if len(frames) < 2:
+                continue
+            delta = np.abs(frames[1:] - frames[:-1]).mean(axis=(1, 2, 3))
+            for fi in np.flatnonzero(delta > self.threshold):
+                ids_out.append(vid)
+                idx_out.append(int(fi) + 1)
+                d_out.append(float(delta[fi]))
+        return pa.table({
+            self.id_col: pa.array(ids_out, type=pa.int64()),
+            "frame_idx": pa.array(idx_out, type=pa.int64()),
+            "delta": pa.array(d_out, type=pa.float64()),
+        })
+
+
+def detect_scene_changes(ds, concurrency=(1, 4), **stage_kwargs):
+    """Video → scene-boundary rows (actor pool, small batches)."""
+    return ds.map_batches(
+        SceneChangeStage,
+        fn_constructor_kwargs=stage_kwargs,
+        batch_format="pyarrow",
+        batch_size=max(MEDIA_BATCH_SIZE // 8, 4),
+        concurrency=concurrency,
+        num_cpus=1,
+    )

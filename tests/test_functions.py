@@ -2134,3 +2134,33 @@ def test_audio_dup_pairs(ray_session):
     assert want <= got, want - got
     cross = {p for p in got if p[0] // 10 != p[1] // 10}
     assert not cross, cross
+
+
+def test_scene_change_detection(ray_session):
+    """Scene boundaries land exactly at the synthetic cut points; smooth
+    noise below threshold yields none."""
+    import ray.data as rd
+
+    from clp_core_ray.stages.multimodal import (detect_scene_changes,
+                                                encode_rawv)
+
+    rng = np.random.default_rng(71)
+    # video 0: three scenes with hard cuts at frames 4 and 9
+    scenes = [rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+              for _ in range(3)]
+    frames0 = np.stack([scenes[0]] * 4 + [scenes[1]] * 5 + [scenes[2]] * 3)
+    # video 1: one scene + tiny noise (below threshold)
+    base = rng.integers(100, 156, (8, 8, 3)).astype(np.uint8)
+    frames1 = np.stack([
+        np.clip(base.astype(np.int16)
+                + rng.integers(-2, 3, base.shape), 0, 255).astype(np.uint8)
+        for _ in range(6)])
+    t = pa.table({"video_id": pa.array([0, 1], type=pa.int64()),
+                  "video": pa.array([encode_rawv(frames0),
+                                     encode_rawv(frames1)],
+                                    type=pa.binary())})
+    out = (detect_scene_changes(rd.from_arrow(t).repartition(2))
+           .to_pandas().sort_values(["video_id", "frame_idx"]))
+    cuts0 = out[out["video_id"] == 0]["frame_idx"].tolist()
+    assert cuts0 == [4, 9], cuts0
+    assert (out["video_id"] == 1).sum() == 0
