@@ -239,3 +239,30 @@ def test_import_does_not_mutate_env():
     )
     subprocess.run([sys.executable, "-c", code], check=True,
                    cwd="/root/repo", timeout=120)
+
+
+def test_sql_round_matches_duckdb_round():
+    """sql_round == DuckDB round(x, d) on random values AND constructed
+    half-boundary values (dyadic rationals, decimal halves) — the contract
+    every oracled query relies on (np.round banker's ties broke it at
+    sf0.1 until commit c0184cf)."""
+    import duckdb
+    import numpy as np
+
+    from clp_core_ray.pipelines.aggregate import sql_round
+
+    rng = np.random.default_rng(81)
+    vals = list(rng.normal(0, 1000, 400))
+    # half-boundaries: k/2·10^-d for d in {2, 4, 6}, incl. dyadic 1/128
+    for d in (2, 4, 6):
+        step = 10.0 ** -d
+        vals += [round(k * step + step / 2, d + 3) for k in range(-5, 6)]
+    vals += [1 / 128, 1 / 3200, -1 / 128, 0.0078125, 2.5, -2.5, 0.125]
+    con = duckdb.connect()
+    for d in (2, 4, 6):
+        got = sql_round(np.asarray(vals, dtype=np.float64), d)
+        want = [con.execute("SELECT round(CAST(? AS DOUBLE), ?)",
+                            [float(v), d]).fetchone()[0] for v in vals]
+        mism = [(v, g, w) for v, g, w in zip(vals, got, want)
+                if abs(g - w) > 1e-12]
+        assert not mism, (d, mism[:5])
