@@ -7129,3 +7129,59 @@ def events_ewma_daily(sf_dir: str):
     return pa.table({
         "day": pa.array(day_us).cast(pa.timestamp("us")),
         "ewma": pa.array(agg.sql_round(ewma, 4))})
+
+
+@register(
+    "events_pareto_users",
+    "WITH u AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),"
+    " r AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn,"
+    "   sum(c) OVER (ORDER BY c DESC, user_id ROWS UNBOUNDED PRECEDING)"
+    "   AS run FROM u),"
+    " t AS (SELECT count(*) AS n, sum(c) AS tot FROM u)"
+    " SELECT CAST(k AS BIGINT) AS decile,"
+    "  round(CAST(r.run AS DOUBLE) / t.tot, 6) AS share"
+    " FROM range(1, 11) g(k), t JOIN r ON r.rn = (t.n * k) // 10",
+)
+def events_pareto_users(sf_dir: str):
+    """Activity concentration (Lorenz/Pareto): share of all events from
+    the top k·10% most active users. The distributed form needs NO sort
+    and never a per-user table on the driver: user counts partial-
+    aggregate (one shuffle), then fold to a COUNT HISTOGRAM (one row per
+    distinct activity level — bounded by max events/user) from which every
+    decile's cumulative share is exact integer arithmetic; ties are
+    interchangeable inside a level so user identity never matters."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counts = agg.count_by(ds, ["user_id"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"c": b.column("cnt"),
+                      "_n": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return (t.group_by(["c"]).aggregate([("_n", "sum")])
+                .rename_columns(["c", "_n"]))
+
+    folded = _tbl(counts.map_batches(hist, batch_format="pyarrow")
+                  .groupby("c").aggregate(Sum("_n", alias_name="n_users")))
+    c = np.asarray(folded.column("c"), dtype=np.int64)
+    nu = np.asarray(folded.column("n_users"), dtype=np.int64)
+    order = np.argsort(-c)
+    c, nu = c[order], nu[order]
+    users_cum = np.cumsum(nu)
+    events_cum = np.cumsum(c * nu)
+    n, tot = int(users_cum[-1]), int(events_cum[-1])
+    deciles, shares = [], []
+    for k in range(1, 11):
+        m = (n * k) // 10
+        if m == 0:
+            continue
+        g = int(np.searchsorted(users_cum, m))  # group containing rank m
+        before_u = int(users_cum[g - 1]) if g else 0
+        before_e = int(events_cum[g - 1]) if g else 0
+        run = before_e + int(c[g]) * (m - before_u)
+        deciles.append(k)
+        shares.append(run / tot)
+    return pa.table({"decile": pa.array(deciles, type=pa.int64()),
+                     "share": pa.array(agg.sql_round(
+                         np.asarray(shares), 6))})
