@@ -203,6 +203,20 @@ def _sample_matrix(ds, emb_col: str, sample_rows: int, seed: int = 11) -> np.nda
     )
 
 
+def _cells_root(index_dir: str) -> str:
+    """Active cells directory: the ``CURRENT`` pointer names the live
+    generation (written atomically by compaction); absent → ``cells``,
+    the build-time default. The pointer file is what makes compaction a
+    single-commit-point operation readers can never observe half-done."""
+    import os
+
+    cur = os.path.join(index_dir, "CURRENT")
+    if os.path.isfile(cur):
+        with open(cur) as f:
+            return os.path.join(index_dir, f.read().strip())
+    return os.path.join(index_dir, "cells")
+
+
 def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
                     id_col: str = "vec_id", emb_col: str = "embedding",
                     sample_rows: int = 4096, seed: int = 11) -> np.ndarray:
@@ -230,7 +244,8 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
         return batch.append_column("ivf_cell", pa.array(cell))
 
     ds.map_batches(assign_cell, batch_format="pyarrow").write_parquet(
-        f"{index_dir}/cells", partition_cols=["ivf_cell"], compression="zstd"
+        _cells_root(index_dir), partition_cols=["ivf_cell"],
+        compression="zstd"
     )
     import pyarrow.parquet as pq
 
@@ -271,8 +286,8 @@ def ivf_index_append(index_dir: str, ds, id_col: str = "vec_id",
 
     assigned = ds.map_batches(assign_cell, batch_format="pyarrow")
     n = assigned.count()
-    assigned.write_parquet(f"{index_dir}/cells", partition_cols=["ivf_cell"],
-                           compression="zstd")
+    assigned.write_parquet(_cells_root(index_dir),
+                           partition_cols=["ivf_cell"], compression="zstd")
     return n
 
 
@@ -337,7 +352,8 @@ def ivf_index_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
 
     paths = [os.path.join(p, f)
              for c in probe_set
-             if os.path.isdir(p := f"{index_dir}/cells/ivf_cell={c}")
+             if os.path.isdir(
+                 p := os.path.join(_cells_root(index_dir), f"ivf_cell={c}"))
              for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
     if not paths:
         return pa.table(
@@ -544,7 +560,7 @@ def knn_label_vote_ivf(ds, index_dir: str, k: int = 5, n_probe: int = 4,
 
     cell_refs = {}
     for c in range(len(cents)):
-        p = f"{index_dir}/cells/ivf_cell={c}"
+        p = os.path.join(_cells_root(index_dir), f"ivf_cell={c}")
         if os.path.isdir(p):
             paths = [os.path.join(p, f) for f in sorted(os.listdir(p))
                      if f.endswith(".parquet")]
@@ -877,7 +893,8 @@ def build_ivfpq_index(ds, index_dir: str, n_centroids: int = 16, m: int = 8,
         )
 
     ds.map_batches(to_cell_codes, batch_format="pyarrow").write_parquet(
-        f"{index_dir}/cells", partition_cols=["ivf_cell"], compression="zstd"
+        _cells_root(index_dir), partition_cols=["ivf_cell"],
+        compression="zstd"
     )
     pq.write_table(
         pa.table({"cell": pa.array(range(len(cents)), type=pa.int64()),
@@ -928,7 +945,8 @@ def ivfpq_topk(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
     probe_set = [int(c) for c in np.unique(probes)]
     paths = [os.path.join(p, f)
              for c in probe_set
-             if os.path.isdir(p := f"{index_dir}/cells/ivf_cell={c}")
+             if os.path.isdir(
+                 p := os.path.join(_cells_root(index_dir), f"ivf_cell={c}"))
              for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
     empty = pa.table(
         {"query_id": pa.array([], type=pa.int64()),
@@ -1174,7 +1192,8 @@ def ivf_index_radius(index_dir: str, queries: np.ndarray,
 
     paths = [os.path.join(p, f)
              for c in probe_set
-             if os.path.isdir(p := f"{index_dir}/cells/ivf_cell={c}")
+             if os.path.isdir(
+                 p := os.path.join(_cells_root(index_dir), f"ivf_cell={c}"))
              for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
     empty = pa.table({"query_id": pa.array([], type=pa.int64()),
                       "neighbor_id": pa.array([], type=pa.int64()),
@@ -1340,7 +1359,7 @@ def hard_negatives_ivf(ds, index_dir: str, k: int = 1, n_probe: int = 4,
 
     cell_refs = {}
     for c in range(len(cents)):
-        p = f"{index_dir}/cells/ivf_cell={c}"
+        p = os.path.join(_cells_root(index_dir), f"ivf_cell={c}")
         if os.path.isdir(p):
             paths = [os.path.join(p, f) for f in sorted(os.listdir(p))
                      if f.endswith(".parquet")]
@@ -1396,3 +1415,64 @@ def hard_negatives_ivf(ds, index_dir: str, k: int = 1, n_probe: int = 4,
         for qb in qblocks
     ]
     return rd.from_arrow(pa.concat_tables(ray.get(refs)))
+
+
+def ivf_index_compact(index_dir: str) -> dict:
+    """LSM compaction for the at-rest IVF index: rewrite every cell's
+    accumulated parts into ONE file with tombstoned rows dropped, then
+    commit by atomically rewriting the ``CURRENT`` generation pointer —
+    probes either see the whole old generation (parts + tombstone masks)
+    or the whole new one, never a mix. Old generation and tombstones are
+    removed only after the commit point; a crash before it leaves the old
+    view intact, a crash after it leaves harmless garbage a re-run sweeps.
+
+    Completes the build → append → delete → compact lifecycle
+    (text.compact_inverted_index's role for the vector index; reference
+    analogue: archive merge compaction). Returns
+    {cells, rows_kept, rows_dropped, new_root}."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    old_root = _cells_root(index_dir)
+    gen = 1
+    base = os.path.basename(old_root)
+    if base.startswith("cells-"):
+        gen = int(base.split("-")[1]) + 1
+    new_name = f"cells-{gen}"
+    new_root = os.path.join(index_dir, new_name)
+    dead = _load_tombstones(index_dir)
+    kept = dropped = ncells = 0
+    os.makedirs(new_root, exist_ok=True)
+    for cell in sorted(os.listdir(old_root)):
+        src = os.path.join(old_root, cell)
+        if not (cell.startswith("ivf_cell=") and os.path.isdir(src)):
+            continue
+        parts = [pq.read_table(os.path.join(src, f))
+                 for f in sorted(os.listdir(src)) if f.endswith(".parquet")]
+        if not parts:
+            continue
+        t = pa.concat_tables(parts, promote_options="default")
+        before = t.num_rows
+        if dead is not None and len(dead):
+            t = t.filter(pc.invert(pc.is_in(
+                t.column("vec_id").combine_chunks(), value_set=dead)))
+        kept += t.num_rows
+        dropped += before - t.num_rows
+        ncells += 1
+        dst = os.path.join(new_root, cell)
+        os.makedirs(dst, exist_ok=True)
+        tmp = os.path.join(dst, f"compact.{os.getpid()}.inprogress")
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(dst, "part-compacted.parquet"))
+    # commit point: readers flip to the new generation atomically
+    cur_tmp = os.path.join(index_dir, f"CURRENT.{os.getpid()}.inprogress")
+    with open(cur_tmp, "w") as f:
+        f.write(new_name)
+    os.replace(cur_tmp, os.path.join(index_dir, "CURRENT"))
+    # post-commit cleanup (correct view regardless of crash here)
+    shutil.rmtree(old_root, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    return {"cells": ncells, "rows_kept": kept, "rows_dropped": dropped,
+            "new_root": new_root}

@@ -954,6 +954,33 @@ def test_ivf_index_incremental(ray_session, tmp_path):
     again = ivf_index_topk(idx, q, qids, k=8, n_probe=6)
     assert not set(again.column("neighbor_id").to_pylist()) & {1000, 1001}
 
+    # compaction: one file per cell, tombstones physically dropped, probe
+    # IDENTICAL through the atomic CURRENT generation flip; further
+    # appends land in the new generation and remain visible
+    import os
+
+    from clp_core_ray.functions.similarity import (_cells_root,
+                                                   ivf_index_compact)
+
+    rep = ivf_index_compact(idx)
+    assert rep["rows_dropped"] == len(dead) + 2
+    after = ivf_index_topk(idx, q, qids, k=8, n_probe=6)
+    assert after.equals(again)
+    root = _cells_root(idx)
+    assert os.path.basename(root) == "cells-1"
+    for cell in os.listdir(root):
+        parts = [f for f in os.listdir(os.path.join(root, cell))
+                 if f.endswith(".parquet")]
+        assert parts == ["part-compacted.parquet"], (cell, parts)
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    more = rng.normal(size=(5, d)).astype(np.float32)
+    ivf_index_append(idx, rd.from_arrow(tbl_of(more, range(2000, 2005))))
+    q2 = more[:1]
+    hit = ivf_index_topk(idx, q2, np.array([2000]), k=1, n_probe=6)
+    assert hit.column("neighbor_id").to_pylist() != [2000]  # self-excluded
+    hit2 = ivf_index_topk(idx, q2, np.array([9999]), k=1, n_probe=6)
+    assert hit2.column("neighbor_id").to_pylist() == [2000]
+
 
 def test_ivf_index_update_from_drift(ray_session, tmp_path):
     """Snapshot-drift maintenance: diff two embedding corpora by vector
