@@ -294,17 +294,22 @@ def ivf_index_append(index_dir: str, ds, id_col: str = "vec_id",
 def ivf_index_delete(index_dir: str, ids) -> None:
     """Tombstone vector ids: appended (never rewritten) under
     ``tombstones/``; probes drop tombstoned rows before scoring. Dead rows
-    still occupy cell files until a rebuild — the usual LSM trade."""
+    occupy cell files until ``ivf_index_compact``. File name is the HASH
+    of the id set (tmp → os.replace), so a retried delete overwrites its
+    own file instead of appending a duplicate — the repo-wide sink
+    discipline."""
+    import hashlib
     import os
-    import uuid
 
     import pyarrow.parquet as pq
 
     d = os.path.join(index_dir, "tombstones")
     os.makedirs(d, exist_ok=True)
-    arr = pa.array(np.asarray(list(ids), dtype=np.int64))
-    pq.write_table(pa.table({"vec_id": arr}),
-                   os.path.join(d, f"dead-{uuid.uuid4().hex}.parquet"))
+    a = np.sort(np.asarray(list(ids), dtype=np.int64))
+    name = f"dead-{hashlib.sha1(a.tobytes()).hexdigest()[:20]}.parquet"
+    tmp = os.path.join(d, f"{name}.{os.getpid()}.inprogress")
+    pq.write_table(pa.table({"vec_id": pa.array(a)}), tmp)
+    os.replace(tmp, os.path.join(d, name))
 
 
 def _load_tombstones(index_dir: str) -> "pa.Array | None":
