@@ -7185,3 +7185,65 @@ def events_pareto_users(sf_dir: str):
     return pa.table({"decile": pa.array(deciles, type=pa.int64()),
                      "share": pa.array(agg.sql_round(
                          np.asarray(shares), 6))})
+
+
+@register(
+    "emb_label_separation",
+    "WITH ce AS (SELECT label, i, avg(embedding[i]) AS m"
+    "  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),"
+    " n AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM ce GROUP BY 1),"
+    " d AS (SELECT a.label AS label_a, b.label AS label_b,"
+    "   sum(a.m * b.m) AS dot FROM ce a JOIN ce b"
+    "   ON a.i = b.i AND a.label < b.label GROUP BY 1, 2)"
+    " SELECT label_a, label_b,"
+    "  round(dot / (na.nrm * nb.nrm), 6) AS cosine"
+    " FROM d JOIN n na ON na.label = label_a"
+    " JOIN n nb ON nb.label = label_b",
+)
+def emb_label_separation(sf_dir: str):
+    """Inter-class separation report: cosine similarity between per-label
+    embedding centroids (the cluster-quality check before training a
+    classifier on the labels). Per-batch per-label dim sums — labels×64
+    rows per batch, never vectors — fold driver-side; the pairwise cosine
+    runs on the labels×dims centroid matrix (tiny at any corpus size)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from clp_core_ray.functions.dedup import _emb_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _emb_matrix(b, "embedding").astype(np.float64)
+        lab = np.asarray(b.column("label"), dtype=np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), x.shape[1]))
+        np.add.at(sums, inv, x)
+        cnt = np.bincount(inv)
+        d = x.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d)),
+            "dim": pa.array(np.tile(np.arange(d), len(ul))),
+            "_s": pa.array(sums.reshape(-1)),
+            "_n": pa.array(np.repeat(cnt, d).astype(np.int64))})
+
+    folded = _tbl(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["label", "dim"])
+                  .aggregate(Sum("_s", alias_name="_s"),
+                             Sum("_n", alias_name="_n")))
+    lab = np.asarray(folded.column("label"), dtype=np.int64)
+    dim = np.asarray(folded.column("dim"), dtype=np.int64)
+    ul = np.unique(lab)
+    d = dim.max() + 1
+    cent = np.zeros((len(ul), d))
+    li = np.searchsorted(ul, lab)
+    cent[li, dim] = np.asarray(folded.column("_s"), dtype=np.float64) \
+        / np.asarray(folded.column("_n"), dtype=np.float64)
+    nrm = np.sqrt((cent * cent).sum(axis=1))
+    cos = (cent @ cent.T) / np.outer(nrm, nrm)
+    ia, ib = np.triu_indices(len(ul), k=1)
+    return pa.table({
+        "label_a": pa.array(ul[ia]),
+        "label_b": pa.array(ul[ib]),
+        "cosine": pa.array(agg.sql_round(cos[ia, ib], 6))})
