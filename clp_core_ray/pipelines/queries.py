@@ -7247,3 +7247,61 @@ def emb_label_separation(sf_dir: str):
         "label_a": pa.array(ul[ia]),
         "label_b": pa.array(ul[ib]),
         "cosine": pa.array(agg.sql_round(cos[ia, ib], 6))})
+
+
+@register(
+    "orders_ship_lag",
+    "WITH f AS (SELECT l_orderkey, min(l_shipdate) AS first_ship"
+    "  FROM lineitem GROUP BY 1)"
+    " SELECT o_orderpriority, 0.5 AS q, CAST(quantile_disc("
+    "   datediff('day', o_orderdate, first_ship), 0.5) AS DOUBLE) AS lag_d"
+    " FROM orders JOIN f ON o_orderkey = l_orderkey GROUP BY 1"
+    " UNION ALL"
+    " SELECT o_orderpriority, 0.9 AS q, CAST(quantile_disc("
+    "   datediff('day', o_orderdate, first_ship), 0.9) AS DOUBLE) AS lag_d"
+    " FROM orders JOIN f ON o_orderkey = l_orderkey GROUP BY 1",
+)
+def orders_ship_lag(sf_dir: str):
+    """Fulfillment latency SLO: per-priority p50/p90 of days from order to
+    first shipment. One partial-min shuffle over lineitem (order-keyed),
+    the per-order lag attaches to a single orders scan via broadcast/hash
+    (size-gated), and the exact quantiles ride the grouped value-histogram
+    exchange — day lags repeat heavily, so the histogram stays tiny."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import auto_join
+    from clp_core_ray.pipelines.temporal import grouped_quantile_disc
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def pmin(b: pa.Table) -> pa.Table:
+        return (b.group_by(["l_orderkey"])
+                .aggregate([("l_shipdate", "min")])
+                .rename_columns(["l_orderkey", "first_ship"]))
+
+    from ray.data.aggregate import Min
+
+    first = (li.map_batches(pmin, batch_format="pyarrow")
+             .groupby("l_orderkey")
+             .aggregate(Min("first_ship", alias_name="first_ship")))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = auto_join(orders, first, "o_orderkey", "l_orderkey",
+                  ["first_ship"])
+
+    def lag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("first_ship")))
+        od = np.asarray(b.column("o_orderdate")).view(np.int64)
+        fs = np.asarray(
+            b.column("first_ship").combine_chunks()
+            .cast(pa.timestamp("us"))).view(np.int64)
+        US_DAY = 86_400_000_000
+        d = fs // US_DAY - od // US_DAY
+        return pa.table({"o_orderpriority": b.column("o_orderpriority"),
+                         "lag_d": pa.array(d.astype(np.float64))})
+
+    vals = j.map_batches(lag, batch_format="pyarrow")
+    return grouped_quantile_disc(vals, key_col="o_orderpriority",
+                                 val_col="lag_d", qs=(0.5, 0.9))
