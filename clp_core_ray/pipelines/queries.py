@@ -7305,3 +7305,47 @@ def orders_ship_lag(sf_dir: str):
     vals = j.map_batches(lag, batch_format="pyarrow")
     return grouped_quantile_disc(vals, key_col="o_orderpriority",
                                  val_col="lag_d", qs=(0.5, 0.9))
+
+
+@register(
+    "clp_error_rate_by_day",
+    f"WITH r AS (SELECT {ROUTE_SQL_EXPR} AS c,"
+    "   date_trunc('day', ts) AS day FROM {T})"
+    " SELECT day, count(*) AS n,"
+    "  CAST(count(*) FILTER (WHERE c IN ('ERROR', 'FATAL')) AS BIGINT)"
+    "   AS n_err,"
+    "  round(CAST(count(*) FILTER (WHERE c IN ('ERROR', 'FATAL'))"
+    "   AS DOUBLE) / count(*), 6) AS err_rate"
+    " FROM r GROUP BY day",
+)
+def clp_error_rate_by_day(sf_dir: str):
+    """Daily error-rate trend over the routed transcript stream (the SLO
+    chart an ops dashboard draws from logs): route → day bucket →
+    conditional partial counts, one aggregate-sized exchange; the rate is
+    an exact-integer division."""
+    ds = read_transcripts(sf_dir).map_batches(RouteStage(),
+                                              batch_format="pyarrow")
+    ds = agg.add_time_bucket(ds, "ts", "day", out_col="day")
+
+    def partial(b: pa.Table) -> pa.Table:
+        err = pc.cast(pc.is_in(b.column("logtype_class"),
+                               value_set=pa.array(["ERROR", "FATAL"])),
+                      pa.int64())
+        t = pa.table({"day": b.column("day"),
+                      "_n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                      "_e": err})
+        return (t.group_by(["day"]).aggregate([("_n", "sum"), ("_e", "sum")])
+                .rename_columns(["day", "_n", "_e"]))
+
+    from ray.data.aggregate import Sum
+
+    folded = _tbl(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("day").aggregate(Sum("_n", alias_name="n"),
+                                            Sum("_e", alias_name="n_err")))
+    n = np.asarray(folded.column("n"), dtype=np.float64)
+    e = np.asarray(folded.column("n_err"), dtype=np.float64)
+    return pa.table({
+        "day": folded.column("day"),
+        "n": folded.column("n"),
+        "n_err": folded.column("n_err"),
+        "err_rate": pa.array(agg.sql_round(e / n, 6))})
