@@ -7349,3 +7349,71 @@ def clp_error_rate_by_day(sf_dir: str):
         "n": folded.column("n"),
         "n_err": folded.column("n_err"),
         "err_rate": pa.array(agg.sql_round(e / n, 6))})
+
+
+@register(
+    "events_conversion_lag",
+    "WITH s AS (SELECT user_id, min(ts) AS su FROM events"
+    "   WHERE event_type = 'signup' GROUP BY 1),"
+    " p AS (SELECT s.user_id, s.su, min(e.ts) AS pu FROM s JOIN events e"
+    "   ON e.user_id = s.user_id AND e.event_type = 'purchase'"
+    "   AND e.ts >= s.su GROUP BY 1, 2)"
+    " SELECT 'all' AS seg, 0.5 AS q, CAST(quantile_disc("
+    "   datediff('hour', su, pu), 0.5) AS DOUBLE) AS lag_h FROM p"
+    " UNION ALL SELECT 'all', 0.9, CAST(quantile_disc("
+    "   datediff('hour', su, pu), 0.9) AS DOUBLE) FROM p",
+)
+def events_conversion_lag(sf_dir: str):
+    """Time-to-convert distribution: per user, first purchase AT/AFTER the
+    first signup; p50/p90 of the lag in hours. One user-bucket pass
+    (lexsort, one searchsorted per bucket — no per-user loop) emits one
+    lag row per converted user; the exact quantiles ride the value-
+    histogram exchange under a constant segment key."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_quantile_disc
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        b = b.filter(keep)
+        ids = np.asarray(b.column("user_id"), dtype=np.int64)
+        return b.append_column(
+            "_vb", pa.array((ids % np.int64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"seg": pa.array([], type=pa.string()),
+                          "lag_h": pa.array([], type=pa.float64())})
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return empty
+        ids = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts")).view(np.int64)
+        is_su = np.asarray(pc.equal(g.column("event_type"), "signup"))
+        order = np.lexsort((ts, ids))
+        ids, ts, is_su = ids[order], ts[order], is_su[order]
+        brk = np.ones(len(ids), dtype=bool)
+        brk[1:] = ids[1:] != ids[:-1]
+        part = np.cumsum(brk) - 1
+        nparts = part[-1] + 1
+        BIG = np.iinfo(np.int64).max
+        su = np.full(nparts, BIG, dtype=np.int64)
+        np.minimum.at(su, part[is_su], ts[is_su])
+        is_pu = ~is_su
+        after = is_pu & (ts >= su[part])
+        pu = np.full(nparts, BIG, dtype=np.int64)
+        np.minimum.at(pu, part[after], ts[after])
+        conv = (su < BIG) & (pu < BIG)
+        US_H = 3_600_000_000
+        lag = pu[conv] // US_H - su[conv] // US_H
+        return pa.table({"seg": pa.array(["all"] * int(conv.sum())),
+                         "lag_h": pa.array(lag.astype(np.float64))})
+
+    vals = (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_vb").map_groups(per_bucket, batch_format="pyarrow"))
+    return grouped_quantile_disc(vals, key_col="seg", val_col="lag_h",
+                                 qs=(0.5, 0.9))
