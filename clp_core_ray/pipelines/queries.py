@@ -7417,3 +7417,89 @@ def events_conversion_lag(sf_dir: str):
             .groupby("_vb").map_groups(per_bucket, batch_format="pyarrow"))
     return grouped_quantile_disc(vals, key_col="seg", val_col="lag_h",
                                  qs=(0.5, 0.9))
+
+
+@register(
+    "docs_vocab_exclusivity",
+    "WITH t AS (SELECT DISTINCT source, term FROM ("
+    "   SELECT source, unnest(string_split(lower(text), ' ')) AS term"
+    "   FROM documents) WHERE term <> ''),"
+    " c AS (SELECT term, count(DISTINCT source) AS ns FROM t GROUP BY 1)"
+    " SELECT source, count(*) AS vocab,"
+    "  CAST(count(*) FILTER (WHERE ns = 1) AS BIGINT) AS exclusive,"
+    "  round(CAST(count(*) FILTER (WHERE ns = 1) AS DOUBLE) / count(*), 6)"
+    "   AS exclusivity"
+    " FROM t JOIN c USING (term) GROUP BY source",
+)
+def docs_vocab_exclusivity(sf_dir: str):
+    """Vocabulary exclusivity per source (how much of a source's lexicon
+    appears nowhere else — the domain-fingerprint / contamination-risk
+    signal): per-batch distinct (source, term) pairs → term-hash buckets
+    where each term's source-count is one run-length pass → per-source
+    (vocab, exclusive) partials. Both exchanges are distinct-pair bounded;
+    the token stream never shuffles."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+    from clp_core_ray.vec.tokenizer import _fnv1a64_tokens, _string_buffers
+
+    nb = scaled_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_lower(pc.fill_null(b.column("text").combine_chunks(),
+                                       "")), " ")
+        flat = pc.list_flatten(toks)
+        n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        src = b.column("source").take(
+            pa.array(np.repeat(np.arange(b.num_rows), n_tok)))
+        t = pa.table({"source": src, "term": flat})
+        t = t.filter(pc.not_equal(t.column("term"), ""))
+        t = (t.group_by(["source", "term"]).aggregate([])
+             )  # distinct pairs within the batch
+        offsets, data = _string_buffers(t.column("term").combine_chunks())
+        h = _fnv1a64_tokens(data, offsets[:-1], np.diff(offsets))
+        return t.append_column(
+            "_tb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], type=pa.string()),
+                          "_v": pa.array([], type=pa.int64()),
+                          "_x": pa.array([], type=pa.int64())})
+        if g.num_rows == 0 or "term" not in g.column_names:
+            return empty
+        # distinct pairs across batches, then ns per term via run lengths
+        t = g.select(["source", "term"]).group_by(
+            ["source", "term"]).aggregate([])
+        term = t.column("term").combine_chunks()
+        code = np.asarray(term.dictionary_encode().indices, dtype=np.int64)
+        order = np.argsort(code, kind="stable")
+        code = code[order]
+        brk = np.r_[True, code[1:] != code[:-1]]
+        starts = np.flatnonzero(brk)
+        ns = np.diff(np.r_[starts, len(code)])
+        ns_row = ns[np.cumsum(brk) - 1]
+        src = t.column("source").take(pa.array(order))
+        out = pa.table({"source": src,
+                        "_v": pa.array(np.ones(len(code), dtype=np.int64)),
+                        "_x": pa.array((ns_row == 1).astype(np.int64))})
+        return (out.group_by(["source"])
+                .aggregate([("_v", "sum"), ("_x", "sum")])
+                .rename_columns(["source", "_v", "_x"]))
+
+    folded = _tbl(ds.map_batches(pairs, batch_format="pyarrow")
+                  .groupby("_tb").map_groups(per_bucket,
+                                             batch_format="pyarrow")
+                  .groupby("source")
+                  .aggregate(Sum("_v", alias_name="vocab"),
+                             Sum("_x", alias_name="exclusive")))
+    v = np.asarray(folded.column("vocab"), dtype=np.float64)
+    x = np.asarray(folded.column("exclusive"), dtype=np.float64)
+    return pa.table({
+        "source": folded.column("source"),
+        "vocab": folded.column("vocab"),
+        "exclusive": folded.column("exclusive"),
+        "exclusivity": pa.array(agg.sql_round(x / v, 6))})
