@@ -7503,3 +7503,45 @@ def docs_vocab_exclusivity(sf_dir: str):
         "vocab": folded.column("vocab"),
         "exclusive": folded.column("exclusive"),
         "exclusivity": pa.array(agg.sql_round(x / v, 6))})
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,"
+    " count(*) AS n"
+    " FROM lineitem"
+    " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+    "   AND l_shipdate < TIMESTAMP '1997-01-01'"
+    "   AND l_discount BETWEEN 0.05 AND 0.07"
+    "   AND l_quantity < 24",
+)
+def tpch_q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): every predicate is pushed
+    INTO the parquet read (row-group pruning on shipdate, row filters on
+    discount/quantity — only qualifying rows leave storage), then a
+    two-scalar partial sum. The canonical scan-dominated query: no
+    shuffle, no join, no driver state beyond two numbers."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+        & (pc.field("l_shipdate") < dt.datetime(1997, 1, 1))
+        & (pc.field("l_discount") >= 0.05)
+        & (pc.field("l_discount") <= 0.07)
+        & (pc.field("l_quantity") < 24.0))
+
+    def partial(b: pa.Table) -> pa.Table:
+        r = np.asarray(b.column("l_extendedprice"), dtype=np.float64) \
+            * np.asarray(b.column("l_discount"), dtype=np.float64)
+        return pa.table({"_r": pa.array([r.sum()]),
+                         "_n": pa.array([b.num_rows])})
+
+    folded = _tbl(li.map_batches(partial, batch_format="pyarrow"))
+    rev = float(np.asarray(folded.column("_r"), dtype=np.float64).sum())
+    n = int(pc.sum(folded.column("_n")).as_py() or 0)
+    return pa.table({"revenue": pa.array(agg.sql_round(np.array([rev]), 2)),
+                     "n": pa.array([n])})
