@@ -7545,3 +7545,46 @@ def tpch_q6_forecast_revenue(sf_dir: str):
     n = int(pc.sum(folded.column("_n")).as_py() or 0)
     return pa.table({"revenue": pa.array(agg.sql_round(np.array([rev]), 2)),
                      "n": pa.array([n])})
+
+
+@register(
+    "tpch_q13_custdist",
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "  SELECT c_custkey, count(o_orderkey) AS c_count"
+    "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+    "  GROUP BY 1)"
+    " GROUP BY 1 ORDER BY custdist DESC, c_count DESC",
+)
+def tpch_q13_custdist(sf_dir: str):
+    """TPC-H Q13 shape (order-count distribution incl. ZERO-order
+    customers): per-custkey counts from ONE orders shuffle fold to a
+    count histogram; the zero bucket is total customers (parquet footer,
+    no scan) minus customers seen — the left join never materializes."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    per_cust = agg.count_by(orders, ["o_custkey"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_count": b.column("cnt"),
+                      "_n": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+        return (t.group_by(["c_count"]).aggregate([("_n", "sum")])
+                .rename_columns(["c_count", "_n"]))
+
+    from ray.data.aggregate import Sum
+
+    folded = _tbl(per_cust.map_batches(hist, batch_format="pyarrow")
+                  .groupby("c_count")
+                  .aggregate(Sum("_n", alias_name="custdist")))
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    with_orders = int(pc.sum(folded.column("custdist")).as_py() or 0)
+    zero = n_cust - with_orders
+    if zero > 0:
+        folded = pa.concat_tables([folded, pa.table({
+            "c_count": pa.array([0], type=folded.column("c_count").type),
+            "custdist": pa.array([zero], type=pa.int64())})])
+    order = pc.sort_indices(folded, sort_keys=[
+        ("custdist", "descending"), ("c_count", "descending")])
+    return folded.take(order)
