@@ -7588,3 +7588,65 @@ def tpch_q13_custdist(sf_dir: str):
     order = pc.sort_indices(folded, sort_keys=[
         ("custdist", "descending"), ("c_count", "descending")])
     return folded.take(order)
+
+
+@register(
+    "tpch_q15_top_supplier",
+    "WITH r AS (SELECT l_suppkey,"
+    "   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev"
+    "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+    "    AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1)"
+    " SELECT s_suppkey, s_name, total_rev"
+    " FROM supplier JOIN r ON s_suppkey = l_suppkey"
+    " WHERE total_rev = (SELECT max(total_rev) FROM r)",
+)
+def tpch_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (revenue-view argmax, ties kept): quarterly revenue
+    partial-sums per supplier, the global max folds to ONE scalar, and the
+    winner filter + dim attach touch only the max-revenue rows — the
+    aggregate never lands on the driver."""
+    import datetime as dt
+
+    import ray
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+        & (pc.field("l_shipdate") < dt.datetime(1996, 4, 1)))
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = np.asarray(b.column("l_extendedprice"), dtype=np.float64) \
+            * (1.0 - np.asarray(b.column("l_discount"), dtype=np.float64))
+        return pa.table({"l_suppkey": b.column("l_suppkey"),
+                         "_r": pa.array(r)})
+
+    summed = agg.sum_by(li.map_batches(rev, batch_format="pyarrow"),
+                        "l_suppkey", "_r", alias="_raw")
+    summed = summed.map_batches(
+        lambda b: b.append_column("total_rev", pa.array(agg.sql_round(
+            np.asarray(b.column("_raw"), dtype=np.float64), 2))),
+        batch_format="pyarrow")
+
+    def pmax(b: pa.Table) -> pa.Table:
+        return pa.table({"m": pa.array(
+            [pc.max(b.column("total_rev")).as_py()])})
+
+    tops = _tbl(summed.map_batches(pmax, batch_format="pyarrow"))
+    m = pc.max(tops.column("m")).as_py()
+    winners = _tbl(summed.map_batches(
+        lambda b: b.filter(pc.equal(b.column("total_rev"), m)),
+        batch_format="pyarrow"))
+    need_ref = ray.put(pc.unique(winners.column("l_suppkey")))
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    smap = _tbl(sup.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("s_suppkey"),
+                                    value_set=ray.get(need_ref))),
+        batch_format="pyarrow"))
+    pos = pc.index_in(winners.column("l_suppkey"), smap.column("s_suppkey"))
+    return pa.table({
+        "s_suppkey": winners.column("l_suppkey"),
+        "s_name": pc.take(smap.column("s_name"), pos),
+        "total_rev": winners.column("total_rev")})
