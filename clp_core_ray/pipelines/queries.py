@@ -7650,3 +7650,36 @@ def tpch_q15_top_supplier(sf_dir: str):
         "s_suppkey": winners.column("l_suppkey"),
         "s_name": pc.take(smap.column("s_name"), pos),
         "total_rev": winners.column("total_rev")})
+
+
+@register(
+    "events_weekday_profile",
+    "SELECT event_type, isodow(ts) AS dow, count(*) AS cnt,"
+    " round(sum(value), 2) AS sum_value"
+    " FROM events GROUP BY 1, 2",
+)
+def events_weekday_profile(sf_dir: str):
+    """Weekday seasonality profile per event type (the staffing/capacity
+    heatmap): ISO day-of-week from pure integer epoch arithmetic
+    (epoch day 0 = Thursday → isodow = (days+3) % 7 + 1 — no calendar
+    library in the hot path), one partial-aggregated exchange."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def add_dow(b: pa.Table) -> pa.Table:
+        US_DAY = 86_400_000_000
+        days = np.asarray(b.column("ts")).view(np.int64) // US_DAY
+        dow = (days + 3) % 7 + 1
+        return pa.table({"event_type": b.column("event_type"),
+                         "dow": pa.array(dow),
+                         "value": b.column("value")})
+
+    fine = _tbl(agg.count_sum_by(
+        ds.map_batches(add_dow, batch_format="pyarrow"),
+        ["event_type", "dow"], "value", cnt_alias="cnt", sum_alias="_sv"))
+    return fine.append_column(
+        "sum_value", pa.array(agg.sql_round(
+            np.asarray(fine.column("_sv"), dtype=np.float64), 2))
+    ).drop_columns(["_sv"])
