@@ -7683,3 +7683,31 @@ def events_weekday_profile(sf_dir: str):
         "sum_value", pa.array(agg.sql_round(
             np.asarray(fine.column("_sv"), dtype=np.float64), 2))
     ).drop_columns(["_sv"])
+
+
+@register(
+    "events_last_event_type",
+    "WITH l AS (SELECT user_id, event_type FROM events"
+    "  QUALIFY row_number() OVER (PARTITION BY user_id"
+    "   ORDER BY ts DESC, event_id DESC) = 1)"
+    " SELECT event_type AS last_type, count(*) AS n_users"
+    " FROM l GROUP BY 1",
+)
+def events_last_event_type(sf_dir: str):
+    """What users' LAST action was (the ended-on-an-error churn signal):
+    grouped top-1 by (ts, event_id) keeps one candidate row per user per
+    batch before the exchange, the bucket pass finalizes, and the type
+    distribution is one aggregate-sized count."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    last = grouped_topk(ds, key_col="user_id", order_col="ts", k=1,
+                        tiebreak_col="event_id", descending=True)
+    out = agg.count_by(last, ["event_type"])
+    return out.map_batches(
+        lambda b: b.rename_columns(["last_type", "n_users"]),
+        batch_format="pyarrow")
