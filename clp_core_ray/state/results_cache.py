@@ -73,3 +73,120 @@ def cached_search(base_dir: str, query: str, search_fn,
     pq.write_table(res, tmp)
     os.replace(tmp, path)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Per-archive sketch sidecars: metadata-only cross-archive distinct counts
+# ---------------------------------------------------------------------------
+
+SKETCH_DIR = "_sketches"
+
+
+def _archive_dirs(base_dir: str) -> list[str]:
+    from clp_core_ray.state import catalog as cat
+
+    if cat.has_catalog(base_dir):
+        return sorted(e["dir"] for e in cat.read_catalog(base_dir))
+    return sorted(
+        os.path.join(base_dir, d) for d in os.listdir(base_dir)
+        if os.path.isdir(os.path.join(base_dir, d)) and not d.startswith("_"))
+
+
+def sketch_archives(base_dir: str, *, column: str = "conv_id",
+                    p: int = 12) -> int:
+    """Maintenance job (runs like compaction, NOT in the compress hot
+    path): ensure every archive under ``base_dir`` has an HLL register
+    sidecar for ``column``. One streaming scan per MISSING sidecar only —
+    the sidecar is keyed by the archive's manifest-content hash, so an
+    unchanged archive is never rescanned and a changed one resketchs
+    automatically. Returns the number of archives (re)sketched."""
+    import hashlib
+
+    import ray.data as rd
+
+    from clp_core_ray.functions.sketch import _hash_col, _registers
+
+    built = 0
+    for adir in _archive_dirs(base_dir):
+        mdir = os.path.join(adir, "_manifests")
+        if not os.path.isdir(mdir):
+            continue
+        h = hashlib.sha1()
+        for name in sorted(os.listdir(mdir)):
+            with open(os.path.join(mdir, name), "rb") as f:
+                h.update(name.encode())
+                h.update(f.read())
+        sdir = os.path.join(adir, SKETCH_DIR)
+        os.makedirs(sdir, exist_ok=True)
+        path = os.path.join(
+            sdir, f"{column}-hll{p}-{h.hexdigest()[:16]}.parquet")
+        if os.path.isfile(path):
+            continue
+        # data rows live under routed/ (hive per class); dict tables and
+        # deltas do not carry the sketch column
+        import glob
+
+        files = sorted(glob.glob(os.path.join(adir, "routed", "**",
+                                              "*.parquet"), recursive=True))
+        if not files:
+            continue
+        ds = rd.read_parquet(files, columns=[column])
+        m = 1 << p
+
+        def partial(b: pa.Table) -> pa.Table:
+            regs = _registers(_hash_col(b.column(column)), p)
+            return pa.table({"regs": pa.array([regs],
+                                              type=pa.list_(pa.uint8()))})
+
+        import numpy as np
+
+        folded = np.zeros(m, dtype=np.uint8)
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            part = np.asarray(pa.table(b).column("regs").combine_chunks()
+                              .flatten(), dtype=np.uint8).reshape(-1, m)
+            np.maximum.reduce(np.vstack([folded[None, :], part]), axis=0,
+                              out=folded)
+        tmp = f"{path}.{os.getpid()}.inprogress"
+        pq.write_table(pa.table({"regs": pa.array([folded],
+                                                  type=pa.list_(pa.uint8()))}),
+                       tmp)
+        os.replace(tmp, path)
+        # stale sidecars for older manifest states are dead weight
+        for f in os.listdir(sdir):
+            fp = os.path.join(sdir, f)
+            if f.startswith(f"{column}-hll{p}-") and fp != path:
+                os.unlink(fp)
+        built += 1
+    return built
+
+
+def catalog_distinct(base_dir: str, *, column: str = "conv_id",
+                     p: int = 12) -> int:
+    """Approximate distinct count of ``column`` across ALL archives from
+    the stored sketch sidecars only — registers union losslessly
+    (elementwise max), so the answer costs #archives × 2^p bytes of
+    metadata and ZERO data scans. Missing sidecars are built first
+    (``sketch_archives`` is idempotent and manifest-keyed)."""
+    import numpy as np
+
+    from clp_core_ray.functions.sketch import _estimate
+
+    sketch_archives(base_dir, column=column, p=p)
+    m = 1 << p
+    folded = np.zeros(m, dtype=np.uint8)
+    found = False
+    for adir in _archive_dirs(base_dir):
+        sdir = os.path.join(adir, SKETCH_DIR)
+        if not os.path.isdir(sdir):
+            continue
+        for f in os.listdir(sdir):
+            if f.startswith(f"{column}-hll{p}-"):
+                regs = np.asarray(
+                    pq.read_table(os.path.join(sdir, f)).column("regs")
+                    .combine_chunks().flatten(), dtype=np.uint8)
+                np.maximum(folded, regs, out=folded)
+                found = True
+    if not found:
+        return 0
+    return int(round(_estimate(folded)))

@@ -179,3 +179,35 @@ def test_results_cache(ray_session, tmp_path):
     assert cache_key(base, q) != k_before, "archive change must rotate key"
     r3 = cached_search(base, q, run)
     assert len(calls) == 2 and r3.num_rows == 400
+
+
+def test_catalog_distinct_from_sketches(ray_session, tmp_path):
+    """Cross-archive distinct counts from sketch sidecars only: within 5%
+    of truth across overlapping archives; unchanged archives never
+    rescanned (sidecar reused); new archives picked up incrementally."""
+    import numpy as np
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.state import catalog as cat
+    from clp_core_ray.state.results_cache import (catalog_distinct,
+                                                  sketch_archives)
+
+    base = str(tmp_path / "archives")
+    cat.init_catalog(base)
+    t0 = 1_700_000_000_000_000
+    # a1 and a2 share the conv prefix (overlapping ids):真 distinct = 5
+    compress(None, os.path.join(base, "j1"),
+             ds=rd.from_arrow(_transcripts(400, "cv", t0)),
+             input_label="j1", tags=["t"])
+    n1 = sketch_archives(base)
+    assert n1 == 1
+    assert sketch_archives(base) == 0  # idempotent: nothing rescanned
+    est1 = catalog_distinct(base)
+    assert est1 == 5  # _transcripts uses 5 convs per prefix
+    compress(None, os.path.join(base, "j2"),
+             ds=rd.from_arrow(_transcripts(400, "other", t0 + 10 ** 10)),
+             input_label="j2", tags=["t"])
+    est2 = catalog_distinct(base)  # builds only the new sidecar
+    true = 10  # two prefixes × 5 convs, disjoint
+    assert abs(est2 - true) / true < 0.05, est2
