@@ -302,6 +302,18 @@ def cmd_retention(args) -> dict:
             "removed": removed}
 
 
+def cmd_catalog_distinct(args) -> dict:
+    """Metadata-only cross-archive distinct count: merges per-archive HLL
+    sketch sidecars (built on demand, manifest-keyed, idempotent) — the
+    global-cardinality question answered with zero data scans once
+    sidecars exist."""
+    from clp_core_ray.state.results_cache import catalog_distinct
+
+    est = catalog_distinct(args.base, column=args.column)
+    return {"cmd": "catalog-distinct", "column": args.column,
+            "approx_distinct": est}
+
+
 def cmd_ingest(args) -> dict:
     """One poll of the continuous-ingestion loop (compression_scheduler.py
     role): compress exactly the input files no completed fragment owns yet;
@@ -736,6 +748,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "register lock-free")
     ci.add_argument("--base", required=True, help="archives base dir")
     ci.set_defaults(fn=cmd_catalog_init)
+
+    cd = sub.add_parser("catalog-distinct",
+                        help="approx distinct count across all archives "
+                             "from HLL sketch sidecars (no data scan)")
+    cd.add_argument("--base", required=True, help="archives base dir")
+    cd.add_argument("--column", default="conv_id")
+    cd.set_defaults(fn=cmd_catalog_distinct)
 
     rt = sub.add_parser("retention",
                         help="TTL sweep: remove catalogued archives whose "

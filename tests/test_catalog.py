@@ -211,3 +211,24 @@ def test_catalog_distinct_from_sketches(ray_session, tmp_path):
     est2 = catalog_distinct(base)  # builds only the new sidecar
     true = 10  # two prefixes × 5 convs, disjoint
     assert abs(est2 - true) / true < 0.05, est2
+
+
+def test_cli_catalog_distinct(ray_session, tmp_path, capsys):
+    import json
+
+    import ray.data as rd
+
+    from clp_core_ray.cli import main
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.state import catalog as cat
+
+    base = str(tmp_path / "archives")
+    cat.init_catalog(base)
+    compress(None, os.path.join(base, "j1"),
+             ds=rd.from_arrow(_transcripts(200, "cv",
+                                           1_700_000_000_000_000)),
+             input_label="j1", tags=["t"])
+    rc = main(["catalog-distinct", "--base", base])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["approx_distinct"] == 5
