@@ -7711,3 +7711,25 @@ def events_last_event_type(sf_dir: str):
     return out.map_batches(
         lambda b: b.rename_columns(["last_type", "n_users"]),
         batch_format="pyarrow")
+
+
+@register(
+    "part_name_jw_pairs",
+    "WITH d AS (SELECT DISTINCT p_name FROM part)"
+    " SELECT a.p_name AS name_a, b.p_name AS name_b,"
+    " round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw"
+    " FROM d a JOIN d b ON a.p_name < b.p_name"
+    " WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88",
+)
+def part_name_jw_pairs(sf_dir: str):
+    """Jaro-Winkler near-match pairs over distinct part names (the fuzzy
+    record-linkage sibling of the Levenshtein join; strcmp95 semantics
+    pinned against DuckDB incl. the floored transposition halving). JW
+    admits no lossless blocking key, so this is the honest exact all-pairs
+    variant over the DISTINCT (dictionary-sized) value set."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.dedup import jaro_winkler_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return jaro_winkler_pairs(ds, text_col="p_name", threshold=0.88)

@@ -2191,3 +2191,31 @@ def test_scene_change_detection(ray_session):
     cuts0 = out[out["video_id"] == 0]["frame_idx"].tolist()
     assert cuts0 == [4, 9], cuts0
     assert (out["video_id"] == 1).sum() == 0
+
+
+def test_jaro_winkler_matrix_vs_duckdb():
+    """Pair-axis JW kernel == DuckDB jaro_winkler_similarity on 500 random
+    pairs + the classic literature cases (strcmp95 floored transpositions,
+    0.7 boost threshold, 4-char prefix cap)."""
+    import random
+
+    import duckdb
+
+    from clp_core_ray.functions.dedup import _jaro_winkler_matrix
+
+    random.seed(91)
+    alpha = "abcdefg"
+    sa = ["".join(random.choices(alpha, k=random.randint(0, 12)))
+          for _ in range(500)]
+    sb = ["".join(random.choices(alpha, k=random.randint(0, 12)))
+          for _ in range(500)]
+    sa += ["martha", "dixon", "jellyfish", "crate", "dwayne", "aaaaaab",
+           "prefix", ""]
+    sb += ["marhta", "dicksonx", "smellyfish", "trace", "duane", "aaaaaba",
+           "prefixxxx", ""]
+    got = _jaro_winkler_matrix(sa, sb)
+    con = duckdb.connect()
+    for a, b, g in zip(sa, sb, got):
+        w = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                        [a, b]).fetchone()[0]
+        assert abs(g - w) < 1e-9, (a, b, g, w)
