@@ -302,6 +302,15 @@ def cmd_retention(args) -> dict:
             "removed": removed}
 
 
+def cmd_fsck(args) -> dict:
+    """Archive integrity audit: manifest row counts vs parquet footers
+    (metadata only), torn-write and corrupt-footer detection."""
+    from clp_core_ray.state.manifest import fsck_archive
+
+    rep = fsck_archive(args.archive)
+    return {"cmd": "fsck", **rep}
+
+
 def cmd_catalog_distinct(args) -> dict:
     """Metadata-only cross-archive distinct count: merges per-archive HLL
     sketch sidecars (built on demand, manifest-keyed, idempotent) — the
@@ -748,6 +757,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "register lock-free")
     ci.add_argument("--base", required=True, help="archives base dir")
     ci.set_defaults(fn=cmd_catalog_init)
+
+    fs = sub.add_parser("fsck",
+                        help="archive integrity audit: manifests vs "
+                             "parquet footers, torn writes")
+    fs.add_argument("--archive", required=True, help="one archive dir")
+    fs.set_defaults(fn=cmd_fsck)
 
     cd = sub.add_parser("catalog-distinct",
                         help="approx distinct count across all archives "

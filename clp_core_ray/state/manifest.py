@@ -90,3 +90,49 @@ def select_fragments(out_dir: str, path_glob: str | None = None,
                 continue
         out.append(man)
     return out
+
+
+def fsck_archive(out_dir: str) -> dict:
+    """Archive integrity check (the metadata-vs-storage audit an operator
+    runs after incidents): per-class row counts recorded in the lineage
+    manifests must equal the actual parquet footer totals under
+    ``routed/`` — footer metadata only, no data scan — plus torn-write
+    detection (``*.inprogress`` survivors) and unreadable-footer probing.
+
+    Returns {ok, classes: {cls: {expected, actual}}, problems: [...]}.
+    Reference analogue: the consistency between the global metadata DB's
+    archive row counts and the archive files themselves.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    expected: dict[str, int] = {}
+    for man in read_manifests(out_dir):
+        for cls, n in (man.get("class_counts") or {}).items():
+            expected[cls] = expected.get(cls, 0) + int(n)
+    actual: dict[str, int] = {}
+    problems: list[str] = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "routed", "**", "*"),
+                                 recursive=True)):
+        rel = os.path.relpath(path, out_dir)
+        if path.endswith(".inprogress"):
+            problems.append(f"torn write: {rel}")
+            continue
+        if not path.endswith(".parquet") or not os.path.isfile(path):
+            continue
+        cls = os.path.basename(os.path.dirname(path)).split("=", 1)[-1]
+        try:
+            actual[cls] = actual.get(cls, 0) \
+                + pq.ParquetFile(path).metadata.num_rows
+        except Exception as exc:  # truncated/corrupt footer
+            problems.append(f"unreadable parquet: {rel} ({exc})")
+    classes = {}
+    for cls in sorted(set(expected) | set(actual)):
+        e, a = expected.get(cls, 0), actual.get(cls, 0)
+        classes[cls] = {"expected": e, "actual": a}
+        if e != a:
+            problems.append(
+                f"count mismatch class={cls}: manifests say {e}, "
+                f"files hold {a}")
+    return {"ok": not problems, "classes": classes, "problems": problems}

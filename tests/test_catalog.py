@@ -232,3 +232,60 @@ def test_cli_catalog_distinct(ray_session, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["approx_distinct"] == 5
+
+
+def test_fsck_archive(ray_session, tmp_path):
+    """fsck passes on a healthy archive; detects lost parts, torn writes,
+    and corrupt footers."""
+    import glob
+
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.state.manifest import fsck_archive
+
+    adir = str(tmp_path / "a1")
+    compress(None, adir,
+             ds=rd.from_arrow(_transcripts(300, "cv",
+                                           1_700_000_000_000_000)),
+             input_label="a1")
+    rep = fsck_archive(adir)
+    assert rep["ok"], rep["problems"]
+    assert sum(c["expected"] for c in rep["classes"].values()) == 300
+    parts = sorted(glob.glob(os.path.join(adir, "routed", "**",
+                                          "*.parquet"), recursive=True))
+    victim = parts[0]
+    corrupt = os.path.join(os.path.dirname(victim), "part-zz.parquet")
+    import shutil
+
+    shutil.copy(victim, corrupt)
+    with open(corrupt, "r+b") as f:
+        f.truncate(10)                       # corrupt a footer
+    os.unlink(victim)                        # lose a part
+    with open(victim + ".9999.inprogress", "w") as f:
+        f.write("dead")                      # torn write
+    rep2 = fsck_archive(adir)
+    assert not rep2["ok"]
+    kinds = "\n".join(rep2["problems"])
+    assert "count mismatch" in kinds
+    assert "torn write" in kinds
+    assert "unreadable parquet" in kinds
+
+
+def test_cli_fsck(ray_session, tmp_path, capsys):
+    import json
+
+    import ray.data as rd
+
+    from clp_core_ray.cli import main
+    from clp_core_ray.pipelines.compress import compress
+
+    adir = str(tmp_path / "a1")
+    compress(None, adir,
+             ds=rd.from_arrow(_transcripts(200, "cv",
+                                           1_700_000_000_000_000)),
+             input_label="a1")
+    rc = main(["fsck", "--archive", adir])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] and out["problems"] == []
