@@ -7733,3 +7733,41 @@ def part_name_jw_pairs(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
     return jaro_winkler_pairs(ds, text_col="p_name", threshold=0.88)
+
+
+@register(
+    "events_geo_mean",
+    "SELECT event_type, round(exp(avg(ln(value))), 6) AS geo_mean,"
+    " count(*) AS n FROM events WHERE value > 0 GROUP BY 1",
+)
+def events_geo_mean(sf_dir: str):
+    """Geometric mean per event type (the right average for ratio-like
+    metrics): Σln(v) partials per (type, batch), exp of the mean at the
+    end — one aggregate-sized exchange over positive values."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("value"), dtype=np.float64)
+        pos = v > 0
+        t = pa.table({
+            "event_type": b.column("event_type").filter(pa.array(pos)),
+            "_l": pa.array(np.log(v[pos])),
+            "_n": pa.array(np.ones(int(pos.sum()), dtype=np.int64))})
+        return (t.group_by(["event_type"])
+                .aggregate([("_l", "sum"), ("_n", "sum")])
+                .rename_columns(["event_type", "_l", "_n"]))
+
+    folded = _tbl(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("event_type")
+                  .aggregate(Sum("_l", alias_name="_l"),
+                             Sum("_n", alias_name="n")))
+    ls = np.asarray(folded.column("_l"), dtype=np.float64)
+    n = np.asarray(folded.column("n"), dtype=np.float64)
+    return pa.table({
+        "event_type": folded.column("event_type"),
+        "geo_mean": pa.array(agg.sql_round(np.exp(ls / n), 6)),
+        "n": folded.column("n")})
