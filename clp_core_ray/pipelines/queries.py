@@ -7771,3 +7771,56 @@ def events_geo_mean(sf_dir: str):
         "event_type": folded.column("event_type"),
         "geo_mean": pa.array(agg.sql_round(np.exp(ls / n), 6)),
         "n": folded.column("n")})
+
+
+@register(
+    "events_moving_avg",
+    "SELECT event_id, round(avg(value) OVER (PARTITION BY user_id"
+    "  ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)"
+    "  AS ma3 FROM events",
+)
+def events_moving_avg(sf_dir: str):
+    """Bounded ROWS-frame moving average (last-3-events smoothing per
+    user) — the frame type partition_window's UNBOUNDED machinery doesn't
+    cover. Per bucket: lexsort (user, ts, id), one value prefix sum, and
+    each row's frame is pure index arithmetic with the left edge clamped
+    to its partition start — no per-row window, no searchsorted."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("user_id"), dtype=np.int64)
+        return b.append_column(
+            "_mb", pa.array((ids % np.int64(nb)).astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "ma3": pa.array([], type=pa.float64())})
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return empty
+        ids = np.asarray(g.column("user_id"), dtype=np.int64)
+        ts = np.asarray(g.column("ts")).view(np.int64)
+        eid = np.asarray(g.column("event_id"), dtype=np.int64)
+        v = np.asarray(g.column("value"), dtype=np.float64)
+        order = np.lexsort((eid, ts, ids))
+        ids, eid, v = ids[order], eid[order], v[order]
+        m = len(ids)
+        idx = np.arange(m, dtype=np.int64)
+        brk = np.ones(m, dtype=bool)
+        brk[1:] = ids[1:] != ids[:-1]
+        start = np.maximum.accumulate(np.where(brk, idx, 0))
+        lo = np.maximum(idx - 2, start)
+        csum = np.zeros(m + 1)
+        np.cumsum(v, out=csum[1:])
+        cnt = (idx - lo + 1).astype(np.float64)
+        ma = (csum[idx + 1] - csum[lo]) / cnt
+        return pa.table({"event_id": pa.array(eid),
+                         "ma3": pa.array(agg.sql_round(ma, 6))})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_mb").map_groups(per_bucket, batch_format="pyarrow"))
