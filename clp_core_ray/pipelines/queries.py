@@ -7824,3 +7824,67 @@ def events_moving_avg(sf_dir: str):
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_mb").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+@register(
+    "events_trimmed_mean",
+    "WITH q AS (SELECT event_type,"
+    "   quantile_disc(value, 0.05) AS lo, quantile_disc(value, 0.95) AS hi"
+    "  FROM events GROUP BY 1)"
+    " SELECT e.event_type,"
+    "  CAST(count(*) FILTER (WHERE e.value >= q.lo AND e.value <= q.hi)"
+    "   AS BIGINT) AS n_kept,"
+    "  round(avg(e.value) FILTER (WHERE e.value >= q.lo"
+    "   AND e.value <= q.hi), 6) AS trimmed_mean"
+    " FROM events e JOIN q USING (event_type) GROUP BY e.event_type",
+)
+def events_trimmed_mean(sf_dir: str):
+    """5% trimmed mean per event type — the tail-EXCLUDING robust average
+    (winsorize clamps; trimming drops). Exact per-type p05/p95 from one
+    histogram exchange broadcast into a filtered partial-mean pass; the
+    value stream never shuffles."""
+    import ray
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_quantile_disc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    qt = _tbl(grouped_quantile_disc(ds, key_col="event_type",
+                                    val_col="value", qs=(0.05, 0.95)))
+    lo_t = qt.filter(pc.equal(qt.column("q"), 0.05))
+    hi_t = qt.filter(pc.equal(qt.column("q"), 0.95))
+    pos = pc.index_in(lo_t.column("event_type"), hi_t.column("event_type"))
+    ref = ray.put(pa.table({
+        "event_type": lo_t.column("event_type"),
+        "lo": lo_t.column("value"),
+        "hi": pc.take(hi_t.column("value"), pos)}))
+
+    def partial(b: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        idx = pc.index_in(b.column("event_type").combine_chunks(),
+                          bd.column("event_type"))
+        lo = np.asarray(bd.column("lo").take(idx), dtype=np.float64)
+        hi = np.asarray(bd.column("hi").take(idx), dtype=np.float64)
+        v = np.asarray(b.column("value"), dtype=np.float64)
+        keep = (v >= lo) & (v <= hi)
+        t = pa.table({
+            "event_type": b.column("event_type").filter(pa.array(keep)),
+            "_s": pa.array(v[keep]),
+            "_n": pa.array(np.ones(int(keep.sum()), dtype=np.int64))})
+        return (t.group_by(["event_type"])
+                .aggregate([("_s", "sum"), ("_n", "sum")])
+                .rename_columns(["event_type", "_s", "_n"]))
+
+    from ray.data.aggregate import Sum
+
+    folded = _tbl(ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("event_type")
+                  .aggregate(Sum("_s", alias_name="_s"),
+                             Sum("_n", alias_name="n_kept")))
+    sm = np.asarray(folded.column("_s"), dtype=np.float64)
+    n = np.asarray(folded.column("n_kept"), dtype=np.float64)
+    return pa.table({
+        "event_type": folded.column("event_type"),
+        "n_kept": folded.column("n_kept"),
+        "trimmed_mean": pa.array(agg.sql_round(sm / n, 6))})
