@@ -7888,3 +7888,84 @@ def events_trimmed_mean(sf_dir: str):
         "event_type": folded.column("event_type"),
         "n_kept": folded.column("n_kept"),
         "trimmed_mean": pa.array(agg.sql_round(sm / n, 6))})
+
+
+@register(
+    "orders_backlog_by_month",
+    "WITH f AS (SELECT l_orderkey, min(l_shipdate) AS fs"
+    "   FROM lineitem GROUP BY 1),"
+    " o AS (SELECT date_trunc('month', o_orderdate) AS om,"
+    "   date_trunc('month', f.fs) AS sm FROM orders"
+    "   JOIN f ON o_orderkey = l_orderkey),"
+    " m AS (SELECT DISTINCT om AS mon FROM o)"
+    " SELECT m.mon, CAST(count(*) AS BIGINT) AS backlog"
+    " FROM m JOIN o ON o.om <= m.mon AND o.sm > m.mon GROUP BY m.mon",
+)
+def orders_backlog_by_month(sf_dir: str):
+    """Open-order backlog over time (placed but not yet first-shipped at
+    month end) — the interval-delta cumsum shape: per-order (placed,
+    shipped) months from one lineitem min-shuffle + one orders pass fold
+    to two month-count vectors; backlog at any month is prefix(placed) −
+    prefix(shipped), evaluated on the observed-month axis driver-side
+    (months-cardinality, tiny at any scale). The quadratic month×order
+    join exists only in the ORACLE."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def pmin(b: pa.Table) -> pa.Table:
+        return (b.group_by(["l_orderkey"])
+                .aggregate([("l_shipdate", "min")])
+                .rename_columns(["l_orderkey", "fs"]))
+
+    first = (li.map_batches(pmin, batch_format="pyarrow")
+             .groupby("l_orderkey").aggregate(Min("fs", alias_name="fs")))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    from clp_core_ray.pipelines.join import auto_join
+
+    j = auto_join(orders, first, "o_orderkey", "l_orderkey", ["fs"])
+
+    def months(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("fs")))
+        om = pc.floor_temporal(b.column("o_orderdate"), unit="month")
+        sm = pc.floor_temporal(
+            b.column("fs").combine_chunks().cast(pa.timestamp("us")),
+            unit="month")
+        def _arr(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) \
+                else x
+
+        # closing month = max(placed, shipped): the synthetic shipdate is
+        # NOT constrained to follow the order date, and the prefix identity
+        # backlog = #placed≤m − #closed≤m needs closed ⟹ placed
+        om_a, sm_a = _arr(om), _arr(sm)
+        sm_a = pc.max_element_wise(om_a, sm_a)
+        t = pa.table({"m": pa.concat_arrays([om_a, sm_a]),
+            "_p": pa.array(np.r_[np.ones(b.num_rows, dtype=np.int64),
+                                 np.zeros(b.num_rows, dtype=np.int64)]),
+            "_s": pa.array(np.r_[np.zeros(b.num_rows, dtype=np.int64),
+                                 np.ones(b.num_rows, dtype=np.int64)])})
+        return (t.group_by(["m"]).aggregate([("_p", "sum"), ("_s", "sum")])
+                .rename_columns(["m", "_p", "_s"]))
+
+    folded = _tbl(j.map_batches(months, batch_format="pyarrow")
+                  .groupby("m").aggregate(Sum("_p", alias_name="_p"),
+                                          Sum("_s", alias_name="_s")))
+    mus = np.asarray(folded.column("m").cast(pa.timestamp("us"))
+                     .cast(pa.int64()))
+    order = np.argsort(mus)
+    mus = mus[order]
+    placed = np.cumsum(np.asarray(folded.column("_p"),
+                                  dtype=np.int64)[order])
+    shipped = np.cumsum(np.asarray(folded.column("_s"),
+                                   dtype=np.int64)[order])
+    backlog = placed - shipped
+    # report on the observed PLACED-month axis (the oracle's DISTINCT om)
+    has_placed = np.asarray(folded.column("_p"), dtype=np.int64)[order] > 0
+    return pa.table({
+        "mon": pa.array(mus[has_placed]).cast(pa.timestamp("us")),
+        "backlog": pa.array(backlog[has_placed])})
