@@ -7969,3 +7969,40 @@ def orders_backlog_by_month(sf_dir: str):
     return pa.table({
         "mon": pa.array(mus[has_placed]).cast(pa.timestamp("us")),
         "backlog": pa.array(backlog[has_placed])})
+
+
+@register(
+    "docs_weighted_topk_sample",
+    "SELECT doc_id FROM documents"
+    " QUALIFY row_number() OVER (ORDER BY"
+    "  ln((((doc_id * 2654435761) % 4294967296) + 1.0) / 4294967297.0)"
+    "  / n_chars DESC, doc_id) <= 50",
+)
+def docs_weighted_topk_sample(sf_dir: str):
+    """Exactly-k weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): key = ln(u)/w with u a DETERMINISTIC unit-interval
+    hash of the id — weight-proportional inclusion, identical on any
+    rerun/retry, no RNG state. Per-batch top-k bounds the exchange at k
+    rows per batch; the driver finishes on the tiny candidate set. The
+    residue-gate sampler (docs_weighted_sample) draws each row
+    independently; this one returns exactly k."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    k = 50
+
+    def topk(b: pa.Table) -> pa.Table:
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)
+        w = np.asarray(b.column("n_chars"), dtype=np.float64)
+        u = (((did * 2654435761) % 4294967296) + 1.0) / 4294967297.0
+        key = np.log(u) / w
+        kk = min(k, len(did))
+        part = np.argpartition(-key, kk - 1)[:kk]
+        return pa.table({"doc_id": pa.array(did[part]),
+                         "_key": pa.array(key[part])})
+
+    cand = _tbl(ds.map_batches(topk, batch_format="pyarrow"))
+    order = pc.sort_indices(cand, sort_keys=[("_key", "descending"),
+                                             ("doc_id", "ascending")])
+    return cand.take(order.slice(0, k)).select(["doc_id"])
