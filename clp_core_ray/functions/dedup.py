@@ -1904,19 +1904,24 @@ def _jaro_winkler_matrix(sa: list, sb: list) -> np.ndarray:
     n = len(sa)
     if n == 0:
         return np.zeros(0)
-    la = np.array([len(x) for x in sa], dtype=np.int64)
-    lb = np.array([len(x) for x in sb], dtype=np.int64)
+    # DuckDB's jaro_winkler_similarity operates on raw UTF-8 BYTES (a
+    # non-BMP char counts as 4 lattice cells), verified empirically — so
+    # the lattice holds utf-8 bytes, not code points. Cells are uint16
+    # padded with 256 (outside the byte range, since U+0000 legitimately
+    # encodes as byte 0).
+    ea = [x.encode("utf-8") for x in sa]
+    eb = [x.encode("utf-8") for x in sb]
+    la = np.array([len(x) for x in ea], dtype=np.int64)
+    lb = np.array([len(x) for x in eb], dtype=np.int64)
     L = max(int(la.max(initial=1)), int(lb.max(initial=1)))
-    A = np.zeros((n, L), dtype=np.uint16)
-    B = np.zeros((n, L), dtype=np.uint16)
-    for i, x in enumerate(sa):
-        A[i, :len(x)] = np.frombuffer(x.encode("utf-16-le"),
-                                      dtype=np.uint16)[:len(x)] \
-            if len(x) else []
-    for i, x in enumerate(sb):
-        B[i, :len(x)] = np.frombuffer(x.encode("utf-16-le"),
-                                      dtype=np.uint16)[:len(x)] \
-            if len(x) else []
+    A = np.full((n, L), 256, dtype=np.uint16)
+    B = np.full((n, L), 256, dtype=np.uint16)
+    for i, x in enumerate(ea):
+        if x:
+            A[i, :len(x)] = np.frombuffer(x, dtype=np.uint8)
+    for i, x in enumerate(eb):
+        if x:
+            B[i, :len(x)] = np.frombuffer(x, dtype=np.uint8)
     win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
     usedB = np.zeros((n, L), dtype=bool)
     matchA = np.zeros((n, L), dtype=bool)
@@ -1926,14 +1931,14 @@ def _jaro_winkler_matrix(sa: list, sb: list) -> np.ndarray:
         for j in range(L):
             ok = (active & ~found & ~usedB[:, j] & (j < lb)
                   & (j >= i - win) & (j <= i + win)
-                  & (A[:, i] == B[:, j]) & (A[:, i] != 0))
+                  & (A[:, i] == B[:, j]) & (A[:, i] != 256))
             usedB[:, j] |= ok
             found |= ok
         matchA[:, i] = found
     m = matchA.sum(axis=1).astype(np.float64)
     # gather matched chars in order on both sides via cumsum scatter
-    seqA = np.zeros((n, L), dtype=np.uint16)
-    seqB = np.zeros((n, L), dtype=np.uint16)
+    seqA = np.full((n, L), 256, dtype=np.uint16)
+    seqB = np.full((n, L), 256, dtype=np.uint16)
     ia = np.cumsum(matchA, axis=1) - 1
     ib = np.cumsum(usedB, axis=1) - 1
     rows, cols = np.nonzero(matchA)
@@ -1942,7 +1947,7 @@ def _jaro_winkler_matrix(sa: list, sb: list) -> np.ndarray:
     seqB[rows, ib[rows, cols]] = B[rows, cols]
     # classic strcmp95 semantics (DuckDB follows it): FULL transposition
     # count halved with INTEGER division — an odd mismatch count floors
-    t = (((seqA != seqB) & (seqA != 0)).sum(axis=1) // 2).astype(np.float64)
+    t = (((seqA != seqB) & (seqA != 256)).sum(axis=1) // 2).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         jaro = np.where(
             m > 0,

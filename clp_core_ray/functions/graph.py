@@ -21,6 +21,8 @@ module owns value-propagation algorithms.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from clp_core_ray.pipelines.aggregate import \
@@ -89,7 +91,10 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
         inc = np.zeros(n)
         inc[idx] = np.asarray(folded.column("_c"), dtype=np.float64)
         rank = (1.0 - damping) / n + damping * inc
-        assert abs(rank.sum() - 1.0) < 1e-9, "mass leak: dangling nodes?"
+        # n float64 partial sums accumulate ~n·eps error — scale the mass
+        # tolerance with n or the check fires spuriously at ~1e7 nodes
+        assert abs(math.fsum(rank) - 1.0) < max(1e-9, n * 1e-15), \
+            "mass leak: dangling nodes?"
 
     return rd.from_arrow(pa.table({
         "node": nodes, "rank": pa.array(_sql_round(rank, ndigits))}))

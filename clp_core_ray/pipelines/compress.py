@@ -312,8 +312,7 @@ def _rows_from_footers(files) -> int:
 
 
 def build_encoded(ds, keep_text: bool = False, concurrency=None,
-                  dict_delta_dir: str | None = None, compact: bool = False,
-                  expected_rows: int | None = None):
+                  dict_delta_dir: str | None = None, compact: bool = False):
     """transcripts Dataset → routed+enriched+encoded Dataset (lazy)."""
     import ray
 
@@ -498,7 +497,6 @@ def compress(
         encoded = build_encoded(
             ds, keep_text=keep_text, concurrency=concurrency,
             dict_delta_dir=delta_dir, compact=compact,
-            expected_rows=expected_rows,
         )
         # zstd level 3 = CLP's own default (CommandLineArguments.hpp:90); at
         # this level the sink write costs the same wall time as level 1 but

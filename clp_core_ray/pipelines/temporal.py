@@ -437,6 +437,53 @@ def grouped_topk(
     )
 
 
+def grouped_first_by(
+    ds,
+    *,
+    key_col: str,
+    sort_keys: list[tuple[str, str]],
+    num_buckets: int | None = None,
+):
+    """First row per key under arbitrary pyarrow ``sort_keys`` (mixed
+    directions, string order columns — the cases ``grouped_topk``'s
+    int64-negation trick can't express). SQL ``QUALIFY row_number() OVER
+    (PARTITION BY key ORDER BY ...) = 1``.
+
+    Same two-stage bounded shape as ``grouped_topk``: a per-BATCH pass
+    shrinks each batch to one row per key before the exchange (so the
+    shuffle carries ≤ keys-per-batch rows), then the identical pass inside
+    each key-hash bucket finalizes. Both passes are one ``pc.sort_indices``
+    over (key, *sort_keys) plus a vectorized first-in-run mask — no
+    per-group Python, bounded bucket count regardless of key cardinality."""
+
+    def first_pass(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        order = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), *sort_keys])
+        t = t.take(order)
+        key = np.asarray(_key_and_bucket(t.column(key_col), 1)[0])
+        new = np.ones(len(key), dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        return t.filter(pa.array(new))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return first_pass(g.drop_columns(["_bucket"]))
+
+    num_buckets = num_buckets or scaled_buckets()
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = first_pass(b)
+        _, bucket = _key_and_bucket(b.column(key_col), num_buckets)
+        return b.append_column("_bucket", bucket)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def grouped_quantile_disc(
     ds,
     *,

@@ -98,7 +98,8 @@ def read_catalog(base_dir: str) -> list[dict]:
 
 
 def retention_sweep(base_dir: str, *, before_us: int,
-                    dry_run: bool = False) -> list[str]:
+                    dry_run: bool = False,
+                    orphan_grace_s: float = 24 * 3600.0) -> list[str]:
     """Archive TTL enforcement (the reference package's archive-deletion
     job role, `clp-package` del-archives script semantics): drop every
     archive whose ENTIRE time range ends before ``before_us``.
@@ -107,21 +108,27 @@ def retention_sweep(base_dir: str, *, before_us: int,
     unlinked FIRST (the atomic commit point — selection stops routing
     queries at the archive immediately), then the archive directory is
     removed. A crash between the two leaves an orphaned directory that no
-    query will read and a re-run's sweep of untracked dirs can collect;
-    the reverse order would leave a catalog entry pointing at nothing and
-    break multi-archive search. Archives with unknown ts_max are kept
+    query will read; this sweep's SECOND pass collects such untracked
+    directories — but only ones untouched for ``orphan_grace_s`` seconds,
+    because a compress job registers its archive only on completion, so a
+    young untracked dir may be an in-flight build, not an orphan. The
+    reverse unlink order would leave a catalog entry pointing at nothing
+    and break multi-archive search. Archives with unknown ts_max are kept
     (unknown age is not old age). Returns the removed archive dirs.
     """
     import shutil
+    import time
 
     removed = []
     d = catalog_dir(base_dir)
+    tracked = set()
     for name in sorted(os.listdir(d)):
         if not name.endswith(".json"):
             continue
         path = os.path.join(d, name)
         with open(path) as f:
             e = json.load(f)
+        tracked.add(e["archive"])
         if e.get("ts_max") is None or int(e["ts_max"]) >= before_us:
             continue
         target = os.path.join(base_dir, e["archive"])
@@ -131,4 +138,25 @@ def retention_sweep(base_dir: str, *, before_us: int,
         os.unlink(path)            # commit point: archive leaves selection
         shutil.rmtree(target, ignore_errors=True)
         removed.append(target)
+        tracked.discard(e["archive"])
+    # orphan pass: untracked archive dirs (crash between unlink and rmtree,
+    # or a compress job that died after writing data but before register)
+    now = time.time()
+    for name in sorted(os.listdir(base_dir)):
+        full = os.path.join(base_dir, name)
+        if (name.startswith("_") or name in tracked
+                or not os.path.isdir(full)):
+            continue
+        try:
+            age = now - max(os.path.getmtime(full),
+                            max((os.path.getmtime(os.path.join(r, f))
+                                 for r, _, fs in os.walk(full) for f in fs),
+                                default=0.0))
+        except OSError:
+            continue               # racing writer — clearly not an orphan
+        if age < orphan_grace_s:
+            continue
+        if not dry_run:
+            shutil.rmtree(full, ignore_errors=True)
+        removed.append(full)
     return removed

@@ -59,10 +59,18 @@ def cached_search(base_dir: str, query: str, search_fn,
     """Return the cached result table for (archive state, query, params),
     computing and atomically persisting it on miss. ``search_fn`` is
     called with no arguments and must return a ``pa.Table`` or a Ray
-    Dataset (consumed via Arrow batches)."""
+    Dataset (consumed via Arrow batches).
+
+    Filenames are ``<state16>-<key>.parquet`` — the archive-state digest
+    rides in the name, so each write can purge entries of superseded
+    archive generations (the sketch-sidecar discipline): without eviction
+    every compression/retention run would strand its predecessors' files
+    and the cache would grow without bound."""
     d = os.path.join(base_dir, CACHE_DIR)
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, cache_key(base_dir, query, params) + ".parquet")
+    state = _archive_state(base_dir)[:16]
+    key = cache_key(base_dir, query, params)
+    path = os.path.join(d, f"{state}-{key}.parquet")
     if os.path.isfile(path):
         return pq.read_table(path)
     res = search_fn()
@@ -72,6 +80,16 @@ def cached_search(base_dir: str, query: str, search_fn,
     tmp = f"{path}.{os.getpid()}.inprogress"
     pq.write_table(res, tmp)
     os.replace(tmp, path)
+    # dead-generation purge: any entry whose name carries a different
+    # archive-state prefix can never hit again (the state hash feeds the
+    # lookup key), so it is garbage the moment the archives changed
+    for name in os.listdir(d):
+        if (name.endswith(".parquet") and "-" in name
+                and not name.startswith(f"{state}-")):
+            try:
+                os.unlink(os.path.join(d, name))
+            except OSError:
+                pass               # concurrent purge — already gone
     return res
 
 
