@@ -67,7 +67,49 @@ def _export_tuning_env() -> None:
         os.environ.setdefault(k, v)
 
 
+def _patch_fsspec_http_threadsafe() -> None:
+    """Make concurrent ``read_parquet`` planning thread-safe when aiohttp
+    is absent.
+
+    Ray's path resolution runs ``from fsspec.implementations.http import
+    HTTPFileSystem`` on EVERY read call, catching only
+    ``ModuleNotFoundError``. Without aiohttp that import fails each time
+    (Python evicts the failed module from sys.modules), and two driver
+    threads planning reads concurrently can race the import machinery —
+    the loser surfaces a plain ``ImportError`` ("cannot import name
+    'HTTPFileSystem'") that Ray does NOT catch, failing a perfectly good
+    local read. Seen in the ingest scheduler's concurrent pollers.
+
+    Fix: if the real import fails, seed ``sys.modules`` once with a stub
+    module whose ``HTTPFileSystem`` class raises on INSTANTIATION (same
+    net behavior for actual HTTP reads), so later imports are lock-free
+    sys.modules lookups. No-op when aiohttp is installed."""
+    try:
+        import fsspec.implementations.http  # noqa: F401  (real one wins)
+        return
+    except Exception:
+        pass
+    import sys
+    import types
+    try:
+        import fsspec.implementations
+    except Exception:
+        return  # no fsspec at all: Ray's ModuleNotFoundError path is safe
+
+    class HTTPFileSystem:  # pragma: no cover - never instantiated locally
+        def __init__(self, *a, **k):
+            raise ImportError("aiohttp is required for HTTPFileSystem")
+
+    mod = types.ModuleType("fsspec.implementations.http")
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules.setdefault("fsspec.implementations.http", mod)
+    if not hasattr(fsspec.implementations, "http"):
+        fsspec.implementations.http = sys.modules[
+            "fsspec.implementations.http"]
+
+
 # process-local tuning only (allocator + this process's Arrow pools); the
 # env-var export for Ray workers is the explicit _export_tuning_env() opt-in
 _tune_malloc()
 _tune_arrow_threads()
+_patch_fsspec_http_threadsafe()

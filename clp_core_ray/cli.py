@@ -324,15 +324,31 @@ def cmd_catalog_distinct(args) -> dict:
 
 
 def cmd_ingest(args) -> dict:
-    """One poll of the continuous-ingestion loop (compression_scheduler.py
-    role): compress exactly the input files no completed fragment owns yet;
-    rerun the command (cron / driver recurrence) to keep ingesting."""
-    from clp_core_ray.pipelines.compress import ingest_once
+    """Continuous-ingestion scheduler (compression_scheduler.py role).
+    Default: ONE poll — compress exactly the input files no completed
+    fragment or active claim owns, with claim-based concurrent-poller
+    safety and failed-fragment retry. ``--watch`` runs the daemon loop."""
+    from clp_core_ray.pipelines import ingest as ing
 
     t0 = time.time()
-    done = ingest_once(args.input, args.out, pattern=args.pattern,
-                       target_bytes=args.fragment_target_bytes)
-    return {"cmd": "ingest", "new_fragments": done,
+    kw = dict(pattern=args.pattern,
+              target_bytes=args.fragment_target_bytes,
+              lease_s=args.lease_s, max_attempts=args.max_attempts)
+    if args.watch:
+        polls = ing.watch(args.input, args.out,
+                          interval_s=args.interval_s,
+                          max_polls=args.max_polls,
+                          idle_exit=args.idle_exit,
+                          stop_file=args.stop_file, **kw)
+        done = sorted({f for p in polls for f in p["done"]})
+        failed = sorted({f for p in polls for f in p["failed"]})
+        return {"cmd": "ingest", "watch": True, "polls": len(polls),
+                "new_fragments": done, "failed_fragments": failed,
+                "wall_sec": round(time.time() - t0, 3)}
+    s = ing.poll(args.input, args.out, **kw)
+    return {"cmd": "ingest", "new_fragments": s["done"],
+            "failed_fragments": s["failed"],
+            "skipped_active": s["skipped_active"], "parked": s["parked"],
             "wall_sec": round(time.time() - t0, 3)}
 
 
@@ -713,6 +729,21 @@ def build_parser() -> argparse.ArgumentParser:
                      help="input glob within --input (default *.parquet)")
     ing.add_argument("--fragment-target-bytes", type=int, default=None,
                      help="pack NEW files into ~this-many-byte fragments")
+    ing.add_argument("--watch", action="store_true",
+                     help="daemon loop: keep polling until --max-polls, "
+                          "--idle-exit consecutive empty polls, or "
+                          "--stop-file appears")
+    ing.add_argument("--interval-s", type=float, default=5.0,
+                     help="seconds between watch polls (default 5)")
+    ing.add_argument("--max-polls", type=int, default=None)
+    ing.add_argument("--idle-exit", type=int, default=None,
+                     help="exit after N consecutive no-work polls")
+    ing.add_argument("--stop-file", default=None,
+                     help="exit when this path appears (kill switch)")
+    ing.add_argument("--lease-s", type=float, default=600.0,
+                     help="running-claim lease; expired claims are retried")
+    ing.add_argument("--max-attempts", type=int, default=3,
+                     help="per-fragment attempts before parking it")
     ing.set_defaults(fn=cmd_ingest)
 
     x = sub.add_parser("decompress", help="archive → text parquet (clp x)")

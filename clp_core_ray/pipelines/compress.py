@@ -854,63 +854,79 @@ def run_fragments(sf_dir_or_sf, out_dir: str,
     dict_cols = ["conv_id", "role", "tool", "role_group", "tool_category",
                  "logtype"]
     for frag in todo:
-        import time
-
-        t0 = time.time()
-        paths = by_id[frag]
-        sink = os.path.join(out_dir, f"fragment={frag}")
-        os.makedirs(sink, exist_ok=True)
-        # fused sink (same as the flagship): each encode task writes its own
-        # per-class files and returns tiny stats rows — the encoded fragment
-        # never re-enters the object store, and counts/ts-range come from
-        # the stats instead of a post-write footer pass. compact=False keeps
-        # rows self-contained (inline logtype/dict_vars), so fragments need
-        # no per-fragment dictionary finalize.
-        stats_ds = rd.read_parquet(paths).map_batches(
-            FusedSinkStage(routed_dir=sink, compact=False,
-                           dict_cols=dict_cols),
-            batch_format="pyarrow", batch_size=None,
-        )
-        stats = _to_table(stats_ds)
-        sweep_inprogress(sink)
-        agg: dict[str, int] = {}
-        lo = hi = None
-        for cls, c, l, h in zip(stats.column("logtype_class").to_pylist(),
-                                stats.column("cnt").to_pylist(),
-                                stats.column("ts_min").to_pylist(),
-                                stats.column("ts_max").to_pylist()):
-            agg[cls] = agg.get(cls, 0) + c
-            if l is not None:
-                lo = l if lo is None else min(lo, l)
-            if h is not None:
-                hi = h if hi is None else max(hi, h)
-        counts = pa.table({
-            "logtype_class": pa.array(sorted(agg), type=pa.string()),
-            "cnt": pa.array([agg[k] for k in sorted(agg)], type=pa.int64()),
-        })
-        ts_range = (lo, hi) if lo is not None else None
-        n_rows = int(sum(agg.values()))
-        wall = time.time() - t0
-        mf.record_fragment(
-            out_dir,
-            frag,
-            {
-                "input": paths[0] if len(paths) == 1 else paths,
-                "sink": sink,
-                "rows": n_rows,
-                "metrics": {"wall_sec": round(wall, 3),
-                            "rows_per_sec": round(n_rows / max(wall, 1e-9), 1)},
-                "class_counts": dict(
-                    zip(
-                        counts.column("logtype_class").to_pylist(),
-                        counts.column("cnt").to_pylist(),
-                    )
-                ),
-                **({"ts_min": ts_range[0], "ts_max": ts_range[1]}
-                   if ts_range else {}),
-            },
-        )
+        run_one_fragment(frag, by_id[frag], out_dir, dict_cols=dict_cols)
     return todo
+
+
+def run_one_fragment(frag: str, paths: list[str], out_dir: str, *,
+                     dict_cols: list[str] | None = None) -> int:
+    """Compress ONE fragment (its input shard group → routed sink +
+    manifest commit) — the unit of work a scheduler poller claims. The
+    manifest records only after the sink write succeeds, so a crash
+    mid-fragment leaves no completed record and a retry reprocesses it
+    (content-hash sink files make the retry collision-free). Returns the
+    fragment's row count."""
+    import time
+
+    import ray.data as rd
+
+    if dict_cols is None:
+        dict_cols = ["conv_id", "role", "tool", "role_group",
+                     "tool_category", "logtype"]
+    t0 = time.time()
+    sink = os.path.join(out_dir, f"fragment={frag}")
+    os.makedirs(sink, exist_ok=True)
+    # fused sink (same as the flagship): each encode task writes its own
+    # per-class files and returns tiny stats rows — the encoded fragment
+    # never re-enters the object store, and counts/ts-range come from
+    # the stats instead of a post-write footer pass. compact=False keeps
+    # rows self-contained (inline logtype/dict_vars), so fragments need
+    # no per-fragment dictionary finalize.
+    stats_ds = rd.read_parquet(paths).map_batches(
+        FusedSinkStage(routed_dir=sink, compact=False,
+                       dict_cols=dict_cols),
+        batch_format="pyarrow", batch_size=None,
+    )
+    stats = _to_table(stats_ds)
+    sweep_inprogress(sink)
+    agg: dict[str, int] = {}
+    lo = hi = None
+    for cls, c, l, h in zip(stats.column("logtype_class").to_pylist(),
+                            stats.column("cnt").to_pylist(),
+                            stats.column("ts_min").to_pylist(),
+                            stats.column("ts_max").to_pylist()):
+        agg[cls] = agg.get(cls, 0) + c
+        if l is not None:
+            lo = l if lo is None else min(lo, l)
+        if h is not None:
+            hi = h if hi is None else max(hi, h)
+    counts = pa.table({
+        "logtype_class": pa.array(sorted(agg), type=pa.string()),
+        "cnt": pa.array([agg[k] for k in sorted(agg)], type=pa.int64()),
+    })
+    ts_range = (lo, hi) if lo is not None else None
+    n_rows = int(sum(agg.values()))
+    wall = time.time() - t0
+    mf.record_fragment(
+        out_dir,
+        frag,
+        {
+            "input": paths[0] if len(paths) == 1 else paths,
+            "sink": sink,
+            "rows": n_rows,
+            "metrics": {"wall_sec": round(wall, 3),
+                        "rows_per_sec": round(n_rows / max(wall, 1e-9), 1)},
+            "class_counts": dict(
+                zip(
+                    counts.column("logtype_class").to_pylist(),
+                    counts.column("cnt").to_pylist(),
+                )
+            ),
+            **({"ts_min": ts_range[0], "ts_max": ts_range[1]}
+               if ts_range else {}),
+        },
+    )
+    return n_rows
 
 
 def roundtrip_check(sf_dir_or_sf) -> pa.Table:
@@ -1013,11 +1029,14 @@ def ingest_once(input_dir: str, out_dir: str, *,
       to fragment-aware readers/search (manifest order is commit order).
 
     Returns the fragment ids processed by THIS call ([] = nothing new).
-    """
-    import glob as _glob
 
-    files = sorted(_glob.glob(os.path.join(input_dir, pattern)))
-    new = [f for f in files if f not in completed_inputs(out_dir)]
-    if not new:
-        return []
-    return run_fragments(None, out_dir, files=new, target_bytes=target_bytes)
+    Since round 5 this delegates to the scheduler's ``ingest.poll`` —
+    claims in ``_jobs/`` additionally make CONCURRENT pollers safe (two
+    never double-compress an input) and failed fragments retryable; see
+    pipelines/ingest.py for the daemon loop (``ingest --watch``).
+    """
+    from clp_core_ray.pipelines.ingest import poll
+
+    s = poll(input_dir, out_dir, pattern=pattern,
+             target_bytes=target_bytes)
+    return s["done"]

@@ -1,0 +1,153 @@
+"""Continuous-ingestion scheduler — the reference package's long-lived
+compression scheduler daemon (job-orchestration/job_orchestration/scheduler/
+compress/compression_scheduler.py:149 main poll loop, :355-396
+search_and_schedule_new_tasks: poll for new inputs, partition them into
+jobs, dispatch, record job state, retry failures; several scheduler/worker
+processes share one job table).
+
+Rebuilt Ray-Data-first: each poll discovers input files not yet owned by a
+completed fragment OR an active claim, packs the remainder into
+size-bounded fragment jobs (the deterministic partitioner run_fragments
+uses), claims each job through the lock-free job table (state/jobs.py,
+O_EXCL claims) and runs it as one fused read→encode→route→sink pipeline
+(compress.run_one_fragment). Failed fragments are retried on later polls
+up to ``max_attempts``, then parked. Safety properties:
+
+- **Concurrent pollers never double-compress an input** on the common
+  path: files under a fresh running claim are excluded from discovery
+  before grouping (so grouping divergence between pollers is impossible
+  for claimed files), and the claim itself is an atomic O_EXCL create.
+- **Retry keeps the ORIGINAL grouping**: a failed/expired job is retried
+  with the file list recorded in its claim, never regrouped with newer
+  arrivals — so its fragment id is stable and its partial sink files are
+  reused/overwritten by content hash, not orphaned under a new id.
+- **Crash-safe**: the fragment manifest remains the only authoritative
+  completion record (written after the sink), exactly as in
+  run_fragments; job files are observability + coordination state.
+
+``watch`` is the daemon loop (CLI: ``ingest --watch``); one ``poll`` call
+is one scheduler iteration, so cron/driver recurrence works too.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import socket
+import time
+
+from clp_core_ray.state import jobs as jb
+from clp_core_ray.state import manifest as mf
+
+
+def _default_owner() -> str:
+    return f"{socket.gethostname()}:{os.getpid()}"
+
+
+def poll(input_dir: str, out_dir: str, *,
+         pattern: str = "*.parquet",
+         target_bytes: int | None = None,
+         owner: str | None = None,
+         lease_s: float = jb.DEFAULT_LEASE_S,
+         max_attempts: int = jb.DEFAULT_MAX_ATTEMPTS) -> dict:
+    """One scheduler iteration. Returns a summary dict:
+    ``{"done": [frag...], "failed": [frag...], "skipped_active": n,
+    "parked": [frag...]}``."""
+    from clp_core_ray.pipelines.compress import (_fragment_id,
+                                                 completed_inputs,
+                                                 group_input_files,
+                                                 run_one_fragment)
+
+    owner = owner or _default_owner()
+    os.makedirs(out_dir, exist_ok=True)
+    done_ids = mf.completed_fragments(out_dir)
+    jobs = jb.read_jobs(out_dir)
+    now = time.time()
+
+    summary: dict = {"done": [], "failed": [], "skipped_active": 0,
+                     "parked": []}
+
+    def _run(frag: str, files: list[str], attempt: int) -> None:
+        t0 = time.time()
+        try:
+            rows = run_one_fragment(frag, files, out_dir)
+        except Exception as e:  # noqa: BLE001 — job isolation: one bad
+            # fragment must not kill the daemon (scheduler loop semantics)
+            jb.mark_failed(out_dir, frag, files, owner, attempt, repr(e))
+            summary["failed"].append(frag)
+            return
+        jb.mark_done(out_dir, frag, owner, rows=rows,
+                     wall_sec=time.time() - t0, attempt=attempt)
+        summary["done"].append(frag)
+
+    # -- pass 1: adopt retryable work (failed, or running past its lease) --
+    claimed_files: set[str] = set()
+    for frag, rec in jobs.items():
+        state = rec.get("state")
+        files = rec.get("files") or []
+        if frag in done_ids:
+            # completed but job file says otherwise (owner died between
+            # manifest commit and mark_done) — normalize
+            if state == "running":
+                jb.mark_done(out_dir, frag, rec.get("owner", "?"),
+                             rows=0, wall_sec=0.0)
+            continue
+        if state == "running":
+            if now - float(rec.get("t", now)) < lease_s:
+                claimed_files.update(files)
+                summary["skipped_active"] += 1
+                continue
+            state, rec = "failed", {**rec}  # lease expired → retryable
+        if state == "failed":
+            attempt = int(rec.get("attempt", 1))
+            if attempt >= max_attempts:
+                claimed_files.update(files)
+                summary["parked"].append(frag)
+                continue
+            claimed_files.update(files)
+            jb.takeover(out_dir, frag, files, owner, attempt + 1)
+            _run(frag, files, attempt + 1)
+
+    # -- pass 2: discover, group and claim NEW work ------------------------
+    files = sorted(_glob.glob(os.path.join(input_dir, pattern)))
+    completed = completed_inputs(out_dir)
+    new = [f for f in files if f not in completed and f not in claimed_files]
+    groups = (group_input_files(new, target_bytes)
+              if target_bytes else [[f] for f in new])
+    for g in groups:
+        frag = _fragment_id(g)
+        if frag in done_ids:
+            continue
+        if not jb.try_claim(out_dir, frag, g, owner):
+            summary["skipped_active"] += 1
+            continue
+        _run(frag, g, 1)
+    return summary
+
+
+def watch(input_dir: str, out_dir: str, *,
+          interval_s: float = 5.0,
+          max_polls: int | None = None,
+          idle_exit: int | None = None,
+          stop_file: str | None = None,
+          **poll_kwargs) -> list[dict]:
+    """The daemon loop: poll forever (or until ``max_polls`` iterations,
+    ``idle_exit`` consecutive no-work polls, or ``stop_file`` appears —
+    the operator's kill switch). Returns the per-poll summaries."""
+    out = []
+    idle = 0
+    n = 0
+    while True:
+        s = poll(input_dir, out_dir, **poll_kwargs)
+        out.append(s)
+        n += 1
+        worked = bool(s["done"] or s["failed"])
+        idle = 0 if worked else idle + 1
+        if max_polls is not None and n >= max_polls:
+            break
+        if idle_exit is not None and idle >= idle_exit:
+            break
+        if stop_file is not None and os.path.exists(stop_file):
+            break
+        time.sleep(interval_s)
+    return out

@@ -949,12 +949,83 @@ def _archive_passes(archive_dir: str, path_glob: str | None = None,
     return True
 
 
+def search_fragments(out_dir: str, query: str, ignore_case: bool = False,
+                     columns=None, path_glob: str | None = None,
+                     ts_min: int | None = None, ts_max: int | None = None,
+                     **_ignored):
+    """Search the ingest scheduler's fragment archives (pipelines/ingest.py
+    sinks: non-compact rows with INLINE logtype/dict_vars, no archive
+    dictionaries to compile against).
+
+    Manifest-pruned fragment selection first (select_fragments — the same
+    metadata-DB time/path narrowing clg does before opening archives), then
+    a column-pruned scan → vectorized inline decode (DecodeStage) →
+    wildcard verify. Fragments hold recent arrivals awaiting merge into
+    dictionary archives (merge_archives), so the decode-scan cost is
+    bounded by the un-compacted tail, not the corpus."""
+    import ray.data as rd
+
+    from clp_core_ray.stages.encode import DecodeStage
+    from clp_core_ray.state import manifest as mf
+
+    ts_range = None
+    if ts_min is not None or ts_max is not None:
+        lo = ts_min if ts_min is not None else -(1 << 62)
+        hi = ts_max if ts_max is not None else (1 << 62)
+        ts_range = (lo, hi)
+    frags = mf.select_fragments(out_dir, path_glob=path_glob,
+                                ts_range=ts_range)
+    extra = [c for c in (columns or [])
+             if c not in ("conv_id", "turn_idx", "text")]
+
+    def _empty():
+        t = {"conv_id": pa.array([], type=pa.string()),
+             "turn_idx": pa.array([], type=pa.int32()),
+             "text": pa.array([], type=pa.large_string())}
+        for c in extra:
+            t[c] = pa.array([])
+        return rd.from_arrow(pa.table(t))
+
+    sinks = [f["sink"] for f in frags if f.get("sink")]
+    if not sinks:
+        return _empty()
+    need = ["conv_id", "turn_idx", "logtype", "logtype_id", "encoded_vars",
+            "var_types", "dict_vars"] + extra
+    ds = rd.read_parquet(sinks, columns=need, file_extensions=["parquet"])
+    decode = DecodeStage(out_col="text")
+    wq = query if ("*" in query or "?" in query) else f"*{query}*"
+    # lowercase-both mode (string_utils.hpp:88-94): lower the QUERY before
+    # regex build — lowering the built regex would corrupt [\s\S] classes
+    rx = wildcard_to_regex(wq.lower() if ignore_case else wq)
+
+    def scan(b: pa.Table) -> pa.Table:
+        b = decode(b)
+        text = b.column("text").combine_chunks()
+        if ignore_case:
+            hit = pc.match_substring_regex(pc.utf8_lower(text), rx)
+        else:
+            hit = pc.match_substring_regex(text, rx)
+        b = b.filter(hit)
+        return b.select(["conv_id", "turn_idx", "text"] + extra)
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def _is_fragment_base(target: str) -> bool:
+    import os
+
+    return (os.path.isdir(os.path.join(target, "_manifests"))
+            and any(n.startswith("fragment=")
+                    for n in os.listdir(target)))
+
+
 def _search_target(target: str, query: str, ignore_case: bool, columns=None,
                    **prune):
-    """Dispatch: a dir containing routed/ is one archive; otherwise treat it
-    as a base dir of archives. Prune kwargs (ts_min/ts_max/path_glob) apply
-    to a single archive too via its manifest time range (r2 ADVICE: they
-    were silently dropped)."""
+    """Dispatch: a dir containing routed/ is one archive; a dir of
+    ``fragment=`` sinks + manifests is an ingest-scheduler fragment base;
+    otherwise treat it as a base dir of archives. Prune kwargs
+    (ts_min/ts_max/path_glob) apply to a single archive too via its
+    manifest time range (r2 ADVICE: they were silently dropped)."""
     import os
 
     import ray.data as rd
@@ -972,6 +1043,9 @@ def _search_target(target: str, query: str, ignore_case: bool, columns=None,
             )
         return search_archive(target, query, columns=columns,
                               ignore_case=ignore_case)
+    if _is_fragment_base(target):
+        return search_fragments(target, query, ignore_case=ignore_case,
+                                columns=columns, **prune)
     return search_archives(target, query, ignore_case=ignore_case,
                            columns=columns, **prune)
 
