@@ -38,8 +38,12 @@ class TsPattern:
 # TimestampPattern::init's pattern table in reference order
 # (TimestampPattern.cpp:120-192) — all absolute patterns including the
 # yearless syslog/logcat forms (year defaults to 1970 on parse, exactly the
-# reference's int year = 1970 at TimestampPattern.cpp:263). Only the
-# relative-timestamp "%#3" is omitted (no epoch information to store).
+# reference's int year = 1970 at TimestampPattern.cpp:263), PLUS the
+# relative-timestamp "%#3" (TimestampPattern.cpp:192): a leading run of
+# digits with no leading zero, stored as milliseconds directly — date
+# fields default to the epoch, so ts_ms == the literal value
+# (TimestampPattern.cpp:652-707 parse, :152-175 render str(ts) unpadded).
+# Last in the table, as in the reference, so absolute forms win first.
 PATTERNS: list[TsPattern] = [
     TsPattern(0, "%Y-%m-%dT%H:%M:%S.%3"),
     TsPattern(0, "%Y-%m-%dT%H:%M:%S,%3"),
@@ -73,6 +77,7 @@ PATTERNS: list[TsPattern] = [
     TsPattern(0, "%a %b %e %H:%M:%S %Y"),
     TsPattern(0, "%b %d %H:%M:%S"),
     TsPattern(0, "%m-%d %H:%M:%S.%3"),
+    TsPattern(0, "%#3"),
 ]
 
 _FIELD_RX = {
@@ -106,6 +111,15 @@ def _compile(p: TsPattern):
         c = fmt[i]
         if c == "%" and i + 1 < len(fmt):
             f = fmt[i + 1]
+            if f == "#" and i + 2 < len(fmt) and fmt[i + 2] == "3":
+                # relative ms: digit run, leading zero rejected
+                # (TimestampPattern.cpp:654-657); rides the normal 'ms'
+                # component so epoch-default date math yields ts_ms=value
+                name = f"f{len(fields)}_ms"
+                rx.append(f"(?P<{name}>[1-9]\\d*)")
+                fields.append("3")
+                i += 3
+                continue
             if f in _FIELD_RX:
                 name = f"f{len(fields)}_{f if f != '3' else 'ms'}"
                 body = _FIELD_RX[f]
@@ -269,6 +283,15 @@ def format_batch(ts_ms: np.ndarray, pattern_id: np.ndarray) -> pa.Array:
         while i < len(fmt):
             if fmt[i] == "%" and i + 1 < len(fmt):
                 f = fmt[i + 1]
+                if f == "#":
+                    # relative ts: str(total ms), no padding
+                    # (TimestampPattern.cpp:154-156)
+                    unit = fmt[i + 2] if i + 2 < len(fmt) else "3"
+                    scale = {"3": 1, "6": 1000, "9": 1_000_000}[unit]
+                    tot = np.asarray(ts_ms, dtype=np.int64)[sel] * scale
+                    pieces.append(np.char.mod("%d", tot))
+                    i += 3
+                    continue
                 if f == "Y":
                     pieces.append(np.char.mod("%04d", Y[sel]))
                 elif f == "y":

@@ -162,10 +162,11 @@ def test_targz_ingestion_roundtrip(ray_session, tmp_path):
 
 
 def test_reference_pattern_table_complete():
-    """All 32 absolute patterns of TimestampPattern::init (cpp:120-192) are
-    ported — incl. the mysql %y%m%d %k, yearless syslog %b %d and logcat
-    %m-%d forms (year defaults to 1970 exactly like cpp:263); only the
-    relative %#3 is omitted. Every form round-trips byte-identically."""
+    """The FULL TimestampPattern::init table (cpp:120-192) is ported — all
+    32 absolute patterns incl. the mysql %y%m%d %k, yearless syslog %b %d
+    and logcat %m-%d forms (year defaults to 1970 exactly like cpp:263),
+    plus the relative %#3 as entry 33, last like the reference. Every form
+    round-trips byte-identically."""
     import numpy as np
     import pyarrow as pa
 
@@ -176,7 +177,8 @@ def test_reference_pattern_table_complete():
         parse_and_strip,
     )
 
-    assert len(PATTERNS) == 32
+    assert len(PATTERNS) == 33
+    assert PATTERNS[-1].fmt == "%#3"
     lines = pa.array([
         "150131 15:50:45 mysqld started",
         "150131  5:50:45 mysqld padded hour",
@@ -192,3 +194,57 @@ def test_reference_pattern_table_complete():
     out = insert_timestamps(r["content"], rendered,
                             np.asarray(r["ts_begin"]))
     assert out.to_pylist() == lines.to_pylist()
+
+
+def test_relative_timestamp_pattern():
+    """%#3 relative-ms timestamps (TimestampPattern.cpp:192,652-707 parse,
+    :152-175 render; test-TimestampPattern.cpp:433-449): leading digit run
+    with no leading zero parses as milliseconds directly, renders unpadded,
+    and round-trips byte-identically through the timestamp path (NOT the
+    continuation-line path). Absolute patterns still win first."""
+    import numpy as np
+
+    from clp_core_ray.timestamps import (PATTERNS, format_batch,
+                                         parse_and_strip)
+
+    rel_pid = len(PATTERNS) - 1
+    assert PATTERNS[rel_pid].fmt == "%#3"
+
+    lines = pa.array([
+        "626515123 content after",          # reference's own case
+        "916321",                           # the table's example, bare
+        "2015-01-31 15:50:45.392 absolute wins",
+        "0 leading zero is not relative",   # cpp:654-657
+        "042 nor this",
+    ], type=pa.large_string())
+    r = parse_and_strip(lines)
+    pids = r["pattern_id"].to_pylist()
+    assert pids[0] == rel_pid and pids[1] == rel_pid
+    assert pids[2] not in (-1, rel_pid)     # absolute pattern, tried first
+    assert pids[3] == -1 and pids[4] == -1
+    assert r["ts_ms"][0].as_py() == 626_515_123
+    assert r["ts_ms"][1].as_py() == 916_321
+    assert r["content"][0].as_py() == " content after"
+
+    rendered = format_batch(
+        np.array([626_515_123, 916_321], dtype=np.int64),
+        np.array([rel_pid, rel_pid], dtype=np.int32))
+    assert rendered.to_pylist() == ["626515123", "916321"]
+
+
+def test_relative_timestamp_file_roundtrip():
+    """A log FILE of relative-ts lines (plus continuation lines) survives
+    the full assemble → encode → decode → reconstruct path byte-identically,
+    with the relative lines owning message boundaries."""
+    from clp_core_ray.sources.textlog import assemble_messages
+
+    text = ("916321 worker 3 started\n"
+            "916355 request a=5 took 12 ms\n"
+            "  continuation of the request line\n"
+            "917002 worker 3 stopped")
+    assert roundtrip_file_text(text) == text
+    msgs = assemble_messages(
+        pa.array(text.split("\n"), type=pa.large_string()), "f")
+    # 3 messages: the continuation folded into the second
+    assert msgs.num_rows == 3
+    assert msgs.column("ts_ms").to_pylist() == [916321, 916355, 917002]
