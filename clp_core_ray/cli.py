@@ -289,6 +289,19 @@ def cmd_catalog_init(args) -> dict:
             "entries": len(cat.read_catalog(args.base))}
 
 
+def cmd_compact(args) -> dict:
+    """Fragment-tail compaction (hot → cold tier): see
+    pipelines/compact.py compact_fragments."""
+    from clp_core_ray.pipelines.compact import compact_fragments
+
+    t0 = time.time()
+    res = compact_fragments(args.frags, args.archive_dir)
+    return {"cmd": "compact", "archive": res["archive"],
+            "fragments": len(res["fragments"]), "rows": res["rows"],
+            "resumed": res["resumed"],
+            "wall_sec": round(time.time() - t0, 3)}
+
+
 def cmd_retention(args) -> dict:
     """Archive TTL sweep (the package's del-archives job role): drop every
     catalogued archive whose whole time range ends before the cutoff —
@@ -745,6 +758,17 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--max-attempts", type=int, default=3,
                      help="per-fragment attempts before parking it")
     ing.set_defaults(fn=cmd_ingest)
+
+    cmp2 = sub.add_parser(
+        "compact",
+        help="compact the ingest scheduler's fragment tail into one "
+             "dictionary archive (crash-safe journaled two-phase)")
+    cmp2.add_argument("--frags", required=True,
+                      help="fragment base dir (ingest --out)")
+    cmp2.add_argument("--archive-dir", required=True,
+                      help="directory receiving compacted-<id> archives "
+                           "(e.g. a catalog base)")
+    cmp2.set_defaults(fn=cmd_compact)
 
     x = sub.add_parser("decompress", help="archive → text parquet (clp x)")
     x.add_argument("--archive", required=True)

@@ -38,7 +38,7 @@ from clp_core_ray.state.dictionaries import (
     _finalize_dicts_parallel,
 )
 
-__all__ = ["merge_archives"]
+__all__ = ["compact_fragments", "merge_archives"]
 
 
 def _archive_unified_rows(archive_dir: str) -> pa.Table:
@@ -205,3 +205,145 @@ def merge_archives(archive_dirs: list[str], out_dir: str) -> dict:
     }
     mf.record_fragment(out_dir, "merge", info)
     return info
+
+
+# ---------------------------------------------------------------------------
+# Fragment compaction: the scheduler's hot tail → one compact cold archive
+# ---------------------------------------------------------------------------
+
+COMPACTIONS_DIR = "_compactions"
+
+
+def _compaction_id(frag_ids: list[str]) -> str:
+    import hashlib
+
+    return hashlib.sha1("\n".join(sorted(frag_ids)).encode()).hexdigest()[:12]
+
+
+def _archive_committed(archive_dir: str) -> bool:
+    d = os.path.join(archive_dir, "_manifests")
+    return os.path.isdir(d) and any(
+        f.endswith(".json") for f in os.listdir(d))
+
+
+def _finish_retirement(frag_base: str, journal: dict,
+                       journal_path: str) -> None:
+    """Phase 3 (idempotent, resumable): mark each fragment retired and
+    drop its sink data, then mark the journal done."""
+    import shutil
+
+    from clp_core_ray.state import manifest as mf
+
+    for frag in journal["fragments"]:
+        mpath = os.path.join(frag_base, "_manifests", f"{frag}.json")
+        if os.path.isfile(mpath):
+            with open(mpath) as f:
+                if not json.load(f).get("retired_into"):
+                    mf.retire_fragment(frag_base, frag, journal["archive"])
+        sink = os.path.join(frag_base, f"fragment={frag}")
+        shutil.rmtree(sink, ignore_errors=True)
+    journal["done"] = True
+    tmp = f"{journal_path}.{os.getpid()}.inprogress"
+    with open(tmp, "w") as f:
+        json.dump(journal, f)
+    os.replace(tmp, journal_path)
+
+
+def compact_fragments(frag_base: str, archive_dir: str,
+                      **compress_kwargs) -> dict:
+    """Compact the ingest scheduler's accumulated fragments
+    (pipelines/ingest.py sinks: inline-encoded, dictionary-less) into ONE
+    self-contained dictionary archive — the hot-tail → cold-tier step of
+    continuous ingestion (the reference package's archive lifecycle:
+    small compression-job outputs become searchable dictionary archives).
+
+    Crash-safe two-phase protocol, journaled under
+    ``<frag_base>/_compactions/``:
+
+    1. Select completed, UNRETIRED fragments; write the journal (fragment
+       list + target archive) atomically BEFORE any data work.
+    2. Build the compact archive: streaming decode of the fragments'
+       inline rows (DecodeStage) → the normal flagship compress (real
+       dictionaries + segment indexes + per-archive manifest). The
+       archive's manifest commit is the data commit point.
+    3. Retire each fragment (manifest keeps input ownership — the
+       scheduler never re-ingests; readers skip it) and remove its sink;
+       mark the journal done.
+
+    Resume semantics: an undone journal whose archive COMMITTED → finish
+    phase 3 only (recompacting would duplicate rows into a second
+    archive); archive not committed → drop the partial archive and
+    rebuild from the SAME journaled fragment list. Always safe to re-run;
+    a crash between commit and full retirement temporarily double-stores
+    (never double-reads: fragment search skips retired entries one by one
+    as they land).
+
+    Returns {archive, fragments, rows, resumed}."""
+    import shutil
+
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.compress import compress
+    from clp_core_ray.stages.encode import DecodeStage
+    from clp_core_ray.state import manifest as mf
+
+    jdir = os.path.join(frag_base, COMPACTIONS_DIR)
+    os.makedirs(jdir, exist_ok=True)
+
+    # resume any incomplete prior compaction FIRST (never recompact rows
+    # that already committed into an archive)
+    resumed = None
+    for name in sorted(os.listdir(jdir)):
+        if not name.endswith(".json"):
+            continue
+        jpath = os.path.join(jdir, name)
+        with open(jpath) as f:
+            j = json.load(f)
+        if j.get("done"):
+            continue
+        if _archive_committed(j["archive"]):
+            _finish_retirement(frag_base, j, jpath)
+            resumed = j
+        else:
+            # data never committed: drop the partial build, forget the
+            # journal — its fragments are still unretired and will be
+            # selected again below
+            shutil.rmtree(j["archive"], ignore_errors=True)
+            os.unlink(jpath)
+
+    frags = [m for m in mf.select_fragments(frag_base)
+             if m.get("sink") and str(m.get("fragment_id", "")) != "merge"]
+    if not frags:
+        return {"archive": None, "fragments": [],
+                "rows": 0, "resumed": bool(resumed)}
+    frag_ids = [m["fragment_id"] for m in frags]
+    cid = _compaction_id(frag_ids)
+    out_arch = os.path.join(archive_dir, f"compacted-{cid}")
+    jpath = os.path.join(jdir, f"{cid}.json")
+    journal = {"id": cid, "fragments": frag_ids, "archive": out_arch,
+               "done": False}
+    tmp = f"{jpath}.{os.getpid()}.inprogress"
+    with open(tmp, "w") as f:
+        json.dump(journal, f)
+    os.replace(tmp, jpath)
+
+    sinks = [m["sink"] for m in frags]
+    need = ["conv_id", "turn_idx", "role", "tool", "ts", "logtype",
+            "logtype_id", "encoded_vars", "var_types", "dict_vars"]
+    ds = rd.read_parquet(sinks, columns=need, file_extensions=["parquet"])
+    decode = DecodeStage(out_col="text")
+
+    def to_transcript(b: pa.Table) -> pa.Table:
+        b = decode(b)
+        return b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                         "ts"])
+
+    ds = ds.map_batches(to_transcript, batch_format="pyarrow")
+    counts = compress(
+        None, out_arch, ds=ds,
+        input_label=f"compaction:{cid} ({len(frag_ids)} fragments)",
+        **compress_kwargs)
+    rows = int(pc.sum(counts.column("cnt")).as_py() or 0)
+    _finish_retirement(frag_base, journal, jpath)
+    return {"archive": out_arch, "fragments": frag_ids, "rows": rows,
+            "resumed": bool(resumed)}

@@ -61,8 +61,28 @@ def pending_fragments(all_ids: list[str], out_dir: str) -> list[str]:
     return [f for f in all_ids if f not in done]
 
 
+def retire_fragment(out_dir: str, fragment_id: str, into: str) -> None:
+    """Mark a fragment as compacted into ``into`` (atomic rewrite).
+
+    The manifest SURVIVES as the input-ownership record — the ingest
+    scheduler's completed-inputs anti-join still sees it, so compaction
+    never causes re-ingestion — but fragment READERS (select_fragments
+    default, search_fragments) skip retired entries: their rows now live
+    in the compact archive."""
+    d = manifest_dir(out_dir)
+    path = os.path.join(d, f"{fragment_id}.json")
+    with open(path) as f:
+        man = json.load(f)
+    man["retired_into"] = into
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(man, f, default=str)
+    os.replace(tmp, path)
+
+
 def select_fragments(out_dir: str, path_glob: str | None = None,
-                     ts_range: tuple[int, int] | None = None) -> list[dict]:
+                     ts_range: tuple[int, int] | None = None,
+                     include_retired: bool = False) -> list[dict]:
     """Archive/fragment pruning by input path and time range (J5).
 
     The reference's clg selects archives from the metadata DB by file path
@@ -72,11 +92,15 @@ def select_fragments(out_dir: str, path_glob: str | None = None,
     ``input`` matches ``path_glob`` and its [ts_min, ts_max] (epoch µs)
     overlaps ``ts_range``. Fragments without a recorded ts range are kept
     (unknown → cannot prune), mirroring conservative candidate semantics.
+    Retired fragments (compacted into an archive) are skipped unless
+    ``include_retired``.
     """
     import fnmatch
 
     out = []
     for man in read_manifests(out_dir):
+        if man.get("retired_into") and not include_retired:
+            continue
         if path_glob is not None:
             inp = man.get("input", "")
             # grouped fragments record a LIST of member files — the fragment
@@ -109,6 +133,8 @@ def fsck_archive(out_dir: str) -> dict:
 
     expected: dict[str, int] = {}
     for man in read_manifests(out_dir):
+        if man.get("retired_into"):
+            continue  # its sink moved into the compact archive
         for cls, n in (man.get("class_counts") or {}).items():
             expected[cls] = expected.get(cls, 0) + int(n)
     actual: dict[str, int] = {}

@@ -1,0 +1,154 @@
+"""Fragment compaction (hot scheduler tail → compact dictionary archive):
+two-phase journaled protocol, retirement semantics, crash resume."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+BASE = 1_700_000_000_000_000
+
+
+def _shard(indir, i: int, n: int = 10) -> str:
+    t = pa.table({
+        "conv_id": pa.array([f"c{i}-{j % 2}" for j in range(n)]),
+        "turn_idx": pa.array(np.arange(n) % 9, type=pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array([f"INFO compact shard {i} row {j} took {j*3} ms"
+                          for j in range(n)]),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([BASE + (i * 100 + j) * 1000 for j in range(n)],
+                       type=pa.timestamp("us")),
+    })
+    p = str(indir / f"shard-{i:04d}.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+@pytest.fixture()
+def frag_base(ray_session, tmp_path):
+    from clp_core_ray.pipelines import ingest
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(3):
+        _shard(indir, i)
+    out = str(tmp_path / "frags")
+    s = ingest.poll(str(indir), out)
+    assert len(s["done"]) == 3
+    return str(indir), out, str(tmp_path / "cold")
+
+
+def _cnt(target, q):
+    from clp_core_ray.pipelines.search import search_count
+
+    return search_count(target, q).column("cnt")[0].as_py()
+
+
+def test_compact_then_search_moves_tiers(frag_base):
+    from clp_core_ray.pipelines import ingest
+    from clp_core_ray.pipelines.compact import compact_fragments
+    from clp_core_ray.pipelines.compress import completed_inputs
+
+    indir, frags, cold = frag_base
+    assert _cnt(frags, "*compact shard*") == 30  # hot tail searchable
+    before_inputs = set(completed_inputs(frags))
+
+    res = compact_fragments(frags, cold)
+    assert sorted(res["fragments"]) == [f"shard-{i:04d}" for i in range(3)]
+    assert res["rows"] == 30
+
+    # rows moved tiers: fragment search empty, archive search complete,
+    # per-row content intact (dictionary archive decodes identically)
+    assert _cnt(frags, "*compact shard*") == 0
+    assert _cnt(res["archive"], "*compact shard*") == 30
+    assert _cnt(res["archive"], "*shard 1 row 3 *") == 1
+
+    # input ownership survives retirement: the scheduler re-ingests NOTHING
+    assert set(completed_inputs(frags)) == before_inputs
+    s = ingest.poll(indir, frags)
+    assert s["done"] == [] and s["failed"] == []
+
+    # fragment sink dirs are gone; a fresh arrival starts a new hot tail
+    assert not [d for d in os.listdir(frags) if d.startswith("fragment=")]
+    _shard(__import__("pathlib").Path(indir), 7)
+    s = ingest.poll(indir, frags)
+    assert s["done"] == ["shard-0007"]
+    assert _cnt(frags, "*compact shard*") == 10  # only the new hot data
+
+    # second compaction picks up ONLY the new fragment
+    res2 = compact_fragments(frags, cold)
+    assert res2["fragments"] == ["shard-0007"]
+    assert res2["archive"] != res["archive"]
+
+
+def test_compact_resume_after_commit_crash(frag_base, monkeypatch):
+    """Crash AFTER the archive committed but BEFORE retirement: a re-run
+    finishes retirement only — it must not build a second archive from the
+    same rows."""
+    from clp_core_ray.pipelines import compact as cpt
+
+    _, frags, cold = frag_base
+
+    real = cpt._finish_retirement
+    calls = {"n": 0}
+
+    def crash_once(frag_base_, journal, jpath):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash before retirement")
+        return real(frag_base_, journal, jpath)
+
+    monkeypatch.setattr(cpt, "_finish_retirement", crash_once)
+    with pytest.raises(RuntimeError):
+        cpt.compact_fragments(frags, cold)
+    # archive committed, fragments NOT retired yet
+    archives = os.listdir(cold)
+    assert len(archives) == 1
+    assert _cnt(frags, "*compact shard*") == 30  # still hot (unretired)
+
+    res = cpt.compact_fragments(frags, cold)  # resume
+    assert res["resumed"] is True
+    assert res["fragments"] == []  # nothing new compacted
+    assert len(os.listdir(cold)) == 1  # NO second archive
+    assert _cnt(frags, "*compact shard*") == 0
+    assert _cnt(os.path.join(cold, archives[0]), "*compact shard*") == 30
+
+
+def test_compact_restart_after_precommit_crash(frag_base, monkeypatch):
+    """Crash BEFORE the archive committed: the re-run drops the partial
+    build and rebuilds from the same journaled fragment list."""
+    from clp_core_ray.pipelines import compact as cpt
+
+    _, frags, cold = frag_base
+
+    real_compress = __import__(
+        "clp_core_ray.pipelines.compress", fromlist=["compress"]).compress
+    calls = {"n": 0}
+
+    def crash_once(*a, **k):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash mid-build")
+        return real_compress(*a, **k)
+
+    import clp_core_ray.pipelines.compress as cp
+
+    monkeypatch.setattr(cp, "compress", crash_once)
+    with pytest.raises(RuntimeError):
+        cpt.compact_fragments(frags, cold)
+    # journal exists, archive not committed
+    jdir = os.path.join(frags, cpt.COMPACTIONS_DIR)
+    js = [json.load(open(os.path.join(jdir, f)))
+          for f in os.listdir(jdir) if f.endswith(".json")]
+    assert len(js) == 1 and not js[0]["done"]
+
+    res = cpt.compact_fragments(frags, cold)
+    assert res["rows"] == 30 and len(res["fragments"]) == 3
+    assert len([d for d in os.listdir(cold)]) == 1
+    assert _cnt(res["archive"], "*compact shard*") == 30
+    assert _cnt(frags, "*compact shard*") == 0
