@@ -7995,3 +7995,208 @@ def docs_weighted_topk_sample(sf_dir: str):
     order = pc.sort_indices(cand, sort_keys=[("_key", "descending"),
                                              ("doc_id", "ascending")])
     return cand.take(order.slice(0, k)).select(["doc_id"])
+
+
+@register(
+    "events_cohort_retention",
+    "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw"
+    "   FROM events GROUP BY 1),"
+    " a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w"
+    "   FROM events)"
+    " SELECT f.cw AS cohort_week,"
+    " CAST((epoch(a.w) - epoch(f.cw)) / 604800 AS BIGINT) AS weeks_since,"
+    " CAST(count(*) AS BIGINT) AS active_users"
+    " FROM a JOIN f USING (user_id) GROUP BY 1, 2",
+)
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (signup week x weeks-since activity) — THE
+    growth-analytics table. Three bounded steps: per-user first-week from
+    one min-shuffle of per-batch partials; distinct (user, week) with
+    per-batch pre-dedup before the exchange; size-gated join of activity
+    weeks against the per-user cohort table, then a cohort x delta count
+    (weeks^2-cardinality output). No per-user driver state."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from clp_core_ray.pipelines.join import auto_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def week_floor(col):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        return pc.floor_temporal(arr, unit="week")
+
+    def pmin(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "w": week_floor(b.column("ts"))})
+        return (t.group_by(["user_id"]).aggregate([("w", "min")])
+                .rename_columns(["user_id", "cw"]))
+
+    first = (ds.map_batches(pmin, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("cw", alias_name="cw")))
+
+    def pweeks(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"),
+                      "w": week_floor(b.column("ts"))})
+        return t.group_by(["user_id", "w"]).aggregate([])
+
+    weeks = (ds.map_batches(pweeks, batch_format="pyarrow")
+             .groupby(["user_id", "w"]).count()
+             .select_columns(["user_id", "w"]))
+    j = auto_join(weeks, first, "user_id", "user_id", ["cw"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        w = np.asarray(b.column("w").combine_chunks()
+                       .cast(pa.timestamp("us")).cast(pa.int64()))
+        cw = np.asarray(b.column("cw").combine_chunks()
+                        .cast(pa.timestamp("us")).cast(pa.int64()))
+        wk = (w - cw) // (604_800 * 1_000_000)
+        t = pa.table({"cohort_week": pa.array(cw),
+                      "weeks_since": pa.array(wk),
+                      "_n": pa.array(np.ones(len(wk), dtype=np.int64))})
+        return (t.group_by(["cohort_week", "weeks_since"])
+                .aggregate([("_n", "sum")])
+                .rename_columns(["cohort_week", "weeks_since", "_n"]))
+
+    from ray.data.aggregate import Sum
+
+    out = (j.map_batches(fold, batch_format="pyarrow")
+           .groupby(["cohort_week", "weeks_since"])
+           .aggregate(Sum("_n", alias_name="active_users")))
+    return out.map_batches(
+        lambda b: pa.table({
+            "cohort_week": b.column("cohort_week").combine_chunks()
+            .cast(pa.int64()).cast(pa.timestamp("us")),
+            "weeks_since": b.column("weeks_since"),
+            "active_users": b.column("active_users")}),
+        batch_format="pyarrow")
+
+
+@register(
+    "events_running_total",
+    "WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,"
+    "   count(*) AS cnt FROM events GROUP BY 1, 2)"
+    " SELECT user_id, day, CAST(sum(cnt) OVER (PARTITION BY user_id"
+    "   ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running"
+    " FROM d",
+)
+def events_running_total(sf_dir: str):
+    """Per-user cumulative activity over days (SUM OVER ... UNBOUNDED
+    PRECEDING): ONE partial-aggregated (user, day) count shuffle produces
+    the aggregate-sized daily table, then a key-hash bucket pass does the
+    per-user prefix sum — lexsort + cumsum-minus-run-start, no per-user
+    Python (the partition_window discipline on pre-aggregated rows)."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import _key_and_bucket
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def pday(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b.column("ts").combine_chunks(), unit="day")
+        t = pa.table({"user_id": b.column("user_id"), "day": day})
+        return (t.group_by(["user_id", "day"])
+                .aggregate([("user_id", "count")])
+                .rename_columns(["user_id", "day", "cnt"]))
+
+    from ray.data.aggregate import Sum
+
+    daily = (ds.map_batches(pday, batch_format="pyarrow")
+             .groupby(["user_id", "day"]).aggregate(Sum("cnt",
+                                                        alias_name="cnt")))
+    nb = scaled_buckets()
+
+    def tag(b: pa.Table) -> pa.Table:
+        _, bucket = _key_and_bucket(b.column("user_id"), nb)
+        return b.append_column("_bucket", bucket)
+
+    def prefix(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "day": pa.array([], type=pa.timestamp("us")),
+                             "running": pa.array([], type=pa.int64())})
+        uid = np.asarray(g.column("user_id"), dtype=np.int64)
+        day = np.asarray(g.column("day").combine_chunks()
+                         .cast(pa.timestamp("us")).cast(pa.int64()))
+        cnt = np.asarray(g.column("cnt"), dtype=np.int64)
+        order = np.lexsort((day, uid))
+        uid, day, cnt = uid[order], day[order], cnt[order]
+        brk = np.ones(len(uid), dtype=bool)
+        brk[1:] = uid[1:] != uid[:-1]
+        start_of = np.maximum.accumulate(
+            np.where(brk, np.arange(len(uid)), 0))
+        cs = np.cumsum(cnt)
+        running = cs - cs[start_of] + cnt[start_of]
+        return pa.table({"user_id": pa.array(uid),
+                         "day": pa.array(day).cast(pa.timestamp("us")),
+                         "running": pa.array(running)})
+
+    return (daily.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(lambda g: prefix(g.drop_columns(["_bucket"])),
+                        batch_format="pyarrow"))
+
+
+@register(
+    "tpch_q4_priority_waiting",
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count"
+    " FROM orders o WHERE o_orderdate >= DATE '1995-01-01'"
+    " AND o_orderdate < DATE '1995-04-01'"
+    " AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+    "   AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)"
+    " GROUP BY 1",
+)
+def tpch_q4_priority_waiting(sf_dir: str):
+    """TPC-H Q4 shape on the available columns (EXISTS semi-join +
+    priority counts; the synthetic lineitem has no commit/receipt dates,
+    so 'late' = shipped >60 days after the order date). The semi-join side
+    is DISTINCT late orderkeys — per-batch pre-dedup bounds the exchange;
+    the quarter filter rides the orders READ (row-group pruning)."""
+    import datetime
+
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import auto_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate")
+                >= datetime.datetime(1995, 1, 1))
+        & (pc.field("o_orderdate") < datetime.datetime(1995, 4, 1)))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def pmax(b: pa.Table) -> pa.Table:
+        return (b.group_by(["l_orderkey"])
+                .aggregate([("l_shipdate", "max")])
+                .rename_columns(["l_orderkey", "ls"]))
+
+    from ray.data.aggregate import Max
+
+    latest = (li.map_batches(pmax, batch_format="pyarrow")
+              .groupby("l_orderkey").aggregate(Max("ls", alias_name="ls")))
+    j = auto_join(orders, latest, "o_orderkey", "l_orderkey", ["ls"])
+
+    def late(b: pa.Table) -> pa.Table:
+        od = np.asarray(b.column("o_orderdate").combine_chunks()
+                        .cast(pa.timestamp("us")).cast(pa.int64()))
+        ls = b.column("ls").combine_chunks().cast(pa.timestamp("us"))
+        lsv = np.asarray(ls.cast(pa.int64()))
+        valid = np.asarray(pc.is_valid(ls))
+        keep = valid & (lsv > od + 60 * 86_400_000_000)
+        t = b.filter(pa.array(keep))
+        return (t.select(["o_orderpriority"])
+                .group_by(["o_orderpriority"])
+                .aggregate([("o_orderpriority", "count")])
+                .rename_columns(["o_orderpriority", "order_count"]))
+
+    from ray.data.aggregate import Sum
+
+    return (j.map_batches(late, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("order_count", alias_name="order_count")))
