@@ -352,11 +352,17 @@ def cmd_ingest(args) -> dict:
                           interval_s=args.interval_s,
                           max_polls=args.max_polls,
                           idle_exit=args.idle_exit,
-                          stop_file=args.stop_file, **kw)
+                          stop_file=args.stop_file,
+                          compact_into=args.compact_into,
+                          compact_min_fragments=args.compact_min_fragments,
+                          **kw)
         done = sorted({f for p in polls for f in p["done"]})
         failed = sorted({f for p in polls for f in p["failed"]})
+        compacted = [p["compacted"]["archive"] for p in polls
+                     if p.get("compacted", {}).get("archive")]
         return {"cmd": "ingest", "watch": True, "polls": len(polls),
                 "new_fragments": done, "failed_fragments": failed,
+                "compacted_archives": compacted,
                 "wall_sec": round(time.time() - t0, 3)}
     s = ing.poll(args.input, args.out, **kw)
     return {"cmd": "ingest", "new_fragments": s["done"],
@@ -757,6 +763,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="running-claim lease; expired claims are retried")
     ing.add_argument("--max-attempts", type=int, default=3,
                      help="per-fragment attempts before parking it")
+    ing.add_argument("--compact-into", default=None,
+                     help="with --watch: compact the fragment tail into "
+                          "dictionary archives under this dir during "
+                          "ingest lulls")
+    ing.add_argument("--compact-min-fragments", type=int, default=4,
+                     help="compact only once this many fragments "
+                          "accumulated (default 4)")
     ing.set_defaults(fn=cmd_ingest)
 
     cmp2 = sub.add_parser(

@@ -130,18 +130,36 @@ def watch(input_dir: str, out_dir: str, *,
           max_polls: int | None = None,
           idle_exit: int | None = None,
           stop_file: str | None = None,
+          compact_into: str | None = None,
+          compact_min_fragments: int = 4,
           **poll_kwargs) -> list[dict]:
     """The daemon loop: poll forever (or until ``max_polls`` iterations,
     ``idle_exit`` consecutive no-work polls, or ``stop_file`` appears —
-    the operator's kill switch). Returns the per-poll summaries."""
+    the operator's kill switch). Returns the per-poll summaries.
+
+    ``compact_into``: the full archive lifecycle in one daemon — whenever
+    a poll finds no new arrivals and at least ``compact_min_fragments``
+    unretired fragments have accumulated, compact the hot tail into a
+    dictionary archive under this directory (compact.compact_fragments;
+    auto-registers in the dir's global catalog if one exists). Compaction
+    runs in the ingest lull, so it never competes with arrival bursts."""
     out = []
     idle = 0
     n = 0
     while True:
         s = poll(input_dir, out_dir, **poll_kwargs)
+        if compact_into is not None and not (s["done"] or s["failed"]):
+            from clp_core_ray.state import manifest as mf
+
+            live = [m for m in mf.select_fragments(out_dir)
+                    if m.get("sink")]
+            if len(live) >= compact_min_fragments:
+                from clp_core_ray.pipelines.compact import compact_fragments
+
+                s["compacted"] = compact_fragments(out_dir, compact_into)
         out.append(s)
         n += 1
-        worked = bool(s["done"] or s["failed"])
+        worked = bool(s["done"] or s["failed"] or s.get("compacted"))
         idle = 0 if worked else idle + 1
         if max_polls is not None and n >= max_polls:
             break

@@ -152,3 +152,33 @@ def test_compact_restart_after_precommit_crash(frag_base, monkeypatch):
     assert len([d for d in os.listdir(cold)]) == 1
     assert _cnt(res["archive"], "*compact shard*") == 30
     assert _cnt(frags, "*compact shard*") == 0
+
+
+def test_watch_with_compaction_and_catalog(ray_session, tmp_path):
+    """The full lifecycle in one daemon: ingest waves -> lull-triggered
+    compaction into a CATALOGED cold dir -> multi-archive search over the
+    catalog sees the compacted data; the hot tail keeps only fresh
+    arrivals."""
+    from clp_core_ray.pipelines import ingest
+    from clp_core_ray.state.catalog import init_catalog, read_catalog
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(4):
+        _shard(indir, i)
+    frags = str(tmp_path / "frags")
+    cold = str(tmp_path / "cold")
+    init_catalog(cold)
+
+    polls = ingest.watch(str(indir), frags, interval_s=0.01, idle_exit=2,
+                         compact_into=cold, compact_min_fragments=4)
+    comp = [p["compacted"] for p in polls if p.get("compacted", {})
+            .get("archive")]
+    assert len(comp) == 1 and comp[0]["rows"] == 40
+
+    # compress auto-registered the compacted archive in the catalog;
+    # multi-archive (catalog-driven) search over the cold dir finds it
+    entries = read_catalog(cold)
+    assert len(entries) == 1 and entries[0]["rows"] == 40
+    assert _cnt(cold, "*compact shard*") == 40
+    assert _cnt(frags, "*compact shard*") == 0
