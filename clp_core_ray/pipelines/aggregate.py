@@ -897,27 +897,67 @@ def grouped_ohlc(ds, *, key_cols: list[str], val_col: str, ts_col: str,
         })
         return pa.table(cols)
 
+    # finalize inside BOUNDED key-hash buckets, one vectorized run-fold per
+    # bucket — never one Python call per (group) like a raw groupby(keys)
+    # .map_groups would cost at millions of keys (the events_modal_type
+    # lesson). Both lexsorts share the key columns as primary, so one run
+    # segmentation serves the open (min ts,id) and close (max ts,id) sides.
+    from clp_core_ray.pipelines.temporal import _key_and_bucket
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        for k in keys:
+            kk = np.asarray(_key_and_bucket(b.column(k), 1)[0]) \
+                .view(np.uint64)
+            h = (h * np.uint64(0x9E3779B97F4A7C15)) ^ kk
+        return b.append_column(
+            "_obucket", pa.array((h % np.uint64(nb)).astype(np.int32)))
+
     def fold(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_obucket"])
         if group.num_rows == 0 or "open" not in group.column_names:
             return pa.table({})
+        n = group.num_rows
+        codes = []
+        for k in keys:
+            enc = group.column(k).combine_chunks().dictionary_encode()
+            codes.append(np.asarray(enc.indices, dtype=np.int64))
         ots = np.asarray(group.column("_ots"), dtype=np.int64)
         oid = np.asarray(group.column("_oid"), dtype=np.int64)
         cts = np.asarray(group.column("_cts"), dtype=np.int64)
         cid = np.asarray(group.column("_cid"), dtype=np.int64)
-        i = int(np.lexsort((oid, ots))[0])
-        j = int(np.lexsort((cid, cts))[-1])
-        row = {k: group.column(k).slice(0, 1) for k in keys}
-        row.update({
-            "open": group.column("open").slice(i, 1),
-            "close": group.column("close").slice(j, 1),
-            "high": pa.array([pc.max(group.column("high")).as_py()]),
-            "low": pa.array([pc.min(group.column("low")).as_py()]),
-            "cnt": pa.array([pc.sum(group.column("cnt")).as_py()]),
+        order = np.lexsort((oid, ots, *reversed(codes)))
+        sc = [c[order] for c in codes]
+        brk = np.zeros(n, dtype=bool)
+        brk[0] = True
+        for c in sc:
+            brk[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(brk)
+        last = np.r_[starts[1:], n] - 1
+        order2 = np.lexsort((cid, cts, *reversed(codes)))
+        cols = {k: pc.take(group.column(k), pa.array(order[starts]))
+                for k in keys}
+        cols.update({
+            "open": pc.take(group.column("open"), pa.array(order[starts])),
+            "close": pc.take(group.column("close"), pa.array(order2[last])),
+            "high": pa.array(np.maximum.reduceat(
+                np.asarray(group.column("high"),
+                           dtype=np.float64)[order], starts)),
+            "low": pa.array(np.minimum.reduceat(
+                np.asarray(group.column("low"),
+                           dtype=np.float64)[order], starts)),
+            "cnt": pa.array(np.add.reduceat(
+                np.asarray(group.column("cnt"),
+                           dtype=np.int64)[order], starts)),
         })
-        return pa.table(row)
+        return pa.table(cols)
 
     cols = keys + [ts_col, id_col, val_col]
     return (ds.select_columns(cols)
             .map_batches(partial, batch_format="pyarrow")
-            .groupby(keys)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("_obucket")
             .map_groups(fold, batch_format="pyarrow"))

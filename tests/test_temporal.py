@@ -657,3 +657,32 @@ def test_new_kernels_empty_and_singleton_inputs(ray_session):
             assert list(nt["tile"]) == [1]
             assert list(pr["pct_rank"]) == [0.0]
             assert list(pr["cume_dist"]) == [1.0]
+
+
+def test_grouped_first_by_matches_qualify(ray_session):
+    """grouped_first_by (arbitrary mixed-direction sort keys incl. string
+    order columns) == SQL QUALIFY row_number() = 1, on string keys."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_first_by
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    t = pa.table({
+        "k": pa.array([f"key-{i}" for i in rng.randint(0, 400, n)]),
+        "s": pa.array([f"s{i:02d}" for i in rng.randint(0, 50, n)]),
+        "v": pa.array(rng.randint(0, 1000, n).astype("int64")),
+    })
+    out = pa.concat_tables([pa.table(b) for b in grouped_first_by(
+        rd.from_arrow(t).repartition(13), key_col="k",
+        sort_keys=[("v", "descending"), ("s", "ascending")],
+        num_buckets=7).iter_batches(batch_format="pyarrow")])
+    ref = duckdb.connect().execute(
+        "SELECT k, s, v FROM t QUALIFY row_number() OVER "
+        "(PARTITION BY k ORDER BY v DESC, s) = 1").arrow()
+    out = out.sort_by("k").combine_chunks()
+    ref = ref.sort_by("k").combine_chunks().cast(out.schema)
+    assert out.equals(ref)
