@@ -63,7 +63,7 @@ _GATE_PRIORITY = [
     # dedup / curation / sampling
     "docs_scrub_dup_spans", "docs_decontaminate", "docs_stratified_sample",
     "docs_fuzzy_dedup_best", "docs_cap_per_source",
-    "docs_weighted_topk_sample", "docs_chunk_overlap", "docs_length_batches",
+    "docs_weighted_topk_sample", "docs_chunk_overlap",
     # text analysis / retrieval
     "docs_inverted_index", "docs_char_entropy", "docs_vocab",
     "docs_pmi_pairs", "docs_bm25_indexed", "hybrid_rrf_search",
@@ -72,13 +72,17 @@ _GATE_PRIORITY = [
     "emb_kmeans_assign", "emb_radius_neighbors_ivf", "emb_hamming_dup_pairs",
     "emb_sq8_checksum", "emb_ann_topk_filtered",
     # global-window + temporal suite
-    "events_sliding_window", "events_moving_avg", "events_value_ntile",
+    "events_sliding_window", "events_moving_avg",
     "events_debounce", "events_transition_counts", "events_decayed_activity",
     "events_value_moments", "events_modal_type", "events_max_burst",
     "events_trimmed_mean", "events_rfm_features", "events_benford_digits",
     "events_session_conversion", "events_pareto_users",
-    # storage-layout + analytics joins
+    # storage-layout + analytics joins (+ the round-5 additions:
+    # cohort-retention matrix and per-user running totals — length_batches
+    # and ntile rotate behind their in-window family siblings
+    # pack_sequences/chunk_overlap and percent-rank/moving-avg machinery)
     "events_zorder_pruned", "orders_backlog_by_month", "part_name_jw_pairs",
+    "events_cohort_retention", "events_running_total",
 ]
 
 
