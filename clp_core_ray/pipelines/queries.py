@@ -8204,3 +8204,101 @@ def tpch_q4_priority_waiting(sf_dir: str):
     return (j.map_batches(late, batch_format="pyarrow")
             .groupby("o_orderpriority")
             .aggregate(Sum("order_count", alias_name="order_count")))
+
+
+@register(
+    "clp_grok_requests",
+    "SELECT conv_id, turn_idx,"
+    " CAST(regexp_extract(text, 'request_id=(\\d+)', 1) AS BIGINT)"
+    "   AS request_id,"
+    " regexp_extract(text, 'user (u\\d+)', 1) AS user_tag,"
+    " regexp_extract(text, '(GET|POST|PUT|DELETE)', 1) AS method,"
+    " CAST(regexp_extract(text, '-> (\\d+) in', 1) AS BIGINT) AS status,"
+    " CAST(regexp_extract(text, 'in (\\d+) ms', 1) AS BIGINT) AS latency_ms"
+    " FROM {T} WHERE text LIKE 'INFO request_id=%'",
+)
+def clp_grok_requests(sf_dir: str):
+    """Grok-style structured extraction (the north rule's 'vectorized
+    regex/grok' surface as a USER query, not just the encoder): HTTP
+    request lines parse into typed columns via pc.extract_regex — one
+    compiled pattern per field, zero Python per row. The prefix filter
+    runs before any regex so non-request lines never reach the kernels."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+
+    def grok(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.starts_with(b.column("text").combine_chunks(),
+                                    "INFO request_id="))
+        text = b.column("text").combine_chunks()
+
+        def ext(pattern: str) -> pa.Array:
+            st = pc.extract_regex(text, pattern)
+            return pc.struct_field(st, "g")
+
+        rid = ext(r"request_id=(?P<g>\d+)")
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx"),
+            "request_id": pc.cast(rid, pa.int64()),
+            "user_tag": ext(r"user (?P<g>u\d+)"),
+            "method": ext(r"(?P<g>GET|POST|PUT|DELETE)"),
+            "status": pc.cast(ext(r"-> (?P<g>\d+) in"), pa.int64()),
+            "latency_ms": pc.cast(ext(r"in (?P<g>\d+) ms"), pa.int64()),
+        })
+
+    return ds.map_batches(grok, batch_format="pyarrow")
+
+
+@register(
+    "clp_slow_query_audit",
+    "WITH s AS (SELECT"
+    "   CAST(regexp_extract(text, 'query q(\\d+)', 1) AS BIGINT) AS qid,"
+    "   CAST(regexp_extract(text, 'took (\\d+) ms', 1) AS BIGINT)"
+    "     AS took_ms,"
+    "   CAST(regexp_extract(text, 'threshold=(\\d+)', 1) AS BIGINT)"
+    "     AS threshold,"
+    "   CAST(regexp_extract(text, 'retries=(\\d+)', 1) AS BIGINT)"
+    "     AS retries"
+    "  FROM {T} WHERE text LIKE 'WARN slow query%')"
+    " SELECT qid, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(max(took_ms) AS BIGINT) AS worst_ms,"
+    " CAST(sum(retries) AS BIGINT) AS total_retries"
+    " FROM s WHERE took_ms > threshold GROUP BY qid",
+)
+def clp_slow_query_audit(sf_dir: str):
+    """Ops audit composed from grok extraction: slow-query WARN lines
+    parse to (qid, took, threshold, retries), keep genuinely-over-budget
+    ones, and fold per-query worst/total stats — extraction + filter +
+    partial aggregation in ONE map_batches before the tiny qid exchange."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    ds = rd.read_parquet(transcripts_path(sf_dir), columns=["text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        text = b.column("text").combine_chunks()
+        b2 = pa.table({"text": text}).filter(
+            pc.starts_with(text, "WARN slow query"))
+        text = b2.column("text").combine_chunks()
+
+        def ext(pattern: str) -> pa.Array:
+            return pc.cast(pc.struct_field(
+                pc.extract_regex(text, pattern), "g"), pa.int64())
+
+        t = pa.table({"qid": ext(r"query q(?P<g>\d+)"),
+                      "took_ms": ext(r"took (?P<g>\d+) ms"),
+                      "threshold": ext(r"threshold=(?P<g>\d+)"),
+                      "retries": ext(r"retries=(?P<g>\d+)")})
+        t = t.filter(pc.greater(t.column("took_ms"), t.column("threshold")))
+        out = (t.group_by(["qid"]).aggregate(
+            [("qid", "count"), ("took_ms", "max"), ("retries", "sum")]))
+        return out.rename_columns(["qid", "n", "worst_ms", "total_retries"])
+
+    folded = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby("qid").aggregate(
+                  Sum("n", alias_name="n"),
+                  Max("worst_ms", alias_name="worst_ms"),
+                  Sum("total_retries", alias_name="total_retries")))
+    return folded
