@@ -997,8 +997,44 @@ def search_fragments(out_dir: str, query: str, ignore_case: bool = False,
     # lowercase-both mode (string_utils.hpp:88-94): lower the QUERY before
     # regex build — lowering the built regex would corrupt [\s\S] classes
     rx = wildcard_to_regex(wq.lower() if ignore_case else wq)
+    # two-phase discipline even without dictionaries: the candidate test
+    # runs per UNIQUE inline template (placeholders absorb, conservative —
+    # verify fixes false positives, never false negatives), so non-matching
+    # templates' rows skip decode entirely
+    consts = [c for c in re.split(r"[*?]+", wq.lower() if ignore_case
+                                  else wq) if c]
+
+    def _candidate_templates(uniq: pa.Array) -> np.ndarray:
+        templ = uniq
+        for ph in ("\x11", "\x12", "\x13"):
+            templ = pc.replace_substring(templ, ph, "*")
+        tl = [re.sub(r"\\([\s\S])", r"\1", t) for t in templ.to_pylist()]
+        if ignore_case:
+            tl = [t.lower() for t in tl]
+        cand = np.zeros(len(tl), dtype=bool)
+        for i, t in enumerate(tl):
+            pos = 0
+            ok = True
+            for c in consts:
+                j = t.find(c, pos)
+                k = t.find("*", pos)
+                if j >= 0 and (k < 0 or j < k):
+                    pos = j + len(c)
+                elif k >= 0:
+                    break  # a variable absorbs the rest — conservative keep
+                else:
+                    ok = False
+                    break
+            cand[i] = ok
+        return cand
 
     def scan(b: pa.Table) -> pa.Table:
+        if consts and b.num_rows:
+            enc = b.column("logtype").combine_chunks().dictionary_encode()
+            cand = _candidate_templates(enc.dictionary)
+            if not cand.all():
+                b = b.filter(pa.array(
+                    cand[np.asarray(enc.indices, dtype=np.int64)]))
         b = decode(b)
         text = b.column("text").combine_chunks()
         if ignore_case:

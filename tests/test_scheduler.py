@@ -250,3 +250,33 @@ def test_fragment_archive_search(ray_session, tmp_path):
         out, "*shard 0 row 0*", columns=["ts"]).iter_batches(
             batch_format="pyarrow")])
     assert t.num_rows == 1 and "ts" in t.column_names
+
+
+def test_fragment_count_by_time_and_prefilter(ray_session, tmp_path):
+    """count-by-time works over a fragment base (ts passthrough through
+    the fragment scan), and the template-candidate prefilter never drops a
+    true match (conservative: verify equality against a no-prefilter
+    reference on a query whose constants split across variables)."""
+    import pyarrow as _pa
+
+    from clp_core_ray.pipelines import ingest
+    from clp_core_ray.pipelines.search import (search_count,
+                                               search_count_by_time)
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(3):
+        _shard(indir, i)
+    out = str(tmp_path / "arch")
+    ingest.poll(str(indir), out)
+
+    t = search_count_by_time(out, "*sched shard*", granularity="hour")
+    tot = sum(sum(_pa.table(b).column("cnt").to_pylist())
+              for b in t.iter_batches(batch_format="pyarrow"))
+    assert tot == 24
+
+    # constants landing inside variable positions must survive the
+    # template prefilter (vars absorb): "row <j>" — j is a variable
+    assert search_count(out, "*shard 2 row 5*")["cnt"][0].as_py() == 1
+    # pure-static constants prune non-matching templates but keep matches
+    assert search_count(out, "*INFO sched*")["cnt"][0].as_py() == 24
