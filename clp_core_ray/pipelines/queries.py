@@ -8302,3 +8302,45 @@ def clp_slow_query_audit(sf_dir: str):
                   Max("worst_ms", alias_name="worst_ms"),
                   Sum("total_retries", alias_name="total_retries")))
     return folded
+
+
+@register(
+    "clp_latency_quantiles_by_status",
+    "WITH r AS (SELECT"
+    "   CAST(regexp_extract(text, '-> (\\d+) in', 1) AS BIGINT) AS status,"
+    "   CAST(regexp_extract(text, 'in (\\d+) ms', 1) AS DOUBLE)"
+    "     AS latency_ms"
+    "  FROM {T} WHERE text LIKE 'INFO request_id=%')"
+    " SELECT status, 0.5 AS q, quantile_disc(latency_ms, 0.5) AS latency_ms"
+    " FROM r GROUP BY 1 UNION ALL"
+    " SELECT status, 0.95 AS q, quantile_disc(latency_ms, 0.95)"
+    " FROM r GROUP BY 1 UNION ALL"
+    " SELECT status, 0.99 AS q, quantile_disc(latency_ms, 0.99)"
+    " FROM r GROUP BY 1",
+)
+def clp_latency_quantiles_by_status(sf_dir: str):
+    """The SRE latency dashboard straight from raw log text: grok-extract
+    (status, latency) from request lines, then EXACT p50/p95/p99 per
+    status via the value-histogram quantile exchange — extraction fuses
+    into the same map_batches that feeds the histogram partials, so raw
+    text never crosses the shuffle."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import grouped_quantile_disc
+
+    ds = rd.read_parquet(transcripts_path(sf_dir), columns=["text"])
+
+    def grok(b: pa.Table) -> pa.Table:
+        text = b.column("text").combine_chunks()
+        keep = pc.starts_with(text, "INFO request_id=")
+        text = pa.table({"t": text}).filter(keep).column("t") \
+            .combine_chunks()
+        status = pc.cast(pc.struct_field(
+            pc.extract_regex(text, r"-> (?P<g>\d+) in"), "g"), pa.int64())
+        lat = pc.cast(pc.struct_field(
+            pc.extract_regex(text, r"in (?P<g>\d+) ms"), "g"), pa.float64())
+        return pa.table({"status": status, "latency_ms": lat})
+
+    return grouped_quantile_disc(
+        ds.map_batches(grok, batch_format="pyarrow"),
+        key_col="status", val_col="latency_ms", qs=(0.5, 0.95, 0.99))
