@@ -249,7 +249,13 @@ def _finish_retirement(frag_base: str, journal: dict,
     os.replace(tmp, journal_path)
 
 
+#: An undone journal younger than this is another compactor's ACTIVE run
+#: (same lease discipline as state/jobs.py); older ones are crash leftovers.
+COMPACTION_LEASE_S = 600.0
+
+
 def compact_fragments(frag_base: str, archive_dir: str,
+                      lease_s: float = COMPACTION_LEASE_S,
                       **compress_kwargs) -> dict:
     """Compact the ingest scheduler's accumulated fragments
     (pipelines/ingest.py sinks: inline-encoded, dictionary-less) into ONE
@@ -293,6 +299,8 @@ def compact_fragments(frag_base: str, archive_dir: str,
     # resume any incomplete prior compaction FIRST (never recompact rows
     # that already committed into an archive)
     resumed = None
+    import time as _time
+
     for name in sorted(os.listdir(jdir)):
         if not name.endswith(".json"):
             continue
@@ -304,10 +312,15 @@ def compact_fragments(frag_base: str, archive_dir: str,
         if _archive_committed(j["archive"]):
             _finish_retirement(frag_base, j, jpath)
             resumed = j
+        elif _time.time() - os.path.getmtime(jpath) < lease_s:
+            # a CONCURRENT compactor owns this journal (lease fresh);
+            # touching its partial build would corrupt it — stand down
+            return {"archive": None, "fragments": [], "rows": 0,
+                    "resumed": False, "active": j["id"]}
         else:
-            # data never committed: drop the partial build, forget the
-            # journal — its fragments are still unretired and will be
-            # selected again below
+            # crash leftover: data never committed — drop the partial
+            # build, forget the journal; its fragments are still
+            # unretired and will be selected again below
             shutil.rmtree(j["archive"], ignore_errors=True)
             os.unlink(jpath)
 
@@ -322,10 +335,15 @@ def compact_fragments(frag_base: str, archive_dir: str,
     jpath = os.path.join(jdir, f"{cid}.json")
     journal = {"id": cid, "fragments": frag_ids, "archive": out_arch,
                "done": False}
-    tmp = f"{jpath}.{os.getpid()}.inprogress"
-    with open(tmp, "w") as f:
+    try:
+        # O_EXCL claim (the jobs-table discipline): exactly one compactor
+        # wins a given fragment set; the loser stands down
+        fd = os.open(jpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return {"archive": None, "fragments": [], "rows": 0,
+                "resumed": bool(resumed), "active": cid}
+    with os.fdopen(fd, "w") as f:
         json.dump(journal, f)
-    os.replace(tmp, jpath)
 
     sinks = [m["sink"] for m in frags]
     need = ["conv_id", "turn_idx", "role", "tool", "ts", "logtype",

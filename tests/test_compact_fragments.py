@@ -147,7 +147,11 @@ def test_compact_restart_after_precommit_crash(frag_base, monkeypatch):
           for f in os.listdir(jdir) if f.endswith(".json")]
     assert len(js) == 1 and not js[0]["done"]
 
-    res = cpt.compact_fragments(frags, cold)
+    # a FRESH undone journal is an active compactor's lease — stand down
+    res0 = cpt.compact_fragments(frags, cold)
+    assert res0["archive"] is None and res0.get("active")
+    # past the lease it's a crash leftover: reclaim and rebuild
+    res = cpt.compact_fragments(frags, cold, lease_s=0)
     assert res["rows"] == 30 and len(res["fragments"]) == 3
     assert len([d for d in os.listdir(cold)]) == 1
     assert _cnt(res["archive"], "*compact shard*") == 30
