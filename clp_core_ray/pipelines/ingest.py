@@ -40,6 +40,11 @@ from clp_core_ray.state import jobs as jb
 from clp_core_ray.state import manifest as mf
 
 
+#: Done job records older than this are pruned (the fragment MANIFEST is
+#: the authoritative completion record; job files are observability).
+DONE_JOB_TTL_S = 7 * 24 * 3600.0
+
+
 def _default_owner() -> str:
     return f"{socket.gethostname()}:{os.getpid()}"
 
@@ -108,6 +113,12 @@ def poll(input_dir: str, out_dir: str, *,
             if state == "running":
                 jb.mark_done(out_dir, frag, rec.get("owner", "?"),
                              rows=0, wall_sec=0.0)
+            # done-record TTL: the MANIFEST is the authoritative completion
+            # record, so old done job files are pure observability state —
+            # prune them or _jobs/ grows one file per fragment forever
+            elif (state == "done"
+                  and now - float(rec.get("t", 0)) > DONE_JOB_TTL_S):
+                jb.clear_job(out_dir, frag)
             continue
         if state == "running":
             if now - float(rec.get("t", now)) < lease_s:

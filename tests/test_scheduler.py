@@ -280,3 +280,29 @@ def test_fragment_count_by_time_and_prefilter(ray_session, tmp_path):
     assert search_count(out, "*shard 2 row 5*")["cnt"][0].as_py() == 1
     # pure-static constants prune non-matching templates but keep matches
     assert search_count(out, "*INFO sched*")["cnt"][0].as_py() == 24
+
+
+def test_done_job_records_pruned(ray_session, tmp_path):
+    """Old done job files are pruned (manifests stay authoritative), so
+    _jobs/ does not grow one file per fragment forever."""
+    import json as _json
+
+    from clp_core_ray.pipelines import ingest
+    from clp_core_ray.state import jobs as jb
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _shard(indir, 0)
+    out = str(tmp_path / "arch")
+    ingest.poll(str(indir), out)
+    jobs = jb.read_jobs(out)
+    assert jobs["shard-0000"]["state"] == "done"
+
+    # age the done record past the TTL
+    p = os.path.join(out, "_jobs", "shard-0000.json")
+    rec = _json.load(open(p))
+    rec["t"] = time.time() - ingest.DONE_JOB_TTL_S - 10
+    _json.dump(rec, open(p, "w"))
+    s = ingest.poll(str(indir), out)
+    assert s["done"] == []              # nothing re-ingested
+    assert "shard-0000" not in jb.read_jobs(out)  # record pruned
