@@ -344,7 +344,7 @@ def cmd_ingest(args) -> dict:
     from clp_core_ray.pipelines import ingest as ing
 
     t0 = time.time()
-    kw = dict(pattern=args.pattern,
+    kw = dict(pattern=args.pattern, fmt=args.format,
               target_bytes=args.fragment_target_bytes,
               lease_s=args.lease_s, max_attempts=args.max_attempts)
     if args.watch:
@@ -744,8 +744,14 @@ def build_parser() -> argparse.ArgumentParser:
                               "yet (continuous-ingestion poll)")
     ing.add_argument("--input", required=True, help="watched input dir")
     ing.add_argument("--out", required=True, help="fragment archive dir")
-    ing.add_argument("--pattern", default="*.parquet",
-                     help="input glob within --input (default *.parquet)")
+    ing.add_argument("--pattern", default=None,
+                     help="input glob within --input (default per format: "
+                          "*.parquet / *.ndjson)")
+    ing.add_argument("--format", choices=["transcripts", "ndjson"],
+                     default="transcripts",
+                     help="transcripts: parquet shards -> encoded "
+                          "fragments; ndjson: JSON logs -> one clp_s "
+                          "archive per fragment (KQL-searchable)")
     ing.add_argument("--fragment-target-bytes", type=int, default=None,
                      help="pack NEW files into ~this-many-byte fragments")
     ing.add_argument("--watch", action="store_true",

@@ -44,13 +44,76 @@ from clp_core_ray.state import manifest as mf
 #: the authoritative completion record; job files are observability).
 DONE_JOB_TTL_S = 7 * 24 * 3600.0
 
+#: Discovery glob per ingest format when the caller doesn't override it.
+DEFAULT_PATTERNS = {"transcripts": "*.parquet", "ndjson": "*.ndjson"}
+
 
 def _default_owner() -> str:
     return f"{socket.gethostname()}:{os.getpid()}"
 
 
+def run_one_ndjson_fragment(frag: str, paths: list[str],
+                            out_dir: str) -> int:
+    """NDJSON fragment runner: one clp_s archive per fragment
+    (clps_compress — parse-once schema split), manifest-committed like the
+    transcript runner so the claim machinery is format-agnostic."""
+    import time as _time
+
+    from clp_core_ray.pipelines.clps import (_archive_ts_range,
+                                             clps_compress,
+                                             ndjson_from_files)
+
+    t0 = _time.time()
+    sink = os.path.join(out_dir, f"fragment={frag}")
+    os.makedirs(sink, exist_ok=True)
+    schemas = clps_compress(ndjson_from_files(paths), sink)
+    rows = int(sum(schemas.values()))
+    wall = _time.time() - t0
+    info = {
+        "input": paths[0] if len(paths) == 1 else paths,
+        "sink": sink,
+        "rows": rows,
+        "format": "clps",
+        "class_counts": {f"schema_{k}": int(v) for k, v in schemas.items()},
+        "metrics": {"wall_sec": round(wall, 3),
+                    "rows_per_sec": round(rows / max(wall, 1e-9), 1)},
+    }
+    ts = _archive_ts_range(sink)
+    if ts is not None:
+        info["ts_min"], info["ts_max"] = int(ts[0]), int(ts[1])
+    mf.record_fragment(out_dir, frag, info)
+    return rows
+
+
+def clps_search_fragments(out_dir: str, query: str,
+                          ts_range: tuple[float, float] | None = None,
+                          projection: list[str] | None = None):
+    """KQL search across an NDJSON-ingest fragment base: manifest-pruned
+    unretired fragments (time range narrows before any footer is read),
+    each searched with the full clp_s pruning stack (schema sets, ts
+    index, projection I/O pruning), lazily unioned."""
+    from clp_core_ray.functions.filters import clps_search
+
+    tr = None
+    if ts_range is not None:
+        tr = (int(ts_range[0]), int(ts_range[1]))
+    frags = mf.select_fragments(out_dir, ts_range=tr)
+    parts = [clps_search(m["sink"], query, ts_range=ts_range,
+                         projection=projection)
+             for m in frags if m.get("format") == "clps" and m.get("sink")]
+    if not parts:
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "log_event_idx": pa.array([], type=pa.int64()),
+            "json": pa.array([], type=pa.large_string())}))
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
 def poll(input_dir: str, out_dir: str, *,
-         pattern: str = "*.parquet",
+         pattern: str | None = None,
+         fmt: str = "transcripts",
          target_bytes: int | None = None,
          owner: str | None = None,
          lease_s: float = jb.DEFAULT_LEASE_S,
@@ -72,6 +135,11 @@ def poll(input_dir: str, out_dir: str, *,
                                                  group_input_files,
                                                  run_one_fragment)
 
+    if fmt not in ("transcripts", "ndjson"):
+        raise ValueError(f"unknown ingest format: {fmt}")
+    runner = run_one_fragment if fmt == "transcripts" \
+        else run_one_ndjson_fragment
+    pattern = pattern or DEFAULT_PATTERNS[fmt]
     owner = owner or _default_owner()
     os.makedirs(out_dir, exist_ok=True)
     done_ids = mf.completed_fragments(out_dir)
@@ -87,7 +155,7 @@ def poll(input_dir: str, out_dir: str, *,
     def _run_sync(frag: str, files: list[str], attempt: int) -> None:
         t0 = time.time()
         try:
-            rows = run_one_fragment(frag, files, out_dir)
+            rows = runner(frag, files, out_dir)
         except Exception as e:  # noqa: BLE001 — job isolation: one bad
             # fragment must not kill the daemon (scheduler loop semantics)
             jb.mark_failed(out_dir, frag, files, owner, attempt, repr(e))

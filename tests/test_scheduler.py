@@ -306,3 +306,48 @@ def test_done_job_records_pruned(ray_session, tmp_path):
     s = ingest.poll(str(indir), out)
     assert s["done"] == []              # nothing re-ingested
     assert "shard-0000" not in jb.read_jobs(out)  # record pruned
+
+
+def test_ndjson_ingest_and_kql_search(ray_session, tmp_path):
+    """NDJSON format: each fragment becomes a clp_s archive (parse-once
+    schema split); claims/retry machinery is shared; KQL search across the
+    fragment base prunes by manifest ts range, then per-archive schema/ts
+    pruning applies."""
+    import json as _json
+
+    from clp_core_ray.pipelines import ingest
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(2):
+        with open(indir / f"logs-{i:02d}.ndjson", "w") as f:
+            for j in range(20):
+                f.write(_json.dumps({
+                    "ts": (BASE + (i * 100 + j) * 1000) // 1000,
+                    "level": "ERROR" if j % 5 == 0 else "INFO",
+                    "msg": f"wave {i} line {j}",
+                    "attrs": {"worker": j % 3},
+                }) + "\n")
+    out = str(tmp_path / "frags")
+
+    s = ingest.poll(str(indir), out, fmt="ndjson")
+    assert sorted(s["done"]) == ["logs-00", "logs-01"] and not s["failed"]
+    # idempotent: nothing new on a re-poll
+    assert ingest.poll(str(indir), out, fmt="ndjson")["done"] == []
+
+    hits = pa.concat_tables([pa.table(b) for b in ingest
+                             .clps_search_fragments(out, 'level: "ERROR"')
+                             .iter_batches(batch_format="pyarrow")])
+    assert hits.num_rows == 8  # 4 ERROR lines per wave x 2 waves
+    texts = " ".join(hits.column("json").to_pylist())
+    assert "wave 0 line 0" in texts and "wave 1 line 15" in texts
+
+    # nested-key KQL + projection prune through the same path
+    w = pa.concat_tables([pa.table(b) for b in ingest
+                          .clps_search_fragments(
+                              out, "attrs.worker: 2",
+                              projection=["msg"])
+                          .iter_batches(batch_format="pyarrow")])
+    assert w.num_rows == 2 * 6  # j % 3 == 2 -> 6 per wave
+    assert all(set(_json.loads(x)) == {"msg"}
+               for x in w.column("json").to_pylist())
