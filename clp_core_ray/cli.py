@@ -746,12 +746,14 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--out", required=True, help="fragment archive dir")
     ing.add_argument("--pattern", default=None,
                      help="input glob within --input (default per format: "
-                          "*.parquet / *.ndjson)")
-    ing.add_argument("--format", choices=["transcripts", "ndjson"],
+                          "*.parquet / *.ndjson / *.log)")
+    ing.add_argument("--format", choices=["transcripts", "ndjson", "textlog"],
                      default="transcripts",
                      help="transcripts: parquet shards -> encoded "
                           "fragments; ndjson: JSON logs -> one clp_s "
-                          "archive per fragment (KQL-searchable)")
+                          "archive per fragment (KQL-searchable); "
+                          "textlog: raw .log files -> one dictionary "
+                          "archive per fragment (wildcard-searchable)")
     ing.add_argument("--fragment-target-bytes", type=int, default=None,
                      help="pack NEW files into ~this-many-byte fragments")
     ing.add_argument("--watch", action="store_true",

@@ -45,7 +45,8 @@ from clp_core_ray.state import manifest as mf
 DONE_JOB_TTL_S = 7 * 24 * 3600.0
 
 #: Discovery glob per ingest format when the caller doesn't override it.
-DEFAULT_PATTERNS = {"transcripts": "*.parquet", "ndjson": "*.ndjson"}
+DEFAULT_PATTERNS = {"transcripts": "*.parquet", "ndjson": "*.ndjson",
+                    "textlog": "*.log"}
 
 
 def _default_owner() -> str:
@@ -81,6 +82,48 @@ def run_one_ndjson_fragment(frag: str, paths: list[str],
     ts = _archive_ts_range(sink)
     if ts is not None:
         info["ts_min"], info["ts_max"] = int(ts[0]), int(ts[1])
+    mf.record_fragment(out_dir, frag, info)
+    return rows
+
+
+def run_one_textlog_fragment(frag: str, paths: list[str],
+                             out_dir: str) -> int:
+    """Raw-text-log fragment runner (`clp c`'s primary input shape): each
+    fragment becomes a full DICTIONARY archive via compress_text_logs
+    (timestamp-pattern message assembly + the normal encode path), so the
+    fragment is immediately two-phase-searchable as an archive — no
+    compaction step needed for this format. The fragment manifest's ts
+    range folds from the archive's own manifests."""
+    import time as _time
+
+    import pyarrow.compute as _pc
+
+    from clp_core_ray.pipelines.compress import compress_text_logs
+
+    t0 = _time.time()
+    sink = os.path.join(out_dir, f"fragment={frag}")
+    counts = compress_text_logs(paths, sink)
+    rows = int(_pc.sum(counts.column("cnt")).as_py() or 0)
+    wall = _time.time() - t0
+    info = {
+        "input": paths[0] if len(paths) == 1 else paths,
+        "sink": sink,
+        "rows": rows,
+        "format": "clp",
+        "class_counts": dict(zip(
+            counts.column("logtype_class").to_pylist(),
+            counts.column("cnt").to_pylist())),
+        "metrics": {"wall_sec": round(wall, 3),
+                    "rows_per_sec": round(rows / max(wall, 1e-9), 1)},
+    }
+    lo = hi = None
+    for m in mf.read_manifests(sink):
+        if m.get("ts_min") is not None:
+            lo = m["ts_min"] if lo is None else min(lo, m["ts_min"])
+        if m.get("ts_max") is not None:
+            hi = m["ts_max"] if hi is None else max(hi, m["ts_max"])
+    if lo is not None:
+        info["ts_min"], info["ts_max"] = int(lo), int(hi)
     mf.record_fragment(out_dir, frag, info)
     return rows
 
@@ -135,10 +178,11 @@ def poll(input_dir: str, out_dir: str, *,
                                                  group_input_files,
                                                  run_one_fragment)
 
-    if fmt not in ("transcripts", "ndjson"):
+    if fmt not in ("transcripts", "ndjson", "textlog"):
         raise ValueError(f"unknown ingest format: {fmt}")
-    runner = run_one_fragment if fmt == "transcripts" \
-        else run_one_ndjson_fragment
+    runner = {"transcripts": run_one_fragment,
+              "ndjson": run_one_ndjson_fragment,
+              "textlog": run_one_textlog_fragment}[fmt]
     pattern = pattern or DEFAULT_PATTERNS[fmt]
     owner = owner or _default_owner()
     os.makedirs(out_dir, exist_ok=True)

@@ -986,8 +986,19 @@ def search_fragments(out_dir: str, query: str, ignore_case: bool = False,
             t[c] = pa.array([])
         return rd.from_arrow(pa.table(t))
 
-    sinks = [f["sink"] for f in frags if f.get("sink")]
+    # format dispatch: 'clp' fragments (textlog ingest) are full dictionary
+    # archives — route them through the two-phase compiled search; inline
+    # fragments (transcript ingest) take the decode-scan below
+    archive_parts = [
+        search_archive(f["sink"], query, columns=columns,
+                       ignore_case=ignore_case)
+        for f in frags if f.get("sink") and f.get("format") == "clp"]
+    sinks = [f["sink"] for f in frags
+             if f.get("sink") and f.get("format") != "clp"]
     if not sinks:
+        if archive_parts:
+            return (archive_parts[0].union(*archive_parts[1:])
+                    if len(archive_parts) > 1 else archive_parts[0])
         return _empty()
     need = ["conv_id", "turn_idx", "logtype", "logtype_id", "encoded_vars",
             "var_types", "dict_vars"] + extra
@@ -1044,7 +1055,8 @@ def search_fragments(out_dir: str, query: str, ignore_case: bool = False,
         b = b.filter(hit)
         return b.select(["conv_id", "turn_idx", "text"] + extra)
 
-    return ds.map_batches(scan, batch_format="pyarrow")
+    out = ds.map_batches(scan, batch_format="pyarrow")
+    return out.union(*archive_parts) if archive_parts else out
 
 
 def _is_fragment_base(target: str) -> bool:

@@ -351,3 +351,31 @@ def test_ndjson_ingest_and_kql_search(ray_session, tmp_path):
     assert w.num_rows == 2 * 6  # j % 3 == 2 -> 6 per wave
     assert all(set(_json.loads(x)) == {"msg"}
                for x in w.column("json").to_pylist())
+
+
+def test_textlog_ingest_and_search(ray_session, tmp_path):
+    """textlog format (`clp c` primary input): each fragment is a full
+    dictionary archive built by timestamp-pattern message assembly; the
+    fragment-base search routes such fragments through the two-phase
+    compiled archive search and unions with inline fragments."""
+    from clp_core_ray.pipelines import ingest
+    from clp_core_ray.pipelines.search import search_count
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(2):
+        with open(indir / f"app-{i:02d}.log", "w") as f:
+            for j in range(30):
+                f.write(f"2015-01-31 15:5{i}:{j % 60:02d},{j:03d} "
+                        f"INFO handler {i} served req {j} in {j * 7} ms\n")
+            f.write("2015-01-31 15:59:59,000 ERROR handler crashed\n")
+    out = str(tmp_path / "frags")
+
+    s = ingest.poll(str(indir), out, fmt="textlog")
+    assert sorted(s["done"]) == ["app-00", "app-01"] and not s["failed"]
+    assert ingest.poll(str(indir), out, fmt="textlog")["done"] == []
+
+    assert search_count(out, "*served req*")["cnt"][0].as_py() == 60
+    assert search_count(out, "*ERROR handler crashed*")["cnt"][0].as_py() == 2
+    assert search_count(out, "*served req 7 *")["cnt"][0].as_py() == 2
+    assert search_count(out, "*nothing here*")["cnt"][0].as_py() == 0
