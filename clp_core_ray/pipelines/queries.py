@@ -8344,3 +8344,54 @@ def clp_latency_quantiles_by_status(sf_dir: str):
     return grouped_quantile_disc(
         ds.map_batches(grok, batch_format="pyarrow"),
         key_col="status", val_col="latency_ms", qs=(0.5, 0.95, 0.99))
+
+
+@register(
+    "clp_error_bursts",
+    "WITH m AS (SELECT date_trunc('minute', ts) AS mn,"
+    "   CAST(count(*) AS BIGINT) AS errs FROM {T}"
+    "   WHERE text LIKE 'ERROR%' GROUP BY 1),"
+    " s AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+    "   CAST(sum(errs) AS BIGINT) AS sm,"
+    "   CAST(sum(errs * errs) AS BIGINT) AS ss FROM m)"
+    " SELECT m.mn, m.errs FROM m, s"
+    " WHERE m.errs * s.n > s.sm AND"
+    "  (m.errs * s.n - s.sm) * (m.errs * s.n - s.sm) * (s.n - 1)"
+    "   > 9 * s.n * (s.n * s.ss - s.sm * s.sm)",
+)
+def clp_error_bursts(sf_dir: str):
+    """Error-rate burst minutes (> mean + 3σ of the per-minute error
+    count) — the on-call anomaly panel. The 3σ membership test is
+    EVALUATED IN EXACT INTEGER ARITHMETIC ((e·n − Σ)²(n−1) > 9n(nΣx²−Σ²),
+    all BIGINT) on both sides, so no sqrt/float ulp can flip a boundary
+    minute between engines. One partial-aggregated minute-count shuffle;
+    the stats fold is three scalars."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(transcripts_path(sf_dir),
+                         columns=["ts", "text"])
+
+    def pmin(b: pa.Table) -> pa.Table:
+        keep = pc.starts_with(b.column("text").combine_chunks(), "ERROR")
+        b = b.filter(keep)
+        mn = pc.floor_temporal(b.column("ts").combine_chunks(),
+                               unit="minute")
+        t = pa.table({"mn": mn})
+        return (t.group_by(["mn"]).aggregate([([], "count_all")])
+                .rename_columns(["mn", "errs"]))
+
+    from ray.data.aggregate import Sum
+
+    minutes = _tbl(ds.map_batches(pmin, batch_format="pyarrow")
+                   .groupby("mn").aggregate(Sum("errs",
+                                                alias_name="errs")))
+    errs = np.asarray(minutes.column("errs"), dtype=np.int64)
+    n = np.int64(len(errs))
+    sm = np.int64(errs.sum())
+    ss = np.int64((errs * errs).sum())
+    d = errs * n - sm
+    keep = (d > 0) & (d * d * (n - 1) > 9 * n * (n * ss - sm * sm))
+    out = minutes.filter(pa.array(keep))
+    return pa.table({
+        "mn": out.column("mn").combine_chunks().cast(pa.timestamp("us")),
+        "errs": out.column("errs").combine_chunks().cast(pa.int64())})
