@@ -231,6 +231,39 @@ def cmd_search(args) -> dict:
                 break
         return {"cmd": "search", "rows_shown": shown, "context": args.context,
                 "sec": round(time.time() - t0, 3)}
+    if getattr(args, "also", None):
+        # federated hot+cold tier search: union across all targets
+        from clp_core_ray.pipelines.search import search_federated
+
+        targets = [args.archive] + list(args.also)
+        ds = search_federated(targets, args.query,
+                              ignore_case=args.ignore_case, **prune)
+        if args.count:
+            import pyarrow as _pa
+
+            tot = sum(
+                _pa.table(b).num_rows
+                for b in ds.iter_batches(batch_format="pyarrow"))
+            return {"cmd": "search", "count": tot,
+                    "targets": len(targets),
+                    "sec": round(time.time() - t0, 3)}
+        if args.out:
+            ds.write_parquet(args.out, compression="zstd")
+            return {"cmd": "search", "out": args.out, "rows": ds.count(),
+                    "targets": len(targets),
+                    "sec": round(time.time() - t0, 3)}
+        shown = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            for t in b.column("text").to_pylist():
+                print(t)
+                shown += 1
+                if shown >= args.limit:
+                    break
+            if shown >= args.limit:
+                break
+        return {"cmd": "search", "rows_shown": shown,
+                "targets": len(targets),
+                "sec": round(time.time() - t0, 3)}
     if args.count:
         tbl = search_count(args.archive, args.query,
                            ignore_case=args.ignore_case, **prune)
@@ -825,6 +858,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--context", type=int,
                    help="print N conversation turns around each match "
                         "(grep -C over CLP results)")
+    s.add_argument("--also", action="append",
+                   help="additional search targets (repeatable) — "
+                        "federates one query across storage tiers, e.g. "
+                        "the hot fragment base plus the compacted cold "
+                        "archive dir")
     s.set_defaults(fn=cmd_search)
 
     ci = sub.add_parser("catalog-init",

@@ -1098,6 +1098,26 @@ def _search_target(target: str, query: str, ignore_case: bool, columns=None,
                            columns=columns, **prune)
 
 
+def search_federated(targets: list[str], query: str,
+                     ignore_case: bool = False, columns=None, **prune):
+    """One query across MULTIPLE storage tiers — e.g. the ingest
+    scheduler's hot fragment base plus the catalog of compacted cold
+    archives: each target resolves through the normal dispatcher (archive /
+    fragment base / archive base, with its own pruning stack) and the lazy
+    Datasets union.
+
+    Consistency note: compaction retires fragments only after its archive
+    commits, so steady-state federated results are exact; in the crash
+    window between archive commit and full retirement the same rows can
+    appear in both tiers (temporarily double-stored, never lost) until a
+    compaction re-run finishes retirement."""
+    if not targets:
+        raise ValueError("search_federated needs at least one target")
+    parts = [_search_target(t, query, ignore_case, columns=columns, **prune)
+             for t in targets]
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
 def search_count(target: str, query: str, ignore_case: bool = False,
                  **prune) -> pa.Table:
     """clg --count: total number of matching messages (reducer CountOperator

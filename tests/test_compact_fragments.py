@@ -186,3 +186,35 @@ def test_watch_with_compaction_and_catalog(ray_session, tmp_path):
     assert len(entries) == 1 and entries[0]["rows"] == 40
     assert _cnt(cold, "*compact shard*") == 40
     assert _cnt(frags, "*compact shard*") == 0
+
+
+def test_federated_hot_cold_search(frag_base, capsys):
+    """One query across the hot fragment tail AND the compacted cold tier
+    (search_federated + CLI --also): counts stay exact through a mid-life
+    compaction — before it everything is hot, after it the same rows
+    answer from the archive tier plus fresh hot arrivals."""
+    from clp_core_ray.cli import main
+    from clp_core_ray.pipelines import ingest
+    from clp_core_ray.pipelines.compact import compact_fragments
+    from clp_core_ray.pipelines.search import search_federated
+
+    indir, frags, cold = frag_base
+    os.makedirs(cold, exist_ok=True)
+
+    def fed_count(q):
+        ds = search_federated([frags, cold], q)
+        return sum(pa.table(b).num_rows
+                   for b in ds.iter_batches(batch_format="pyarrow"))
+
+    assert fed_count("*compact shard*") == 30      # all hot
+    compact_fragments(frags, cold)
+    assert fed_count("*compact shard*") == 30      # all cold, none double
+    _shard(__import__("pathlib").Path(indir), 5)
+    ingest.poll(indir, frags)
+    assert fed_count("*compact shard*") == 40      # cold 30 + hot 10
+
+    rc = main(["search", "--archive", frags, "--also", cold,
+               "--query", "*shard 5 row 1 *", "--count"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["count"] == 1 and res["targets"] == 2
