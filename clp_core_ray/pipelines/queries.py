@@ -8395,3 +8395,35 @@ def clp_error_bursts(sf_dir: str):
     return pa.table({
         "mn": out.column("mn").combine_chunks().cast(pa.timestamp("us")),
         "errs": out.column("errs").combine_chunks().cast(pa.int64())})
+
+
+@register(
+    "clp_tool_transitions",
+    "WITH s AS (SELECT conv_id, tool,"
+    "  lag(tool) OVER (PARTITION BY conv_id"
+    "    ORDER BY turn_idx, turn_idx) AS prev_tool"
+    "  FROM {T} WHERE tool <> '') "
+    "SELECT prev_tool AS prev_type, tool AS next_type,"
+    " CAST(count(*) AS BIGINT) AS cnt FROM s"
+    " WHERE prev_tool IS NOT NULL GROUP BY 1, 2",
+)
+def clp_tool_transitions(sf_dir: str):
+    """Agent tool-call transition matrix per conversation (which tool
+    follows which — the agent-behavior Markov chain): the generic
+    transition kernel over STRING partition keys (conv hash-bucket
+    shuffle, lexsort + shifted compare per bucket), on the tool-bearing
+    turns only."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.temporal import event_transitions
+
+    ds = rd.read_parquet(transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "tool"])
+
+    def only_tools(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(
+            b.column("tool").combine_chunks(), ""))
+
+    ds = ds.map_batches(only_tools, batch_format="pyarrow")
+    return event_transitions(ds, user_col="conv_id", ts_col="turn_idx",
+                             type_col="tool", id_col="turn_idx")

@@ -856,11 +856,10 @@ def event_transitions(ds, *, user_col: str = "user_id", ts_col: str = "ts",
     nb = n_buckets or scaled_buckets()
 
     def bucket(batch: pa.Table) -> pa.Table:
-        u = np.asarray(batch.column(user_col), dtype=np.int64
-                       ).astype(np.uint64)
-        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return batch.append_column(
-            "_tb", pa.array((h % np.uint64(nb)).astype(np.int32)))
+        # int OR string partition keys (strings hash-bucket and run-detect
+        # by 64-bit identity, the _key_and_bucket convention)
+        _, tb = _key_and_bucket(batch.column(user_col), nb)
+        return batch.append_column("_tb", tb)
 
     def per_bucket(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["_tb"])
@@ -873,7 +872,7 @@ def event_transitions(ds, *, user_col: str = "user_id", ts_col: str = "ts",
                                             (ts_col, "ascending"),
                                             (id_col, "ascending")])
         t = t.take(idx)
-        u = np.asarray(t.column(user_col), dtype=np.int64)
+        u = np.asarray(_key_and_bucket(t.column(user_col), 1)[0])
         same = u[1:] == u[:-1]
         if not same.any():
             return empty
