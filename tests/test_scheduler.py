@@ -379,3 +379,60 @@ def test_textlog_ingest_and_search(ray_session, tmp_path):
     assert search_count(out, "*ERROR handler crashed*")["cnt"][0].as_py() == 2
     assert search_count(out, "*served req 7 *")["cnt"][0].as_py() == 2
     assert search_count(out, "*nothing here*")["cnt"][0].as_py() == 0
+
+
+def test_scheduler_fuzz_convergence(ray_session, tmp_path, monkeypatch):
+    """Randomized stress: three pollers race over staggered waves while
+    the fragment runner fails pseudo-randomly (~25%); repeated polling
+    must converge to exactly-once ingestion — every input owned by one
+    manifest, total routed rows exact, no fragment double-compressed."""
+    import random
+
+    from clp_core_ray.pipelines import compress as cp
+    from clp_core_ray.pipelines import ingest
+    from clp_core_ray.state.manifest import read_manifests
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "arch")
+
+    real = cp.run_one_fragment
+    rng = random.Random(1234)
+    lock = threading.Lock()
+
+    def flaky(frag, paths, out_dir, **kw):
+        with lock:
+            fail = rng.random() < 0.25
+        if fail:
+            raise RuntimeError("fuzz-injected failure")
+        return real(frag, paths, out_dir, **kw)
+
+    monkeypatch.setattr(cp, "run_one_fragment", flaky)
+
+    n_files = 0
+    for wave in range(3):
+        for i in range(4):
+            _shard(indir, wave * 4 + i)
+            n_files += 1
+        threads = [threading.Thread(
+            target=lambda o=f"p{wave}-{k}": ingest.poll(
+                str(indir), out, owner=o, max_attempts=10))
+            for k in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    # drain: keep polling until everything converged (failures retry)
+    for _ in range(20):
+        s = ingest.poll(str(indir), out, max_attempts=10)
+        if not (s["done"] or s["failed"]):
+            break
+    mans = read_manifests(out)
+    assert len(mans) == n_files == 12
+    owned = []
+    for m in mans:
+        inp = m["input"] if isinstance(m["input"], list) else [m["input"]]
+        owned += inp
+    assert len(owned) == len(set(owned)) == 12  # exactly-once ownership
+    assert _total_rows(out) == 12 * 8
