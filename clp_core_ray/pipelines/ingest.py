@@ -27,6 +27,15 @@ up to ``max_attempts``, then parked. Safety properties:
 
 ``watch`` is the daemon loop (CLI: ``ingest --watch``); one ``poll`` call
 is one scheduler iteration, so cron/driver recurrence works too.
+
+Metadata scale (honest bounds): each poll's discovery is O(input files)
+driver work and the completed-inputs anti-join reads every fragment
+manifest — O(fragments ingested ever), same asymptotics as the reference
+scheduler's job-table scan, just on files instead of SQL rows. Done-job
+records are TTL-pruned; manifests are the permanent ownership ledger. At
+millions of accumulated fragments an operator shards the watch by input
+prefix (one daemon per shard, separate out_dirs under one catalog), which
+also shards the metadata.
 """
 
 from __future__ import annotations
