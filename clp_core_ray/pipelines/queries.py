@@ -8427,3 +8427,191 @@ def clp_tool_transitions(sf_dir: str):
     ds = ds.map_batches(only_tools, batch_format="pyarrow")
     return event_transitions(ds, user_col="conv_id", ts_col="turn_idx",
                              type_col="tool", id_col="turn_idx")
+
+
+@register(
+    "tpch_q7_nation_volume",
+    "SELECT supp_nation, cust_nation, l_year,"
+    " round(sum(volume), 2) AS revenue FROM ("
+    " SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    "  CAST(year(l_shipdate) AS BIGINT) AS l_year,"
+    "  l_extendedprice * (1 - l_discount) AS volume"
+    " FROM lineitem JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN customer ON c_custkey = o_custkey"
+    " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    " WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2',"
+    "   'NATION_3','NATION_4')"
+    "  AND n2.n_name IN ('NATION_0','NATION_1','NATION_2',"
+    "   'NATION_3','NATION_4')"
+    "  AND n1.n_name <> n2.n_name"
+    "  AND l_shipdate >= DATE '1996-01-01'"
+    "  AND l_shipdate < DATE '1998-01-01') v GROUP BY 1, 2, 3",
+)
+def tpch_q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape (cross-nation shipping volume by year): both nation
+    sides resolve from BROADCAST maps (supplier and customer dims ride one
+    plasma ref each); orders makes the single auto_join hop onto lineitem
+    after its customer-nation column folds in via a broadcast lookup —
+    the date filter rides the lineitem READ. Grouped partial sums leave
+    each batch as ≤ 2 nations × 2 × years rows."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+    import ray as _ray
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import auto_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    want = {f"NATION_{i}" for i in range(5)}
+    nat = nat.filter(pc.is_in(nat.column("n_name"),
+                              pa.array(sorted(want))))
+    nname = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"],
+                           filter=pc.field("c_nationkey").isin(list(nname)))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    orders = auto_join(orders, cust, "o_custkey", "c_custkey",
+                       ["c_nationkey"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("c_nationkey")))
+        .select(["o_orderkey", "c_nationkey"]), batch_format="pyarrow")
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = np.asarray(supp.column("s_suppkey"), dtype=np.int64)
+    sn = np.asarray(supp.column("s_nationkey"), dtype=np.int64)
+    o = np.argsort(sk)
+    supp_ref = _ray.put((sk[o], sn[o], nname))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+        & (pc.field("l_shipdate") < dt.datetime(1998, 1, 1)))
+    j = auto_join(li, orders, "l_orderkey", "o_orderkey", ["c_nationkey"])
+
+    def volume(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("c_nationkey")))
+        k, n, names = _ray.get(supp_ref)
+        sup = np.asarray(b.column("l_suppkey"), dtype=np.int64)
+        pos = np.searchsorted(k, sup)
+        pos[pos >= len(k)] = 0
+        snat = np.where(k[pos] == sup, n[pos], -1)
+        cnat = np.asarray(b.column("c_nationkey"), dtype=np.int64)
+        keep = (snat >= 0) & np.isin(snat, list(names)) & (snat != cnat)
+        ship = np.asarray(b.column("l_shipdate").combine_chunks()
+                          .cast(pa.timestamp("us")))[keep]
+        yr = ship.astype("M8[Y]").astype(np.int64) + 1970
+        vol = (np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+               * (1.0 - np.asarray(b.column("l_discount"),
+                                   dtype=np.float64)))[keep]
+        t = pa.table({
+            "supp_nation": pa.array([names[x] for x in snat[keep]]),
+            "cust_nation": pa.array([names[x] for x in cnat[keep]]),
+            "l_year": pa.array(yr), "vol": pa.array(vol)})
+        return (t.group_by(["supp_nation", "cust_nation", "l_year"])
+                .aggregate([("vol", "sum")])
+                .rename_columns(["supp_nation", "cust_nation", "l_year",
+                                 "vol"]))
+
+    from ray.data.aggregate import Sum
+
+    summed = (j.map_batches(volume, batch_format="pyarrow")
+              .groupby(["supp_nation", "cust_nation", "l_year"])
+              .aggregate(Sum("vol", alias_name="vol")))
+    return summed.map_batches(
+        lambda b: pa.table({
+            "supp_nation": b.column("supp_nation"),
+            "cust_nation": b.column("cust_nation"),
+            "l_year": b.column("l_year"),
+            "revenue": pa.array(agg.sql_round(np.asarray(
+                b.column("vol"), dtype=np.float64), 2))}),
+        batch_format="pyarrow")
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE p_brand = 'Brand#1' AND l_quantity <"
+    "  (SELECT 0.2 * avg(l_quantity) FROM lineitem l2"
+    "   WHERE l2.l_partkey = lineitem.l_partkey)",
+)
+def tpch_q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (correlated per-part average): pass 1 folds exact
+    per-part (count, sum) of quantity for the BRAND's parts only — the
+    part filter broadcasts so the aggregate is brand-sized; pass 2 re-reads
+    lineitem and keeps rows under 0.2 × their part's mean via the
+    broadcast (part → count,sum) table, comparing as l_quantity · 5 ·
+    count < sum (one float multiply, no division — same expression both
+    engines would need, but the membership test is single-rounded)."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keys = part.filter(pc.equal(part.column("p_brand"), "Brand#1")) \
+        .column("p_partkey")
+    keyset = np.sort(np.asarray(keys, dtype=np.int64))
+    key_ref = _ray.put(keyset)
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+
+    def pstats(b: pa.Table) -> pa.Table:
+        ks = _ray.get(key_ref)
+        empty = pa.table({"pk": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "s": pa.array([], type=pa.float64())})
+        if len(ks) == 0 or b.num_rows == 0:
+            return empty
+        pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
+        pos = np.searchsorted(ks, pk)
+        pos[pos >= len(ks)] = 0
+        t = b.filter(pa.array(ks[pos] == pk))
+        if t.num_rows == 0:
+            return empty
+        tt = pa.table({"pk": t.column("l_partkey"),
+                       "q": pc.cast(t.column("l_quantity").combine_chunks(),
+                                    pa.float64())})
+        out = tt.group_by(["pk"]).aggregate([("q", "count"), ("q", "sum")])
+        return out.rename_columns(["pk", "n", "s"])
+
+    from ray.data.aggregate import Sum
+
+    stats = _tbl(li.map_batches(pstats, batch_format="pyarrow")
+                 .groupby("pk").aggregate(Sum("n", alias_name="n"),
+                                          Sum("s", alias_name="s")))
+    spk = np.asarray(stats.column("pk"), dtype=np.int64)
+    o = np.argsort(spk)
+    stats_ref = _ray.put((spk[o],
+                          np.asarray(stats.column("n"),
+                                     dtype=np.float64)[o],
+                          np.asarray(stats.column("s"),
+                                     dtype=np.float64)[o]))
+
+    def keep_small(b: pa.Table) -> pa.Table:
+        ks, n, s = _ray.get(stats_ref)
+        pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
+        if len(ks) == 0:
+            return pa.table({"rev": pa.array([0.0])})
+        pos = np.searchsorted(ks, pk)
+        pos[pos >= len(ks)] = 0
+        hit = ks[pos] == pk
+        q = np.asarray(b.column("l_quantity"), dtype=np.float64)
+        keep = hit & (q < 0.2 * (s[pos] / n[pos]))
+        rev = np.asarray(b.column("l_extendedprice"),
+                         dtype=np.float64)[keep]
+        return pa.table({"rev": pa.array([float(rev.sum())])})
+
+    parts = _tbl(li.map_batches(keep_small, batch_format="pyarrow"))
+    total = float(np.asarray(parts.column("rev"), dtype=np.float64).sum())
+    return pa.table({"avg_yearly": pa.array(
+        agg.sql_round(np.array([total / 7.0]), 2))})
