@@ -8615,3 +8615,116 @@ def tpch_q17_small_qty_revenue(sf_dir: str):
     total = float(np.asarray(parts.column("rev"), dtype=np.float64).sum())
     return pa.table({"avg_yearly": pa.array(
         agg.sql_round(np.array([total / 7.0]), 2))})
+
+
+@register(
+    "tpch_q8_market_share",
+    "SELECT o_year, round("
+    " sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)"
+    "  / sum(volume), 4) AS mkt_share FROM ("
+    " SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+    "  l_extendedprice * (1 - l_discount) AS volume,"
+    "  n2.n_name AS nation"
+    " FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " JOIN supplier ON s_suppkey = l_suppkey"
+    " JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN customer ON c_custkey = o_custkey"
+    " JOIN nation n1 ON c_nationkey = n1.n_nationkey"
+    " JOIN region ON n1.n_regionkey = r_regionkey"
+    " JOIN nation n2 ON s_nationkey = n2.n_nationkey"
+    " WHERE r_name = 'ASIA' AND p_type = 'PROMO') v GROUP BY 1",
+)
+def tpch_q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share within a region's PROMO
+    demand): part-type bitmap and supplier→is-target-nation map broadcast;
+    region-limited customers fold their membership onto orders via one
+    auto_join; the PROMO-pruned lineitem makes the single fact-side hop
+    and partial-sums (year, target-volume, total-volume) — a years×2
+    scalar exchange. Share division + rounding happen once, driver-side."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import auto_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = reg.filter(pc.equal(reg.column("r_name"), "ASIA")) \
+        .column("r_regionkey")[0].as_py()
+    region_nk = set(nat.filter(pc.equal(nat.column("n_regionkey"), rk))
+                    .column("n_nationkey").to_pylist())
+    target_nk = nat.filter(pc.equal(nat.column("n_name"), "NATION_1")) \
+        .column("n_nationkey")[0].as_py()
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = np.sort(np.asarray(
+        part.filter(pc.equal(part.column("p_type"), "PROMO"))
+        .column("p_partkey"), dtype=np.int64))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = np.asarray(supp.column("s_suppkey"), dtype=np.int64)
+    sn = np.asarray(supp.column("s_nationkey"), dtype=np.int64)
+    o = np.argsort(sk)
+    maps_ref = _ray.put((promo, sk[o], sn[o]))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"],
+                           filter=pc.field("c_nationkey").isin(
+                               sorted(region_nk)))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    orders = auto_join(orders, cust, "o_custkey", "c_custkey",
+                       ["c_nationkey"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("c_nationkey")))
+        .select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+    j = auto_join(li, orders, "l_orderkey", "o_orderkey", ["o_orderdate"])
+
+    def share_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("o_orderdate")))
+        promo_k, k, n = _ray.get(maps_ref)
+        pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
+        pos = np.searchsorted(promo_k, pk)
+        pos[pos >= len(promo_k)] = 0
+        keep = len(promo_k) > 0
+        if not keep or b.num_rows == 0:
+            return pa.table({"o_year": pa.array([], type=pa.int64()),
+                             "tv": pa.array([], type=pa.float64()),
+                             "vol": pa.array([], type=pa.float64())})
+        m = promo_k[pos] == pk
+        b = b.filter(pa.array(m))
+        sup = np.asarray(b.column("l_suppkey"), dtype=np.int64)
+        sp = np.searchsorted(k, sup)
+        sp[sp >= len(k)] = 0
+        snat = np.where(k[sp] == sup, n[sp], -1)
+        od = np.asarray(b.column("o_orderdate").combine_chunks()
+                        .cast(pa.timestamp("us")))
+        yr = od.astype("M8[Y]").astype(np.int64) + 1970
+        vol = (np.asarray(b.column("l_extendedprice"), dtype=np.float64)
+               * (1.0 - np.asarray(b.column("l_discount"),
+                                   dtype=np.float64)))
+        t = pa.table({"o_year": pa.array(yr),
+                      "tv": pa.array(np.where(snat == target_nk, vol, 0.0)),
+                      "vol": pa.array(vol)})
+        return (t.group_by(["o_year"])
+                .aggregate([("tv", "sum"), ("vol", "sum")])
+                .rename_columns(["o_year", "tv", "vol"]))
+
+    from ray.data.aggregate import Sum
+
+    folded = _tbl(j.map_batches(share_partial, batch_format="pyarrow")
+                  .groupby("o_year").aggregate(Sum("tv", alias_name="tv"),
+                                               Sum("vol",
+                                                   alias_name="vol")))
+    tv = np.asarray(folded.column("tv"), dtype=np.float64)
+    vol = np.asarray(folded.column("vol"), dtype=np.float64)
+    return pa.table({
+        "o_year": folded.column("o_year").combine_chunks()
+        .cast(pa.int64()),
+        "mkt_share": pa.array(agg.sql_round(tv / vol, 4))})
