@@ -8728,3 +8728,56 @@ def tpch_q8_market_share(sf_dir: str):
         "o_year": folded.column("o_year").combine_chunks()
         .cast(pa.int64()),
         "mkt_share": pa.array(agg.sql_round(tv / vol, 4))})
+
+
+@register(
+    "tpch_q22_idle_rich",
+    "SELECT CAST(count(*) AS BIGINT) AS numcust,"
+    " round(sum(c_acctbal), 2) AS totacctbal"
+    " FROM customer WHERE c_acctbal >"
+    "  (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)"
+    " AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)
+def tpch_q22_idle_rich(sf_dir: str):
+    """TPC-H Q22 shape (above-average-balance customers who never
+    ordered): the global mean folds from one (count, sum) partial pass —
+    exact, order-independent via a single division driver-side — then the
+    rich customers anti-join the orders custkeys through the bloom-first
+    path (misses prove absence with zero exchange)."""
+    import ray.data as rd
+
+    from clp_core_ray.pipelines.join import anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+
+    def pstat(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("c_acctbal"), dtype=np.float64)
+        v = v[v > 0]
+        return pa.table({"n": pa.array([len(v)], type=pa.int64()),
+                         "s": pa.array([float(v.sum())])})
+
+    st = _tbl(cust.map_batches(pstat, batch_format="pyarrow"))
+    mean = (float(np.asarray(st.column("s"), dtype=np.float64).sum())
+            / max(int(np.asarray(st.column("n"), dtype=np.int64).sum()), 1))
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b.column("c_acctbal"), mean)),
+        batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    idle = anti_join(rich, orders, "c_custkey", "o_custkey")
+
+    def fold(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("c_acctbal"), dtype=np.float64)
+        return pa.table({"n": pa.array([len(v)], type=pa.int64()),
+                         "s": pa.array([float(v.sum())])})
+
+    f = _tbl(idle.map_batches(fold, batch_format="pyarrow"))
+    n_tot = (int(np.asarray(f.column("n"), dtype=np.int64).sum())
+             if "n" in f.column_names else 0)
+    # SQL sum over zero rows is NULL, and round(NULL) stays NULL
+    bal = (pa.array(agg.sql_round(np.array(
+        [float(np.asarray(f.column("s"), dtype=np.float64).sum())]), 2))
+        if n_tot else pa.nulls(1, type=pa.float64()))
+    return pa.table({"numcust": pa.array([n_tot]), "totacctbal": bal})
