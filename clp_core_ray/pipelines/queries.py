@@ -8781,3 +8781,82 @@ def tpch_q22_idle_rich(sf_dir: str):
         [float(np.asarray(f.column("s"), dtype=np.float64).sum())]), 2))
         if n_tot else pa.nulls(1, type=pa.float64()))
     return pa.table({"numcust": pa.array([n_tot]), "totacctbal": bal})
+
+
+@register("media_image_neardup_pairs")  # rows-only: binary codec pipeline
+def media_image_neardup_pairs(sf_dir: str):
+    """End-to-end perceptual image dedup over a DETERMINISTIC synthetic
+    PNG corpus sized from the sf (real pure-python PNG encode → actor-pool
+    decode → dHash → pigeonhole hamming join; at production scale the
+    binary column comes off parquet instead of driver synthesis). Returns
+    the near-dup pair table: noise-perturbed re-encoded copies within the
+    hamming radius of their originals, never cross-pairs of distinct
+    random images — deterministic seed, so reruns/retries emit identical
+    pairs (the rows-only stability the driver checks)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.stages.multimodal import (encode_png,
+                                                image_near_dup_pairs)
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n = int(min(64, max(8, n_docs // 100)))
+    rng = np.random.default_rng(1234)
+    ids, bufs = [], []
+    for i in range(n):
+        img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        ids.append(i * 10)
+        bufs.append(encode_png(img))
+        noisy = img.astype(np.int16)
+        noisy[::7, ::5] += rng.integers(-6, 7, noisy[::7, ::5].shape)
+        ids.append(i * 10 + 1)
+        bufs.append(encode_png(np.clip(noisy, 0, 255).astype(np.uint8),
+                               filter_type=2))
+    t = pa.table({"img_id": pa.array(ids, type=pa.int64()),
+                  "image": pa.array(bufs, type=pa.binary())})
+    out = image_near_dup_pairs(rd.from_arrow(t).repartition(4),
+                               max_hamming=6)
+    return out.sort(["id_a", "id_b"])
+
+
+@register("media_audio_dup_pairs")  # rows-only: binary codec pipeline
+def media_audio_dup_pairs(sf_dir: str):
+    """End-to-end audio duplicate detection over deterministic synthetic
+    WAV clips (pure-python WAV encode → actor-pool decode → STFT landmark
+    fingerprints → fingerprint-bucket pair counting, never clip×clip).
+    Each melody must match its noisy copy only."""
+    import io
+    import wave
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.stages.multimodal import audio_dup_pairs
+
+    def wav_bytes(pcm: np.ndarray, rate: int = 8000) -> bytes:
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(np.clip(pcm * 32000, -32768, 32767)
+                          .astype("<i2").tobytes())
+        return bio.getvalue()
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n = int(min(12, max(3, n_docs // 400)))
+    rng = np.random.default_rng(77)
+    t_ax = np.arange(8000 * 2) / 8000.0
+    ids, bufs = [], []
+    for i in range(n):
+        freqs = rng.integers(300, 3200, 8)
+        pcm = np.concatenate([np.sin(2 * np.pi * f * t_ax[:2000])
+                              for f in freqs])
+        ids.append(i * 10)
+        bufs.append(wav_bytes(pcm))
+        ids.append(i * 10 + 1)
+        bufs.append(wav_bytes(pcm + rng.normal(0, 0.02, len(pcm))))
+    tb = pa.table({"clip_id": pa.array(ids, type=pa.int64()),
+                   "audio": pa.array(bufs, type=pa.binary())})
+    out = audio_dup_pairs(rd.from_arrow(tb).repartition(4), min_matches=5)
+    return out.sort(["item_a", "item_b"])
