@@ -222,8 +222,10 @@ def _compaction_id(frag_ids: list[str]) -> str:
 
 def _archive_committed(archive_dir: str) -> bool:
     d = os.path.join(archive_dir, "_manifests")
-    return os.path.isdir(d) and any(
-        f.endswith(".json") for f in os.listdir(d))
+    if os.path.isdir(d) and any(f.endswith(".json") for f in os.listdir(d)):
+        return True
+    # clp_s archives commit by writing the schema map (clps.SCHEMA_META)
+    return os.path.isfile(os.path.join(archive_dir, "schemas.json"))
 
 
 def _finish_retirement(frag_base: str, journal: dict,
@@ -345,23 +347,63 @@ def compact_fragments(frag_base: str, archive_dir: str,
     with os.fdopen(fd, "w") as f:
         json.dump(journal, f)
 
-    sinks = [m["sink"] for m in frags]
-    need = ["conv_id", "turn_idx", "role", "tool", "ts", "logtype",
-            "logtype_id", "encoded_vars", "var_types", "dict_vars"]
-    ds = rd.read_parquet(sinks, columns=need, file_extensions=["parquet"])
-    decode = DecodeStage(out_col="text")
+    fmts = {m.get("format") or "inline" for m in frags}
+    if len(fmts) > 1:
+        raise ValueError(f"mixed fragment formats in one base: {fmts}")
+    fmt = fmts.pop()
+    if fmt == "inline":
+        # transcript fragments: streaming inline decode -> flagship compress
+        sinks = [m["sink"] for m in frags]
+        need = ["conv_id", "turn_idx", "role", "tool", "ts", "logtype",
+                "logtype_id", "encoded_vars", "var_types", "dict_vars"]
+        ds = rd.read_parquet(sinks, columns=need,
+                             file_extensions=["parquet"])
+        decode = DecodeStage(out_col="text")
 
-    def to_transcript(b: pa.Table) -> pa.Table:
-        b = decode(b)
-        return b.select(["conv_id", "turn_idx", "role", "text", "tool",
-                         "ts"])
+        def to_transcript(b: pa.Table) -> pa.Table:
+            b = decode(b)
+            return b.select(["conv_id", "turn_idx", "role", "text", "tool",
+                             "ts"])
 
-    ds = ds.map_batches(to_transcript, batch_format="pyarrow")
-    counts = compress(
-        None, out_arch, ds=ds,
-        input_label=f"compaction:{cid} ({len(frag_ids)} fragments)",
-        **compress_kwargs)
-    rows = int(pc.sum(counts.column("cnt")).as_py() or 0)
+        ds = ds.map_batches(to_transcript, batch_format="pyarrow")
+        counts = compress(
+            None, out_arch, ds=ds,
+            input_label=f"compaction:{cid} ({len(frag_ids)} fragments)",
+            **compress_kwargs)
+        rows = int(pc.sum(counts.column("cnt")).as_py() or 0)
+    elif fmt == "clps":
+        # NDJSON fragments: per-fragment decompress with a global event
+        # offset (fragment order preserved), recompress as ONE clp_s
+        # archive — schema tables merge naturally through the schema split
+        from clp_core_ray.pipelines.clps import (clps_compress,
+                                                 clps_decompress)
+
+        parts = []
+        off = 0
+        for m in sorted(frags, key=lambda x: x["fragment_id"]):
+            d = clps_decompress(m["sink"], ordered=False)
+
+            def shift(b: pa.Table, _off=off) -> pa.Table:
+                return pa.table({
+                    "log_event_idx": pc.add(
+                        b.column("log_event_idx").combine_chunks(),
+                        pa.scalar(_off, type=pa.int64())),
+                    "raw": b.column("json").combine_chunks()
+                    .cast(pa.large_string()),
+                })
+
+            parts.append(d.map_batches(shift, batch_format="pyarrow"))
+            off += int(m.get("rows") or 0)
+        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        schemas = clps_compress(ds, out_arch)
+        rows = int(sum(schemas.values()))
+    elif fmt == "clp":
+        # textlog fragments are already full archives: compaction is the
+        # metadata-only dictionary merge (data files hard-linked)
+        info = merge_archives([m["sink"] for m in frags], out_arch)
+        rows = int(sum(info.get("class_counts", {}).values()))
+    else:
+        raise ValueError(f"unknown fragment format: {fmt}")
     _finish_retirement(frag_base, journal, jpath)
     return {"archive": out_arch, "fragments": frag_ids, "rows": rows,
-            "resumed": bool(resumed)}
+            "resumed": bool(resumed), "format": fmt}

@@ -218,3 +218,74 @@ def test_federated_hot_cold_search(frag_base, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["count"] == 1 and res["targets"] == 2
+
+
+def test_compact_clps_fragments(ray_session, tmp_path):
+    """NDJSON fragments compact into ONE clp_s archive (per-fragment
+    decompress with global event offsets -> one recompress); KQL over the
+    compacted archive matches the pre-compaction fragment search, and the
+    hot tail empties."""
+    import json as _json
+
+    from clp_core_ray.functions.filters import clps_search
+    from clp_core_ray.pipelines import ingest
+    from clp_core_ray.pipelines.compact import compact_fragments
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(3):
+        with open(indir / f"logs-{i:02d}.ndjson", "w") as f:
+            for j in range(15):
+                f.write(_json.dumps({
+                    "ts": (BASE + (i * 100 + j) * 1000) // 1000,
+                    "level": "ERROR" if j % 5 == 0 else "INFO",
+                    "msg": f"clps wave {i} line {j}"}) + "\n")
+    frags = str(tmp_path / "frags")
+    cold = str(tmp_path / "cold")
+    s = ingest.poll(str(indir), frags, fmt="ndjson")
+    assert len(s["done"]) == 3
+
+    def frag_hits(q):
+        ds = ingest.clps_search_fragments(frags, q)
+        return sum(pa.table(b).num_rows
+                   for b in ds.iter_batches(batch_format="pyarrow"))
+
+    before = frag_hits('level: "ERROR"')
+    assert before == 9
+
+    res = compact_fragments(frags, cold)
+    assert res["format"] == "clps" and res["rows"] == 45
+    after = sum(pa.table(b).num_rows for b in clps_search(
+        res["archive"], 'level: "ERROR"')
+        .iter_batches(batch_format="pyarrow"))
+    assert after == before
+    assert frag_hits('level: "ERROR"') == 0  # hot tail retired
+
+
+def test_compact_textlog_fragments(ray_session, tmp_path):
+    """textlog fragments (already full archives) compact via the
+    metadata-only dictionary merge; search over the merged archive equals
+    the fragment-base search."""
+    from clp_core_ray.pipelines import ingest
+    from clp_core_ray.pipelines.compact import compact_fragments
+    from clp_core_ray.pipelines.search import search_count
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(2):
+        with open(indir / f"app-{i:02d}.log", "w") as f:
+            for j in range(20):
+                f.write(f"2015-01-31 15:5{i}:{j % 60:02d},{j:03d} "
+                        f"INFO merged handler {i} req {j}\n")
+    frags = str(tmp_path / "frags")
+    cold = str(tmp_path / "cold")
+    ingest.poll(str(indir), frags, fmt="textlog")
+    assert search_count(frags, "*merged handler*")["cnt"][0].as_py() == 40
+
+    res = compact_fragments(frags, cold)
+    assert res["format"] == "clp" and res["rows"] == 40
+    assert search_count(res["archive"],
+                        "*merged handler*")["cnt"][0].as_py() == 40
+    assert search_count(res["archive"],
+                        "*handler 1 req 7*")["cnt"][0].as_py() == 1
+    assert search_count(frags, "*merged handler*")["cnt"][0].as_py() == 0
