@@ -152,8 +152,14 @@ def cmd_decompress(args) -> dict:
 
 def cmd_search(args) -> dict:
     from clp_core_ray.pipelines.search import (
-        _search_target, search_count, search_count_by_time,
+        _search_target, regex_to_wildcard, search_count,
+        search_count_by_time,
     )
+
+    if getattr(args, "regex", False):
+        # clg --regex role: translate BEFORE compilation; unsupported
+        # constructs raise, mirroring the reference's error codes
+        args.query = [regex_to_wildcard(q) for q in args.query]
 
     prune = {}
     if args.path_glob:
@@ -843,6 +849,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="wildcard query; repeat for a batched multi-query "
                         "search (one scan, one decode)")
     s.add_argument("--ignore-case", action="store_true")
+    s.add_argument("--regex", action="store_true",
+                   help="treat each --query as a regex; translated to CLP "
+                        "wildcard syntax (clg's regex_utils subset: "
+                        "literals, '.', '.*', '.+', ^/$ anchors)")
     s.add_argument("--count", action="store_true", help="clg --count")
     s.add_argument("--count-by-time", metavar="BUCKET",
                    help="clo count-by-time: bucket size in ms (digits, "

@@ -327,3 +327,27 @@ def test_cli_retention(ray_session, tiny_sf_dir, tmp_path, capsys):
     keep, _ = _run(capsys, ["retention", "--base", base,
                             "--before-us", "1"])
     assert keep["removed"] == []
+
+
+def test_cli_search_regex(ray_session, tiny_sf_dir, tmp_path, capsys):
+    """clg --regex role: the regex translates to CLP wildcard syntax
+    before compilation; unsupported constructs fail loudly."""
+    arch = str(tmp_path / "arch")
+    res, _ = _run(capsys, ["compress", "--input", tiny_sf_dir,
+                           "--out", arch])
+    assert res["rows"] > 0
+
+    res, _ = _run(capsys, ["search", "--archive", arch,
+                           "--query", "^ERROR upstream.*$",
+                           "--regex", "--count"])
+    n_rx = res["count"]
+    res, _ = _run(capsys, ["search", "--archive", arch,
+                           "--query", "ERROR upstream*", "--count"])
+    assert n_rx == res["count"] > 0
+
+    import pytest as _pytest
+
+    from clp_core_ray.cli import main
+    with _pytest.raises(ValueError):
+        main(["search", "--archive", arch,
+              "--query", "ERROR [0-9]+", "--regex", "--count"])
