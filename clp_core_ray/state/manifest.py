@@ -131,6 +131,10 @@ def fsck_archive(out_dir: str) -> dict:
 
     import pyarrow.parquet as pq
 
+    if (not os.path.isdir(os.path.join(out_dir, "routed"))
+            and any(n.startswith("fragment=")
+                    for n in os.listdir(out_dir))):
+        return _fsck_fragment_base(out_dir)
     expected: dict[str, int] = {}
     for man in read_manifests(out_dir):
         if man.get("retired_into"):
@@ -162,3 +166,55 @@ def fsck_archive(out_dir: str) -> dict:
                 f"count mismatch class={cls}: manifests say {e}, "
                 f"files hold {a}")
     return {"ok": not problems, "classes": classes, "problems": problems}
+
+
+def _fsck_fragment_base(out_dir: str) -> dict:
+    """fsck for an ingest-scheduler FRAGMENT base (no central routed/
+    sink): per unretired fragment, the manifest's recorded row count must
+    equal the footer total of every parquet under its sink — a format-
+    independent invariant (inline transcript fragments count sink rows,
+    textlog fragments their routed rows, clp_s fragments their schema-
+    table rows), still footer-metadata-only. Retired fragments must have
+    NO surviving sink dir; orphan fragment dirs with no manifest are
+    flagged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    problems: list[str] = []
+    frags: dict[str, dict] = {}
+    seen_dirs = {n for n in os.listdir(out_dir) if n.startswith("fragment=")}
+    for man in read_manifests(out_dir):
+        fid = man.get("fragment_id")
+        sink = man.get("sink")
+        dname = f"fragment={fid}"
+        seen_dirs.discard(dname)
+        if man.get("retired_into"):
+            if sink and os.path.isdir(sink):
+                problems.append(
+                    f"retired fragment still has data: {dname}")
+            continue
+        if not sink:
+            continue
+        expected = int(man.get("rows") or 0)
+        actual = 0
+        for path in sorted(glob.glob(os.path.join(sink, "**", "*"),
+                                     recursive=True)):
+            if path.endswith(".inprogress"):
+                problems.append(
+                    f"torn write: {os.path.relpath(path, out_dir)}")
+            elif path.endswith(".parquet") and os.path.isfile(path):
+                try:
+                    actual += pq.ParquetFile(path).metadata.num_rows
+                except Exception as exc:
+                    problems.append(
+                        f"unreadable parquet: "
+                        f"{os.path.relpath(path, out_dir)} ({exc})")
+        frags[fid] = {"expected": expected, "actual": actual}
+        if expected != actual:
+            problems.append(
+                f"count mismatch fragment={fid}: manifest says "
+                f"{expected}, files hold {actual}")
+    for orphan in sorted(seen_dirs):
+        problems.append(f"untracked fragment dir: {orphan}")
+    return {"ok": not problems, "classes": frags, "problems": problems}

@@ -436,3 +436,36 @@ def test_scheduler_fuzz_convergence(ray_session, tmp_path, monkeypatch):
         owned += inp
     assert len(owned) == len(set(owned)) == 12  # exactly-once ownership
     assert _total_rows(out) == 12 * 8
+
+
+def test_fsck_fragment_base(ray_session, tmp_path):
+    """fsck understands fragment bases: green after ingest, red on a
+    deleted sink file, and untracked fragment dirs are flagged."""
+    from clp_core_ray.pipelines import ingest
+    from clp_core_ray.state.manifest import fsck_archive
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i in range(2):
+        _shard(indir, i)
+    out = str(tmp_path / "arch")
+    ingest.poll(str(indir), out)
+    r = fsck_archive(out)
+    assert r["ok"], r["problems"]
+    assert all(v["expected"] == v["actual"] == 8
+               for v in r["classes"].values())
+
+    # delete one sink parquet -> count mismatch
+    victim = next(os.path.join(rr, f)
+                  for rr, _, fs in os.walk(os.path.join(
+                      out, "fragment=shard-0000"))
+                  for f in fs if f.endswith(".parquet"))
+    os.unlink(victim)
+    r2 = fsck_archive(out)
+    assert not r2["ok"] and any("count mismatch" in p
+                                for p in r2["problems"])
+
+    # untracked fragment dir -> flagged
+    os.makedirs(os.path.join(out, "fragment=ghost"))
+    r3 = fsck_archive(out)
+    assert any("untracked fragment dir" in p for p in r3["problems"])
