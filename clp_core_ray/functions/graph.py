@@ -169,3 +169,57 @@ def cooccurrence_pairs(ds, *, basket_col: str, item_col: str,
         return pairs
     return pairs.sort(["cnt", "item_a", "item_b"],
                       descending=[True, False, False]).limit(top_k)
+
+
+def bfs_depths(edges_ds, *, source: int, max_depth: int,
+               src_col: str = "src", dst_col: str = "dst"):
+    """Distributed frontier BFS: min hop-depth from ``source`` to every
+    reachable node within ``max_depth`` (the k-hop-neighborhood /
+    blast-radius primitive).
+
+    Iterative like pagerank: per hop the CURRENT FRONTIER broadcasts via
+    plasma (node-table-bounded, the module's documented state bound) and
+    every edge batch emits destinations whose source is in the frontier —
+    the edge list itself streams and is never collected. New nodes fold
+    through one distinct exchange per hop; depths accumulate driver-side
+    in the same node-bounded map the rank vector uses. Directed semantics:
+    pass both orientations for an undirected graph.
+
+    Returns pa.Table[(node, depth)] sorted by (depth, node).
+    """
+    import ray
+    import ray.data as rd
+
+    edges = edges_ds.materialize()  # re-read per hop, blocks spill
+    depth: dict[int, int] = {int(source): 0}
+    frontier = np.array([source], dtype=np.int64)
+    for d in range(1, max_depth + 1):
+        fr = ray.put(np.sort(frontier))
+
+        def nbrs(b: pa.Table, _fr=fr) -> pa.Table:
+            f = ray.get(_fr)
+            s = np.asarray(b.column(src_col), dtype=np.int64)
+            pos = np.searchsorted(f, s)
+            pos[pos >= len(f)] = 0
+            hit = f[pos] == s
+            out = np.unique(np.asarray(b.column(dst_col),
+                                       dtype=np.int64)[hit])
+            return pa.table({"node": pa.array(out)})
+
+        found = _fold(edges.map_batches(nbrs, batch_format="pyarrow")
+                      .groupby("node").count())
+        if found.num_rows == 0:
+            break
+        cand = np.asarray(found.column("node"), dtype=np.int64)
+        new = cand[~np.isin(cand, np.fromiter(depth, np.int64,
+                                              count=len(depth)))]
+        if len(new) == 0:
+            break
+        for n in new.tolist():
+            depth[n] = d
+        frontier = new
+    nodes = np.fromiter(depth, np.int64, count=len(depth))
+    ds_ = np.fromiter(depth.values(), np.int64, count=len(depth))
+    order = np.lexsort((nodes, ds_))
+    return pa.table({"node": pa.array(nodes[order]),
+                     "depth": pa.array(ds_[order])})

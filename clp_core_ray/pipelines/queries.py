@@ -8860,3 +8860,54 @@ def media_audio_dup_pairs(sf_dir: str):
                    "audio": pa.array(bufs, type=pa.binary())})
     out = audio_dup_pairs(rd.from_arrow(tb).repartition(4), min_matches=5)
     return out.sort(["item_a", "item_b"])
+
+
+@register(
+    "part_bfs_depths",
+    "WITH RECURSIVE e AS ("
+    "  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb"
+    "  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey"
+    "   AND a.l_partkey < b.l_partkey),"
+    " ee AS (SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e),"
+    " src AS (SELECT min(l_partkey) AS s FROM lineitem),"
+    " bfs(node, depth) AS ("
+    "  SELECT s, 0 FROM src"
+    "  UNION"
+    "  SELECT ee.pb, bfs.depth + 1 FROM bfs JOIN ee ON ee.pa = bfs.node"
+    "  WHERE bfs.depth < 3)"
+    " SELECT node, CAST(min(depth) AS BIGINT) AS depth"
+    " FROM bfs GROUP BY 1",
+)
+def part_bfs_depths(sf_dir: str):
+    """K-hop neighborhood over the co-purchase graph (min hop-depth from
+    the smallest part within 3 hops — the blast-radius primitive): edges
+    stream from the bucketed basket-pair expansion; each BFS hop
+    broadcasts only the FRONTIER (node-bounded, pagerank's documented
+    state shape) and folds new nodes through one distinct exchange. The
+    transitive closure lives only in the recursive-CTE ORACLE."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from clp_core_ray.functions.graph import bfs_depths, cooccurrence_pairs
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, basket_col="l_orderkey",
+                               item_col="l_partkey")
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b.column("item_a").combine_chunks()
+        bb = b.column("item_b").combine_chunks()
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(), bb.combine_chunks()]
+                                    if isinstance(a, pa.ChunkedArray)
+                                    else [a, bb]),
+            "dst": pa.concat_arrays([bb, a] if not isinstance(
+                bb, pa.ChunkedArray) else [bb.combine_chunks(),
+                                           a.combine_chunks()])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    src = int(pc.min(pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey"]).column("l_partkey")).as_py())
+    return bfs_depths(edges, source=src, max_depth=3)
