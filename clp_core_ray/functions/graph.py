@@ -223,3 +223,122 @@ def bfs_depths(edges_ds, *, source: int, max_depth: int,
     order = np.lexsort((nodes, ds_))
     return pa.table({"node": pa.array(nodes[order]),
                      "depth": pa.array(ds_[order])})
+
+
+def triangle_count(edges_ds, *, src_col: str = "src",
+                   dst_col: str = "dst") -> int:
+    """Global triangle count over CANONICAL edges (src < dst), the
+    graph-quality / clustering-coefficient primitive.
+
+    Two bucketed vectorized stages (no driver-side adjacency, no per-node
+    Python): (1) wedge generation — every edge feeds its endpoints'
+    middle-node lists; inside each mid-hash bucket one lexsort + arithmetic
+    cross-product expands (a, c) wedge endpoints per middle and
+    pre-aggregates their multiplicity (#common middles) before the
+    exchange; (2) closure test — wedge rows union with the edge set,
+    bucket on a mixed pair hash, and each bucket sums multiplicities of
+    pairs present in the edge set. Hub skew caveat: wedges per middle are
+    deg_lo x deg_hi (the cooccurrence module's star-cap note applies to
+    pathological hubs)."""
+    import ray
+
+    from clp_core_ray.pipelines.temporal import _key_and_bucket
+    from clp_core_ray.pipelines.windows import scaled_buckets
+
+    nb = scaled_buckets()
+
+    def mid_rows(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column(src_col), dtype=np.int64)
+        c = np.asarray(b.column(dst_col), dtype=np.int64)
+        # edge (a,c): a joins c's LOWER list, c joins a's UPPER list
+        mid = np.r_[c, a]
+        other = np.r_[a, c]
+        side = np.r_[np.zeros(len(a), np.int8), np.ones(len(c), np.int8)]
+        t = pa.table({"mid": pa.array(mid), "other": pa.array(other),
+                      "side": pa.array(side)})
+        _, bk = _key_and_bucket(t.column("mid"), nb)
+        return t.append_column("_mb", bk)
+
+    def wedges(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_mb"])
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64()),
+                          "w": pa.array([], type=pa.int64())})
+        n = g.num_rows
+        if n == 0:
+            return empty
+        mid = np.asarray(g.column("mid"), dtype=np.int64)
+        other = np.asarray(g.column("other"), dtype=np.int64)
+        side = np.asarray(g.column("side"), dtype=np.int8)
+        order = np.lexsort((other, side, mid))
+        mid, other, side = mid[order], other[order], side[order]
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = mid[1:] != mid[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n]
+        # per mid-run: lower block first (side 0), upper block second
+        split = starts + np.add.reduceat((side == 0).astype(np.int64),
+                                         starts)
+        n0 = split - starts
+        n1 = ends - split
+        prod = n0 * n1
+        total = int(prod.sum())
+        if total == 0:
+            return empty
+        cs = np.concatenate([[0], np.cumsum(prod)[:-1]])
+        off = np.arange(total, dtype=np.int64) - np.repeat(cs, prod)
+        n1r = np.repeat(n1, prod)
+        lo = np.repeat(starts, prod) + off // n1r
+        hi = np.repeat(split, prod) + off % n1r
+        t = pa.table({"a": pa.array(other[lo]), "c": pa.array(other[hi]),
+                      "w": pa.array(np.ones(total, dtype=np.int64))})
+        out = t.group_by(["a", "c"]).aggregate([("w", "sum")])
+        return out.rename_columns(["a", "c", "w"])
+
+    def _pair_bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a"), dtype=np.int64).view(np.uint64)
+        c = np.asarray(t.column("c"), dtype=np.int64).view(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ c
+        h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+        return t.append_column(
+            "_pb", pa.array((h % np.uint64(nb)).astype(np.int32))), h
+
+    def wedge_side(b: pa.Table) -> pa.Table:
+        t = pa.table({"a": b.column("a"), "c": b.column("c"),
+                      "w": b.column("w")})
+        t, _ = _pair_bucket(t)
+        return t
+
+    def edge_side(b: pa.Table) -> pa.Table:
+        t = pa.table({"a": b.column(src_col), "c": b.column(dst_col),
+                      "w": pa.array(np.full(b.num_rows, -1,
+                                            dtype=np.int64))})
+        t, _ = _pair_bucket(t)
+        return t
+
+    def close(g: pa.Table) -> pa.Table:
+        w = np.asarray(g.column("w"), dtype=np.int64)
+        a = np.asarray(g.column("a"), dtype=np.int64).view(np.uint64)
+        c = np.asarray(g.column("c"), dtype=np.int64).view(np.uint64)
+        key = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ c).view(np.int64)
+        ek = np.sort(key[w < 0])
+        wk = key[w > 0]
+        ww = w[w > 0]
+        if len(ek) == 0 or len(wk) == 0:
+            return pa.table({"t": pa.array([0], type=pa.int64())})
+        pos = np.searchsorted(ek, wk)
+        pos[pos >= len(ek)] = 0
+        hit = ek[pos] == wk
+        return pa.table({"t": pa.array([int(ww[hit].sum())],
+                                       type=pa.int64())})
+
+    wedge_ds = (edges_ds.map_batches(mid_rows, batch_format="pyarrow")
+                .groupby("_mb").map_groups(wedges, batch_format="pyarrow")
+                .map_batches(wedge_side, batch_format="pyarrow"))
+    edge_tagged = edges_ds.map_batches(edge_side, batch_format="pyarrow")
+    parts = (wedge_ds.union(edge_tagged)
+             .groupby("_pb").map_groups(close, batch_format="pyarrow"))
+    tot = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        tot += sum(x or 0 for x in pa.table(b).column("t").to_pylist())
+    return tot

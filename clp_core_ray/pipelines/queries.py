@@ -8911,3 +8911,36 @@ def part_bfs_depths(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey"]).column("l_partkey")).as_py())
     return bfs_depths(edges, source=src, max_depth=3)
+
+
+@register(
+    "part_triangles",
+    "WITH e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb"
+    "  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey"
+    "   AND a.l_partkey < b.l_partkey)"
+    " SELECT CAST(count(*) AS BIGINT) AS triangles"
+    " FROM e e1 JOIN e e2 ON e1.pb = e2.pa"
+    " JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb",
+)
+def part_triangles(sf_dir: str):
+    """Triangle count of the co-purchase graph (graph clustering quality):
+    canonical a<b<c edges from the bucketed basket-pair expansion, then
+    the two-stage wedge-generate / closure-test kernel — wedge endpoints
+    pre-aggregate their common-middle multiplicity inside mid-hash
+    buckets before the pair exchange, and closure is a sorted-key match
+    per pair-hash bucket. The edge-edge-edge self-join lives only in the
+    ORACLE."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.graph import (cooccurrence_pairs,
+                                              triangle_count)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, basket_col="l_orderkey",
+                               item_col="l_partkey")
+    edges = pairs.map_batches(
+        lambda b: b.select(["item_a", "item_b"])
+        .rename_columns(["src", "dst"]), batch_format="pyarrow")
+    n = triangle_count(edges)
+    return pa.table({"triangles": pa.array([n], type=pa.int64())})
