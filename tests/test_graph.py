@@ -59,3 +59,42 @@ def test_cooccurrence_pairs_vs_brute(ray_session):
         for a, b in itertools.combinations(sorted(s), 2):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+def test_bfs_depths_small_graph(ray_session):
+    """BFS min-depths on a hand-checked graph incl. an unreachable node
+    and a shorter-path-wins case."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.graph import bfs_depths
+
+    und = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (6, 7)]
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+    t = bfs_depths(ds, source=1, max_depth=5)
+    got = dict(zip(t.column("node").to_pylist(),
+                   t.column("depth").to_pylist()))
+    # 4 is reachable at depth 2 via 5 (not 3 via 2-3)
+    assert got == {1: 0, 2: 1, 5: 1, 3: 2, 4: 2}
+
+
+def test_triangle_count_small_graphs(ray_session):
+    """Triangle counts on hand-checked graphs: K4 has 4, a square has 0,
+    a square + one diagonal has 2."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.graph import triangle_count
+
+    def tc(edges):
+        t = pa.table({"src": [a for a, b in edges],
+                      "dst": [b for a, b in edges]})
+        return triangle_count(rd.from_arrow(t).repartition(2))
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert tc(k4) == 4
+    square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    assert tc(square) == 0
+    assert tc(square + [(1, 3)]) == 2
