@@ -1628,3 +1628,90 @@ def kl_by_group(ds, *, group_col: str, text_col: str = "text",
     return rd.from_arrow(pa.table({
         group_col: pa.array(out_g),
         "kl": pa.array(_sql_round(np.asarray(out_kl), ndigits))}))
+
+
+def multi_pattern_contains(ds, patterns: list[str], *,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Docs containing ANY of a (possibly large) literal pattern set — the
+    blocklist / PII-term / compliance-scan primitive.
+
+    One pass REGARDLESS of pattern count (K regex passes would cost K
+    scans): patterns group by byte length; per length L one vectorized
+    polynomial rolling hash over the batch's flat UTF-8 buffer (L strided
+    multiply-adds, no per-row Python) gives every window's hash, a sorted
+    membership probe finds candidates, and candidates verify byte-exact
+    (hash collisions and windows spanning row boundaries are both
+    rejected). The pattern set broadcasts once; hits emit distinct doc ids
+    per batch before the final distinct exchange."""
+    import ray
+
+    enc = [p.encode("utf-8") for p in patterns]
+    if not enc or any(len(p) == 0 for p in enc):
+        raise ValueError("patterns must be non-empty strings")
+    by_len: dict[int, list[bytes]] = {}
+    for p in enc:
+        by_len.setdefault(len(p), []).append(p)
+    B = np.uint64(1099511628211)  # FNV prime as the polynomial base
+
+    def phash(b: bytes) -> np.uint64:
+        h = np.uint64(0)
+        for x in b:
+            h = h * B + np.uint64(x)
+        return h
+
+    plan = {
+        L: (np.sort(np.array([phash(p) for p in ps], dtype=np.uint64)),
+            ps)
+        for L, ps in by_len.items()
+    }
+    plan_ref = ray.put(plan)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        pl = ray.get(plan_ref)
+        col = batch.column(text_col).combine_chunks() \
+            .cast(pa.large_string())
+        offsets, data = _string_buffers(col)
+        n = len(data)
+        hit_rows: list[np.ndarray] = []
+        for L, (hset, ps) in pl.items():
+            if n < L:
+                continue
+            m = n - L + 1
+            H = np.zeros(m, dtype=np.uint64)
+            for i in range(L):
+                H = H * B + data[i:m + i].astype(np.uint64)
+            pos = np.searchsorted(hset, H)
+            pos[pos >= len(hset)] = 0
+            cand = np.flatnonzero(hset[pos] == H)
+            if len(cand) == 0:
+                continue
+            # reject windows spanning a row boundary (two docs' bytes
+            # concatenated are not a match in either doc)
+            r0 = np.searchsorted(offsets, cand, side="right")
+            r1 = np.searchsorted(offsets, cand + L - 1, side="right")
+            cand = cand[r0 == r1]
+            if len(cand) == 0:
+                continue
+            # byte-exact verify per pattern of this length (few patterns,
+            # vectorized window compare via the strided trick)
+            ok = np.zeros(len(cand), dtype=bool)
+            for p in ps:
+                pv = np.frombuffer(p, dtype=np.uint8)
+                eq = np.ones(len(cand), dtype=bool)
+                for i in range(L):
+                    eq &= data[cand + i] == pv[i]
+                ok |= eq
+            cand = cand[ok]
+            if len(cand):
+                hit_rows.append(
+                    np.searchsorted(offsets, cand, side="right") - 1)
+        if not hit_rows:
+            return pa.table({id_col: pa.array(
+                [], type=batch.schema.field(id_col).type)})
+        rows = np.unique(np.concatenate(hit_rows))
+        return pa.table({id_col: pc.take(
+            batch.column(id_col).combine_chunks(), pa.array(rows))})
+
+    hits = ds.map_batches(scan, batch_format="pyarrow")
+    return hits.groupby(id_col).count().select_columns([id_col])

@@ -8944,3 +8944,29 @@ def part_triangles(sf_dir: str):
         .rename_columns(["src", "dst"]), batch_format="pyarrow")
     n = triangle_count(edges)
     return pa.table({"triangles": pa.array([n], type=pa.int64())})
+
+
+@register(
+    "docs_blocklist_hits",
+    "SELECT DISTINCT doc_id FROM documents d JOIN (VALUES"
+    " ('fast table'), ('scan slow'), ('agg join'), ('merge batch'),"
+    " ('big vector'), ('customer query'), ('slow filter'),"
+    " ('data column'), ('key agg row'), ('window table')) t(term)"
+    " ON contains(d.text, t.term)",
+)
+def docs_blocklist_hits(sf_dir: str):
+    """Blocklist / compliance scan: documents containing ANY of a literal
+    term set, in ONE pass regardless of set size (per pattern length one
+    vectorized rolling hash over the flat text buffer + byte-exact verify
+    — never K regex scans). The oracle's contains-join is quadratic in
+    patterns; the kernel is not."""
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import multi_pattern_contains
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return multi_pattern_contains(ds, [
+        "fast table", "scan slow", "agg join", "merge batch",
+        "big vector", "customer query", "slow filter", "data column",
+        "key agg row", "window table"])

@@ -2219,3 +2219,29 @@ def test_jaro_winkler_matrix_vs_duckdb():
         w = con.execute("SELECT jaro_winkler_similarity(?, ?)",
                         [a, b]).fetchone()[0]
         assert abs(g - w) < 1e-9, (a, b, g, w)
+
+
+def test_multi_pattern_contains_edges(ray_session):
+    """Rabin-Karp multi-pattern scan: cross-row windows rejected (a
+    pattern assembled from one doc's tail + the next doc's head must NOT
+    match), unicode bytes handled, mixed lengths in one pass."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from clp_core_ray.functions.text import multi_pattern_contains
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array([
+            "the secret token lives here",
+            "ends with secret",          # ..."secret" + next "token"...
+            "token starts this one",     # cross-row "secret token" trap
+            "café naïve ünïcode",
+            "nothing to see",
+        ])})
+    # single block: rows 2 and 3 are byte-adjacent in one buffer
+    ds = rd.from_arrow(t).repartition(1)
+    out = pa.concat_tables([pa.table(b) for b in multi_pattern_contains(
+        ds, ["secret token", "naïve", "zzz"])
+        .iter_batches(batch_format="pyarrow")])
+    assert sorted(out.column("doc_id").to_pylist()) == [1, 4]
