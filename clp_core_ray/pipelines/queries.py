@@ -8970,3 +8970,53 @@ def docs_blocklist_hits(sf_dir: str):
         "fast table", "scan slow", "agg join", "merge batch",
         "big vector", "customer query", "slow filter", "data column",
         "key agg row", "window table"])
+
+
+def _skyline2d(t: pa.Table, x_col: str, y_col: str) -> pa.Table:
+    """Vectorized 2-D Pareto front (minimize both): sort by (x, y), keep a
+    row iff it is its x-group's min-y AND strictly below the running min-y
+    of all smaller x — O(n log n), no pairwise work. Duplicate (x, y)
+    points don't dominate each other and all survive."""
+    if t.num_rows == 0:
+        return t
+    order = pc.sort_indices(t, sort_keys=[(x_col, "ascending"),
+                                          (y_col, "ascending")])
+    t = t.take(order)
+    x = np.asarray(t.column(x_col).combine_chunks().cast(pa.float64()))
+    y = np.asarray(t.column(y_col).combine_chunks().cast(pa.float64()))
+    n = len(x)
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = x[1:] != x[:-1]
+    gidx = np.cumsum(new_grp) - 1
+    gmin = y[new_grp]  # y sorted asc within group → first is group min
+    runmin_strict = np.r_[np.inf, np.minimum.accumulate(gmin)[:-1]]
+    keep = (y == gmin[gidx]) & (y < runmin_strict[gidx])
+    return t.filter(pa.array(keep))
+
+
+@register(
+    "part_skyline",
+    "SELECT p_partkey, p_retailprice, p_size FROM part p"
+    " WHERE NOT EXISTS (SELECT 1 FROM part q"
+    "  WHERE q.p_retailprice <= p.p_retailprice"
+    "   AND q.p_size <= p.p_size"
+    "   AND (q.p_retailprice < p.p_retailprice"
+    "    OR q.p_size < p.p_size))",
+)
+def part_skyline(sf_dir: str):
+    """2-D skyline / Pareto front (cheapest-and-smallest parts no other
+    part dominates) — the multi-objective selection primitive. Classic
+    two-phase distributed shape: each batch emits its LOCAL skyline
+    (vectorized sort + running-min, never pairwise), and the global
+    skyline of the tiny candidate union finalizes driver-side — a point
+    dominated globally is dominated by some point within one batch's
+    local skyline, so no exchange of the full table. The quadratic
+    NOT-EXISTS dominance join exists only in the ORACLE."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice", "p_size"])
+    local = ds.map_batches(
+        lambda b: _skyline2d(b, "p_retailprice", "p_size"),
+        batch_format="pyarrow")
+    return _skyline2d(_tbl(local), "p_retailprice", "p_size")
